@@ -7,7 +7,11 @@ import graft.queries._
   */
 object QueryRegistry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational
+    Relational,
+    Windows,
+    Aggregates,
+    AdvancedJoins,
+    Scalars
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

@@ -20,7 +20,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType. Read it as raw nanos (legacy conf) and truncate to
+    * microseconds with exact integer division — the same truncation DuckDB
+    * applies, so `ts` stays oracle-comparable.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Non-equi, as-of, interval and star joins (SURVEY.md §2.3 J8–J11). */
+object AdvancedJoins extends QueryModule {
+
+  /** J8: time-range self-join, banded. A naive theta join on
+    * (user, tsb > tsa, tsb ≤ tsa+5min) degenerates to a per-user nested
+    * loop; instead each left row probes exactly two 5-minute buckets, so
+    * the join is EQUI on (user_id, bucket) — shuffle-partitionable and
+    * linear at 100 TB. The oracle states the same semantics as a theta
+    * join (fine at oracle scale).
+    */
+  val rangeJoinBanded: Q = Q(
+    """SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d).select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val left = ev
+      .withColumn("bucket", explode(array(floor(col("us") / 300000000L),
+        floor(col("us") / 300000000L) + 1)))
+      .select(col("user_id"), col("us").as("a_us"), col("bucket"))
+    val right = ev
+      .select(col("user_id").as("b_user"), col("us").as("b_us"),
+        floor(col("us") / 300000000L).as("b_bucket"))
+    left.join(right,
+        col("user_id") === col("b_user") && col("bucket") === col("b_bucket")
+          && col("b_us") > col("a_us") && col("b_us") <= col("a_us") + 300000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** J9: as-of join — for every purchase, the most recent preceding click
+    * of the same user. Formulated as a running MAX over the merged event
+    * stream (ts is monotone, so MAX(click ts so far) IS the as-of match);
+    * one shuffle by user, no self-join at all — the classic
+    * union-then-window as-of trick.
+    */
+  val asofJoin: Q = Q(
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, ts,
+      |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts,
+      |    event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        max(when(col("event_type") === "click", col("ts"))).over(w).as("prev_click_ts"),
+        col("event_type"))
+      .filter(col("event_type") === "purchase")
+      .orderBy("event_id")
+  }
+
+  /** J10: interval-overlap join — per-user daily activity spans, then
+    * pairs of distinct users whose spans overlap that day. Equi on the
+    * day key, overlap predicate post-filtered: partitionable by day.
+    */
+  val intervalOverlap: Q = Q(
+    """WITH spans AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         MIN(ts) AS s, MAX(ts) AS e
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.day AS day, COUNT(*) AS n_overlaps
+      |FROM spans a JOIN spans b
+      |  ON a.day = b.day AND a.user_id < b.user_id
+      | AND a.s < b.e AND b.s < a.e
+      |GROUP BY a.day ORDER BY day""".stripMargin) { (s, d) =>
+    val spans = events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(min("ts").as("s"), max("ts").as("e"))
+    val a = spans.select(col("user_id").as("u1"), col("day"), col("s").as("s1"), col("e").as("e1"))
+    val b = spans.select(col("user_id").as("u2"), col("day").as("day2"), col("s").as("s2"), col("e").as("e2"))
+    a.join(b, col("day") === col("day2") && col("u1") < col("u2")
+        && col("s1") < col("e2") && col("s2") < col("e1"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("day")
+  }
+
+  /** J11: multi-way star join (TPC-H Q5 shape) — revenue by nation for one
+    * region and a two-year order window. Fact tables join SMJ on their
+    * keys; `nation`/`region`/`supplier` are bounded dims → broadcast.
+    * `customer` scales with the fact data → NOT broadcast (at SF100 it is
+    * tens of GB).
+    */
+  val starJoin: Q = Q(
+    s"""SELECT n_name, $sqlRevenueA AS revenue, COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val ext  = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    lineitem(s, d)
+      .join(orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(ext * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private def sqlRevenueA =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "q36_range_join"       -> rangeJoinBanded,
+    "q37_asof_join"        -> asofJoin,
+    "q38_interval_overlap" -> intervalOverlap,
+    "q39_star_join"        -> starJoin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Window functions (SURVEY.md §2.5, W1–W6). Every window has a TOTAL order
+  * (unique-key tiebreaks) so results are deterministic cross-engine (R1).
+  *
+  * Scale note: window partitions here are bounded (customer, user, segment
+  * keys), so a 100 TB run shuffles once by partition key and sorts within
+  * partitions — no global sort, no driver materialization.
+  */
+object Windows extends QueryModule {
+
+  /** W1: ranking family over order value within market segment. */
+  val rankWindow: Q = Q(
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    RANK() OVER w AS rnk,
+      |    DENSE_RANK() OVER w AS drnk,
+      |    NTILE(4) OVER w AS quartile,
+      |    CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prank
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) WHERE rn <= 20 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).cast("double").as("prank"))
+      .filter(col("rn") <= 20)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** W2: lag/lead over each user's event stream (ts+event_id total order). */
+  val lagLead: Q = Q(
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, value,
+      |    LAG(value, 1) OVER w AS prev_value,
+      |    LEAD(value, 1) OVER w AS next_value,
+      |    CAST(value - LAG(value, 1) OVER w AS DOUBLE) AS delta,
+      |    event_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        (col("value") - lag("value", 1).over(w)).cast("double").as("delta"),
+        col("event_type"))
+      .filter(col("event_type") === "purchase")
+      .orderBy("event_id")
+  }
+
+  /** W3: running total per customer — prefix sums in exact decimal. */
+  val runningSum: Q = Q(
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+      |    PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double").as("running_total"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  /** W4: sliding RANGE frame — trailing-7-day spend per customer, keyed on
+    * a numeric day offset so both engines use identical range semantics. */
+  val rangeFrame: Q = Q(
+    """SELECT c_custkey, o_orderkey, day_num,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+      |    PARTITION BY c_custkey ORDER BY day_num
+      |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS week_spend
+      |FROM (
+      |  SELECT c_custkey, o_orderkey, o_totalprice,
+      |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |ORDER BY c_custkey, day_num, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_custkey").orderBy("day_num").rangeBetween(-7, 0)
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .withColumn("day_num", datediff(to_date(col("o_orderdate")), lit("1995-01-01")))
+      .select(col("c_custkey"), col("o_orderkey"), col("day_num"),
+        sum(col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double").as("week_spend"))
+      .orderBy("c_custkey", "day_num", "o_orderkey")
+  }
+
+  /** W5: top-k per group with the group's dimension attributes joined in. */
+  val topKPerGroup: Q = Q(
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_name, o_orderkey, o_totalprice,
+      |    RANK() OVER (PARTITION BY c_mktsegment
+      |                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** W6: cumulative distribution + percent rank over one ship-month of
+    * lineitem (deterministic pre-filter keeps the dump bounded). */
+  val cumeDist: Q = Q(
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cd,
+      |  CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        cume_dist().over(w).cast("double").as("cd"),
+        percent_rank().over(w).cast("double").as("pr"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "q24_rank_window"    -> rankWindow,
+    "q25_lag_lead"       -> lagLead,
+    "q26_running_sum"    -> runningSum,
+    "q27_range_frame"    -> rangeFrame,
+    "q28_topk_per_group" -> topKPerGroup,
+    "q29_cume_dist"      -> cumeDist
+  )
+}
