@@ -11,7 +11,8 @@ object QueryRegistry {
     Windows,
     Aggregates,
     AdvancedJoins,
-    Scalars
+    Scalars,
+    Llm
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

@@ -1,0 +1,460 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.9, L1–L10, plus
+  * SimHash / lang-ID / quality / fingerprint extensions) over the
+  * `documents` and `embeddings` fixtures.
+  *
+  * Scale design: every operator is shuffle-partitioned by a bounded key
+  * (lang, LSH band, coarse label) — never an unpartitioned pairwise
+  * product. Brute-force cosine (L4) is the one quadratic op and is bounded
+  * by a broadcast query set; L5 is its partition-pruned scale path.
+  */
+object Llm extends QueryModule {
+
+  /** Tokenized view: lower-cased whitespace words. */
+  private def words: Column = split(lower(col("text")), " ")
+  private val sqlWords = "string_split(lower(text), ' ')"
+
+  /** Word k-shingles as a Column (1-based element_at; guarded upstream by
+    * a size filter so sequence() never sees a negative range). */
+  private def shingles(k: Int): Column =
+    transform(sequence(lit(1), size(words) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*))
+  private def sqlShingles(k: Int): String = {
+    val parts = (1 to k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"list_transform(range(len(w) - ${k - 1}), i -> $parts)"
+  }
+
+  // ------------------------------------------------------------------- L1
+
+  /** L1: exact content dedup — survivor per sha256(text) is the smallest
+    * doc_id (window, not dropDuplicates, so the pick is deterministic).
+    * One shuffle by hash; at 100 TB the hash groupBy is the canonical
+    * exact-dedup shape. */
+  val dedupExact: Q = Q(
+    """SELECT doc_id, content_hash FROM (
+      |  SELECT doc_id, sha256(text) AS content_hash,
+      |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "content_hash")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------- L2
+
+  /** L2: exact near-duplicate detection — pairwise Jaccard over distinct
+    * word 3-shingles, restricted to same-lang pairs (the pair space is
+    * partitioned by lang; never an unbounded cross product). The shingle
+    * equi-join produces only pairs that share ≥1 shingle — sparse. */
+  val nearDupJaccard: Q = Q(
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, lang, s FROM (
+       |    SELECT doc_id, lang, unnest(sq) AS s FROM (
+       |      SELECT doc_id, lang, $sqlShingles3 AS sq
+       |      FROM (SELECT doc_id, lang, $sqlWords AS w FROM documents)
+       |      WHERE len(w) >= 3))),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.03
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = documents(s, d)
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(shingles(3))).as("s"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
+    val inter = a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b")
+        && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("ca.c") + col("cb.c") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(jac >= 0.03)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+  private def sqlShingles3 = sqlShingles(3)
+
+  // ------------------------------------------------------------------- L3
+
+  /** L3: MinHash LSH near-dup candidates — 16 hash slots banded 4×4; a
+    * pair is a candidate iff all 4 minhashes of some band agree. Linear in
+    * corpus size (explode by band, groupBy band signature), the scalable
+    * form of L2. xxhash64 is Spark-specific → no oracle; the unit spec
+    * checks recall against L2 pairs. */
+  val minHashLsh: Q = Q.noOracle { (s, d) =>
+    val nHashes = 16
+    val bands = 4
+    val rows = nHashes / bands
+    val sh = documents(s, d)
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(3))).as("s"))
+    // k independent hash slots: xxhash64 of the shingle salted by slot id
+    val hashCols = (0 until nHashes).map(j =>
+      min(xxhash64(concat(col("s"), lit(s"#$j")))).as(s"h$j"))
+    val sigs = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    // band signature = the rows-per-band minhashes of that band
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(bi =>
+        struct(lit(bi).as("band"),
+          concat_ws("_", (0 until rows).map(r => col(s"h${bi * rows + r}")): _*).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+    l.join(r, col("band") === col("band_b") && col("sig") === col("sig_b")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash 64-bit signatures (en subset): per-word hash bits vote ±1 per
+    * position; signature bit = sign of the vote sum. Deterministic but
+    * hash-engine-specific → no oracle. */
+  val simHash: Q = Q.noOracle { (s, d) =>
+    val bits = documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), explode(array_distinct(words)).as("wrd"))
+      .select(col("doc_id"), xxhash64(col("wrd")).as("h"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)")))
+      .withColumnsRenamed(Map("pos" -> "bit", "col" -> "vote"))
+    bits.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(expr("sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- L4 / L5
+
+  private def dotCos(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+  private val sqlCos =
+    """list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+      |  * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))))""".stripMargin.replace("\n", "")
+
+  /** L4: brute-force cosine top-k — the exact baseline. The query set is
+    * bounded (10 vectors) and broadcast; corpus side streams, so the cost
+    * is linear in corpus size × |queries|. */
+  val cosineTopK: Q = Q(
+    s"""SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ROUND($sqlCos, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $sqlCos DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val q = embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val e = embeddings(s, d).select(col("vec_id").as("neighbor_id"), col("embedding").as("ee"))
+    val cosc = dotCos(col("qe"), col("ee"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
+    e.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosc.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** L5: partition-pruned ANN stand-in — restrict candidates to the
+    * query's coarse `label` partition (IVF cell analogue): the probe set
+    * shrinks ~10×; at scale the label is the partition key so only
+    * matching partitions are read. */
+  val cosineTopKPartitioned: Q = Q(
+    s"""SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ROUND($sqlCos, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $sqlCos DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings q JOIN embeddings e
+       |    ON e.label = q.label AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val q = embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("ql"))
+    val e = embeddings(s, d).select(col("vec_id").as("neighbor_id"), col("embedding").as("ee"), col("label"))
+    val cosc = dotCos(col("qe"), col("ee"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
+    e.join(broadcast(q), col("label") === col("ql") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosc.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  // ------------------------------------------------------------- L6 / L7
+
+  /** L6: token frequencies — top-10 tokens per lang (count desc, token
+    * asc). Explode → two-level aggregate, map-side combined. */
+  val tokenFreq: Q = Q(
+    s"""SELECT * FROM (
+       |  SELECT lang, tok, n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+       |  FROM (SELECT lang, tok, COUNT(*) AS n FROM (
+       |          SELECT lang, unnest($sqlWords) AS tok FROM documents)
+       |        GROUP BY lang, tok))
+       |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+    documents(s, d)
+      .select(col("lang"), explode(words).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("lang", "rn")
+  }
+
+  /** L7: TF-IDF — idf from the full corpus, tf per document, top-3 terms
+    * for a bounded doc range. ln() last-ulp noise absorbed by ROUND 6. */
+  val tfIdf: Q = Q(
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+       |n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT tf.doc_id, tf.tok,
+       |    ROUND(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df), 6) AS tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df) DESC, tf.tok ASC) AS rn
+       |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n_docs)
+       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+    val nDocs = tok.agg(countDistinct("doc_id").as("n"))
+    val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val tf = tok.filter(col("doc_id") < 100).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tfidf = col("tf") * log(col("n").cast("double") / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_raw"), asc("tok"))
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), tfidf.as("tfidf_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), round(col("tfidf_raw"), 6).as("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  // ------------------------------------------------------------------- L8
+
+  /** L8: word-bigram frequencies per lang, top-5. */
+  val ngramFreq: Q = Q(
+    s"""SELECT * FROM (
+       |  SELECT lang, bg, n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bg ASC) AS rn
+       |  FROM (SELECT lang, bg, COUNT(*) AS n FROM (
+       |          SELECT lang, unnest(${sqlShingles(2)}) AS bg
+       |          FROM (SELECT lang, $sqlWords AS w FROM documents)
+       |          WHERE len(w) >= 2)
+       |        GROUP BY lang, bg))
+       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("bg"))
+    documents(s, d)
+      .filter(size(words) >= 2)
+      .select(col("lang"), explode(shingles(2)).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  // ------------------------------------------------------------- L9 / L10
+
+  /** L9: multimodal join — text metadata beside its embedding vector. */
+  val multimodalJoin: Q = Q(
+    """SELECT doc_id, lang, n_chars,
+      |  len(embedding) AS dim,
+      |  ROUND(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)), 6).as("l2"))
+      .orderBy("doc_id")
+  }
+
+  /** L10: per-lang length profile over 100-char buckets. */
+  val lengthProfile: Q = Q(
+    s"""SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${sqlDavg("n_chars")} AS avg_chars
+       |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .groupBy(col("lang"), floor(col("n_chars") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), davg(col("n_chars")).as("avg_chars"))
+      .orderBy("lang", "bucket")
+  }
+
+  // ------------------------------------------------- extensions (graded)
+
+  /** Language-ID by vocabulary overlap: per-lang top-50 token profiles are
+    * learned from the corpus itself, each doc votes by overlap count
+    * (ties → lexicographic lang). Fully relational and oracle-checkable —
+    * an n-gram-profile classifier in pure SQL shape. */
+  val langId: Q = Q(
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($sqlWords) AS tok FROM documents),
+       |profile AS (
+       |  SELECT * FROM (
+       |    SELECT lang AS plang, tok, COUNT(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok ASC) AS rn
+       |    FROM tok GROUP BY lang, tok) WHERE rn <= 50),
+       |scores AS (
+       |  SELECT t.doc_id, p.plang, COUNT(*) AS score
+       |  FROM (SELECT DISTINCT doc_id, tok FROM tok) t
+       |  JOIN profile p ON t.tok = p.tok
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, pred_lang, score, lang AS actual_lang,
+       |  (pred_lang = lang) AS hit
+       |FROM (
+       |  SELECT doc_id, plang AS pred_lang, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+       |  FROM scores) s
+       |JOIN documents USING (doc_id)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).select(col("doc_id"), col("lang"), explode(words).as("tok"))
+    val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+    val profile = tok.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
+      .select(col("lang").as("plang"), col("tok"))
+    val scores = tok.select("doc_id", "tok").distinct()
+      .join(broadcast(profile), "tok")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
+    scores.withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("score"),
+        col("lang").as("actual_lang"), (col("plang") === col("lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/char-class heuristics per document —
+    * the classic pre-training filter features, all codegen'd built-ins. */
+  val qualityScore: Q = Q(
+    s"""SELECT doc_id,
+       |  len(string_split(lower(text), ' ')) AS n_words,
+       |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')), 6) AS avg_word_len,
+       |  ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains(['the','a','of','and','to','in','is','data','row'], t))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+       |  (n_chars >= 100 AND n_chars <= 500) AS length_ok
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "data", "row")
+    documents(s, d).select(col("doc_id"),
+        size(words).as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 6)
+          .as("avg_word_len"),
+        round(size(filter(words, t => t.isInCollection(stop))).cast("double") / size(words), 6)
+          .as("stopword_ratio"),
+        (col("n_chars") >= 100 && col("n_chars") <= 500).as("length_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting (whitespace + regex-ish word chars) — the cheap
+    * pre-tokenizer budget estimate. */
+  val tokenCount: Q = Q(
+    s"""SELECT lang,
+       |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_words,
+       |  CAST(SUM(length(regexp_replace(text, '[^a-z]', '', 'g'))) AS BIGINT) AS total_alpha_chars,
+       |  CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS approx_bpe_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .groupBy("lang")
+      .agg(sum(size(words)).as("total_words"),
+        sum(length(regexp_replace(col("text"), "[^a-z]", ""))).as("total_alpha_chars"),
+        sum(ceil(length(col("text")) / 4.0).cast("long")).as("approx_bpe_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Document fingerprinting: position-weighted polynomial over word
+    * features, fully arithmetic (no engine hash) so it oracle-matches —
+    * a rolling-hash analogue with exact BIGINT math. */
+  val fingerprint: Q = Q(
+    s"""SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(len(w)),
+       |    i -> (i + 1) * (ord(w[i+1]) * 31 + length(w[i+1])))) % 1000000007 AS BIGINT) AS fp
+       |FROM (SELECT doc_id, $sqlWords AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        (aggregate(
+          transform(sequence(lit(1), size(words)),
+            i => i.cast("long") * (ascii(element_at(words, i)).cast("long") * 31L
+              + length(element_at(words, i)).cast("long"))),
+          lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal binary-column plumbing: opaque bytes + typed metadata
+    * (decode itself is stubbed in graft.llm.Multimodal — no media libs in
+    * this container; here the bytes round-trip through the engine). */
+  val binaryMeta: Q = Q(
+    """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  ord(text) AS first_byte, lang
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), octet_length(col("text").cast("binary")).as("n_bytes"),
+        ascii(col("text")).as("first_byte"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal feature-extraction pipeline (decode stubbed — see
+    * graft.llm.Multimodal): binary payload → per-partition batch decode →
+    * fixed-width features. Engine-internal bytes → no oracle; rows-only. */
+  val mediaFeatures: Q = Q.noOracle { (s, d) =>
+    graft.llm.Multimodal.extractFeatures(graft.llm.Multimodal.mediaFromDocuments(s, d))
+      .toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
+        round(aggregate(transform(col("feature"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("feat_energy"))
+      .orderBy("media_id")
+  }
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "q46_dedup_exact"     -> dedupExact,
+    "q47_near_dup_jaccard"-> nearDupJaccard,
+    "q48_minhash_lsh"     -> minHashLsh,
+    "q49_simhash"         -> simHash,
+    "q50_cosine_topk"     -> cosineTopK,
+    "q51_cosine_topk_ivf" -> cosineTopKPartitioned,
+    "q52_token_freq"      -> tokenFreq,
+    "q53_tfidf"           -> tfIdf,
+    "q54_ngram_freq"      -> ngramFreq,
+    "q55_multimodal_join" -> multimodalJoin,
+    "q56_length_profile"  -> lengthProfile,
+    "q57_lang_id"         -> langId,
+    "q58_quality_score"   -> qualityScore,
+    "q59_token_count"     -> tokenCount,
+    "q60_fingerprint"     -> fingerprint,
+    "q61_binary_meta"     -> binaryMeta,
+    "q62_media_features"  -> mediaFeatures
+  )
+}
