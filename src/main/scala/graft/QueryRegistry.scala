@@ -12,7 +12,8 @@ object QueryRegistry {
     Aggregates,
     AdvancedJoins,
     Scalars,
-    Llm
+    Llm,
+    StreamingBatch
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)
