@@ -9,6 +9,12 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB JDBC driver for the sink round-trip tests: picked up directly
+// from the local cache by file path (no resolution, offline-safe).
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-1.0.0.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -13,7 +13,8 @@ object QueryRegistry {
     AdvancedJoins,
     Scalars,
     Llm,
-    StreamingBatch
+    StreamingBatch,
+    Sources
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

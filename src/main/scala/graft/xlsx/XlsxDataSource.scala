@@ -1,0 +1,177 @@
+package graft.xlsx
+
+import java.util
+import java.util.zip.ZipFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 xlsx reader: `spark.read.format("xlsx")
+  * .option("sheet", name).option("headerRow", true)
+  * .option("inferSchema", true).load(path)`.
+  *
+  * - One `InputPartition` per FILE: a worksheet's XML is one deflate
+  *   stream and is not splittable, so the parallelism unit at scale is
+  *   the file (a 100 TB xlsx corpus is many files; Spark schedules one
+  *   task per file and the scan stays embarrassingly parallel — same
+  *   contract as gzip'd CSV/JSON).
+  * - Column pruning is pushed down (`SupportsPushDownRequiredColumns`):
+  *   pruned cells skip value materialization inside the StAX loop.
+  * - Schema inference is a driver-side sampling pass over the first file
+  *   (csv-style two-phase read); pass an explicit schema to skip it.
+  *
+  * Options: `sheet` (name, default = first sheet), `headerRow`
+  * (default true), `inferSchema` (default true), `sampleRows`
+  * (default 10000).
+  */
+class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xlsx"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def files(options: CaseInsensitiveStringMap): Seq[String] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("xlsx source requires a path"))
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.toLowerCase.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
+    else Seq(path)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XlsxDataSource.inferFromFirstFile(files(options), options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new XlsxTable(schema, files(options), options)
+  }
+}
+
+object XlsxDataSource {
+  case class Opts(sheet: Option[String], headerRow: Boolean, inferTypes: Boolean, sampleRows: Int)
+
+  def opts(o: CaseInsensitiveStringMap): Opts = Opts(
+    Option(o.get("sheet")),
+    o.getBoolean("headerRow", true),
+    o.getBoolean("inferSchema", true),
+    Option(o.get("sampleRows")).map(_.toInt).getOrElse(10000))
+
+  def resolveSheet(zip: ZipFile, wanted: Option[String]): XlsxParser.SheetInfo = {
+    val wb = XlsxParser.parseWorkbook(zip)
+    wanted match {
+      case None => wb.sheets.headOption.getOrElse(throw new IllegalArgumentException("workbook has no sheets"))
+      case Some(n) => wb.sheets.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no sheet named '$n'; have ${wb.sheets.map(_.name).mkString(", ")}"))
+    }
+  }
+
+  def inferFromFirstFile(paths: Seq[String], options: CaseInsensitiveStringMap): TypeInference.SheetSchema = {
+    val o = opts(options)
+    val zip = new ZipFile(paths.head)
+    try {
+      val wb = XlsxParser.parseWorkbook(zip)
+      val sheet = resolveSheet(zip, o.sheet)
+      TypeInference.infer(zip, sheet.partName, XlsxParser.parseSharedStrings(zip),
+        XlsxParser.parseDateStyles(zip), wb.date1904, o.headerRow, o.inferTypes, o.sampleRows)
+    } finally zip.close()
+  }
+}
+
+class XlsxTable(tblSchema: StructType, paths: Seq[String], options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"xlsx(${paths.mkString(",")})"
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(tblSchema, paths, XlsxDataSource.opts(options))
+}
+
+class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSource.Opts)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve declaration order of the full schema
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  }
+  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o)
+}
+
+class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
+               o: XlsxDataSource.Opts) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"XlsxScan paths=${paths.size} requiredColumns=[${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory(fullSchema, required, o)
+}
+
+case class XlsxInputPartition(path: String) extends InputPartition
+
+class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDataSource.Opts)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o)
+}
+
+/** Streams one file's chosen sheet. Materializes rows lazily: the StAX
+  * callback pushes into a small queue consumed by next()/get() — but since
+  * XlsxParser is callback-driven, we buffer the rows of the current file;
+  * xlsx worksheets are bounded (1,048,576 rows by format) so this is
+  * bounded memory, and simpler than a pull-parser inversion. */
+class XlsxPartitionReader(path: String, fullSchema: StructType, required: StructType,
+                          o: XlsxDataSource.Opts) extends PartitionReader[InternalRow] {
+
+  private val requiredIdx: Array[Int] = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val wanted: Set[Int] = requiredIdx.toSet
+
+  private val rows: Iterator[InternalRow] = {
+    val zip = new ZipFile(path)
+    try {
+      val wb = XlsxParser.parseWorkbook(zip)
+      val sheet = XlsxDataSource.resolveSheet(zip, o.sheet)
+      val shared = XlsxParser.parseSharedStrings(zip)
+      val dateStyles = XlsxParser.parseDateStyles(zip)
+      val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
+      var headerSkipped = !o.headerRow
+      XlsxParser.foreachRow(zip, sheet.partName, shared, dateStyles, wanted.contains) { row =>
+        if (row.hasAnyCell) {
+          if (!headerSkipped) headerSkipped = true
+          else {
+            val vals = new Array[Any](requiredIdx.length)
+            val m = row.cells.toMap
+            var i = 0
+            while (i < requiredIdx.length) {
+              val col = requiredIdx(i)
+              val dt = fullSchema.fields(col).dataType
+              val cv = m.getOrElse(col, XlsxParser.XBlank)
+              vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              }
+              i += 1
+            }
+            buf += new GenericInternalRow(vals)
+          }
+        }
+      }
+      buf.iterator
+    } finally zip.close()
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

