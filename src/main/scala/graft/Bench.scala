@@ -10,6 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (unmeasured): load parquet footers and exercise the codegen/
+    // shuffle machinery once so per-query timings measure steady-state
+    // execution, not first-job JVM/classloader warm-up.
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+      Tables.events(spark, sfDir).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -77,10 +77,11 @@ object Llm extends QueryModule {
        |JOIN cnt cb ON doc_b = cb.doc_id
        |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.03
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // array_distinct already dedupes within a doc and docs are unique, so
+    // (doc_id, s) is distinct by construction — no extra shuffle needed
     val sh = documents(s, d)
       .filter(size(words) >= 3)
       .select(col("doc_id"), col("lang"), explode(array_distinct(shingles(3))).as("s"))
-      .distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
@@ -109,13 +110,21 @@ object Llm extends QueryModule {
     val nHashes = 16
     val bands = 4
     val rows = nHashes / bands
+    // hash each shingle ONCE, then derive the k slots by affine mixing
+    // (universal-hashing family) — k× cheaper than k string hashes
     val sh = documents(s, d)
       .filter(size(words) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles(3))).as("s"))
-    // k independent hash slots: xxhash64 of the shingle salted by slot id
-    val hashCols = (0 until nHashes).map(j =>
-      min(xxhash64(concat(col("s"), lit(s"#$j")))).as(s"h$j"))
-    val sigs = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // ANSI mode forbids wrapping multiplication, so mix in a range that
+    // cannot overflow: 31-bit hash × 24-bit odd multiplier + offset < 2^62
+    val hm = col("h").bitwiseAND(0x7FFFFFFFL)
+    val mix = (0 until nHashes).map { j =>
+      val a = 16777619L * (2L * j + 1) // odd, < 2^30
+      val b = 1000003L * (j + 1)
+      min(hm * a + b).as(s"h$j")
+    }
+    val sigs = sh.groupBy("doc_id").agg(mix.head, mix.tail: _*)
     // band signature = the rows-per-band minhashes of that band
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(bi =>
@@ -149,12 +158,20 @@ object Llm extends QueryModule {
 
   // ------------------------------------------------------------- L4 / L5
 
-  private def dotCos(a: Column, b: Column): Column = {
+  /** Portable composite cosine (zip_with + aggregate) — kept as the
+    * reference formulation; the hot path uses the fused codegen
+    * expression graft.functions.CosineSimilarity, which is bit-identical
+    * (same left-to-right double accumulation). */
+  def dotCosComposite(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
     dot / (na * nb)
+  }
+  private def dotCos(s: SparkSession): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    expr("cosine_sim(qe, ee)")
   }
   private val sqlCos =
     """list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
@@ -175,7 +192,7 @@ object Llm extends QueryModule {
     val q = embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val e = embeddings(s, d).select(col("vec_id").as("neighbor_id"), col("embedding").as("ee"))
-    val cosc = dotCos(col("qe"), col("ee"))
+    val cosc = dotCos(s)
     val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
     e.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosc.as("cos_raw"))
@@ -201,7 +218,7 @@ object Llm extends QueryModule {
     val q = embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("ql"))
     val e = embeddings(s, d).select(col("vec_id").as("neighbor_id"), col("embedding").as("ee"), col("label"))
-    val cosc = dotCos(col("qe"), col("ee"))
+    val cosc = dotCos(s)
     val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
     e.join(broadcast(q), col("label") === col("ql") && col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosc.as("cos_raw"))
@@ -246,10 +263,15 @@ object Llm extends QueryModule {
        |      ORDER BY tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df) DESC, tf.tok ASC) AS rn
        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n_docs)
        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
-    val tok = documents(s, d).select(col("doc_id"), explode(words).as("tok"))
-    val nDocs = tok.agg(countDistinct("doc_id").as("n"))
-    val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-    val tf = tok.filter(col("doc_id") < 100).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // one explode + one (doc,tok) aggregate; every downstream branch
+    // derives from it, so ReuseExchange runs the heavy shuffle once
+    val tokCounts = documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // every doc has ≥1 token, so N is just the row count of documents —
+    // no second pass over the exploded tokens
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n"))
+    val df = tokCounts.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tf = tokCounts.filter(col("doc_id") < 100)
     val tfidf = col("tf") * log(col("n").cast("double") / col("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_raw"), asc("tok"))
     tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
@@ -339,12 +361,15 @@ object Llm extends QueryModule {
        |  FROM scores) s
        |JOIN documents USING (doc_id)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val tok = documents(s, d).select(col("doc_id"), col("lang"), explode(words).as("tok"))
+    // shared (doc,lang,tok) aggregate feeds both the profile and the
+    // scoring branch — one explode, one reused exchange
+    val tokDoc = documents(s, d).select(col("doc_id"), col("lang"), explode(words).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
     val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
-    val profile = tok.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val profile = tokDoc.groupBy("lang", "tok").agg(sum("c").as("n"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
       .select(col("lang").as("plang"), col("tok"))
-    val scores = tok.select("doc_id", "tok").distinct()
+    val scores = tokDoc.select("doc_id", "tok")
       .join(broadcast(profile), "tok")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
     val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan assertions (SURVEY.md §4): the optimizations we rely on
+  * for 100 TB scale must actually fire — filter pushdown to parquet,
+  * column pruning, the intended join strategies, top-k planning, and
+  * column pruning through the custom xlsx DSv2 scan.
+  */
+class PlanSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: ship-date filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    p should include("PushedFilters")
+    p should include regex "PushedFilters: \\[.*l_shipdate.*\\]"
+  }
+
+  test("q01: scan reads only the referenced columns (pruning)") {
+    val p = plan("q01_pricing_summary")
+    p should not include "l_orderkey" // unreferenced fact column never scanned
+    p should include("l_returnflag")
+  }
+
+  test("q05 broadcasts the dimension; q06 sort-merges; q07 shuffle-hashes") {
+    plan("q05_join_broadcast") should include("BroadcastHashJoin")
+    plan("q06_join_sortmerge") should include("SortMergeJoin")
+    plan("q07_join_shuffle_hash") should include("ShuffledHashJoin")
+  }
+
+  test("q17: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    plan("q17_topk") should include("TakeOrderedAndProject")
+  }
+
+  test("q39: star join broadcasts all bounded dims") {
+    val p = plan("q39_star_join")
+    p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 3
+  }
+
+  test("partial aggregation runs before the shuffle (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    p should include("partial_")
+    p should include("HashAggregate")
+  }
+
+  test("xlsx scan prunes columns through the DSv2 pushdown") {
+    val path = java.nio.file.Files.createTempDirectory("plan").resolve("t.xlsx").toString
+    graft.xlsx.XlsxWriter.write(path, Seq(graft.xlsx.XlsxWriter.Sheet(
+      "S", Seq("a", "b", "c"), Seq(Seq(1.0, 2.0, 3.0)))))
+    val df = spark.read.format("xlsx").load(path).select("b")
+    val scan = df.queryExecution.executedPlan.toString
+    scan should include("requiredColumns=[b]")
+    df.collect()(0).getDouble(0) shouldBe 2.0
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    // AQE finalizes the plan only after execution — run it, then inspect
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    // codegen stages print as "*(n)" prefixes in the final adaptive plan
+    df.queryExecution.executedPlan.toString should include regex "\\*\\(\\d+\\)"
+  }
+}
