@@ -14,7 +14,8 @@ object QueryRegistry {
     Scalars,
     Llm,
     StreamingBatch,
-    Sources
+    Sources,
+    Extras
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

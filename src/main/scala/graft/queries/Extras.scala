@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Coverage completions: the outer-join variants J4 not exercised by the
+  * core set, full-frame window analytics (W2 first/last/nth), and the SQL
+  * string entry path (parser → analyzer, same Catalyst pipeline as the
+  * DataFrame API).
+  */
+object Extras extends QueryModule {
+
+  /** J4b: FULL OUTER join with both dangling sides manufactured by
+    * disjoint-ish filters, then re-aggregated per surviving key. */
+  val fullOuter: Q = Q(
+    """SELECT COALESCE(c_custkey, o_custkey) AS k,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  CAST(MAX(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS has_cust
+      |FROM (SELECT * FROM customer WHERE c_custkey < 100) c
+      |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey >= 50) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY COALESCE(c_custkey, o_custkey) ORDER BY k""".stripMargin) { (s, d) =>
+    val c = customer(s, d).filter(col("c_custkey") < 100)
+    val o = orders(s, d).filter(col("o_custkey") >= 50)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("k"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        max(when(col("c_name").isNotNull, 1).otherwise(0)).cast("int").as("has_cust"))
+      .orderBy("k")
+  }
+
+  /** J4c: RIGHT OUTER join — parts kept even with zero matching items. */
+  val rightOuter: Q = Q(
+    """SELECT p_partkey, COUNT(l_orderkey) AS n_items
+      |FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+      |RIGHT JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    lineitem(s, d).filter(col("l_quantity") >= 49)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"), "right")
+      .groupBy("p_partkey")
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .orderBy("p_partkey")
+  }
+
+  /** W2b: first/last/nth values over full partition frames. */
+  val firstLastWindow: Q = Q(
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, value,
+      |    first_value(value) OVER w AS first_v,
+      |    last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+      |    nth_value(value, 3) OVER w AS third_v,
+      |    event_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |) WHERE event_type = 'signup' ORDER BY event_id""".stripMargin) { (s, d) =>
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        first("value").over(wRun).as("first_v"),
+        last("value").over(wAll).as("last_v"),
+        nth_value(col("value"), 3).over(wRun).as("third_v"),
+        col("event_type"))
+      .filter(col("event_type") === "signup")
+      .orderBy("event_id")
+  }
+
+  /** SQL-string entry path: the same Catalyst pipeline entered through the
+    * parser, over registered temp views — proves spark.sql(...) parity. */
+  val sqlApi: Q = Q(
+    s"""SELECT year(o_orderdate) AS y, o_orderpriority,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY y, o_orderpriority
+       |ORDER BY y, o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      s"""SELECT year(o_orderdate) AS y, o_orderpriority,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(28,4))) AS DOUBLE) AS total
+         |FROM orders_v GROUP BY y, o_orderpriority
+         |ORDER BY y, o_orderpriority""".stripMargin)
+  }
+
+  /** A5c: explicit GROUPING SETS through the SQL path (rollup/cube's
+    * general form). */
+  val groupingSets: Q = Q(
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "q73_join_full_outer"  -> fullOuter,
+    "q74_join_right_outer" -> rightOuter,
+    "q75_first_last_window"-> firstLastWindow,
+    "q76_sql_api"          -> sqlApi,
+    "q77_grouping_sets"    -> groupingSets
+  )
+}

@@ -103,6 +103,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST3b: custom state via mapGroupsWithState counts per-user events incrementally") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val counted = stream.toDS()
+      .groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user", "n")
+    val q = counted.writeStream.format("memory").queryName("st3b")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:00:00"), 1, 1.0), Ev(ts("2024-01-01 00:00:01"), 1, 1.0))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:00:02"), 1, 1.0)) // state must carry the prior 2
+      q.processAllAvailable()
+      val latest = spark.sql("SELECT max(n) FROM st3b WHERE user = 1").collect()(0).getLong(0)
+      latest shouldBe 3L
+    } finally q.stop()
+  }
+
   test("ST3: session gap semantics match the batch session_window declaration") {
     // same 5-minute gap as q65; prove the batch declaration and an
     // explicit gap-merge agree on session boundaries
