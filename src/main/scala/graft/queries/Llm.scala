@@ -22,10 +22,16 @@ object Llm extends QueryModule {
   private val sqlWords = "string_split(lower(text), ' ')"
 
   /** Word k-shingles as a Column (1-based element_at; guarded upstream by
-    * a size filter so sequence() never sees a negative range). */
-  private def shingles(k: Int): Column =
-    transform(sequence(lit(1), size(words) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*))
+    * a size filter so sequence() never sees a negative range).
+    *
+    * PERF: pass a MATERIALIZED words-array column (`wc`), never the raw
+    * `words` expression — a split() inlined into the lambda is re-evaluated
+    * per element (O(words²) per document; measured 4× slowdown on the
+    * shingle queries). */
+  private def shinglesOf(k: Int, wc: Column): Column =
+    transform(sequence(lit(1), size(wc) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(wc, i + o)): _*))
+  private def shingles(k: Int): Column = shinglesOf(k, words)
   private def sqlShingles(k: Int): String = {
     val parts = (1 to k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
     s"list_transform(range(len(w) - ${k - 1}), i -> $parts)"
@@ -80,8 +86,13 @@ object Llm extends QueryModule {
     // array_distinct already dedupes within a doc and docs are unique, so
     // (doc_id, s) is distinct by construction — no extra shuffle needed
     val sh = documents(s, d)
-      .filter(size(words) >= 3)
-      .select(col("doc_id"), col("lang"), explode(array_distinct(shingles(3))).as("s"))
+      .select(col("doc_id"), col("lang"), words.as("wds"))
+      .filter(size(col("wds")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(shinglesOf(3, col("wds")))).as("s"))
+    // derived from `sh` (not a separate scan) so the shingle relation is
+    // planned once and its exchange reused across the join branches —
+    // measured faster than recomputing the shingle arrays per branch
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
@@ -113,8 +124,9 @@ object Llm extends QueryModule {
     // hash each shingle ONCE, then derive the k slots by affine mixing
     // (universal-hashing family) — k× cheaper than k string hashes
     val sh = documents(s, d)
-      .filter(size(words) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shingles(3))).as("s"))
+      .select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(3, col("wds")))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     // ANSI mode forbids wrapping multiplication, so mix in a range that
     // cannot overflow: 31-bit hash × 24-bit odd multiplier + offset < 2^62
@@ -297,8 +309,9 @@ object Llm extends QueryModule {
        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("lang").orderBy(desc("n"), asc("bg"))
     documents(s, d)
-      .filter(size(words) >= 2)
-      .select(col("lang"), explode(shingles(2)).as("bg"))
+      .select(col("lang"), words.as("wds"))
+      .filter(size(col("wds")) >= 2)
+      .select(col("lang"), explode(shinglesOf(2, col("wds"))).as("bg"))
       .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -429,11 +442,12 @@ object Llm extends QueryModule {
        |FROM (SELECT doc_id, $sqlWords AS w FROM documents)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     documents(s, d)
+      .select(col("doc_id"), words.as("wds"))
       .select(col("doc_id"),
         (aggregate(
-          transform(sequence(lit(1), size(words)),
-            i => i.cast("long") * (ascii(element_at(words, i)).cast("long") * 31L
-              + length(element_at(words, i)).cast("long"))),
+          transform(sequence(lit(1), size(col("wds"))),
+            i => i.cast("long") * (ascii(element_at(col("wds"), i)).cast("long") * 31L
+              + length(element_at(col("wds"), i)).cast("long"))),
           lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
       .orderBy("doc_id")
   }
