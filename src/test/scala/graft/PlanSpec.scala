@@ -58,6 +58,41 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.collect()(0).getDouble(0) shouldBe 2.0
   }
 
+  test("partitioned parquet sink enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val df = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = df.queryExecution.executedPlan.toString
+    p should include("PartitionFilters")
+    p should include regex "PartitionFilters: \\[.*lang.*\\]"
+    // only the en partition contributes rows
+    df.select("lang").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("en")
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // warehouse dir is a temp dir configured at session creation (static conf)
+    import org.apache.spark.sql.functions.col
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    try {
+      // disable broadcast so the join strategy question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      p should include("SortMergeJoin")
+      // bucketed scan on both sides -> no Exchange anywhere in the plan
+      p should not include "Exchange hashpartitioning"
+      j.count() shouldBe Tables.orders(spark, sf).count()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the plan only after execution — run it, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)

@@ -103,6 +103,27 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("file-source stream: new files are picked up incrementally with windowed aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("fstream")
+    val inDir = dir.resolve("in").toString
+    new java.io.File(inDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP, user BIGINT, value DOUBLE")
+    Seq(Ev(ts("2024-01-01 00:01:00"), 1, 2.0)).toDF().write.mode("append").parquet(inDir)
+    val streamDf = spark.readStream.schema(schema).parquet(inDir)
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(sum($"value").as("s"))
+    val q = streamDf.writeStream.format("memory").queryName("fsrc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      spark.sql("SELECT s FROM fsrc").collect()(0).getDouble(0) shouldBe 2.0
+      // drop a second file into the directory → incremental pickup
+      Seq(Ev(ts("2024-01-01 00:02:00"), 1, 3.0)).toDF().write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      spark.sql("SELECT s FROM fsrc").collect()(0).getDouble(0) shouldBe 5.0
+    } finally q.stop()
+  }
+
   test("ST3b: custom state via mapGroupsWithState counts per-user events incrementally") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     implicit val sqlCtx = spark.sqlContext

@@ -111,6 +111,18 @@ class XlsxRoundtripSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe orig.toSeq // ints become doubles (xlsx has one numeric type)
   }
 
+  test("directory of xlsx files reads as one table, one partition per file") {
+    val dir = Files.createTempDirectory("multi")
+    XlsxWriter.write(dir.resolve("a.xlsx").toString,
+      Seq(XlsxWriter.Sheet("S", Seq("v"), Seq(Seq(1.0), Seq(2.0)))))
+    XlsxWriter.write(dir.resolve("b.xlsx").toString,
+      Seq(XlsxWriter.Sheet("S", Seq("v"), Seq(Seq(3.0)))))
+    val df = spark.read.format("xlsx").load(dir.toString)
+    df.count() shouldBe 3
+    df.rdd.getNumPartitions shouldBe 2
+    df.agg(org.apache.spark.sql.functions.sum("v")).collect()(0).getDouble(0) shouldBe 6.0
+  }
+
   test("name sanitization dedups and handles illegal identifiers") {
     TypeInference.sanitizeNames(Seq("A B", "a_b", "9lives", "", "a b")) shouldBe
       Seq("a_b", "a_b_2", "_9lives", "col", "a_b_3")
