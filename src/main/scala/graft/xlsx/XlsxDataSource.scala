@@ -95,34 +95,94 @@ class XlsxTable(tblSchema: StructType, paths: Seq[String], options: CaseInsensit
 }
 
 class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSource.Opts)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve declaration order of the full schema
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
-  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o)
+  /** Opportunistic pushdown: rows failing a supported predicate are
+    * dropped inside the scan, but EVERY filter is also returned as
+    * residual so Spark re-applies it — double evaluation is semantically
+    * safe and keeps unsupported corner semantics exact. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(XlsxFilterEval.supported(fullSchema, _))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o, pushed)
 }
 
 class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
-               o: XlsxDataSource.Opts) extends Scan with Batch {
+               o: XlsxDataSource.Opts,
+               pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"XlsxScan paths=${paths.size} requiredColumns=[${required.fieldNames.mkString(",")}]"
+    s"XlsxScan paths=${paths.size} requiredColumns=[${required.fieldNames.mkString(",")}]" +
+      s" PushedFilters=[${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(fullSchema, required, o)
+    new XlsxReaderFactory(fullSchema, required, o, pushed)
+}
+
+/** Serializable row-level evaluator for the pushdown-supported subset of
+  * source filters (string/double/boolean equality and comparisons, null
+  * tests) against the reader's converted values. */
+object XlsxFilterEval {
+  import org.apache.spark.sql.sources._
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => comparable(schema, a, v)
+    case GreaterThan(a, v) => comparable(schema, a, v)
+    case GreaterThanOrEqual(a, v) => comparable(schema, a, v)
+    case LessThan(a, v) => comparable(schema, a, v)
+    case LessThanOrEqual(a, v) => comparable(schema, a, v)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case _ => false
+  }
+
+  private def comparable(schema: StructType, attr: String, v: Any): Boolean =
+    schema.fields.exists(f => f.name == attr && (f.dataType match {
+      case StringType | DoubleType | BooleanType => v != null
+      case _ => false
+    }))
+
+  /** value: internal representation (UTF8String/Double/Boolean) or null. */
+  private def cmp(value: Any, v: Any): Option[Int] = (value, v) match {
+    case (null, _) => None
+    case (s: org.apache.spark.unsafe.types.UTF8String, x: String) => Some(s.toString.compareTo(x))
+    case (d: java.lang.Double, x: Number) => Some(java.lang.Double.compare(d, x.doubleValue()))
+    case (b: java.lang.Boolean, x: Boolean) => Some(b.compareTo(x))
+    case _ => None
+  }
+
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).exists(_ <= 0)
+    case IsNull(a) => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case _ => true
+  }
 }
 
 case class XlsxInputPartition(path: String) extends InputPartition
 
-class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDataSource.Opts)
+class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDataSource.Opts,
+                        pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o)
+    new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed)
 }
 
 /** Streams one file's chosen sheet. Materializes rows lazily: the StAX
@@ -131,10 +191,16 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDat
   * xlsx worksheets are bounded (1,048,576 rows by format) so this is
   * bounded memory, and simpler than a pull-parser inversion. */
 class XlsxPartitionReader(path: String, fullSchema: StructType, required: StructType,
-                          o: XlsxDataSource.Opts) extends PartitionReader[InternalRow] {
+                          o: XlsxDataSource.Opts,
+                          pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReader[InternalRow] {
 
   private val requiredIdx: Array[Int] = required.fields.map(f => fullSchema.fieldIndex(f.name))
   private val wanted: Set[Int] = requiredIdx.toSet
+  // only evaluate filters whose columns this scan actually reads
+  private val fieldPos: Map[String, Int] = required.fieldNames.zipWithIndex.toMap
+  private val applicable: Array[org.apache.spark.sql.sources.Filter] =
+    pushed.filter(_.references.forall(fieldPos.contains))
 
   private val rows: Iterator[InternalRow] = {
     val zip = new ZipFile(path)
@@ -162,7 +228,9 @@ class XlsxPartitionReader(path: String, fullSchema: StructType, required: Struct
               }
               i += 1
             }
-            buf += new GenericInternalRow(vals)
+            if (applicable.isEmpty ||
+                applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name)))))
+              buf += new GenericInternalRow(vals)
           }
         }
       }

@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.collect()(0).getDouble(0) shouldBe 2.0
   }
 
+  test("xlsx scan pushes supported filters (and results stay exact)") {
+    val path = java.nio.file.Files.createTempDirectory("planf").resolve("f.xlsx").toString
+    graft.xlsx.XlsxWriter.write(path, Seq(graft.xlsx.XlsxWriter.Sheet(
+      "S", Seq("name", "score"),
+      Seq(Seq("a", 1.0), Seq("b", 5.0), Seq("c", 9.0)))))
+    val df = spark.read.format("xlsx").load(path)
+      .filter(org.apache.spark.sql.functions.col("score") > 2.0)
+    df.queryExecution.executedPlan.toString should include regex "PushedFilters=\\[.*score.*\\]"
+    df.collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("b", "c")
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
     Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(dir)
