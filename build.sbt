@@ -15,6 +15,12 @@ Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
   (cache ** "duckdb_jdbc-1.0.0.jar").classpath
 }
+// Same jar on the run/runMain classpath so the q72 xlsx→JDBC→read-back
+// pipeline executes for real under Verify/Bench (no silent fallback).
+Runtime / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-1.0.0.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -1,14 +1,15 @@
 package graft.queries
 
 import graft.Tables._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Source/sink operators surfaced through the oracle harness (SURVEY.md
   * §2.1): fixture tables are round-tripped through each format on local
   * disk, read back through the corresponding Spark source, and compared
   * against DuckDB reading the original parquet — so the custom xlsx DSv2
-  * reader and the CSV/JSON sources are all correctness-gated, not just
-  * unit-tested.
+  * reader, the CSV/JSON sources, AND the xlsx→JDBC→read-back ETL loop are
+  * all correctness-gated, not just unit-tested.
   */
 object Sources extends QueryModule {
 
@@ -17,6 +18,20 @@ object Sources extends QueryModule {
     s"/tmp/graft_sources/$sf/$tag"
   }
 
+  /** Side-effect staging: each round-trip export runs once per JVM. Bench's
+    * unmeasured warm-up calls [[stage]], so the timed runs measure the SCAN
+    * alone, not the driver-side file export. Verify runs each query once per
+    * JVM, so its exports are always fresh. Keyed by target path → distinct
+    * scale factors stage independently. */
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stageOnce(key: String)(write: => Unit): Unit =
+    if (staged.add(key)) write
+
+  /** Bench warm-up hook: pre-export every round-trip file (builders are
+    * eager about their side effects, so building once stages everything). */
+  def stage(s: SparkSession, d: String): Unit =
+    queries.foreach { case (_, q) => q.build(s, d) }
+
   /** S1–S3: region → xlsx (via our writer) → custom DSv2 xlsx scan.
     * xlsx has a single numeric type, so the oracle casts the int key to
     * DOUBLE; names pass through the reader's sanitizer unchanged. */
@@ -24,9 +39,10 @@ object Sources extends QueryModule {
     """SELECT CAST(r_regionkey AS DOUBLE) AS r_regionkey, r_name
       |FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
     val path = tmpDir("region", d) + ".xlsx"
-    val f = new java.io.File(path)
-    f.getParentFile.mkdirs()
-    graft.xlsx.XlsxWriter.writeDataFrame(region(s, d).orderBy("r_regionkey"), path, "region")
+    stageOnce(path) {
+      new java.io.File(path).getParentFile.mkdirs()
+      graft.xlsx.XlsxWriter.writeDataFrame(region(s, d).orderBy("r_regionkey"), path, "region")
+    }
     s.read.format("xlsx").load(path)
       .select(col("r_regionkey"), col("r_name"))
       .orderBy("r_regionkey")
@@ -38,8 +54,10 @@ object Sources extends QueryModule {
       |  CAST(n_regionkey AS DOUBLE) AS n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
     val path = tmpDir("nation", d) + ".xlsx"
-    new java.io.File(path).getParentFile.mkdirs()
-    graft.xlsx.XlsxWriter.writeDataFrame(nation(s, d).orderBy("n_nationkey"), path, "nation")
+    stageOnce(path) {
+      new java.io.File(path).getParentFile.mkdirs()
+      graft.xlsx.XlsxWriter.writeDataFrame(nation(s, d).orderBy("n_nationkey"), path, "nation")
+    }
     s.read.format("xlsx").load(path)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy("n_nationkey")
@@ -50,7 +68,9 @@ object Sources extends QueryModule {
     """SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val dir = tmpDir("customer_csv", d)
-    customer(s, d).write.mode("overwrite").option("header", true).csv(dir)
+    stageOnce(dir) {
+      customer(s, d).write.mode("overwrite").option("header", true).csv(dir)
+    }
     s.read.option("header", true).option("inferSchema", true).csv(dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int"),
         col("c_acctbal").cast("double"), col("c_mktsegment"))
@@ -63,36 +83,37 @@ object Sources extends QueryModule {
     """SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
     val dir = tmpDir("supplier_json", d)
-    supplier(s, d).write.mode("overwrite").json(dir)
+    stageOnce(dir) {
+      supplier(s, d).write.mode("overwrite").json(dir)
+    }
     s.read.json(dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("int"),
         col("s_acctbal").cast("double"))
       .orderBy("s_suppkey")
   }
 
-  /** S6: the xlsx→database ETL identity end-to-end — workbook (two fixture
-    * sheets) → DuckDB over JDBC → read back over JDBC. No oracle (needs
-    * the JDBC driver only present on the test classpath); rows-only. The
-    * full assertions live in graft.etl.JdbcSinkSpec. */
-  val jdbcEtl: Q = Q.noOracle { (s, d) =>
-    try {
-      Class.forName("org.duckdb.DuckDBDriver")
-      val base = tmpDir("etl", d)
+  /** S6: the xlsx→database ETL identity end-to-end — workbook → DuckDB over
+    * JDBC → read back over JDBC, hash-compared against DuckDB reading the
+    * original parquet. No fallback: if the JDBC driver is missing or the
+    * ETL breaks, the query FAILS instead of silently degrading (the build
+    * puts duckdb_jdbc on both the test and run classpaths). */
+  val jdbcEtl: Q = Q(
+    """SELECT CAST(r_regionkey AS DOUBLE) AS r_regionkey, r_name
+      |FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+    val base = tmpDir("etl", d)
+    val db = s"$base/t.duckdb"
+    stageOnce(db) {
       new java.io.File(base).mkdirs()
       val xlsx = s"$base/book.xlsx"
       graft.xlsx.XlsxWriter.write(xlsx, Seq(
         graft.xlsx.XlsxWriter.Sheet("region", Seq("r_regionkey", "r_name"),
           region(s, d).orderBy("r_regionkey").collect().map(_.toSeq).toSeq)))
-      val db = s"$base/t.duckdb"
       new java.io.File(db).delete()
       graft.etl.XlsxToDatabase.load(s, xlsx, s"jdbc:duckdb:$db")
-      graft.etl.XlsxToDatabase.readJdbc(s, s"jdbc:duckdb:$db", "region").orderBy("r_regionkey")
-    } catch {
-      case _: ClassNotFoundException =>
-        // driver not on this classpath (e.g. plain runMain): fall back to
-        // the in-engine half of the pipeline so the query still answers
-        region(s, d).select(col("r_regionkey").cast("double"), col("r_name")).orderBy("r_regionkey")
     }
+    graft.etl.XlsxToDatabase.readJdbc(s, s"jdbc:duckdb:$db", "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
   }
 
   override def queries: Seq[(String, Q)] = Seq(
