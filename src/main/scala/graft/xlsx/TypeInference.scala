@@ -58,13 +58,16 @@ object TypeInference {
 
     foreachRow(zip, partName, shared, dateStyle, _ => true) { row =>
       if (row.hasAnyCell && dataRows <= sampleRows) {
+        // cells can be empty even when hasAnyCell (all-error cells, bad
+        // shared-string refs): maxOption keeps such rows from failing
+        // inference — they contribute no columns.
         if (headerRow && header.isEmpty) {
           header = Some((row.rowIndex, row.cells))
           headerRowIdx = row.rowIndex
-          maxCol = math.max(maxCol, row.cells.map(_._1).max)
+          maxCol = math.max(maxCol, row.cells.map(_._1).maxOption.getOrElse(-1))
         } else if (dataRows < sampleRows) {
           dataRows += 1
-          maxCol = math.max(maxCol, row.cells.map(_._1).max)
+          maxCol = math.max(maxCol, row.cells.map(_._1).maxOption.getOrElse(-1))
           while (stats.size <= maxCol) stats += new ColStat
           row.cells.foreach { case (c, v) =>
             val st = stats(c)

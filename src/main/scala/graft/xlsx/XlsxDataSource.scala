@@ -27,9 +27,9 @@ import scala.jdk.CollectionConverters._
   * - Schema inference is a driver-side sampling pass over the first file
   *   (csv-style two-phase read); pass an explicit schema to skip it.
   *
-  * Options: `sheet` (name, default = first sheet), `headerRow`
-  * (default true), `inferSchema` (default true), `sampleRows`
-  * (default 10000).
+  * Options: `sheet` (name), `sheetIndex` (0-based position, used when
+  * `sheet` is absent; default = first sheet), `headerRow` (default
+  * true), `inferSchema` (default true), `sampleRows` (default 10000).
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
@@ -55,20 +55,28 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 }
 
 object XlsxDataSource {
-  case class Opts(sheet: Option[String], headerRow: Boolean, inferTypes: Boolean, sampleRows: Int)
+  case class Opts(sheet: Option[String], sheetIndex: Option[Int],
+                  headerRow: Boolean, inferTypes: Boolean, sampleRows: Int)
 
   def opts(o: CaseInsensitiveStringMap): Opts = Opts(
     Option(o.get("sheet")),
+    Option(o.get("sheetIndex")).map(_.toInt),
     o.getBoolean("headerRow", true),
     o.getBoolean("inferSchema", true),
     Option(o.get("sampleRows")).map(_.toInt).getOrElse(10000))
 
-  def resolveSheet(zip: ZipFile, wanted: Option[String]): XlsxParser.SheetInfo = {
+  /** Sheet selection: by name, else by 0-based index, else the first. */
+  def resolveSheet(zip: ZipFile, o: Opts): XlsxParser.SheetInfo = {
     val wb = XlsxParser.parseWorkbook(zip)
-    wanted match {
-      case None => wb.sheets.headOption.getOrElse(throw new IllegalArgumentException("workbook has no sheets"))
-      case Some(n) => wb.sheets.find(_.name == n).getOrElse(
+    (o.sheet, o.sheetIndex) match {
+      case (Some(n), _) => wb.sheets.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no sheet named '$n'; have ${wb.sheets.map(_.name).mkString(", ")}"))
+      case (None, Some(i)) =>
+        if (i >= 0 && i < wb.sheets.length) wb.sheets(i)
+        else throw new IllegalArgumentException(
+          s"sheetIndex $i out of range; workbook has ${wb.sheets.length} sheets")
+      case (None, None) => wb.sheets.headOption.getOrElse(
+        throw new IllegalArgumentException("workbook has no sheets"))
     }
   }
 
@@ -77,7 +85,7 @@ object XlsxDataSource {
     val zip = new ZipFile(paths.head)
     try {
       val wb = XlsxParser.parseWorkbook(zip)
-      val sheet = resolveSheet(zip, o.sheet)
+      val sheet = resolveSheet(zip, o)
       TypeInference.infer(zip, sheet.partName, XlsxParser.parseSharedStrings(zip),
         XlsxParser.parseDateStyles(zip), wb.date1904, o.headerRow, o.inferTypes, o.sampleRows)
     } finally zip.close()
@@ -185,11 +193,10 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDat
     new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed)
 }
 
-/** Streams one file's chosen sheet. Materializes rows lazily: the StAX
-  * callback pushes into a small queue consumed by next()/get() — but since
-  * XlsxParser is callback-driven, we buffer the rows of the current file;
-  * xlsx worksheets are bounded (1,048,576 rows by format) so this is
-  * bounded memory, and simpler than a pull-parser inversion. */
+/** Streams one file's chosen sheet with a PULL-based parser: each
+  * `next()` advances the StAX stream one row, so a task holds at most one
+  * row (plus the shared-strings pool) on heap no matter how large the
+  * sheet is, and limit/early-termination stop the decode mid-stream. */
 class XlsxPartitionReader(path: String, fullSchema: StructType, required: StructType,
                           o: XlsxDataSource.Opts,
                           pushed: Array[org.apache.spark.sql.sources.Filter])
@@ -202,44 +209,50 @@ class XlsxPartitionReader(path: String, fullSchema: StructType, required: Struct
   private val applicable: Array[org.apache.spark.sql.sources.Filter] =
     pushed.filter(_.references.forall(fieldPos.contains))
 
-  private val rows: Iterator[InternalRow] = {
-    val zip = new ZipFile(path)
-    try {
-      val wb = XlsxParser.parseWorkbook(zip)
-      val sheet = XlsxDataSource.resolveSheet(zip, o.sheet)
-      val shared = XlsxParser.parseSharedStrings(zip)
-      val dateStyles = XlsxParser.parseDateStyles(zip)
-      val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
-      var headerSkipped = !o.headerRow
-      XlsxParser.foreachRow(zip, sheet.partName, shared, dateStyles, wanted.contains) { row =>
-        if (row.hasAnyCell) {
-          if (!headerSkipped) headerSkipped = true
-          else {
-            val vals = new Array[Any](requiredIdx.length)
-            val m = row.cells.toMap
-            var i = 0
-            while (i < requiredIdx.length) {
-              val col = requiredIdx(i)
-              val dt = fullSchema.fields(col).dataType
-              val cv = m.getOrElse(col, XlsxParser.XBlank)
-              vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
-                case s: String => UTF8String.fromString(s)
-                case other => other
-              }
-              i += 1
-            }
-            if (applicable.isEmpty ||
-                applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name)))))
-              buf += new GenericInternalRow(vals)
-          }
-        }
+  private val zip = new ZipFile(path)
+  private val wb = XlsxParser.parseWorkbook(zip)
+  private val rows: XlsxParser.RowIterator = {
+    val sheet = XlsxDataSource.resolveSheet(zip, o)
+    XlsxParser.rowIterator(zip, sheet.partName, XlsxParser.parseSharedStrings(zip),
+      XlsxParser.parseDateStyles(zip), wanted.contains)
+  }
+  private var headerSkipped = !o.headerRow
+  private var current: InternalRow = _
+
+  /** Convert one parsed row; None when a pushed filter rejects it. */
+  private def convert(row: XlsxParser.Row): Option[InternalRow] = {
+    val vals = new Array[Any](requiredIdx.length)
+    val m = row.cells.toMap
+    var i = 0
+    while (i < requiredIdx.length) {
+      val col = requiredIdx(i)
+      val dt = fullSchema.fields(col).dataType
+      val cv = m.getOrElse(col, XlsxParser.XBlank)
+      vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
       }
-      buf.iterator
-    } finally zip.close()
+      i += 1
+    }
+    if (applicable.isEmpty ||
+        applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name)))))
+      Some(new GenericInternalRow(vals))
+    else None
   }
 
-  private var current: InternalRow = _
-  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def next(): Boolean = {
+    while (rows.hasNext) {
+      val row = rows.next()
+      if (row.hasAnyCell) {
+        if (!headerSkipped) headerSkipped = true
+        else convert(row) match {
+          case Some(r) => current = r; return true
+          case None =>
+        }
+      }
+    }
+    false
+  }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = { try rows.close() finally zip.close() }
 }

@@ -176,42 +176,63 @@ object XlsxParser {
     }
   }
 
-  /** Stream one worksheet; the callback sees each row once, in document
-    * order. `wantCol` gates cell VALUE materialization for column pruning
+  /** Pull-based row iterator over one worksheet part: each `next()`
+    * advances the StAX stream just far enough to complete one row, so a
+    * consumer holds at most ONE row on heap regardless of sheet size (the
+    * shared-strings pool is the only fully materialized part). Malformed
+    * numeric text (shared-string index, style index, cell value, row
+    * index) degrades to a blank cell / sequential row number instead of
+    * failing the task — same PERMISSIVE convention as
+    * [[TypeInference.convert]]. Close (or exhaust) to release the stream.
+    *
+    * `wantCol` gates cell VALUE materialization for column pruning
     * (pruned cells are parsed structurally but their text is skipped). */
-  def foreachRow(zip: ZipFile, partName: String, shared: Array[String],
-                 dateStyle: Array[Boolean], wantCol: Int => Boolean)(f: Row => Unit): Unit = {
-    val entry = zip.getEntry(partName)
-    require(entry != null, s"missing worksheet part $partName")
-    withReader(zip.getInputStream(entry)) { r =>
-      var cells = ArrayBuffer[(Int, CellValue)]()
-      var rowHasCell = false
-      var rowIdx = -1
-      var nextCol = 0
-      var cellCol = 0
-      var cellType: String = null
-      var cellStyled = false
-      var inV = false
-      var inIs = false
-      var text: StringBuilder = null
-      var isText: StringBuilder = null
-      while (r.hasNext) {
+  final class RowIterator private[xlsx] (
+      zip: ZipFile, partName: String, shared: Array[String],
+      dateStyle: Array[Boolean], wantCol: Int => Boolean)
+      extends Iterator[Row] with AutoCloseable {
+
+    private val in: InputStream = {
+      val entry = zip.getEntry(partName)
+      require(entry != null, s"missing worksheet part $partName")
+      zip.getInputStream(entry)
+    }
+    private val r: XMLStreamReader = factory.createXMLStreamReader(in)
+    private var closed = false
+    private var pending: Row = _
+
+    // parse state carried across advance() calls
+    private var cells = ArrayBuffer[(Int, CellValue)]()
+    private var rowHasCell = false
+    private var rowIdx = -1
+    private var nextCol = 0
+    private var cellCol = 0
+    private var cellType: String = null
+    private var cellStyled = false
+    private var inV = false
+    private var inIs = false
+    private var text: StringBuilder = null
+    private var isText: StringBuilder = null
+
+    /** Parse until one row completes; sets `pending` (or closes at EOF). */
+    private def advance(): Unit = {
+      while (pending == null && !closed && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
             case "row" =>
               cells = ArrayBuffer()
               rowHasCell = false
               nextCol = 0
-              rowIdx = Option(r.getAttributeValue(null, "r")).map(_.toInt - 1).getOrElse(rowIdx + 1)
+              rowIdx = Option(r.getAttributeValue(null, "r"))
+                .flatMap(_.toIntOption).map(_ - 1).getOrElse(rowIdx + 1)
             case "c" =>
               val ref = r.getAttributeValue(null, "r")
               cellCol = if (ref != null) colOf(ref) else nextCol
               nextCol = cellCol + 1
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-              val s = r.getAttributeValue(null, "s")
-              cellStyled = s != null && {
-                val si = s.toInt; si >= 0 && si < dateStyle.length && dateStyle(si)
-              }
+              cellStyled = Option(r.getAttributeValue(null, "s"))
+                .flatMap(_.toIntOption)
+                .exists(si => si >= 0 && si < dateStyle.length && dateStyle(si))
             case "v" => inV = true; text = new StringBuilder
             case "is" => inIs = true; isText = new StringBuilder
             case "t" if inIs => isText.append(r.getElementText)
@@ -228,9 +249,9 @@ object XlsxParser {
                 val v: CellValue = cellType match {
                   case "s" =>
                     if (text == null) XBlank
-                    else {
-                      val i = text.toString.trim.toInt
-                      if (i >= 0 && i < shared.length) XString(shared(i)) else XBlank
+                    else text.toString.trim.toIntOption match {
+                      case Some(i) if i >= 0 && i < shared.length => XString(shared(i))
+                      case _ => XBlank
                     }
                   case "inlineStr" => if (isText == null) XBlank else XString(isText.toString)
                   case "str" => if (text == null) XBlank else XString(text.toString)
@@ -238,29 +259,63 @@ object XlsxParser {
                   case "e" => XBlank
                   case "d" => if (text == null) XBlank else XIsoDate(text.toString.trim)
                   case _ => // numeric
-                    if (text == null || text.toString.trim.isEmpty) XBlank
-                    else XNumber(text.toString.trim.toDouble, cellStyled)
+                    if (text == null) XBlank
+                    else text.toString.trim.toDoubleOption match {
+                      case Some(d) => XNumber(d, cellStyled)
+                      case None => XBlank
+                    }
                 }
                 if (v != XBlank) cells += ((cellCol, v))
               }
               text = null; isText = null
             case "row" =>
-              f(Row(rowIdx, cells.toArray, rowHasCell))
+              pending = Row(rowIdx, cells.toArray, rowHasCell)
             case _ =>
           }
           case _ =>
         }
       }
+      if (pending == null) close()
+    }
+
+    override def hasNext: Boolean = {
+      if (pending == null && !closed) advance()
+      pending != null
+    }
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException(s"end of $partName")
+      val out = pending; pending = null; out
+    }
+    override def close(): Unit = if (!closed) {
+      closed = true
+      try r.close() finally in.close()
     }
   }
 
-  /** Excel serial number → epoch microseconds (UTC). Base 1899-12-30
-    * (which also absorbs the fictitious 1900-02-29 for serials ≥ 61) or
-    * 1904-01-01 when the workbook uses the 1904 system. */
+  /** Open a pull-based iterator over one worksheet (see [[RowIterator]]). */
+  def rowIterator(zip: ZipFile, partName: String, shared: Array[String],
+                  dateStyle: Array[Boolean], wantCol: Int => Boolean): RowIterator =
+    new RowIterator(zip, partName, shared, dateStyle, wantCol)
+
+  /** Loop adapter over [[rowIterator]]: the callback sees each row once,
+    * in document order. */
+  def foreachRow(zip: ZipFile, partName: String, shared: Array[String],
+                 dateStyle: Array[Boolean], wantCol: Int => Boolean)(f: Row => Unit): Unit = {
+    val it = rowIterator(zip, partName, shared, dateStyle, wantCol)
+    try while (it.hasNext) f(it.next()) finally it.close()
+  }
+
+  /** Excel serial number → epoch microseconds (UTC). 1900 system: base
+    * 1899-12-30 for serials ≥ 61, base 1899-12-31 for serials < 61 — the
+    * POI-style adjustment for Lotus's fictitious 1900-02-29 (serial 60),
+    * so serials 1–59 map to 1900-01-01..1900-02-28 exactly as Excel
+    * displays them. 1904 system: base 1904-01-01. */
   def serialToMicros(serial: Double, date1904: Boolean): Long = {
-    // serial 0 = 1899-12-30 (1900 system) or 1904-01-01 (1904 system);
-    // those bases are 25569 / 24107 days before 1970-01-01.
-    val baseDays = if (date1904) 24107L else 25569L
+    // 25569 / 25568 / 24107 days before 1970-01-01 respectively.
+    val baseDays =
+      if (date1904) 24107L
+      else if (serial < 61.0) 25568L
+      else 25569L
     Math.round(serial * 86400e6) - baseDays * 86400000000L
   }
 

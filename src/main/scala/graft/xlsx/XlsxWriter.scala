@@ -120,15 +120,15 @@ object XlsxWriter {
             case n: Long => sb.append(s"""<c r="$ref"><v>$n</v></c>""")
             case n: java.math.BigDecimal => sb.append(s"""<c r="$ref"><v>${n.toPlainString}</v></c>""")
             case t: java.sql.Timestamp =>
-              val serial = t.getTime / 86400000.0 + (if (date1904) 24107 else 25569)
+              val serial = dateSerial(t.getTime / 86400000.0, date1904)
               sb.append(s"""<c r="$ref" s="1"><v>${fmtNum(serial)}</v></c>""")
             case t: java.time.Instant =>
               val micros = t.getEpochSecond * 1000000L + t.getNano / 1000
-              val serial = micros / 86400e6 + (if (date1904) 24107 else 25569)
+              val serial = dateSerial(micros / 86400e6, date1904)
               sb.append(s"""<c r="$ref" s="1"><v>${fmtNum(serial)}</v></c>""")
             case d: java.sql.Date =>
-              val days = d.toLocalDate.toEpochDay + (if (date1904) 24107 else 25569)
-              sb.append(s"""<c r="$ref" s="1"><v>$days</v></c>""")
+              val serial = dateSerial(d.toLocalDate.toEpochDay.toDouble, date1904)
+              sb.append(s"""<c r="$ref" s="1"><v>${fmtNum(serial)}</v></c>""")
             case other =>
               if (shared) sb.append(s"""<c r="$ref" t="s"><v>${sharedIdx(other.toString)}</v></c>""")
               else sb.append(s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>""")
@@ -149,18 +149,44 @@ object XlsxWriter {
          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedPool.size}" uniqueCount="${sharedPool.size}">$ssItems</sst>""".stripMargin)
   }
 
+  /** Epoch days (fractional) → Excel serial, the exact inverse of
+    * XlsxParser.serialToMicros: 1900 system serials below 61 use the
+    * 1899-12-31 base (Lotus 1900-02-29 adjustment). */
+  private def dateSerial(epochDays: Double, date1904: Boolean): Double =
+    if (date1904) epochDays + 24107
+    else {
+      val s = epochDays + 25569
+      if (s < 61) s - 1 else s
+    }
+
   private def fmtNum(d: Double): String =
     if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
   private def esc(s: String): String = {
     val sb = new StringBuilder
-    s.foreach {
-      case '&' => sb.append("&amp;")
-      case '<' => sb.append("&lt;")
-      case '>' => sb.append("&gt;")
-      case '"' => sb.append("&quot;")
-      case c => sb.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case '\t' | '\n' | '\r' => sb.append(c)
+        // XML 1.0 forbids the remaining C0 controls, U+FFFE/U+FFFF and
+        // lone surrogates even as character references: strip them so the
+        // workbook stays readable by any conformant parser (incl. ours).
+        // Well-paired surrogates (supplementary chars) pass through.
+        case _ if c < ' ' || c == '\uFFFE' || c == '\uFFFF' =>
+        case _ if Character.isHighSurrogate(c) =>
+          if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) {
+            sb.append(c).append(s.charAt(i + 1)); i += 1
+          }
+        case _ if Character.isLowSurrogate(c) => // lone low surrogate: strip
+        case _ => sb.append(c)
+      }
+      i += 1
     }
     sb.toString
   }

@@ -1,0 +1,173 @@
+package graft.xlsx
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The round-2 xlsx hardening surface: pull-based row iteration (bounded
+  * memory per task), the 1900-system serial<61 date adjustment, PERMISSIVE
+  * degradation of malformed cells, sheet-by-index selection, and control
+  * character stripping in the writer. */
+class XlsxStreamingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("xlsxs").resolve(name).toString
+
+  private val nBig = 200000
+
+  private lazy val bigSheetPath: String = {
+    val path = tmp("big.xlsx")
+    val rows: Seq[Seq[Any]] = (1 to nBig).map(i => Seq(i.toDouble, s"row_$i"))
+    XlsxWriter.write(path, Seq(XlsxWriter.Sheet("big", Seq("k", "v"), rows)))
+    path
+  }
+
+  test("RowIterator is lazy: pulling 10 rows of a 200k-row sheet parses ~10 rows") {
+    val zip = new ZipFile(bigSheetPath)
+    try {
+      val wb = XlsxParser.parseWorkbook(zip)
+      val cellsSeen = new java.util.concurrent.atomic.AtomicInteger()
+      val it = XlsxParser.rowIterator(zip, wb.sheets.head.partName,
+        XlsxParser.parseSharedStrings(zip), XlsxParser.parseDateStyles(zip),
+        { _ => cellsSeen.incrementAndGet(); true })
+      try {
+        (1 to 10).foreach(_ => it.next())
+        // 10 rows + header × 2 cols each = 22 wantCol probes; anything in
+        // that ballpark proves the stream was NOT materialized up front
+        cellsSeen.get() should be < 100
+        cellsSeen.get() should be >= 20
+      } finally it.close()
+    } finally zip.close()
+  }
+
+  test("200k-row sheet reads correctly through the DSv2 scan") {
+    val df = spark.read.format("xlsx").load(bigSheetPath)
+    df.count() shouldBe nBig
+    import org.apache.spark.sql.functions._
+    val s = df.agg(sum(col("k").cast("decimal(20,0)"))).collect()(0).getDecimal(0)
+    s.longValueExact() shouldBe nBig.toLong * (nBig + 1) / 2
+    // early termination: a LIMIT should come back fast and exact
+    df.limit(7).collect().length shouldBe 7
+  }
+
+  test("1900-system serials below 61 match Excel's displayed dates (Lotus leap bug)") {
+    // serial 1 = 1900-01-01, 59 = 1900-02-28, 61 = 1900-03-01 (60 is the
+    // fictitious 1900-02-29; both 60 and 61 land on 1900-03-01)
+    def day(serial: Double): String =
+      java.time.Instant.ofEpochSecond(
+        XlsxParser.serialToMicros(serial, date1904 = false) / 1000000L)
+        .toString.take(10)
+    day(1) shouldBe "1900-01-01"
+    day(59) shouldBe "1900-02-28"
+    day(61) shouldBe "1900-03-01"
+    day(25569) shouldBe "1970-01-01"
+  }
+
+  test("pre-1900-03-01 timestamps roundtrip exactly through write+read") {
+    val ts = Seq(
+      Timestamp.valueOf("1900-01-01 00:00:00"),
+      Timestamp.valueOf("1900-02-28 06:00:00"),
+      Timestamp.valueOf("1900-03-01 00:00:00"),
+      Timestamp.valueOf("2024-05-06 07:08:09"))
+    val path = tmp("old.xlsx")
+    XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("t"), ts.map(Seq(_)))))
+    val got = spark.read.format("xlsx").load(path)
+      .collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+    got.toSeq shouldBe ts
+  }
+
+  /** Minimal hand-rolled workbook for shapes XlsxWriter never emits. */
+  private def rawWorkbook(path: String, sheetXml: String, sharedXml: String): Unit = {
+    val z = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetXml</sheetData></worksheet>""")
+    entry("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$sharedXml</sst>""")
+    z.close()
+  }
+
+  test("malformed cells degrade to null instead of failing the scan") {
+    val path = tmp("mal.xlsx")
+    rawWorkbook(path,
+      // header row, then: bad shared-string index, non-numeric <v> in a
+      // numeric cell, out-of-range shared index, one good row
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>xx</v></c><c r="B2"><v>not_a_number</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>99</v></c><c r="B3"><v>2.5</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>2</v></c><c r="B4"><v>7</v></c></row>""".stripMargin,
+      "<si><t>name</t></si><si><t>score</t></si><si><t>ok</t></si>")
+    val df = spark.read.format("xlsx").load(path)
+    val got = df.collect()
+    got.length shouldBe 3
+    val good = got.find(r => !r.isNullAt(0)).get
+    good.getString(0) shouldBe "ok"
+    good.getDouble(1) shouldBe 7.0
+    got.count(r => r.isNullAt(0)) shouldBe 2
+    got.count(r => r.isNullAt(1)) shouldBe 1
+  }
+
+  test("a header row of only error cells does not break schema inference") {
+    val path = tmp("err.xlsx")
+    rawWorkbook(path,
+      """<row r="1"><c r="A1" t="e"><v>#DIV/0!</v></c><c r="B1" t="e"><v>#N/A</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>
+        |<row r="3"><c r="A3"><v>3</v></c><c r="B3"><v>4</v></c></row>""".stripMargin,
+      "")
+    val df = spark.read.format("xlsx").load(path)
+    // error row is consumed as the (nameless) header; data rows survive
+    df.count() shouldBe 2
+    df.schema.fieldNames.length shouldBe 2
+  }
+
+  test("sheetIndex selects the nth sheet without naming it") {
+    val path = tmp("multi.xlsx")
+    XlsxWriter.write(path, Seq(
+      XlsxWriter.Sheet("first", Seq("a"), Seq(Seq(1.0))),
+      XlsxWriter.Sheet("second", Seq("b"), Seq(Seq(2.0), Seq(3.0)))))
+    spark.read.format("xlsx").option("sheetIndex", "1").load(path).count() shouldBe 2
+    spark.read.format("xlsx").option("sheetIndex", "0").load(path)
+      .schema.fieldNames.toSeq shouldBe Seq("a")
+    // name wins over index when both are given
+    spark.read.format("xlsx").option("sheet", "first")
+      .option("sheetIndex", "1").load(path).count() shouldBe 1
+    an[Exception] should be thrownBy
+      spark.read.format("xlsx").option("sheetIndex", "5").load(path).count()
+  }
+
+  test("writer strips XML-1.0-invalid control chars; valid text survives") {
+    val path = tmp("ctrl.xlsx")
+    XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("s"),
+      Seq(Seq("a\u0000b\u0007c\td\ne"), Seq("emoji 😀 ok")))),
+      useSharedStrings = false)
+    val got = spark.read.format("xlsx").load(path)
+      .collect().map(_.getString(0)).sorted
+    got(0) shouldBe "abc\td\ne"
+    got(1) shouldBe "emoji 😀 ok"
+  }
+}
