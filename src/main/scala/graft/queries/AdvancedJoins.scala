@@ -65,8 +65,16 @@ object AdvancedJoins extends QueryModule {
   }
 
   /** J10: interval-overlap join — per-user daily activity spans, then
-    * pairs of distinct users whose spans overlap that day. Equi on the
-    * day key, overlap predicate post-filtered: partitionable by day.
+    * pairs of distinct users whose spans overlap that day.
+    *
+    * Scale shape: each span explodes to the 2-hour buckets it covers and
+    * the join is EQUI on the bucket, so a key's candidate space is
+    * "users active in the same 2-hour window", not "users active that
+    * day" — the per-day O(users²) fanout the naive day key has. Two
+    * overlapping spans share the bucket of any common instant, so recall
+    * is exact; the overlap predicate re-checks exactly, and pairs seen in
+    * several shared buckets are deduplicated before counting. The oracle
+    * states the plain theta-join semantics (fine at oracle scale).
     */
   val intervalOverlap: Q = Q(
     """WITH spans AS (
@@ -78,16 +86,55 @@ object AdvancedJoins extends QueryModule {
       |  ON a.day = b.day AND a.user_id < b.user_id
       | AND a.s < b.e AND b.s < a.e
       |GROUP BY a.day ORDER BY day""".stripMargin) { (s, d) =>
+    val bucketUs = 7200L * 1000000L // 2-hour bands
     val spans = events(s, d)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(min("ts").as("s"), max("ts").as("e"))
-    val a = spans.select(col("user_id").as("u1"), col("day"), col("s").as("s1"), col("e").as("e1"))
-    val b = spans.select(col("user_id").as("u2"), col("day").as("day2"), col("s").as("s2"), col("e").as("e2"))
-    a.join(b, col("day") === col("day2") && col("u1") < col("u2")
+      .withColumn("sb", expr(s"unix_micros(s) DIV $bucketUs"))
+      .withColumn("eb", expr(s"unix_micros(e) DIV $bucketUs"))
+    val a = spans.select(col("user_id").as("u1"), col("day"),
+        col("s").as("s1"), col("e").as("e1"),
+        explode(sequence(col("sb"), col("eb"))).as("bucket"))
+    val b = spans.select(col("user_id").as("u2"),
+        col("s").as("s2"), col("e").as("e2"),
+        explode(sequence(col("sb"), col("eb"))).as("bucket2"))
+    a.join(b, col("bucket") === col("bucket2") && col("u1") < col("u2")
         && col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("day", "u1", "u2").distinct()
       .groupBy("day")
       .agg(count(lit(1)).as("n_overlaps"))
       .orderBy("day")
+  }
+
+  /** J9 as a REUSABLE operator: [[graft.operators.AsofJoin]] (union +
+    * running last-non-null, no join) applied to two distinct inputs —
+    * purchases pick up the latest preceding-or-simultaneous click of the
+    * same user, with the click's id and timestamp attached as a
+    * row-consistent payload (tie on click ts broken by highest id). */
+  val asofGeneric: Q = Q(
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  (max({'t': c.click_ts, 'i': c.click_id})).t AS click_ts,
+      |  (max({'t': c.click_ts, 'i': c.click_id})).i AS click_id
+      |FROM purch p LEFT JOIN clicks c
+      |  ON c.user_id = p.user_id AND c.click_ts <= p.ts
+      |GROUP BY p.event_id, p.user_id, p.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsofJoin(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTs = "ts", rightTs = "click_ts",
+        payload = Seq("click_ts", "click_id"), tieBreak = Seq("click_id"))
+      .orderBy("event_id")
   }
 
   /** J11: multi-way star join (TPC-H Q5 shape) — revenue by nation for one
@@ -134,6 +181,7 @@ object AdvancedJoins extends QueryModule {
     "q36_range_join"       -> rangeJoinBanded,
     "q37_asof_join"        -> asofJoin,
     "q38_interval_overlap" -> intervalOverlap,
-    "q39_star_join"        -> starJoin
+    "q39_star_join"        -> starJoin,
+    "q79_asof_generic"     -> asofGeneric
   )
 }

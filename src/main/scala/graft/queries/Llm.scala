@@ -60,36 +60,52 @@ object Llm extends QueryModule {
 
   // ------------------------------------------------------------------- L2
 
-  /** L2: exact near-duplicate detection — pairwise Jaccard over distinct
-    * word 3-shingles, restricted to same-lang pairs (the pair space is
-    * partitioned by lang; never an unbounded cross product). The shingle
-    * equi-join produces only pairs that share ≥1 shingle — sparse. */
-  val nearDupJaccard: Q = Q(
-    s"""WITH sh AS (
+  /** Document-frequency cap for L2 shingles: a shingle present in more
+    * than this many same-lang documents is boilerplate, carries no
+    * near-dup signal, and — critically — contributes O(df²) rows to the
+    * pair join. Dropping df>cap shingles bounds any single join key's
+    * fanout to cap² pair-rows, which is what makes the operator safe on
+    * natural text at 100 TB (the classic skew bomb). Fixture max df is 25
+    * at sf0.1, so fixture results are unchanged. */
+  private val shingleDfCap = 100
+
+  /** Jaccard candidate-pair CTEs shared by q47 (pairs) and q78 (cluster
+    * resolution); kept in one place so the two oracles can never drift. */
+  private def sqlPairCtes: String =
+    s"""sh0 AS (
        |  SELECT DISTINCT doc_id, lang, s FROM (
        |    SELECT doc_id, lang, unnest(sq) AS s FROM (
        |      SELECT doc_id, lang, $sqlShingles3 AS sq
        |      FROM (SELECT doc_id, lang, $sqlWords AS w FROM documents)
        |      WHERE len(w) >= 3))),
+       |hot AS (SELECT lang, s FROM sh0 GROUP BY lang, s HAVING COUNT(*) > $shingleDfCap),
+       |sh AS (SELECT * FROM sh0 WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot WHERE hot.lang = sh0.lang AND hot.s = sh0.s)),
        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |  ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
-       |FROM inter
-       |JOIN cnt ca ON doc_a = ca.doc_id
-       |JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.03
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN cnt ca ON doc_a = ca.doc_id
+       |  JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.03)""".stripMargin
+
+  /** The Jaccard pair pipeline (unordered), shared by q47 and q78. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // array_distinct already dedupes within a doc and docs are unique, so
     // (doc_id, s) is distinct by construction — no extra shuffle needed
-    val sh = documents(s, d)
+    val sh0 = documents(s, d)
       .select(col("doc_id"), col("lang"), words.as("wds"))
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(shinglesOf(3, col("wds")))).as("s"))
+    val hot = sh0.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > shingleDfCap).select("lang", "s")
+    val sh = sh0.join(broadcast(hot), Seq("lang", "s"), "left_anti")
     // derived from `sh` (not a separate scan) so the shingle relation is
     // planned once and its exchange reused across the join branches —
     // measured faster than recomputing the shingle arrays per branch
@@ -106,9 +122,46 @@ object Llm extends QueryModule {
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .filter(jac >= 0.03)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** L2: exact near-duplicate detection — pairwise Jaccard over distinct
+    * word 3-shingles, restricted to same-lang pairs (the pair space is
+    * partitioned by lang; never an unbounded cross product). The shingle
+    * equi-join produces only pairs that share ≥1 shingle — sparse — and
+    * ubiquitous shingles are dropped first (df cap, broadcast anti-join:
+    * the hot set is small by construction, so the cap costs one map-side
+    * pass, not a shuffle of the shingle relation). */
+  val nearDupJaccard: Q = Q(
+    s"""WITH $sqlPairCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    jaccardPairs(s, d).orderBy("doc_a", "doc_b")
   }
   private def sqlShingles3 = sqlShingles(3)
+
+  /** Dedup group resolution — the last mile of the near-dup story: the
+    * q47 candidate pairs are resolved to duplicate CLUSTERS by distributed
+    * connected components (iterative min-label propagation, see
+    * [[graft.operators.ConnectedComponents]]), and the survivor of each
+    * cluster is its minimum doc_id. Oracle: DuckDB recursive CTE computing
+    * min reachable id over the same pairs. */
+  val dedupGroups: Q = Q(
+    s"""WITH RECURSIVE $sqlPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, MIN(label) AS cluster_id,
+       |  (id = MIN(label)) AS survivor
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.ConnectedComponents(jaccardPairs(s, d), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("survivor"))
+      .orderBy("doc_id")
+  }
 
   // ------------------------------------------------------------------- L3
 
@@ -494,6 +547,7 @@ object Llm extends QueryModule {
     "q59_token_count"     -> tokenCount,
     "q60_fingerprint"     -> fingerprint,
     "q61_binary_meta"     -> binaryMeta,
-    "q62_media_features"  -> mediaFeatures
+    "q62_media_features"  -> mediaFeatures,
+    "q78_dedup_groups"    -> dedupGroups
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Unit coverage for the reusable distributed operators (as-of join,
+  * connected components) on hand-built inputs where the expected output
+  * is checkable by eye. */
+class OperatorsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ as-of join
+
+  private def trades = Seq(
+    // (trade_id, sym, t)
+    (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 35L),
+    (4L, "B", 15L), (5L, "C", 50L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (qsym, qt, px, qid)
+    ("A", 5L, 1.0, 100L), ("A", 20L, 2.0, 101L), ("A", 30L, 3.0, 102L),
+    ("B", 99L, 9.0, 103L) // only AFTER B's trade
+  ).toDF("qsym", "qt", "px", "qid")
+
+  test("asof join: latest quote at-or-before each trade, per key") {
+    val got = AsofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        payload = Seq("px", "qid"), tieBreak = Seq("qid"))
+      .orderBy("trade_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    got.toSeq shouldBe Seq(
+      (1L, Some(1.0), Some(100L)), // t=10 → quote at 5
+      (2L, Some(2.0), Some(101L)), // t=20 → quote AT 20 (inclusive)
+      (3L, Some(3.0), Some(102L)), // t=35 → quote at 30
+      (4L, None, None),            // B has no quote ≤ 15
+      (5L, None, None))            // C has no quotes at all
+  }
+
+  test("asof join: inclusive=false excludes the equal-ts right row") {
+    val got = AsofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        payload = Seq("qid"), tieBreak = Seq("qid"), inclusive = false)
+      .orderBy("trade_id").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    // trade 2 at t=20 must now see the t=5 quote, not the t=20 one
+    got(1) shouldBe Some(100L)
+  }
+
+  test("asof join: tie on right ts resolves to the greatest tieBreak, row-consistently") {
+    val q2 = Seq(("A", 10L, 5.0, 200L), ("A", 10L, 6.0, 201L)).toDF("qsym", "qt", "px", "qid")
+    val got = AsofJoin(Seq((1L, "A", 10L)).toDF("trade_id", "sym", "t"), q2,
+        "sym", "qsym", "t", "qt", payload = Seq("px", "qid"), tieBreak = Seq("qid"))
+      .collect()(0)
+    // both payload fields come from the SAME winning row (qid 201)
+    got.getLong(4) shouldBe 201L
+    got.getDouble(3) shouldBe 6.0
+  }
+
+  // ------------------------------------- connected components / dedup groups
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: chain, pair, and triangle resolve to min labels") {
+    // chain 1-2-3-4, pair 10-11, triangle 20-21-22 (with a redundant edge)
+    val cc = ccOf(Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)))
+    cc shouldBe Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("connected components: long path converges (diameter > a few rounds)") {
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val cc = ccOf(path)
+    cc.values.toSet shouldBe Set(0L)
+    cc.size shouldBe 41
+  }
+
+  test("connected components is idempotent: relabeling the labeling changes nothing") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L))
+    val cc = ccOf(pairs)
+    // feed (id, label) back in as edges: same partition must come out
+    val again = ccOf(cc.toSeq)
+    again shouldBe cc
+  }
+
+  test("connected components: empty input yields empty output") {
+    ccOf(Seq.empty) shouldBe Map.empty
+  }
+}
