@@ -67,14 +67,17 @@ object AdvancedJoins extends QueryModule {
   /** J10: interval-overlap join — per-user daily activity spans, then
     * pairs of distinct users whose spans overlap that day.
     *
-    * Scale shape: each span explodes to the 2-hour buckets it covers and
-    * the join is EQUI on the bucket, so a key's candidate space is
-    * "users active in the same 2-hour window", not "users active that
-    * day" — the per-day O(users²) fanout the naive day key has. Two
-    * overlapping spans share the bucket of any common instant, so recall
-    * is exact; the overlap predicate re-checks exactly, and pairs seen in
-    * several shared buckets are deduplicated before counting. The oracle
-    * states the plain theta-join semantics (fine at oracle scale).
+    * Scale shape: one side explodes each span into the 2-hour buckets it
+    * covers; the other is keyed by its START bucket only. Two
+    * overlapping spans always share the start bucket of the
+    * later-starting one (a common instant exists at max(s1,s2)), so the
+    * join is EQUI on the bucket, a key's candidate space is "users
+    * active in the same 2-hour window" — not the per-day O(users²)
+    * fanout of a naive day key — and each pair matches in EXACTLY one
+    * bucket (canonical orientation: earlier start, user id on ties), so
+    * no dedup pass is needed. The overlap predicate re-checks exactly;
+    * the oracle states the plain theta-join semantics (fine at oracle
+    * scale).
     */
   val intervalOverlap: Q = Q(
     """WITH spans AS (
@@ -86,21 +89,22 @@ object AdvancedJoins extends QueryModule {
       |  ON a.day = b.day AND a.user_id < b.user_id
       | AND a.s < b.e AND b.s < a.e
       |GROUP BY a.day ORDER BY day""".stripMargin) { (s, d) =>
-    val bucketUs = 7200L * 1000000L // 2-hour bands
+    val bucketUs = 7200L * 1000000L // 2-hour bands (divides a day evenly)
     val spans = events(s, d)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(min("ts").as("s"), max("ts").as("e"))
       .withColumn("sb", expr(s"unix_micros(s) DIV $bucketUs"))
       .withColumn("eb", expr(s"unix_micros(e) DIV $bucketUs"))
-    val a = spans.select(col("user_id").as("u1"), col("day"),
+    val a = spans.select(col("user_id").as("u1"), col("day"), col("sb").as("sb1"),
         col("s").as("s1"), col("e").as("e1"),
         explode(sequence(col("sb"), col("eb"))).as("bucket"))
-    val b = spans.select(col("user_id").as("u2"),
-        col("s").as("s2"), col("e").as("e2"),
-        explode(sequence(col("sb"), col("eb"))).as("bucket2"))
-    a.join(b, col("bucket") === col("bucket2") && col("u1") < col("u2")
+    val b = spans.select(col("user_id").as("u2"), col("sb").as("sb2"),
+        col("s").as("s2"), col("e").as("e2"))
+    a.join(b, col("bucket") === col("sb2")
+        && (col("sb1") < col("sb2") ||
+            (col("sb1") === col("sb2") && col("u1") < col("u2")))
+        && col("u1") =!= col("u2")
         && col("s1") < col("e2") && col("s2") < col("e1"))
-      .select("day", "u1", "u2").distinct()
       .groupBy("day")
       .agg(count(lit(1)).as("n_overlaps"))
       .orderBy("day")

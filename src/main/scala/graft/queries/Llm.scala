@@ -238,10 +238,39 @@ object Llm extends QueryModule {
     graft.functions.CosineSimilarity.register(s)
     expr("cosine_sim(qe, ee)")
   }
-  private val sqlCos =
-    """list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
-      | / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
-      |  * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))))""".stripMargin.replace("\n", "")
+  private def sqlCosOf(l: String, r: String): String =
+    s"""list_sum(list_transform(range(64), i -> CAST($l.embedding[i+1] AS DOUBLE) * CAST($r.embedding[i+1] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(64), i -> CAST($l.embedding[i+1] AS DOUBLE) * CAST($l.embedding[i+1] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(64), i -> CAST($r.embedding[i+1] AS DOUBLE) * CAST($r.embedding[i+1] AS DOUBLE)))))""".stripMargin.replace("\n", "")
+  private val sqlCos = sqlCosOf("q", "e")
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space sibling of
+    * L2: all same-label pairs with cosine ≥ τ. The label (IVF cell
+    * analogue) bounds the pair space exactly like the lang/shingle key
+    * bounds L2's: per-cell all-pairs, never corpus². τ = 0.35 is
+    * calibrated to the fixture geometry (random unit-ish vectors top out
+    * at ~0.47; a production near-dup τ on real embeddings is ~0.9) —
+    * the operator shape is identical. Bit-parity of the cosine across
+    * engines comes from the same float→double left-to-right sum both
+    * sides (see CosineSimilaritySpec). */
+  val embeddingNearDup: Q = Q(
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(${sqlCosOf("a", "b")}, 6) AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlCosOf("a", "b")} >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val a = embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("label"))
+    val b = embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("ee"), col("label").as("label_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(qe, ee)").as("cos_raw"))
+      .filter(col("cos_raw") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** L4: brute-force cosine top-k — the exact baseline. The query set is
     * bounded (10 vectors) and broadcast; corpus side streams, so the cost
@@ -530,6 +559,56 @@ object Llm extends QueryModule {
       .orderBy("media_id")
   }
 
+  /** Deterministic train/test split — a training-data pipeline staple:
+    * assignment must be a pure function of a stable id (never rand()), so
+    * re-runs, backfills and incremental loads land every document in the
+    * same split. md5 is bit-identical everywhere (incl. DuckDB), so the
+    * oracle checks the actual assignment, not just the proportions.
+    * Prefix < 'd0' ⇒ train: 208/256 = 81.25% expected. */
+  val hashSplit: Q = Q(
+    """SELECT lang,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
+      |       THEN 'train' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "d0",
+          "train").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
+  /** Token-budget sequence packing — greedy chunking of a corpus into
+    * fixed token budgets (training-batch assembly): chunk_id = exclusive
+    * running token total DIV budget, per lang in doc_id order. One window
+    * + one aggregate, both partitioned by lang: at 100 TB the running sum
+    * is per-lang sequential by necessity (packing is order-defined), but
+    * langs proceed in parallel and nothing leaves the executors. */
+  val packChunks: Q = Q(
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, len($sqlWords) AS n_tokens FROM documents),
+       |packed AS (
+       |  SELECT lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS chunk_id
+       |  FROM toks)
+       |SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+       |FROM packed GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), size(words).cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        expr("coalesce(sum(n_tokens) over (partition by lang order by doc_id " +
+          "rows between unbounded preceding and 1 preceding), 0) DIV 4096"))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"))
+      .orderBy("lang", "chunk_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q46_dedup_exact"     -> dedupExact,
     "q47_near_dup_jaccard"-> nearDupJaccard,
@@ -548,6 +627,9 @@ object Llm extends QueryModule {
     "q60_fingerprint"     -> fingerprint,
     "q61_binary_meta"     -> binaryMeta,
     "q62_media_features"  -> mediaFeatures,
-    "q78_dedup_groups"    -> dedupGroups
+    "q78_dedup_groups"    -> dedupGroups,
+    "q80_embedding_near_dup" -> embeddingNearDup,
+    "q81_hash_split"      -> hashSplit,
+    "q82_pack_chunks"     -> packChunks
   )
 }

@@ -104,6 +104,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q79: the generic as-of join plans with NO join operator at all") {
+    val p = plan("q79_asof_generic")
+    p should include("Window")
+    p should not include "Join" // union + running last-non-null, one shuffle
+  }
+
+  test("q47: the shingle df-cap is a broadcast ANTI join (map-side, no shuffle of shingles)") {
+    val p = plan("q47_near_dup_jaccard")
+    p should include regex "BroadcastHashJoin.*LeftAnti"
+  }
+
+  test("q38: interval overlap joins on the bucket key, not a nested loop") {
+    val p = plan("q38_interval_overlap")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the plan only after execution — run it, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
