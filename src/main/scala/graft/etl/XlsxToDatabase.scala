@@ -35,13 +35,24 @@ object XlsxToDatabase {
   def sanitizeTableName(sheet: String): String =
     graft.xlsx.TypeInference.sanitizeNames(Seq(sheet)).head
 
-  /** Load all sheets → JDBC tables. `mode` matches the reference-class
-    * tool's append/replace switch. */
+  /** Load sheets → JDBC tables. `mode` matches the reference-class
+    * tool's append/replace switch; `onlySheets` restricts to named
+    * sheets (default: every sheet, one table each). */
   def load(spark: SparkSession, xlsxPath: String, jdbcUrl: String,
            mode: SaveMode = SaveMode.Overwrite,
-           connectionProps: Properties = new Properties()): Seq[LoadedTable] = {
+           connectionProps: Properties = new Properties(),
+           onlySheets: Option[Seq[String]] = None): Seq[LoadedTable] = {
     DuckDbDialect.registered
-    sheetNames(xlsxPath).map { sheet =>
+    val all = sheetNames(xlsxPath)
+    val chosen = onlySheets match {
+      case None => all
+      case Some(w) =>
+        val missing = w.filterNot(all.contains)
+        require(missing.isEmpty,
+          s"no such sheet(s): ${missing.mkString(", ")}; have ${all.mkString(", ")}")
+        all.filter(w.contains)
+    }
+    chosen.map { sheet =>
       val df = readSheet(spark, xlsxPath, sheet)
       val table = sanitizeTableName(sheet)
       df.write.mode(mode).jdbc(jdbcUrl, table, connectionProps)

@@ -94,7 +94,15 @@ object Llm extends QueryModule {
        |  JOIN cnt cb ON doc_b = cb.doc_id
        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.03)""".stripMargin
 
-  /** The Jaccard pair pipeline (unordered), shared by q47 and q78. */
+  /** The Jaccard pair pipeline (unordered), shared by q47 and q78.
+    *
+    * Shape: ONE shuffle groups postings by (lang, shingle); the df cap
+    * then bounds every posting list to ≤ cap docs, which makes in-place
+    * pair GENERATION (sorted list → (i,j) i<j pairs, ≤ cap²/2 each) safe
+    * — no self-join of the shingle relation at all. Per-doc shingle
+    * counts reuse the capped postings (explode-back), so Jaccard
+    * denominators see exactly the capped feature set, same as the
+    * oracle's NOT EXISTS formulation. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // array_distinct already dedupes within a doc and docs are unique, so
     // (doc_id, s) is distinct by construction — no extra shuffle needed
@@ -103,17 +111,18 @@ object Llm extends QueryModule {
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(shinglesOf(3, col("wds")))).as("s"))
-    val hot = sh0.groupBy("lang", "s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > shingleDfCap).select("lang", "s")
-    val sh = sh0.join(broadcast(hot), Seq("lang", "s"), "left_anti")
-    // derived from `sh` (not a separate scan) so the shingle relation is
-    // planned once and its exchange reused across the join branches —
-    // measured faster than recomputing the shingle arrays per branch
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
-    val inter = a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b")
-        && col("doc_a") < col("doc_b"))
+    // postings per (lang, shingle); sorted for deterministic a<b pairs
+    val capped = sh0.groupBy("lang", "s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= shingleDfCap)
+    val cnt = capped.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = capped
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
       (col("ca.c") + col("cb.c") - col("i"))

@@ -29,7 +29,9 @@ import scala.jdk.CollectionConverters._
   *
   * Options: `sheet` (name), `sheetIndex` (0-based position, used when
   * `sheet` is absent; default = first sheet), `headerRow` (default
-  * true), `inferSchema` (default true), `sampleRows` (default 10000).
+  * true), `inferSchema` (default true), `sampleRows` (default 10000),
+  * `columnar` (default true: decode into ColumnarBatches of 4096 rows;
+  * false forces the row-at-a-time reader).
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
@@ -56,14 +58,16 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 
 object XlsxDataSource {
   case class Opts(sheet: Option[String], sheetIndex: Option[Int],
-                  headerRow: Boolean, inferTypes: Boolean, sampleRows: Int)
+                  headerRow: Boolean, inferTypes: Boolean, sampleRows: Int,
+                  columnar: Boolean)
 
   def opts(o: CaseInsensitiveStringMap): Opts = Opts(
     Option(o.get("sheet")),
     Option(o.get("sheetIndex")).map(_.toInt),
     o.getBoolean("headerRow", true),
     o.getBoolean("inferSchema", true),
-    Option(o.get("sampleRows")).map(_.toInt).getOrElse(10000))
+    Option(o.get("sampleRows")).map(_.toInt).getOrElse(10000),
+    o.getBoolean("columnar", true))
 
   /** Sheet selection: by name, else by 0-based index, else the first. */
   def resolveSheet(zip: ZipFile, o: Opts): XlsxParser.SheetInfo = {
@@ -191,18 +195,22 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDat
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed)
+  /** All xlsx cell types map to vectorizable Spark types, so the batch
+    * path is always available; `columnar=false` opts out (debug/compare). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = o.columnar
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new XlsxColumnarReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed)
 }
 
-/** Streams one file's chosen sheet with a PULL-based parser: each
-  * `next()` advances the StAX stream one row, so a task holds at most one
-  * row (plus the shared-strings pool) on heap no matter how large the
-  * sheet is, and limit/early-termination stop the decode mid-stream. */
-class XlsxPartitionReader(path: String, fullSchema: StructType, required: StructType,
-                          o: XlsxDataSource.Opts,
-                          pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends PartitionReader[InternalRow] {
+/** Shared decode state for both read paths: pull-based parsing (one row
+  * on heap per task), header skipping, PERMISSIVE conversion, and
+  * pushed-filter evaluation. `nextValues` yields the next surviving data
+  * row's internal values, or null at end of sheet. */
+private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType,
+    required: StructType, o: XlsxDataSource.Opts,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends AutoCloseable {
 
-  private val requiredIdx: Array[Int] = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  protected val requiredIdx: Array[Int] = required.fields.map(f => fullSchema.fieldIndex(f.name))
   private val wanted: Set[Int] = requiredIdx.toSet
   // only evaluate filters whose columns this scan actually reads
   private val fieldPos: Map[String, Int] = required.fieldNames.zipWithIndex.toMap
@@ -217,42 +225,95 @@ class XlsxPartitionReader(path: String, fullSchema: StructType, required: Struct
       XlsxParser.parseDateStyles(zip), wanted.contains)
   }
   private var headerSkipped = !o.headerRow
-  private var current: InternalRow = _
 
-  /** Convert one parsed row; None when a pushed filter rejects it. */
-  private def convert(row: XlsxParser.Row): Option[InternalRow] = {
-    val vals = new Array[Any](requiredIdx.length)
-    val m = row.cells.toMap
-    var i = 0
-    while (i < requiredIdx.length) {
-      val col = requiredIdx(i)
-      val dt = fullSchema.fields(col).dataType
-      val cv = m.getOrElse(col, XlsxParser.XBlank)
-      vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
-        case s: String => UTF8String.fromString(s)
-        case other => other
-      }
-      i += 1
-    }
-    if (applicable.isEmpty ||
-        applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name)))))
-      Some(new GenericInternalRow(vals))
-    else None
-  }
-
-  override def next(): Boolean = {
+  protected def nextValues(): Array[Any] = {
     while (rows.hasNext) {
       val row = rows.next()
       if (row.hasAnyCell) {
         if (!headerSkipped) headerSkipped = true
-        else convert(row) match {
-          case Some(r) => current = r; return true
-          case None =>
+        else {
+          val vals = new Array[Any](requiredIdx.length)
+          val m = row.cells.toMap
+          var i = 0
+          while (i < requiredIdx.length) {
+            val col = requiredIdx(i)
+            val dt = fullSchema.fields(col).dataType
+            val cv = m.getOrElse(col, XlsxParser.XBlank)
+            vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }
+            i += 1
+          }
+          if (applicable.isEmpty ||
+              applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name)))))
+            return vals
         }
       }
     }
-    false
+    null
+  }
+
+  override def close(): Unit = { try rows.close() finally zip.close() }
+}
+
+/** Row-at-a-time read path (the DSv2 default). */
+class XlsxPartitionReader(path: String, fullSchema: StructType, required: StructType,
+                          o: XlsxDataSource.Opts,
+                          pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends XlsxReaderBase(path, fullSchema, required, o, pushed)
+    with PartitionReader[InternalRow] {
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val v = nextValues()
+    if (v == null) false else { current = new GenericInternalRow(v); true }
   }
   override def get(): InternalRow = current
-  override def close(): Unit = { try rows.close() finally zip.close() }
+}
+
+/** Vectorized read path: rows are decoded into `OnHeapColumnVector`
+  * batches of 4096, so downstream operators consume `ColumnarBatch`es
+  * and Spark's ColumnarToRow/codegen machinery amortizes per-row
+  * overhead — the same contract the built-in parquet/ORC vectorized
+  * readers provide. Memory stays bounded: one batch per task, reset and
+  * refilled in place. */
+class XlsxColumnarReader(path: String, fullSchema: StructType, required: StructType,
+                         o: XlsxDataSource.Opts,
+                         pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends XlsxReaderBase(path, fullSchema, required, o, pushed)
+    with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val capacity = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  override def next(): Boolean = {
+    var n = 0
+    vectors.foreach(_.reset())
+    var vals = if (n < capacity) nextValues() else null
+    while (vals != null) {
+      var i = 0
+      while (i < vals.length) {
+        val vec = vectors(i)
+        vals(i) match {
+          case null => vec.putNull(n)
+          case u: UTF8String => vec.putByteArray(n, u.getBytes)
+          case d: java.lang.Double => vec.putDouble(n, d)
+          case b: java.lang.Boolean => vec.putBoolean(n, b)
+          case l: java.lang.Long => vec.putLong(n, l) // timestamp micros
+          case other => throw new IllegalStateException(
+            s"unexpected xlsx value ${other.getClass} for ${required.fields(i).dataType}")
+        }
+        i += 1
+      }
+      n += 1
+      vals = if (n < capacity) nextValues() else null
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); super.close() }
 }

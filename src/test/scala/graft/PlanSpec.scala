@@ -110,9 +110,13 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "Join" // union + running last-non-null, one shuffle
   }
 
-  test("q47: the shingle df-cap is a broadcast ANTI join (map-side, no shuffle of shingles)") {
+  test("q47: pairs come from capped posting lists — no self-join of the shingle relation") {
     val p = plan("q47_near_dup_jaccard")
-    p should include regex "BroadcastHashJoin.*LeftAnti"
+    // the df cap is a size filter on the grouped posting lists...
+    p should include regex "size\\(ds.*\\) <= 100"
+    // ...and the only joins left are the two small count lookups
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
   }
 
   test("q38: interval overlap joins on the bucket key, not a nested loop") {

@@ -38,6 +38,34 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
     flags.orderBy("k").collect().map(_.getBoolean(1)).toSeq shouldBe Seq(true, false)
   }
 
+  test("CLI argument parsing covers mode, sheet selection, and errors") {
+    val a = Main.parse(Seq("book.xlsx", "jdbc:duckdb:x", "--append",
+      "--sheet", "s1", "--sheet", "s2"))
+    a.mode shouldBe SaveMode.Append
+    a.sheets shouldBe Some(Seq("s1", "s2"))
+    Main.parse(Seq("b.xlsx", "url")).mode shouldBe SaveMode.Overwrite
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("only-one"))
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("a", "b", "--bogus"))
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("a", "b", "--sheet"))
+  }
+
+  test("CLI run loads only the selected sheet") {
+    val dir = Files.createTempDirectory("etl3")
+    val xlsx = dir.resolve("book.xlsx").toString
+    val db = dir.resolve("t.duckdb").toString
+    XlsxWriter.write(xlsx, Seq(
+      XlsxWriter.Sheet("keep", Seq("v"), Seq(Seq(1.0), Seq(2.0))),
+      XlsxWriter.Sheet("skip", Seq("v"), Seq(Seq(3.0)))))
+    val loaded = Main.run(spark,
+      Main.Args(xlsx, s"jdbc:duckdb:$db", SaveMode.Overwrite, Some(Seq("keep")), "unused"))
+    loaded.map(t => (t.table, t.rows)) shouldBe Seq(("keep", 2L))
+    XlsxToDatabase.readJdbc(spark, s"jdbc:duckdb:$db", "keep").count() shouldBe 2
+    an[Exception] should be thrownBy XlsxToDatabase
+      .readJdbc(spark, s"jdbc:duckdb:$db", "skip").count()
+    an[IllegalArgumentException] should be thrownBy Main.run(spark,
+      Main.Args(xlsx, s"jdbc:duckdb:$db", SaveMode.Overwrite, Some(Seq("nope")), "unused"))
+  }
+
   test("append mode accumulates rows") {
     val dir = Files.createTempDirectory("etl2")
     val xlsx = dir.resolve("book.xlsx").toString

@@ -160,6 +160,36 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
       spark.read.format("xlsx").option("sheetIndex", "5").load(path).count()
   }
 
+  test("columnar read path: plan is columnar and matches the row path exactly") {
+    val dfC = spark.read.format("xlsx").load(bigSheetPath)
+    val dfR = spark.read.format("xlsx").option("columnar", "false").load(bigSheetPath)
+    dfC.queryExecution.executedPlan.toString should include("ColumnarToRow")
+    dfR.queryExecution.executedPlan.toString should not include "ColumnarToRow"
+    dfC.count() shouldBe nBig
+    dfC.exceptAll(dfR).count() shouldBe 0
+    dfR.exceptAll(dfC).count() shouldBe 0
+  }
+
+  test("columnar read path handles nulls, booleans and timestamps") {
+    val path = tmp("mixed.xlsx")
+    XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S",
+      Seq("name", "score", "ok", "at"),
+      Seq(
+        Seq("a", 1.5, true, Timestamp.valueOf("2024-01-02 03:04:05")),
+        Seq(null, 7.0, null, null), // sparse row: only score present
+        Seq("c", -2.0, false, Timestamp.valueOf("1999-12-31 23:59:59"))))))
+    val got = spark.read.format("xlsx").load(path).orderBy("score").collect()
+    got.length shouldBe 3
+    val a = got.find(r => !r.isNullAt(0) && r.getString(0) == "a").get
+    a.getDouble(1) shouldBe 1.5
+    a.getBoolean(2) shouldBe true
+    a.getTimestamp(3) shouldBe Timestamp.valueOf("2024-01-02 03:04:05")
+    val sparse = got.find(_.isNullAt(0)).get
+    sparse.getDouble(1) shouldBe 7.0
+    sparse.isNullAt(2) shouldBe true
+    sparse.isNullAt(3) shouldBe true
+  }
+
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
     val path = tmp("ctrl.xlsx")
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("s"),
