@@ -52,8 +52,13 @@ object ConnectedComponents {
     while (changed > 0 && round < maxRounds) {
       // (1) min over {self} ∪ neighbors; the self-loop row doubles as the
       // carrier of the round-start label for the convergence check
+      // shuffle-hash, not sort-merge: label tables are re-joined every
+      // round, and hashing skips the per-round sort of both sides (the
+      // strategy GraphX-style iterative joins use); checkpointed RDDs
+      // have no stats, so Spark would otherwise default to SMJ
       val next = edges
-        .join(labels.select(col("id").as("did"), col("label")), col("dst") === col("did"))
+        .join(labels.select(col("id").as("did"), col("label")).hint("shuffle_hash"),
+          col("dst") === col("did"))
         .groupBy("src")
         .agg(min("label").as("lbl"),
           min(when(col("dst") === col("src"), col("label"))).as("prev"))

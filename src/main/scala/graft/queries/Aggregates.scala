@@ -109,13 +109,26 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Skew-salted aggregation ([[graft.operators.SkewSalt]]): the same
+    * (n, exact-decimal sum) per user as a plain groupBy would produce,
+    * but the heavy shuffle is keyed (user, salt) so a hot user spreads
+    * over 16 reducers. Salting is result-invariant for algebraic
+    * aggregates, so the oracle is just the unsalted SQL. */
+  val saltedAgg: Q = Q(
+    s"""SELECT user_id, COUNT(*) AS n, ${sqlDsum("value")} AS total
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.operators.SkewSalt.countSum(events(s, d), Seq("user_id"), "value", salts = 16)
+      .orderBy("user_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q30_pivot"        -> pivotQ,
     "q31_collect"      -> collectQ,
     "q32_percentile"   -> percentileQ,
     "q33_stats"        -> statsQ,
     "q34_minmax_by"    -> minMaxByQ,
-    "q35_weighted_avg" -> weightedAvgQ
+    "q35_weighted_avg" -> weightedAvgQ,
+    "q83_salted_agg"   -> saltedAgg
   )
 }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -92,5 +93,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
 
   test("connected components: empty input yields empty output") {
     ccOf(Seq.empty) shouldBe Map.empty
+  }
+
+  // ------------------------------------------------------------- skew salt
+
+  test("salted aggregation equals the direct groupBy, including on a hot key") {
+    // key "hot" has 50× the rows of the others
+    val rows = (1 to 5000).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val salted = SkewSalt.countSum(df, Seq("k"), "v", salts = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,4)")).cast("double").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    salted.toSeq shouldBe direct.toSeq
+  }
+
+  test("salting actually fans the hot key out across salt subkeys") {
+    val df = (1 to 5000).map(i => ("hot", i.toDouble)).toDF("k", "v")
+    val salted = df.withColumn("__salt",
+      pmod(hash(col("k"), col("v")), lit(8)))
+    salted.select("__salt").distinct().count() shouldBe 8
   }
 }
