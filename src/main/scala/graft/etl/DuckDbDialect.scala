@@ -36,5 +36,5 @@ object DuckDbDialect extends JdbcDialect {
     m.contains("does not exist") || m.contains("Catalog Error")
   }
 
-  private[etl] lazy val registered: Unit = JdbcDialects.registerDialect(this)
+  private[graft] lazy val registered: Unit = JdbcDialects.registerDialect(this)
 }

@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
   * `sheet` is absent; default = first sheet), `headerRow` (default
   * true), `inferSchema` (default true), `sampleRows` (default 10000),
   * `columnar` (default true: decode into ColumnarBatches of 4096 rows;
-  * false forces the row-at-a-time reader).
+  * false forces the row-at-a-time reader), `mode` (PERMISSIVE default:
+  * malformed cells → null; FAILFAST: abort with row/column context).
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
@@ -59,7 +60,7 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 object XlsxDataSource {
   case class Opts(sheet: Option[String], sheetIndex: Option[Int],
                   headerRow: Boolean, inferTypes: Boolean, sampleRows: Int,
-                  columnar: Boolean)
+                  columnar: Boolean, failFast: Boolean)
 
   def opts(o: CaseInsensitiveStringMap): Opts = Opts(
     Option(o.get("sheet")),
@@ -67,7 +68,13 @@ object XlsxDataSource {
     o.getBoolean("headerRow", true),
     o.getBoolean("inferSchema", true),
     Option(o.get("sampleRows")).map(_.toInt).getOrElse(10000),
-    o.getBoolean("columnar", true))
+    o.getBoolean("columnar", true),
+    Option(o.get("mode")).map(_.toUpperCase).getOrElse("PERMISSIVE") match {
+      case "FAILFAST" => true
+      case "PERMISSIVE" => false
+      case other => throw new IllegalArgumentException(
+        s"xlsx mode must be PERMISSIVE or FAILFAST, got '$other'")
+    })
 
   /** Sheet selection: by name, else by 0-based index, else the first. */
   def resolveSheet(zip: ZipFile, o: Opts): XlsxParser.SheetInfo = {
@@ -222,7 +229,7 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
   private val rows: XlsxParser.RowIterator = {
     val sheet = XlsxDataSource.resolveSheet(zip, o)
     XlsxParser.rowIterator(zip, sheet.partName, XlsxParser.parseSharedStrings(zip),
-      XlsxParser.parseDateStyles(zip), wanted.contains)
+      XlsxParser.parseDateStyles(zip), wanted.contains, o.failFast)
   }
   private var headerSkipped = !o.headerRow
 
@@ -241,6 +248,10 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
             val cv = m.getOrElse(col, XlsxParser.XBlank)
             vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
               case s: String => UTF8String.fromString(s)
+              case null if o.failFast && cv != XlsxParser.XBlank =>
+                throw new IllegalArgumentException(
+                  s"cell ${cv} is not convertible to $dt at row ${row.rowIndex + 1}, " +
+                    s"column ${col + 1} of $path (mode=FAILFAST)")
               case other => other
             }
             i += 1

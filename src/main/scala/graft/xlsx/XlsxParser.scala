@@ -183,14 +183,23 @@ object XlsxParser {
     * numeric text (shared-string index, style index, cell value, row
     * index) degrades to a blank cell / sequential row number instead of
     * failing the task — same PERMISSIVE convention as
-    * [[TypeInference.convert]]. Close (or exhaust) to release the stream.
+    * [[TypeInference.convert]] — unless `failFast` is set, in which case
+    * a malformed cell aborts the scan with row/column context (the csv
+    * FAILFAST analogue). Close (or exhaust) to release the stream.
     *
     * `wantCol` gates cell VALUE materialization for column pruning
     * (pruned cells are parsed structurally but their text is skipped). */
   final class RowIterator private[xlsx] (
       zip: ZipFile, partName: String, shared: Array[String],
-      dateStyle: Array[Boolean], wantCol: Int => Boolean)
+      dateStyle: Array[Boolean], wantCol: Int => Boolean,
+      failFast: Boolean = false)
       extends Iterator[Row] with AutoCloseable {
+
+    private def bad(what: String, value: String): CellValue =
+      if (failFast)
+        throw new IllegalArgumentException(
+          s"malformed $what '$value' at row ${rowIdx + 1}, column ${cellCol + 1} of $partName (mode=FAILFAST)")
+      else XBlank
 
     private val in: InputStream = {
       val entry = zip.getEntry(partName)
@@ -251,7 +260,7 @@ object XlsxParser {
                     if (text == null) XBlank
                     else text.toString.trim.toIntOption match {
                       case Some(i) if i >= 0 && i < shared.length => XString(shared(i))
-                      case _ => XBlank
+                      case _ => bad("shared-string reference", text.toString)
                     }
                   case "inlineStr" => if (isText == null) XBlank else XString(isText.toString)
                   case "str" => if (text == null) XBlank else XString(text.toString)
@@ -262,7 +271,7 @@ object XlsxParser {
                     if (text == null) XBlank
                     else text.toString.trim.toDoubleOption match {
                       case Some(d) => XNumber(d, cellStyled)
-                      case None => XBlank
+                      case None => bad("numeric cell", text.toString)
                     }
                 }
                 if (v != XBlank) cells += ((cellCol, v))
@@ -294,8 +303,9 @@ object XlsxParser {
 
   /** Open a pull-based iterator over one worksheet (see [[RowIterator]]). */
   def rowIterator(zip: ZipFile, partName: String, shared: Array[String],
-                  dateStyle: Array[Boolean], wantCol: Int => Boolean): RowIterator =
-    new RowIterator(zip, partName, shared, dateStyle, wantCol)
+                  dateStyle: Array[Boolean], wantCol: Int => Boolean,
+                  failFast: Boolean = false): RowIterator =
+    new RowIterator(zip, partName, shared, dateStyle, wantCol, failFast)
 
   /** Loop adapter over [[rowIterator]]: the callback sees each row once,
     * in document order. */

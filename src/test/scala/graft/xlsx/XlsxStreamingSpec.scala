@@ -132,6 +132,28 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     got.count(r => r.isNullAt(1)) shouldBe 1
   }
 
+  test("mode=FAILFAST aborts on malformed cells with row/column context") {
+    val path = tmp("ff.xlsx")
+    rawWorkbook(path,
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>3.5</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="B3"><v>not_a_number</v></c></row>""".stripMargin,
+      "<si><t>name</t></si><si><t>score</t></si><si><t>ok</t></si>")
+    // PERMISSIVE (default): malformed numeric degrades to null
+    spark.read.format("xlsx").load(path).count() shouldBe 2
+    // FAILFAST: the scan aborts, and the message carries position context
+    // (collect, not count — count prunes every column and the malformed
+    // value is legitimately never even decoded)
+    val ex = intercept[Exception] {
+      spark.read.format("xlsx").option("mode", "FAILFAST").load(path).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    msgs.toLowerCase should include("failfast")
+    an[IllegalArgumentException] should be thrownBy
+      spark.read.format("xlsx").option("mode", "bogus").load(path).count()
+  }
+
   test("a header row of only error cells does not break schema inference") {
     val path = tmp("err.xlsx")
     rawWorkbook(path,
