@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: build sessions with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`) and the
+  * graft function surface is installed in the catalog for every session —
+  * no per-session `register` call needed, and SQL-only users (thrift,
+  * notebooks) get `cosine_sim` too.
+  *
+  * This is the standard packaging for library-provided Catalyst
+  * extensions (functions now; optimizer rules/strategies would inject
+  * here as well).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSim)
+  }
+}
+
+object GraftExtensions {
+  /** (identifier, info, builder) triple for `cosine_sim`. */
+  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1)))
+}

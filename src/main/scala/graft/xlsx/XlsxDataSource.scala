@@ -115,9 +115,11 @@ class XlsxTable(tblSchema: StructType, paths: Seq[String], options: CaseInsensit
 
 class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSource.Opts)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve declaration order of the full schema
     val keep = requiredSchema.fieldNames.toSet
@@ -132,21 +134,29 @@ class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSou
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o, pushed)
+  /** Limit pushdown: the pull-based reader simply stops the deflate/StAX
+    * stream after `limit` surviving rows — a LIMIT over a huge workbook
+    * decodes only its prefix. Partial push (return false): Spark still
+    * applies the global limit across partitions, each file just refuses
+    * to produce more than `limit` rows. */
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
+  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o, pushed, limit)
 }
 
 class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
                o: XlsxDataSource.Opts,
-               pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+               pushed: Array[org.apache.spark.sql.sources.Filter],
+               limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"XlsxScan paths=${paths.size} requiredColumns=[${required.fieldNames.mkString(",")}]" +
-      s" PushedFilters=[${pushed.mkString(", ")}]"
+      s" PushedFilters=[${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit=$limit" else "")
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(fullSchema, required, o, pushed)
+    new XlsxReaderFactory(fullSchema, required, o, pushed, limit)
 }
 
 /** Serializable row-level evaluator for the pushdown-supported subset of
@@ -198,15 +208,16 @@ object XlsxFilterEval {
 case class XlsxInputPartition(path: String) extends InputPartition
 
 class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDataSource.Opts,
-                        pushed: Array[org.apache.spark.sql.sources.Filter])
+                        pushed: Array[org.apache.spark.sql.sources.Filter],
+                        limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed)
+    new XlsxPartitionReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed, limit)
   /** All xlsx cell types map to vectorizable Spark types, so the batch
     * path is always available; `columnar=false` opts out (debug/compare). */
   override def supportColumnarReads(partition: InputPartition): Boolean = o.columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new XlsxColumnarReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed)
+    new XlsxColumnarReader(partition.asInstanceOf[XlsxInputPartition].path, fullSchema, required, o, pushed, limit)
 }
 
 /** Shared decode state for both read paths: pull-based parsing (one row
@@ -215,7 +226,10 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType, o: XlsxDat
   * row's internal values, or null at end of sheet. */
 private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType,
     required: StructType, o: XlsxDataSource.Opts,
-    pushed: Array[org.apache.spark.sql.sources.Filter]) extends AutoCloseable {
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    limit: Int = -1) extends AutoCloseable {
+
+  private var emitted = 0
 
   protected val requiredIdx: Array[Int] = required.fields.map(f => fullSchema.fieldIndex(f.name))
   private val wanted: Set[Int] = requiredIdx.toSet
@@ -234,6 +248,10 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
   private var headerSkipped = !o.headerRow
 
   protected def nextValues(): Array[Any] = {
+    // pushed limit: stop decoding the stream once this partition has
+    // produced enough rows (each file caps itself; Spark applies the
+    // global limit across files)
+    if (limit >= 0 && emitted >= limit) return null
     while (rows.hasNext) {
       val row = rows.next()
       if (row.hasAnyCell) {
@@ -257,8 +275,10 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
             i += 1
           }
           if (applicable.isEmpty ||
-              applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name)))))
+              applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name))))) {
+            emitted += 1
             return vals
+          }
         }
       }
     }
@@ -271,8 +291,9 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
 /** Row-at-a-time read path (the DSv2 default). */
 class XlsxPartitionReader(path: String, fullSchema: StructType, required: StructType,
                           o: XlsxDataSource.Opts,
-                          pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends XlsxReaderBase(path, fullSchema, required, o, pushed)
+                          pushed: Array[org.apache.spark.sql.sources.Filter],
+                          limit: Int = -1)
+    extends XlsxReaderBase(path, fullSchema, required, o, pushed, limit)
     with PartitionReader[InternalRow] {
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -290,8 +311,9 @@ class XlsxPartitionReader(path: String, fullSchema: StructType, required: Struct
   * refilled in place. */
 class XlsxColumnarReader(path: String, fullSchema: StructType, required: StructType,
                          o: XlsxDataSource.Opts,
-                         pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends XlsxReaderBase(path, fullSchema, required, o, pushed)
+                         pushed: Array[org.apache.spark.sql.sources.Filter],
+                         limit: Int = -1)
+    extends XlsxReaderBase(path, fullSchema, required, o, pushed, limit)
     with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}

@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.GraftExtensions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The session-extension packaging: a session built with
+  * `withExtensions(new GraftExtensions)` (or the spark.sql.extensions
+  * config) gets `cosine_sim` in its catalog. The shared test session
+  * already exists, so this spec builds the injection target directly and
+  * checks the registered builder produces the native expression. */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("GraftExtensions injects the cosine_sim function") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the injected triple builds the native codegen expression
+    val (ident, info, builder) = GraftExtensions.cosineSim
+    ident.funcName shouldBe "cosine_sim"
+    info.getName shouldBe "cosine_sim"
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = builder(Seq(Literal(1.0f), Literal(2.0f)))
+    e shouldBe a[CosineSimilarity]
+  }
+
+  test("the registered SQL name evaluates through the catalog (shared session)") {
+    val spark = graft.TestSpark.spark
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect()(0).getDouble(0)
+    r shouldBe 1.0
+  }
+}

@@ -182,6 +182,25 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
       spark.read.format("xlsx").option("sheetIndex", "5").load(path).count()
   }
 
+  test("LIMIT is pushed into the scan and stops the decode early") {
+    val df = spark.read.format("xlsx").load(bigSheetPath).limit(5)
+    // the scan advertises the pushed limit...
+    df.queryExecution.executedPlan.toString should include("PushedLimit=5")
+    df.collect().length shouldBe 5
+    // ...and a limited reader refuses to produce more than `limit` rows
+    // (the pull-based parser then simply never decodes the rest)
+    val schema = spark.read.format("xlsx").load(bigSheetPath).schema
+    val rdr = new XlsxPartitionReader(bigSheetPath, schema, schema,
+      XlsxDataSource.Opts(None, None, headerRow = true, inferTypes = true,
+        sampleRows = 10, columnar = false, failFast = false),
+      Array.empty, limit = 5)
+    try {
+      var n = 0
+      while (rdr.next()) n += 1
+      n shouldBe 5
+    } finally rdr.close()
+  }
+
   test("columnar read path: plan is columnar and matches the row path exactly") {
     val dfC = spark.read.format("xlsx").load(bigSheetPath)
     val dfR = spark.read.format("xlsx").option("columnar", "false").load(bigSheetPath)
