@@ -78,3 +78,21 @@ object ConnectedComponents {
     labels
   }
 }
+
+/** End of the dedup pipeline: apply a pair list to a corpus. */
+object Dedup {
+  import org.apache.spark.sql.functions.col
+
+  /** Keep one row per duplicate cluster: resolve the candidate `pairs`
+    * to components ([[ConnectedComponents]]) and anti-join away every
+    * non-survivor (survivor = minimum id of its cluster). Rows that
+    * appear in no pair pass through untouched — so the output is the
+    * cleaned corpus, ready to feed the next pipeline stage. */
+  def keepSurvivors(df: DataFrame, idCol: String,
+                    pairs: DataFrame, a: String, b: String): DataFrame = {
+    val losers = ConnectedComponents(pairs, a, b)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__dup_id"))
+    df.join(losers, df(idCol) === col("__dup_id"), "left_anti")
+  }
+}

@@ -95,6 +95,15 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     ccOf(Seq.empty) shouldBe Map.empty
   }
 
+  test("Dedup.keepSurvivors keeps the min id per cluster and every unpaired row") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepSurvivors(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 untouched
+    kept.toSeq shouldBe Seq(1L, 4L, 5L)
+  }
+
   // ------------------------------------------------------------- skew salt
 
   test("salted aggregation equals the direct groupBy, including on a hot key") {
