@@ -108,12 +108,16 @@ class XlsxTable(tblSchema: StructType, paths: Seq[String], options: CaseInsensit
   override def name(): String = s"xlsx(${paths.mkString(",")})"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(tblSchema, paths, XlsxDataSource.opts(options))
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val dir = Option(caseInsensitiveOptions.get("path"))
+      .map(new java.io.File(_)).filter(_.isDirectory).map(_.getPath)
+    new XlsxScanBuilder(tblSchema, paths, XlsxDataSource.opts(options), dir)
+  }
 }
 
-class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSource.Opts)
+class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSource.Opts,
+                      streamDir: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -140,13 +144,14 @@ class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String], o: XlsxDataSou
     * applies the global limit across partitions, each file just refuses
     * to produce more than `limit` rows. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
-  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o, pushed, limit)
+  override def build(): Scan = new XlsxScan(fullSchema, required, paths, o, pushed, limit, streamDir)
 }
 
 class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
                o: XlsxDataSource.Opts,
                pushed: Array[org.apache.spark.sql.sources.Filter],
-               limit: Int) extends Scan with Batch {
+               limit: Int,
+               streamDir: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -157,6 +162,56 @@ class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxReaderFactory(fullSchema, required, o, pushed, limit)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new XlsxMicroBatchStream(
+      streamDir.getOrElse(throw new IllegalArgumentException(
+        "streaming xlsx requires the path to be a DIRECTORY of .xlsx files")),
+      fullSchema, required, o, pushed)
+}
+
+/** File-watching micro-batch stream: each trigger picks up workbooks that
+  * appeared in the directory since the last committed offset — the
+  * continuous version of the xlsx→database ETL (drop a workbook in the
+  * folder, its rows flow to the sink on the next trigger).
+  *
+  * The offset is the sorted list of files already processed (newline
+  * separated). That makes offsets grow with the file count — fine for the
+  * workbook-drop use case this models (thousands of files); a production
+  * file source compacts its seen-log the same way Spark's own
+  * FileStreamSource does. Files are assumed immutable once written (the
+  * same contract as Spark's file sources). */
+class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: StructType,
+                           o: XlsxDataSource.Opts,
+                           pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(files: Seq[String]) extends Offset {
+    override def json(): String = files.mkString("\n")
+  }
+
+  private def listFiles(): Seq[String] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) Seq.empty
+    else fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx"))
+      .map(_.getPath).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Seq.empty)
+  override def latestOffset(): Offset = FilesOffset(listFiles())
+  override def deserializeOffset(json: String): Offset =
+    FilesOffset(json.split("\n").toSeq.filter(_.nonEmpty))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files.toSet
+    end.asInstanceOf[FilesOffset].files.filterNot(seen)
+      .map(p => XlsxInputPartition(p): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory(fullSchema, required, o, pushed)
 }
 
 /** Serializable row-level evaluator for the pushdown-supported subset of

@@ -231,6 +231,25 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     sparse.isNullAt(3) shouldBe true
   }
 
+  test("streaming xlsx source: workbooks dropped into a directory flow incrementally") {
+    val dir = Files.createTempDirectory("xstream").toString
+    XlsxWriter.write(s"$dir/a.xlsx",
+      Seq(XlsxWriter.Sheet("S", Seq("k", "v"), Seq(Seq(1.0, "x")))))
+    val sdf = spark.readStream.format("xlsx").load(dir)
+    sdf.isStreaming shouldBe true
+    val q = sdf.writeStream.format("memory").queryName("xst").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.sql("SELECT count(*) FROM xst").collect()(0).getLong(0) shouldBe 1
+      // drop a second workbook: only ITS rows arrive in the next batch
+      XlsxWriter.write(s"$dir/b.xlsx",
+        Seq(XlsxWriter.Sheet("S", Seq("k", "v"), Seq(Seq(2.0, "y"), Seq(3.0, "z")))))
+      q.processAllAvailable()
+      spark.sql("SELECT count(*) FROM xst").collect()(0).getLong(0) shouldBe 3
+      spark.sql("SELECT CAST(sum(k) AS DOUBLE) FROM xst").collect()(0).getDouble(0) shouldBe 6.0
+    } finally q.stop()
+  }
+
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
     val path = tmp("ctrl.xlsx")
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("s"),
