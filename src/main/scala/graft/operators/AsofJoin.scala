@@ -30,13 +30,27 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
+  /** Single-key convenience over the multi-key form. */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTs: String, rightTs: String,
             payload: Seq[String],
             tieBreak: Seq[String] = Nil,
-            inclusive: Boolean = true): DataFrame = {
+            inclusive: Boolean = true): DataFrame =
+    apply(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs,
+      payload, tieBreak, inclusive)
+
+  /** Multi-key form: `leftKeys`/`rightKeys` are matched positionally and
+    * ride in one struct key, so the shuffle stays a single exchange. */
+  def apply(left: DataFrame, right: DataFrame,
+            leftKeys: Seq[String], rightKeys: Seq[String],
+            leftTs: String, rightTs: String,
+            payload: Seq[String],
+            tieBreak: Seq[String],
+            inclusive: Boolean): DataFrame = {
     require(payload.nonEmpty, "asof join needs at least one payload column")
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and same-length, got $leftKeys vs $rightKeys")
     val lCols = left.columns.toSeq
     val lStructT = StructType(left.schema.fields.map(_.copy(nullable = true)))
     val pStructT = StructType(payload.map(p =>
@@ -45,13 +59,17 @@ object AsofJoin {
     // the left row (right first = inclusive)
     val (lSide, rSide) = if (inclusive) (1, 0) else (0, 1)
 
+    // normalize key struct FIELD names so the two sides union cleanly
+    def keyStruct(ks: Seq[String]) =
+      struct(ks.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
+
     val l = left.select(
-      Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(lSide).as("__side"),
+      Seq(keyStruct(leftKeys).as("__k"), col(leftTs).as("__ts"), lit(lSide).as("__side"),
         struct(lCols.map(col): _*).as("__l"),
         lit(null).cast(pStructT).as("__p")) ++
         tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__t_$c")): _*)
     val r = right.select(
-      Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(rSide).as("__side"),
+      Seq(keyStruct(rightKeys).as("__k"), col(rightTs).as("__ts"), lit(rSide).as("__side"),
         lit(null).cast(lStructT).as("__l"),
         struct(payload.map(col): _*).as("__p")) ++
         tieBreak.map(c => col(c).as(s"__t_$c")): _*)

@@ -125,6 +125,14 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q83: salted aggregation shuffles on (key, salt) first, key second") {
+    val p = plan("q83_salted_agg")
+    p should include("__salt")
+    // two exchange levels: the wide salted one, then the tiny merge
+    p should include regex "hashpartitioning\\(user_id[^)]*__salt"
+    p should include regex "hashpartitioning\\(user_id#\\d+L, \\d+\\)"
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the plan only after execution — run it, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)

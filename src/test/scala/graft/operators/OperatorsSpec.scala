@@ -60,6 +60,15 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     got.getDouble(3) shouldBe 6.0
   }
 
+  test("asof join: composite keys match positionally") {
+    val l = Seq((1L, "A", "x", 10L), (2L, "A", "y", 10L)).toDF("id", "k1", "k2", "t")
+    val r = Seq(("A", "x", 5L, 7.0), ("A", "y", 5L, 8.0)).toDF("rk1", "rk2", "rt", "px")
+    val got = AsofJoin(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
+        payload = Seq("px"), tieBreak = Nil, inclusive = true)
+      .orderBy("id").collect().map(_.getDouble(4))
+    got.toSeq shouldBe Seq(7.0, 8.0) // (A,x) and (A,y) resolve independently
+  }
+
   // ------------------------------------- connected components / dedup groups
 
   private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
