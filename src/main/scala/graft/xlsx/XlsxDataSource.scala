@@ -151,9 +151,23 @@ class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
                o: XlsxDataSource.Opts,
                pushed: Array[org.apache.spark.sql.sources.Filter],
                limit: Int,
-               streamDir: Option[String] = None) extends Scan with Batch {
+               streamDir: Option[String] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size estimate = compressed bytes on disk × a deflate expansion
+    * factor. Reporting it lets Catalyst auto-broadcast small workbook
+    * dimension tables in joins (without stats a DSv2 scan defaults to
+    * "huge" and every xlsx join would shuffle). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val deflateExpansion = 6L // xml text compresses well; stay conservative
+      override val sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          paths.map(p => new java.io.File(p).length()).sum * deflateExpansion)
+      override val numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"XlsxScan paths=${paths.size} requiredColumns=[${required.fieldNames.mkString(",")}]" +
       s" PushedFilters=[${pushed.mkString(", ")}]" +

@@ -58,6 +58,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.collect()(0).getDouble(0) shouldBe 2.0
   }
 
+  test("xlsx scan reports statistics, so a small workbook auto-broadcasts in a join") {
+    val path = java.nio.file.Files.createTempDirectory("plans").resolve("dim.xlsx").toString
+    graft.xlsx.XlsxWriter.write(path, Seq(graft.xlsx.XlsxWriter.Sheet(
+      "S", Seq("key", "name"), (1 to 20).map(i => Seq(i.toDouble, s"n$i")))))
+    val dim = spark.read.format("xlsx").load(path)
+    val fact = Tables.orders(spark, sf)
+      .withColumn("k", org.apache.spark.sql.functions.col("o_orderkey") % 20 + 1)
+    val j = fact.join(dim, org.apache.spark.sql.functions.col("k") === dim("key").cast("long"))
+    // no broadcast() hint anywhere: the size estimate alone must let
+    // Catalyst pick the broadcast strategy for the 20-row workbook
+    j.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
   test("xlsx scan pushes supported filters (and results stay exact)") {
     val path = java.nio.file.Files.createTempDirectory("planf").resolve("f.xlsx").toString
     graft.xlsx.XlsxWriter.write(path, Seq(graft.xlsx.XlsxWriter.Sheet(
