@@ -99,11 +99,70 @@ object Extras extends QueryModule {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** The densified (user × day) grid both resampling queries share: every
+    * user crossed with every day of the observed range (the day list is a
+    * one-row aggregate → broadcast; the cross join is users × ~30, not a
+    * pair explosion). */
+  private def dailyGrid(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = events(s, d).select(col("user_id"),
+      date_trunc("day", col("ts")).cast("date").as("day"), col("value"))
+    val days = ev.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val users = ev.select("user_id").distinct()
+    (ev, users.crossJoin(broadcast(days)))
+  }
+
+  private val sqlDailyCtes =
+    """ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value FROM events),
+      |days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev)),
+      |grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d)""".stripMargin
+
+  /** Time-series densification (resampling): per-user daily event counts
+    * over the FULL observed range, missing days zero-filled — the gap
+    * between "group by day" and an actual regular time series. */
+  val resample: Q = Q(
+    s"""WITH $sqlDailyCtes,
+       |cnt AS (SELECT user_id, day, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+       |SELECT g.user_id, g.day, COALESCE(cnt.n, 0) AS n
+       |FROM grid g LEFT JOIN cnt ON g.user_id = cnt.user_id AND g.day = cnt.day
+       |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+    val (ev, grid) = dailyGrid(s, d)
+    val cnt = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    grid.join(cnt, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Forward fill (last observation carried forward): per-user daily mean
+    * value on the densified grid; days with no events inherit the
+    * previous day's value (null until the first observation). */
+  val forwardFill: Q = Q(
+    s"""WITH $sqlDailyCtes,
+       |daily AS (SELECT user_id, day, ${sqlDavg("value")} AS v FROM ev GROUP BY 1, 2)
+       |SELECT user_id, day,
+       |  ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+       |FROM (SELECT g.user_id, g.day, daily.v
+       |      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day)
+       |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val (ev, grid) = dailyGrid(s, d)
+    val daily = ev.groupBy("user_id", "day").agg(davg(col("value")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("filled"))
+      .orderBy("user_id", "day")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q73_join_full_outer"  -> fullOuter,
     "q74_join_right_outer" -> rightOuter,
     "q75_first_last_window"-> firstLastWindow,
     "q76_sql_api"          -> sqlApi,
-    "q77_grouping_sets"    -> groupingSets
+    "q77_grouping_sets"    -> groupingSets,
+    "q84_resample"         -> resample,
+    "q85_forward_fill"     -> forwardFill
   )
 }
