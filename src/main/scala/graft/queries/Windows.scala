@@ -133,12 +133,48 @@ object Windows extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the previous event exceeds 30 minutes; session id = running
+    * count of session starts. Two stacked windows over the SAME (user, ts)
+    * ordering — one shuffle + one sort feed both (and the streaming
+    * equivalent is q65's session_window, so the two formulations
+    * cross-check each other at the semantic level). */
+  val sessionize: Q = Q(
+    """WITH gaps AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM gaps)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > 1800000000L
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0).as("new_s"))
+      .select(col("user_id"), col("ts"),
+        sum("new_s").over(wRun).cast("long").as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("s_start"), max("ts").as("s_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q24_rank_window"    -> rankWindow,
     "q25_lag_lead"       -> lagLead,
     "q26_running_sum"    -> runningSum,
     "q27_range_frame"    -> rangeFrame,
     "q28_topk_per_group" -> topKPerGroup,
-    "q29_cume_dist"      -> cumeDist
+    "q29_cume_dist"      -> cumeDist,
+    "q86_sessionize"     -> sessionize
   )
 }
