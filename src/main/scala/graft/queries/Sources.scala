@@ -116,11 +116,31 @@ object Sources extends QueryModule {
       .orderBy("r_regionkey")
   }
 
+  /** S7b: the DISTRIBUTED xlsx sink — customer repartitioned to 3 →
+    * `df.write.format("xlsx")` (one workbook per partition) → directory
+    * scan → compared against DuckDB on the original parquet. Gates the
+    * whole write path (staging renames, SaveMode, type mapping). */
+  val xlsxSinkRoundtrip: Q = Q(
+    """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name,
+      |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val dir = tmpDir("customer_xlsx_sink", d)
+    stageOnce(dir) {
+      customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .repartition(3)
+        .write.format("xlsx").mode("overwrite").save(dir)
+    }
+    s.read.format("xlsx").load(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q68_xlsx_region"   -> xlsxRegion,
     "q69_xlsx_nation"   -> xlsxNation,
     "q70_csv_roundtrip" -> csvRoundtrip,
     "q71_json_roundtrip"-> jsonRoundtrip,
-    "q72_jdbc_etl"      -> jdbcEtl
+    "q72_jdbc_etl"      -> jdbcEtl,
+    "q87_xlsx_sink"     -> xlsxSinkRoundtrip
   )
 }

@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   * false forces the row-at-a-time reader), `mode` (PERMISSIVE default:
   * malformed cells → null; FAILFAST: abort with row/column context).
   */
-class XlsxDataSource extends TableProvider with DataSourceRegister {
+class XlsxDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "xlsx"
   override def supportsExternalMetadata(): Boolean = true
 
@@ -44,11 +45,32 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     val f = new java.io.File(path)
     if (f.isDirectory)
       f.listFiles().filter(_.getName.toLowerCase.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
-    else Seq(path)
+    else if (f.isFile) Seq(path)
+    else Seq.empty // fresh write target: no schema to infer yet
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    XlsxDataSource.inferFromFirstFile(files(options), options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val fs = files(options)
+    if (fs.isEmpty) new StructType() // write to a fresh dir; see XlsxSink
+    else XlsxDataSource.inferFromFirstFile(fs, options).schema
+  }
+
+  /** V1 write hook: `df.write.format("xlsx").save(dir)` lands here (the
+    * V2 table deliberately stays read-only — see [[XlsxSink]] for why). */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("xlsx sink requires a path"))
+    val sheet = parameters.getOrElse("sheet", "Sheet1")
+    XlsxSink.write(data, path, mode, sheet)
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {

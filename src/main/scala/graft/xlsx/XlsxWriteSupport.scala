@@ -1,0 +1,96 @@
+package graft.xlsx
+
+import java.io.File
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.types._
+
+/** Distributed sink for `df.write.format("xlsx").mode(...).save(dir)`:
+  * each non-empty partition writes its own workbook
+  * (`part-NNNNN-<task>.xlsx`) into the target directory — xlsx is not a
+  * splittable format, so "distributed xlsx" IS a directory of workbooks,
+  * which is exactly what the read side consumes
+  * (`spark.read.format("xlsx").load(dir)` plans one partition per file).
+  *
+  * Wired through the V1 `CreatableRelationProvider` hook on
+  * [[XlsxDataSource]] (Spark routes `save()` there because the V2 table
+  * deliberately does not claim BATCH_WRITE: the V2 write path resolves
+  * the query **by name against the target's inferred schema**, which
+  * cannot exist yet for a fresh directory).
+  *
+  * Semantics:
+  *  - tasks write to hidden staging names and rename on success, so
+  *    failed/speculative attempts never leave half files;
+  *  - Overwrite deletes the PRE-EXISTING workbooks after the new ones
+  *    are all in place; Append adds files; ErrorIfExists/Ignore behave
+  *    as documented on [[SaveMode]];
+  *  - a partition buffers in memory before writing (the shared-string
+  *    pool needs the full sheet anyway) and is capped at the sheet
+  *    format limit — `repartition(n)` first for big frames;
+  *  - supported column types: string, double, float, int, long,
+  *    boolean, timestamp, date; null → blank cell. Others are rejected
+  *    before any task runs, matching what the reader can round-trip;
+  *  - an empty DataFrame still writes one header-only workbook so the
+  *    schema round-trips.
+  */
+object XlsxSink {
+  val MaxRowsPerSheet: Int = 1048575 // sheet limit minus the header row
+
+  private[xlsx] def checkSchema(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case StringType | DoubleType | FloatType | IntegerType | LongType |
+           BooleanType | TimestampType | DateType =>
+      case dt => throw new IllegalArgumentException(
+        s"xlsx sink cannot write column '${f.name}' of type ${dt.sql} " +
+          "(supported: string, double, float, int, long, boolean, timestamp, date)")
+    }
+  }
+
+  private def existingWorkbooks(dir: File): Seq[File] = {
+    val fs = dir.listFiles()
+    if (fs == null) Seq.empty
+    else fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx")).toSeq
+  }
+
+  def write(df: DataFrame, dir: String, mode: SaveMode, sheet: String): Unit = {
+    checkSchema(df.schema)
+    val d = new File(dir)
+    require(!d.isFile, s"xlsx sink target $dir exists and is a file, not a directory")
+    val old = existingWorkbooks(d)
+    mode match {
+      case SaveMode.ErrorIfExists if old.nonEmpty =>
+        throw new IllegalStateException(
+          s"$dir already contains ${old.size} workbook(s) (mode=ErrorIfExists)")
+      case SaveMode.Ignore if old.nonEmpty => return
+      case _ =>
+    }
+    if (!d.exists()) require(d.mkdirs(), s"cannot create output directory $dir")
+
+    val schema = df.schema
+    val header = schema.fieldNames.toSeq
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val ctx = TaskContext.get()
+        val name = f"part-${ctx.partitionId()}%05d-${ctx.taskAttemptId()}.xlsx"
+        val staging = new File(dir, s".$name.staging")
+        val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+        rows.foreach { r =>
+          require(buf.length < MaxRowsPerSheet,
+            s"partition ${ctx.partitionId()} exceeds $MaxRowsPerSheet rows " +
+              "(the xlsx sheet limit) — repartition the DataFrame before writing")
+          buf += r.toSeq
+        }
+        XlsxWriter.write(staging.getPath, Seq(XlsxWriter.Sheet(sheet, header, buf.toSeq)))
+        val target = new File(dir, name)
+        require(staging.renameTo(target), s"cannot rename $staging to $target")
+      }
+    }
+
+    if (mode == SaveMode.Overwrite) old.foreach(_.delete())
+
+    // empty input: keep the schema readable from the directory
+    if (existingWorkbooks(d).isEmpty)
+      XlsxWriter.write(new File(d, "part-00000-empty.xlsx").getPath,
+        Seq(XlsxWriter.Sheet(sheet, header, Seq.empty)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.xlsx
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The distributed xlsx sink: df.write.format("xlsx").save(dir) writes
+  * one workbook per non-empty partition, which the directory reader
+  * round-trips; SaveMode semantics and type gating included. */
+class XlsxSinkSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("xsink").resolve("out").toString
+
+  test("multi-partition write produces one workbook per partition and round-trips") {
+    val dir = tmp()
+    val df = (1 to 100).map(i => (i.toLong, s"name_$i", i / 2.0)).toDF("id", "name", "score")
+      .repartition(3)
+    df.write.format("xlsx").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    files.length shouldBe 3
+    val back = spark.read.format("xlsx").load(dir)
+    back.count() shouldBe 100
+    // ids come back as doubles (xlsx numeric); content must match exactly
+    back.select(sum(col("id").cast("long"))).collect()(0).getLong(0) shouldBe 5050L
+    back.filter(col("name") === "name_42").collect()(0).getAs[Double]("score") shouldBe 21.0
+  }
+
+  test("SaveMode semantics: overwrite replaces, append adds, errorIfExists throws, ignore skips") {
+    val dir = tmp()
+    val a = Seq((1.0, "a")).toDF("k", "v")
+    val b = Seq((2.0, "b"), (3.0, "c")).toDF("k", "v")
+    a.write.format("xlsx").save(dir)
+    spark.read.format("xlsx").load(dir).count() shouldBe 1
+    an[Exception] should be thrownBy a.write.format("xlsx").save(dir) // default errorIfExists
+    b.write.format("xlsx").mode("append").save(dir)
+    spark.read.format("xlsx").load(dir).count() shouldBe 3
+    b.write.format("xlsx").mode("overwrite").save(dir)
+    spark.read.format("xlsx").load(dir).count() shouldBe 2
+    a.write.format("xlsx").mode("ignore").save(dir)
+    spark.read.format("xlsx").load(dir).count() shouldBe 2 // unchanged
+  }
+
+  test("timestamps, booleans and nulls survive the sink round-trip") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, Some(Timestamp.valueOf("2024-03-04 05:06:07")), Some(true)),
+      (2L, None: Option[Timestamp], None: Option[Boolean]))
+      .toDF("id", "at", "ok")
+    df.write.format("xlsx").save(dir)
+    val back = spark.read.format("xlsx").load(dir).orderBy("id").collect()
+    back(0).getTimestamp(1) shouldBe Timestamp.valueOf("2024-03-04 05:06:07")
+    back(0).getBoolean(2) shouldBe true
+    back(1).isNullAt(1) shouldBe true
+    back(1).isNullAt(2) shouldBe true
+  }
+
+  test("empty DataFrame still leaves a schema-bearing workbook") {
+    val dir = tmp()
+    Seq.empty[(Double, String)].toDF("k", "v").write.format("xlsx").save(dir)
+    val back = spark.read.format("xlsx").load(dir)
+    back.schema.fieldNames.toSeq shouldBe Seq("k", "v")
+    back.count() shouldBe 0
+  }
+
+  test("unsupported column types are rejected before any task runs") {
+    val dir = tmp()
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "arr")
+    an[IllegalArgumentException] should be thrownBy
+      df.write.format("xlsx").save(dir)
+  }
+
+  test("custom sheet option names the sheet in every part file") {
+    val dir = tmp()
+    Seq((1.0, "x")).toDF("k", "v").write.format("xlsx")
+      .option("sheet", "mydata").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx")).head
+    val zip = new java.util.zip.ZipFile(f)
+    try XlsxParser.parseWorkbook(zip).sheets.map(_.name) shouldBe Seq("mydata")
+    finally zip.close()
+  }
+}
