@@ -4,52 +4,66 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Command-line entry with the reference tool's UX: load every sheet of
   * an xlsx workbook into a database over JDBC, one table per sheet, with
-  * inferred schemas and sanitized names.
+  * inferred schemas and sanitized names — plus the reverse direction.
   *
   * {{{
   *   runMain graft.etl.Main <workbook.xlsx> <jdbc-url> [options]
   *     --append         append to existing tables (default: replace)
   *     --sheet NAME     load only this sheet (repeatable)
+  *     --export TABLE   REVERSE: read TABLE over JDBC and write it as a
+  *                      workbook directory at the first positional path
   *     --master URL     Spark master (default local[*])
   * }}}
   *
-  * The heavy lifting is [[XlsxToDatabase]]; this wrapper only parses
-  * arguments and owns the SparkSession lifecycle, so the same load path
-  * is callable as a library (tests, notebooks) or as a batch job.
+  * The heavy lifting is [[XlsxToDatabase]] and the distributed xlsx
+  * sink; this wrapper only parses arguments and owns the SparkSession
+  * lifecycle, so the same paths are callable as a library (tests,
+  * notebooks) or as a batch job.
   */
 object Main {
 
   case class Args(xlsx: String, url: String, mode: SaveMode,
-                  sheets: Option[Seq[String]], master: String)
+                  sheets: Option[Seq[String]], export: Option[String], master: String)
 
   def parse(argv: Seq[String]): Args = {
     def usage(msg: String): Nothing =
       throw new IllegalArgumentException(
-        s"$msg\nusage: graft.etl.Main <workbook.xlsx> <jdbc-url> [--append] [--sheet NAME]... [--master URL]")
+        s"$msg\nusage: graft.etl.Main <workbook.xlsx> <jdbc-url> " +
+          "[--append] [--sheet NAME]... [--export TABLE] [--master URL]")
     var positional = Vector.empty[String]
     var mode: SaveMode = SaveMode.Overwrite
     var sheets = Vector.empty[String]
+    var export: Option[String] = None
     var master = "local[*]"
     var rest = argv.toList
     while (rest.nonEmpty) rest = rest match {
       case "--append" :: t => mode = SaveMode.Append; t
       case "--sheet" :: v :: t => sheets :+= v; t
+      case "--export" :: v :: t => export = Some(v); t
       case "--master" :: v :: t => master = v; t
-      case ("--sheet" | "--master") :: Nil => usage("missing option value")
+      case ("--sheet" | "--master" | "--export") :: Nil => usage("missing option value")
       case o :: _ if o.startsWith("--") => usage(s"unknown option $o")
       case v :: t => positional :+= v; t
       case Nil => Nil
     }
     positional match {
       case Vector(xlsx, url) =>
-        Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), master)
+        Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), export, master)
       case _ => usage(s"expected 2 positional args, got ${positional.size}")
     }
   }
 
   /** Library-callable core (tests pass their own session). */
-  def run(spark: SparkSession, a: Args): Seq[XlsxToDatabase.LoadedTable] =
-    XlsxToDatabase.load(spark, a.xlsx, a.url, a.mode, onlySheets = a.sheets)
+  def run(spark: SparkSession, a: Args): Seq[XlsxToDatabase.LoadedTable] = a.export match {
+    case None =>
+      XlsxToDatabase.load(spark, a.xlsx, a.url, a.mode, onlySheets = a.sheets)
+    case Some(table) =>
+      // reverse direction: JDBC table → workbook directory at a.xlsx
+      val df = XlsxToDatabase.readJdbc(spark, a.url, table)
+      df.write.format("xlsx").mode(a.mode)
+        .option("sheet", XlsxToDatabase.sanitizeTableName(table)).save(a.xlsx)
+      Seq(XlsxToDatabase.LoadedTable(table, a.xlsx, df.count()))
+  }
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv.toSeq)
@@ -61,7 +75,10 @@ object Main {
       .getOrCreate()
     try {
       val loaded = run(spark, a)
-      loaded.foreach(t => println(s"loaded sheet '${t.sheet}' -> table ${t.table} (${t.rows} rows)"))
+      if (a.export.isDefined)
+        loaded.foreach(t => println(s"exported table '${t.sheet}' -> workbook dir ${t.table} (${t.rows} rows)"))
+      else
+        loaded.foreach(t => println(s"loaded sheet '${t.sheet}' -> table ${t.table} (${t.rows} rows)"))
     } finally spark.stop()
   }
 }

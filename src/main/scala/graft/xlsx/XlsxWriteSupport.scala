@@ -68,10 +68,15 @@ object XlsxSink {
 
     val schema = df.schema
     val header = schema.fieldNames.toSeq
+    // job-unique token in every file name: task attempt ids RESTART per
+    // SparkContext, so without it a re-run Overwrite would write files
+    // with the same names as the previous run's and then delete them as
+    // "pre-existing"
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
-        val name = f"part-${ctx.partitionId()}%05d-${ctx.taskAttemptId()}.xlsx"
+        val name = f"part-${ctx.partitionId()}%05d-$jobId-${ctx.taskAttemptId()}.xlsx"
         val staging = new File(dir, s".$name.staging")
         val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
         rows.foreach { r =>
@@ -90,7 +95,7 @@ object XlsxSink {
 
     // empty input: keep the schema readable from the directory
     if (existingWorkbooks(d).isEmpty)
-      XlsxWriter.write(new File(d, "part-00000-empty.xlsx").getPath,
+      XlsxWriter.write(new File(d, s"part-00000-$jobId-empty.xlsx").getPath,
         Seq(XlsxWriter.Sheet(sheet, header, Seq.empty)))
   }
 }

@@ -57,13 +57,30 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
       XlsxWriter.Sheet("keep", Seq("v"), Seq(Seq(1.0), Seq(2.0))),
       XlsxWriter.Sheet("skip", Seq("v"), Seq(Seq(3.0)))))
     val loaded = Main.run(spark,
-      Main.Args(xlsx, s"jdbc:duckdb:$db", SaveMode.Overwrite, Some(Seq("keep")), "unused"))
+      Main.Args(xlsx, s"jdbc:duckdb:$db", SaveMode.Overwrite, Some(Seq("keep")), None, "unused"))
     loaded.map(t => (t.table, t.rows)) shouldBe Seq(("keep", 2L))
     XlsxToDatabase.readJdbc(spark, s"jdbc:duckdb:$db", "keep").count() shouldBe 2
     an[Exception] should be thrownBy XlsxToDatabase
       .readJdbc(spark, s"jdbc:duckdb:$db", "skip").count()
     an[IllegalArgumentException] should be thrownBy Main.run(spark,
-      Main.Args(xlsx, s"jdbc:duckdb:$db", SaveMode.Overwrite, Some(Seq("nope")), "unused"))
+      Main.Args(xlsx, s"jdbc:duckdb:$db", SaveMode.Overwrite, Some(Seq("nope")), None, "unused"))
+  }
+
+  test("CLI --export reverses the ETL: JDBC table -> workbook directory") {
+    val dir = Files.createTempDirectory("etl4")
+    val xlsx = dir.resolve("book.xlsx").toString
+    val db = dir.resolve("t.duckdb").toString
+    val url = s"jdbc:duckdb:$db"
+    XlsxWriter.write(xlsx, Seq(XlsxWriter.Sheet("People", Seq("id", "name"),
+      Seq(Seq(1.0, "alice"), Seq(2.0, "bob")))))
+    XlsxToDatabase.load(spark, xlsx, url)
+    val out = dir.resolve("export").toString
+    val r = Main.run(spark,
+      Main.Args(out, url, SaveMode.Overwrite, None, Some("people"), "unused"))
+    r.head.rows shouldBe 2L
+    val back = spark.read.format("xlsx").load(out)
+    back.count() shouldBe 2
+    back.columns.toSeq shouldBe Seq("id", "name")
   }
 
   test("append mode accumulates rows") {
