@@ -250,6 +250,31 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming xlsx source: offsets restore across query restarts (no reprocessing)") {
+    val dir = Files.createTempDirectory("xrestart").toString
+    val ckpt = Files.createTempDirectory("xrestart-ckpt").toString
+    val out = Files.createTempDirectory("xrestart-out").toString + "/sink"
+    // memory sink cannot recover from a checkpoint; parquet sink can
+    def start() = spark.readStream.format("xlsx").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    XlsxWriter.write(s"$dir/a.xlsx",
+      Seq(XlsxWriter.Sheet("S", Seq("k"), Seq(Seq(1.0)))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.read.parquet(out).count() shouldBe 1
+    // new file while no query is running
+    XlsxWriter.write(s"$dir/b.xlsx",
+      Seq(XlsxWriter.Sheet("S", Seq("k"), Seq(Seq(2.0), Seq(3.0)))))
+    // restart from the SAME checkpoint: file a's offset was committed, so
+    // only file b's rows arrive — no reprocessing, no duplicates
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).collect().map(_.getDouble(0)).sorted
+    got.toSeq shouldBe Seq(1.0, 2.0, 3.0)
+  }
+
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
     val path = tmp("ctrl.xlsx")
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("s"),
