@@ -53,4 +53,30 @@ class LlmSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     sig1 shouldBe sig2
   }
+
+  test("dedup pipeline composes end-to-end: jaccard+minhash pairs -> cleaned corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    // union both candidate sources (exact pairs + LSH candidates)
+    val jac = graft.SparkEntry.queries("q47_near_dup_jaccard")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = graft.SparkEntry.queries("q48_minhash_lsh")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = jac.union(lsh).distinct()
+    val cleaned = graft.operators.Dedup.keepSurvivors(docs, "doc_id", pairs, "doc_a", "doc_b")
+    val kept = cleaned.count()
+    val paired = pairs.select(col("doc_a")).union(pairs.select(col("doc_b"))).distinct().count()
+    // every drop is justified by membership in a candidate pair...
+    (nDocs - kept) should be < paired
+    // ...at least one doc survives per cluster, so drops < paired docs,
+    // and docs outside any pair are all retained
+    kept should be >= (nDocs - paired + 1)
+    kept should be < nDocs // fixtures do contain near-dups
+    // survivors include the minimum doc_id of every pair component
+    val keptIds = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    val minPaired = pairs.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.least(col("doc_a"), col("doc_b")))).collect()(0).getLong(0)
+    keptIds should contain (minPaired)
+  }
 }
