@@ -146,6 +146,21 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include regex "hashpartitioning\\(user_id#\\d+L, \\d+\\)"
   }
 
+  test("q86: both sessionize windows and the aggregate share ONE hash exchange") {
+    val p = plan("q86_sessionize")
+    // lag-window, running-sum window and the (user, session) aggregate all
+    // accept hashpartitioning(user_id): one shuffle total (+ final sort)
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q84: the day densification side is broadcast, not shuffled") {
+    val p = plan("q84_resample")
+    // users × ~30 days: the tiny day list rides a broadcast nested loop —
+    // deliberately, a bounded cross join (see Extras.dailyGrid)
+    p should include("BroadcastNestedLoopJoin")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the plan only after execution — run it, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
