@@ -113,6 +113,46 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     kept.toSeq shouldBe Seq(1L, 4L, 5L)
   }
 
+  test("property: connected components match a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map { id =>
+        // component min among nodes that actually appear in pairs
+        val root = find(id.toInt)
+        id -> nodes.filter(x => find(x.toInt) == root).min
+      }.toMap
+      ccOf(pairs) shouldBe expected
+    }
+  }
+
+  test("property: asof join matches brute force on random trades/quotes") {
+    val rnd = new scala.util.Random(7)
+    val quotes = Seq.fill(40)((s"k${rnd.nextInt(4)}", rnd.nextInt(60).toLong,
+      rnd.nextInt(1000) / 10.0, rnd.nextLong(100000).abs))
+    val trades = Seq.tabulate(25)(i => (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(60).toLong))
+    val got = AsofJoin(trades.toDF("trade_id", "sym", "t"),
+        quotes.toDF("qsym", "qt", "px", "qid"),
+        "sym", "qsym", "t", "qt", payload = Seq("px", "qid"), tieBreak = Seq("qid"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    trades.foreach { case (id, sym, t) =>
+      val best = quotes.filter(q => q._1 == sym && q._2 <= t)
+        .sortBy(q => (q._2, q._4)).lastOption
+      got(id) shouldBe ((best.map(_._3), best.map(_._4)))
+    }
+  }
+
   // ------------------------------------------------------------- skew salt
 
   test("salted aggregation equals the direct groupBy, including on a hot key") {
