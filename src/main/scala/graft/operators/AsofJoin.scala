@@ -51,6 +51,15 @@ object AsofJoin {
     require(payload.nonEmpty, "asof join needs at least one payload column")
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key lists must be non-empty and same-length, got $leftKeys vs $rightKeys")
+    // enforce the documented precondition instead of silently emitting
+    // duplicate output columns that break downstream resolution
+    val collisions = payload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"payload column(s) ${collisions.mkString(", ")} collide with left column names — " +
+        "rename one side before the as-of join")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column(s) ${reserved.mkString(", ")} use the operator-internal '__' prefix — rename them")
     val lCols = left.columns.toSeq
     val lStructT = StructType(left.schema.fields.map(_.copy(nullable = true)))
     val pStructT = StructType(payload.map(p =>

@@ -178,16 +178,40 @@ class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Size estimate = compressed bytes on disk × a deflate expansion
-    * factor. Reporting it lets Catalyst auto-broadcast small workbook
+  /** Size estimate from the zip CENTRAL DIRECTORY's uncompressed entry
+    * sizes (ZipEntry.getSize — recorded in the archive, no decompression
+    * needed). Reporting it lets Catalyst auto-broadcast small workbook
     * dimension tables in joins (without stats a DSv2 scan defaults to
-    * "huge" and every xlsx join would shuffle). */
+    * "huge" and every xlsx join would shuffle) — and, unlike a fixed
+    * compressed×k guess, it cannot under-report a highly repetitive
+    * sheet (deflate on sheet XML routinely exceeds 20×) and trigger a
+    * broadcast OOM. For many-file scans only the first few archives are
+    * opened; the rest extrapolate by compressed-byte ratio. */
+  private lazy val estimatedBytes: Long = {
+    val fallbackExpansion = 12L // only if an entry predates the size field
+    val sample = paths.take(16)
+    val sampleBytes = sample.map { p =>
+      try {
+        val zip = new ZipFile(p)
+        try zip.entries().asScala.map { e =>
+          if (e.getSize >= 0) e.getSize else e.getCompressedSize.max(0L) * fallbackExpansion
+        }.sum
+        finally zip.close()
+      } catch {
+        case _: Exception => new java.io.File(p).length() * fallbackExpansion
+      }
+    }.sum
+    if (sample.size == paths.size) sampleBytes
+    else {
+      val sampleOnDisk = sample.map(new java.io.File(_).length()).sum.max(1L)
+      val totalOnDisk = paths.map(new java.io.File(_).length()).sum
+      (sampleBytes.toDouble / sampleOnDisk * totalOnDisk).toLong
+    }
+  }
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val deflateExpansion = 6L // xml text compresses well; stay conservative
       override val sizeInBytes: java.util.OptionalLong =
-        java.util.OptionalLong.of(
-          paths.map(p => new java.io.File(p).length()).sum * deflateExpansion)
+        java.util.OptionalLong.of(estimatedBytes)
       override val numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   override def description(): String =
@@ -211,12 +235,14 @@ class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
   * continuous version of the xlsx→database ETL (drop a workbook in the
   * folder, its rows flow to the sink on the next trigger).
   *
-  * The offset is the sorted list of files already processed (newline
-  * separated). That makes offsets grow with the file count — fine for the
-  * workbook-drop use case this models (thousands of files); a production
-  * file source compacts its seen-log the same way Spark's own
-  * FileStreamSource does. Files are assumed immutable once written (the
-  * same contract as Spark's file sources). */
+  * The offset is the sorted list of files already processed, serialized
+  * as a SINGLE-LINE JSON array — Spark's OffsetSeqLog writes exactly one
+  * line per source offset, so an offset containing a raw newline would
+  * corrupt the checkpoint log on restart. Offsets grow with the file
+  * count — fine for the workbook-drop use case this models (thousands of
+  * files); a production file source compacts its seen-log the same way
+  * Spark's own FileStreamSource does. Files are assumed immutable once
+  * written (the same contract as Spark's file sources). */
 class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: StructType,
                            o: XlsxDataSource.Opts,
                            pushed: Array[org.apache.spark.sql.sources.Filter])
@@ -224,7 +250,31 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private case class FilesOffset(files: Seq[String]) extends Offset {
-    override def json(): String = files.mkString("\n")
+    override def json(): String = files
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+  }
+
+  /** Minimal parser for the array-of-strings json() above (no JSON lib on
+    * the unmanaged classpath is guaranteed stable across Spark versions,
+    * and the grammar here is exactly quoted strings with \\ and \"). */
+  private def parseFiles(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+      } else c match {
+        case '\\' => i += 1; if (i < json.length) sb.append(json.charAt(i))
+        case '"' => inStr = false; out += sb.toString
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    out.result()
   }
 
   private def listFiles(): Seq[String] = {
@@ -236,8 +286,7 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
 
   override def initialOffset(): Offset = FilesOffset(Seq.empty)
   override def latestOffset(): Offset = FilesOffset(listFiles())
-  override def deserializeOffset(json: String): Offset =
-    FilesOffset(json.split("\n").toSeq.filter(_.nonEmpty))
+  override def deserializeOffset(json: String): Offset = FilesOffset(parseFiles(json))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

@@ -18,11 +18,18 @@ import org.apache.spark.sql.types._
   * the query **by name against the target's inferred schema**, which
   * cannot exist yet for a fresh directory).
   *
-  * Semantics:
-  *  - tasks write to hidden staging names and rename on success, so
-  *    failed/speculative attempts never leave half files;
+  * Semantics (two-phase commit, FileOutputCommitter-v1 style):
+  *  - tasks write ONLY hidden attempt-unique staging files; the DRIVER
+  *    finalizes after the whole job succeeds, picking exactly one
+  *    staged file per partition and renaming it to its deterministic
+  *    final name — so a speculative or zombie duplicate attempt of a
+  *    partition can never land a second visible file, and a mid-job
+  *    failure leaves nothing visible (only `.staging` litter, which is
+  *    swept on the next job's start);
   *  - Overwrite deletes the PRE-EXISTING workbooks after the new ones
-  *    are all in place; Append adds files; ErrorIfExists/Ignore behave
+  *    are all in place (deletes are checked — a survivor fails the
+  *    job loudly rather than silently polluting the "overwritten"
+  *    directory); Append adds files; ErrorIfExists/Ignore behave
   *    as documented on [[SaveMode]];
   *  - a partition buffers in memory before writing (the shared-string
   *    pool needs the full sheet anyway) and is capped at the sheet
@@ -66,6 +73,8 @@ object XlsxSink {
     }
     if (!d.exists()) require(d.mkdirs(), s"cannot create output directory $dir")
 
+    sweepStaging(d) // litter from previously failed/killed jobs
+
     val schema = df.schema
     val header = schema.fieldNames.toSeq
     // job-unique token in every file name: task attempt ids RESTART per
@@ -76,8 +85,10 @@ object XlsxSink {
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
-        val name = f"part-${ctx.partitionId()}%05d-$jobId-${ctx.taskAttemptId()}.xlsx"
-        val staging = new File(dir, s".$name.staging")
+        // attempt id in the STAGING name only: concurrent attempts of the
+        // same partition must not clobber each other's half-written file
+        val staging = new File(dir,
+          f".part-${ctx.partitionId()}%05d-$jobId-a${ctx.taskAttemptId()}.xlsx.staging")
         val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
         rows.foreach { r =>
           require(buf.length < MaxRowsPerSheet,
@@ -86,16 +97,47 @@ object XlsxSink {
           buf += r.toSeq
         }
         XlsxWriter.write(staging.getPath, Seq(XlsxWriter.Sheet(sheet, header, buf.toSeq)))
-        val target = new File(dir, name)
-        require(staging.renameTo(target), s"cannot rename $staging to $target")
       }
     }
 
-    if (mode == SaveMode.Overwrite) old.foreach(_.delete())
+    // driver-side commit: one survivor per partition id, deterministic
+    // final name — duplicate attempts of a partition are discarded here,
+    // never made visible
+    val Staged = raw"\.part-(\d{5})-$jobId-a\d+\.xlsx\.staging".r
+    val staged = Option(d.listFiles()).getOrElse(Array.empty[File])
+      .flatMap(f => f.getName match {
+        case Staged(pid) => Some(pid -> f)
+        case _ => None
+      })
+    staged.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (pid, attempts) =>
+      val sorted = attempts.map(_._2).sortBy(_.getName)
+      val winner = sorted.head
+      val target = new File(d, s"part-$pid-$jobId.xlsx")
+      java.nio.file.Files.move(winner.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      sorted.tail.foreach(dup => require(dup.delete() || !dup.exists(),
+        s"cannot remove duplicate attempt output $dup"))
+    }
+
+    if (mode == SaveMode.Overwrite) old.foreach(f =>
+      require(f.delete() || !f.exists(),
+        s"overwrite cannot delete pre-existing workbook $f — " +
+          "directory would contain a mix of old and new files"))
 
     // empty input: keep the schema readable from the directory
     if (existingWorkbooks(d).isEmpty)
       XlsxWriter.write(new File(d, s"part-00000-$jobId-empty.xlsx").getPath,
         Seq(XlsxWriter.Sheet(sheet, header, Seq.empty)))
+
+    sweepStaging(d) // belt-and-braces: nothing hidden should remain
   }
+
+  /** Remove `.staging` litter left by failed or killed attempts. Best
+    * effort on in-flight files, but a survivor that blocks deletion is
+    * surfaced, not ignored. */
+  private def sweepStaging(d: File): Unit =
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".staging"))
+      .foreach(f => require(f.delete() || !f.exists(),
+        s"cannot remove stale staging file $f"))
 }

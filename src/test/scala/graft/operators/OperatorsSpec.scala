@@ -41,6 +41,16 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
       (5L, None, None))            // C has no quotes at all
   }
 
+  test("asof join rejects payload/left name collisions and reserved __ columns") {
+    // same column name on both sides would silently duplicate in the output
+    an[IllegalArgumentException] should be thrownBy
+      AsofJoin(trades, quotes.withColumnRenamed("px", "t"), "sym", "qsym", "t", "qt",
+        payload = Seq("t"))
+    an[IllegalArgumentException] should be thrownBy
+      AsofJoin(trades.withColumnRenamed("trade_id", "__id"), quotes,
+        "sym", "qsym", "t", "qt", payload = Seq("px"))
+  }
+
   test("asof join: inclusive=false excludes the equal-ts right row") {
     val got = AsofJoin(trades, quotes, "sym", "qsym", "t", "qt",
         payload = Seq("qid"), tieBreak = Seq("qid"), inclusive = false)

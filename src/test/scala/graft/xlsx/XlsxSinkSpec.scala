@@ -75,6 +75,29 @@ class XlsxSinkSpec extends AnyFunSuite with Matchers {
       df.write.format("xlsx").save(dir)
   }
 
+  test("commit is driver-finalized: deterministic per-partition names, no attempt ids visible") {
+    val dir = tmp()
+    (1 to 10).map(i => (i.toDouble, s"v$i")).toDF("k", "v")
+      .repartition(2).write.format("xlsx").save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    // final name = part-<partition>-<job>.xlsx — a duplicate (speculative/
+    // zombie) attempt of the same partition maps to the SAME final name,
+    // so it can never add a second visible file
+    all(names) should fullyMatch regex "part-\\d{5}-[0-9a-f]{8}\\.xlsx"
+    names.map(_.take(10)).distinct.size shouldBe names.size // one file per partition id
+  }
+
+  test("stale .staging litter from a failed job is swept, never read back") {
+    val dir = tmp()
+    Seq((1.0, "a")).toDF("k", "v").write.format("xlsx").save(dir)
+    // simulate a killed job's leftover: a half-written staging file
+    val stale = new java.io.File(dir, ".part-00099-deadbeef-a7.xlsx.staging")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    Seq((2.0, "b")).toDF("k", "v").write.format("xlsx").mode("append").save(dir)
+    stale.exists() shouldBe false
+    spark.read.format("xlsx").load(dir).count() shouldBe 2
+  }
+
   test("custom sheet option names the sheet in every part file") {
     val dir = tmp()
     Seq((1.0, "x")).toDF("k", "v").write.format("xlsx")

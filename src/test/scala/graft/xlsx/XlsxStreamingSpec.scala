@@ -259,20 +259,25 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    XlsxWriter.write(s"$dir/a.xlsx",
+    // TWO files in the first committed offset: the offset log is strictly
+    // line-oriented, so this is the case a multi-line offset encoding
+    // corrupts (restart would miscount sources or misparse)
+    XlsxWriter.write(s"$dir/a1.xlsx",
       Seq(XlsxWriter.Sheet("S", Seq("k"), Seq(Seq(1.0)))))
+    XlsxWriter.write(s"$dir/a2.xlsx",
+      Seq(XlsxWriter.Sheet("S", Seq("k"), Seq(Seq(10.0)))))
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
-    spark.read.parquet(out).count() shouldBe 1
+    spark.read.parquet(out).count() shouldBe 2
     // new file while no query is running
     XlsxWriter.write(s"$dir/b.xlsx",
       Seq(XlsxWriter.Sheet("S", Seq("k"), Seq(Seq(2.0), Seq(3.0)))))
-    // restart from the SAME checkpoint: file a's offset was committed, so
+    // restart from the SAME checkpoint: a1/a2's offset was committed, so
     // only file b's rows arrive — no reprocessing, no duplicates
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val got = spark.read.parquet(out).collect().map(_.getDouble(0)).sorted
-    got.toSeq shouldBe Seq(1.0, 2.0, 3.0)
+    got.toSeq shouldBe Seq(1.0, 2.0, 3.0, 10.0)
   }
 
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
