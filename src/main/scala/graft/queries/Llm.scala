@@ -105,12 +105,21 @@ object Llm extends QueryModule {
     * oracle's NOT EXISTS formulation. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // array_distinct already dedupes within a doc and docs are unique, so
-    // (doc_id, s) is distinct by construction — no extra shuffle needed
+    // (doc_id, s) is distinct by construction — no extra shuffle needed.
+    // Shingles travel as xxhash64 of the word-array slice, not as the
+    // ~25-byte shingle STRING: jaccard only consumes per-key COUNTS, so
+    // hashing leaves every count invariant (64-bit collisions are ~1e-10
+    // at fixture cardinality and would fail the oracle hash loudly), the
+    // shuffle payload drops to 8 bytes/shingle, and no shingle string is
+    // ever materialized. The DuckDB oracle keeps literal string shingles
+    // — matching output is exactly the collision-freeness check.
     val sh0 = documents(s, d)
       .select(col("doc_id"), col("lang"), words.as("wds"))
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(shinglesOf(3, col("wds")))).as("s"))
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("wds")) - 2),
+          i => xxhash64(slice(col("wds"), i, lit(3)))))).as("s"))
     // postings per (lang, shingle); sorted for deterministic a<b pairs
     val capped = sh0.groupBy("lang", "s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
