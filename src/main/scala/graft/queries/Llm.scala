@@ -192,13 +192,15 @@ object Llm extends QueryModule {
     val nHashes = 16
     val bands = 4
     val rows = nHashes / bands
-    // hash each shingle ONCE, then derive the k slots by affine mixing
-    // (universal-hashing family) — k× cheaper than k string hashes
+    // hash each shingle ONCE — directly off the word-array slice, no
+    // shingle string ever built — then derive the k slots by affine
+    // mixing (universal-hashing family), k× cheaper than k string hashes
     val sh = documents(s, d)
       .select(col("doc_id"), words.as("wds"))
       .filter(size(col("wds")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shinglesOf(3, col("wds")))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("wds")) - 2),
+        i => xxhash64(slice(col("wds"), i, lit(3)))))).as("h"))
     // ANSI mode forbids wrapping multiplication, so mix in a range that
     // cannot overflow: 31-bit hash × 24-bit odd multiplier + offset < 2^62
     val hm = col("h").bitwiseAND(0x7FFFFFFFL)
@@ -226,16 +228,23 @@ object Llm extends QueryModule {
     * position; signature bit = sign of the vote sum. Deterministic but
     * hash-engine-specific → no oracle. */
   val simHash: Q = Q.noOracle { (s, d) =>
-    val bits = documents(s, d)
+    // 64 vote accumulators as aggregate COLUMNS over the word-hash rows —
+    // not a posexplode into 64 rows per word, which pushes a 64× row
+    // blowup through the partial aggregate for the same arithmetic. The
+    // shuffled data is identical (one 64-sum row per doc); the map side
+    // just skips materializing the per-bit rows. Values are unchanged:
+    // vote = ±1 per (word, bit), signature bit = sign of the vote sum.
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    documents(s, d)
       .filter(col("lang") === "en")
       .select(col("doc_id"), explode(array_distinct(words)).as("wrd"))
       .select(col("doc_id"), xxhash64(col("wrd")).as("h"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)")))
-      .withColumnsRenamed(Map("pos" -> "bit", "col" -> "vote"))
-    bits.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      .agg(expr("sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
