@@ -32,7 +32,9 @@ import scala.jdk.CollectionConverters._
   * true), `inferSchema` (default true), `sampleRows` (default 10000),
   * `columnar` (default true: decode into ColumnarBatches of 4096 rows;
   * false forces the row-at-a-time reader), `mode` (PERMISSIVE default:
-  * malformed cells → null; FAILFAST: abort with row/column context).
+  * malformed cells → null; FAILFAST: abort with row/column context),
+  * `maxFilesPerTrigger` (streaming only: cap each micro-batch to N new
+  * workbooks, like Spark's file sources; default unbounded).
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider {
@@ -82,7 +84,8 @@ class XlsxDataSource extends TableProvider with DataSourceRegister
 object XlsxDataSource {
   case class Opts(sheet: Option[String], sheetIndex: Option[Int],
                   headerRow: Boolean, inferTypes: Boolean, sampleRows: Int,
-                  columnar: Boolean, failFast: Boolean)
+                  columnar: Boolean, failFast: Boolean,
+                  maxFilesPerTrigger: Option[Int] = None)
 
   def opts(o: CaseInsensitiveStringMap): Opts = Opts(
     Option(o.get("sheet")),
@@ -96,6 +99,11 @@ object XlsxDataSource {
       case "PERMISSIVE" => false
       case other => throw new IllegalArgumentException(
         s"xlsx mode must be PERMISSIVE or FAILFAST, got '$other'")
+    },
+    Option(o.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
     })
 
   /** Sheet selection: by name, else by 0-based index, else the first. */
@@ -246,8 +254,9 @@ class XlsxScan(fullSchema: StructType, required: StructType, paths: Seq[String],
 class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: StructType,
                            o: XlsxDataSource.Opts,
                            pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class FilesOffset(files: Seq[String]) extends Offset {
     override def json(): String = files
@@ -285,7 +294,29 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
   }
 
   override def initialOffset(): Offset = FilesOffset(Seq.empty)
-  override def latestOffset(): Offset = FilesOffset(listFiles())
+
+  /** Admission control: `maxFilesPerTrigger` bounds each micro-batch to
+    * N new workbooks (same contract as Spark's file sources) — without
+    * it, a backlog of thousands of dropped files would land in ONE
+    * batch, with batch duration and executor load unbounded by anything
+    * the operator controls. The un-admitted remainder is picked up by
+    * the following triggers. */
+  override def getDefaultReadLimit: ReadLimit =
+    o.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[FilesOffset].files
+    val fresh = listFiles().filterNot(seen.toSet)
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles)
+      case _ => fresh
+    }
+    FilesOffset((seen ++ admitted).sorted)
+  }
+  // Spark routes triggers through the admission-control overload when
+  // SupportsAdmissionControl is implemented; the legacy form must not be
+  // silently reachable with the cap ignored
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "unreachable: admission-control latestOffset(start, limit) is implemented")
   override def deserializeOffset(json: String): Offset = FilesOffset(parseFiles(json))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -102,6 +102,33 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     cc.size shouldBe 41
   }
 
+  test("connected components: 1024-node monotone path stays within the log-round bound") {
+    // monotone ids along a chain are the adversarial case for raw
+    // min-contraction (O(1) progress per round); the hashed order must
+    // keep convergence logarithmic — maxRounds=20 would fail a linear
+    // or sqrt-ish algorithm loudly via the convergence require()
+    val path = (0L until 1023L).map(i => (i, i + 1))
+    val labels = ConnectedComponents(path.toDF("a", "b"), "a", "b", maxRounds = 20)
+    labels.agg(countDistinct(col("label"))).collect()(0).getLong(0) shouldBe 1L
+    labels.agg(min(col("label")), max(col("label"))).collect()(0) match {
+      case r => r.getLong(0) shouldBe 0L; r.getLong(1) shouldBe 0L
+    }
+  }
+
+  test("connected components: two shuffled-id components resolve to their true minima") {
+    val rnd = new scala.util.Random(7)
+    // two parallel chains over a shuffled id space — component membership
+    // must follow EDGES, not id locality, and labels must be the true
+    // per-component minimum original id
+    val ids = rnd.shuffle((0L until 400L).toVector)
+    val (compA, compB) = ids.splitAt(200)
+    val edges = compA.sliding(2).map(p => (p(0), p(1))).toSeq ++
+      compB.sliding(2).map(p => (p(0), p(1))).toSeq
+    val cc = ccOf(edges)
+    cc.filter { case (id, _) => compA.contains(id) }.values.toSet shouldBe Set(compA.min)
+    cc.filter { case (id, _) => compB.contains(id) }.values.toSet shouldBe Set(compB.min)
+  }
+
   test("connected components is idempotent: relabeling the labeling changes nothing") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L))
     val cc = ccOf(pairs)

@@ -250,6 +250,24 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming xlsx source: maxFilesPerTrigger admits a bounded backlog per batch") {
+    val dir = Files.createTempDirectory("xcap").toString
+    (1 to 5).foreach { i =>
+      XlsxWriter.write(s"$dir/f$i.xlsx",
+        Seq(XlsxWriter.Sheet("S", Seq("k"), Seq(Seq(i.toDouble)))))
+    }
+    val q = spark.readStream.format("xlsx")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("xcap").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // all of the backlog arrives...
+      spark.sql("SELECT CAST(sum(k) AS DOUBLE) FROM xcap").collect()(0).getDouble(0) shouldBe 15.0
+      // ...but across ceil(5/2)=3 batches, not one
+      q.recentProgress.count(_.numInputRows > 0) shouldBe 3
+    } finally q.stop()
+  }
+
   test("streaming xlsx source: offsets restore across query restarts (no reprocessing)") {
     val dir = Files.createTempDirectory("xrestart").toString
     val ckpt = Files.createTempDirectory("xrestart-ckpt").toString
