@@ -483,15 +483,24 @@ object Llm extends QueryModule {
        |  FROM scores) s
        |JOIN documents USING (doc_id)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // shared (doc,lang,tok) aggregate feeds both the profile and the
-    // scoring branch — one explode, one reused exchange
-    val tokDoc = documents(s, d).select(col("doc_id"), col("lang"), explode(words).as("tok"))
-      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+    // The two branches deliberately do NOT share a (doc, lang, tok)
+    // aggregate: sharing one means shuffling every distinct (doc, tok)
+    // pair — the only large exchange in the query. Split, neither side
+    // shuffles tokens at doc granularity: the profile's (lang, tok)
+    // groupBy collapses map-side to the small distinct-token set, and
+    // the scoring branch dedups tokens LOCALLY (array_distinct before
+    // the explode), joins the broadcast profile map-side, and shuffles
+    // only (doc_id, plang) rows — langs × docs after partial agg. The
+    // cost is tokenizing each document twice (once per branch) — pure
+    // map-side CPU, traded against shuffling ~0.7× the token volume
+    // through disk + network, which is the part that does not scale.
+    val toks = documents(s, d).select(col("doc_id"), col("lang"), words.as("wds"))
     val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
-    val profile = tokDoc.groupBy("lang", "tok").agg(sum("c").as("n"))
+    val profile = toks.select(col("lang"), explode(col("wds")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
       .select(col("lang").as("plang"), col("tok"))
-    val scores = tokDoc.select("doc_id", "tok")
+    val scores = toks.select(col("doc_id"), explode(array_distinct(col("wds"))).as("tok"))
       .join(broadcast(profile), "tok")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
     val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
