@@ -71,6 +71,33 @@ class PlanSpec extends AnyFunSuite with Matchers {
     j.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  test("xlsx stats: many-file scans extrapolate from a sample of central directories") {
+    val dir = java.nio.file.Files.createTempDirectory("planstat")
+    val paths = (1 to 24).map { i =>
+      val p = dir.resolve(f"w$i%02d.xlsx").toString
+      graft.xlsx.XlsxWriter.write(p, Seq(graft.xlsx.XlsxWriter.Sheet(
+        "S", Seq("k", "v"), (1 to 50).map(r => Seq(r.toDouble, s"row_${i}_$r")))))
+      p
+    }
+    def estimate(ps: Seq[String]): Long = {
+      val opts = graft.xlsx.XlsxDataSource.opts(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+      new graft.xlsx.XlsxScan(schema, schema, ps, opts, Array.empty, -1)
+        .estimateStatistics().sizeInBytes().getAsLong
+    }
+    // >16 files takes the sampled-extrapolation path; uniform files mean
+    // the extrapolated total must sit close to the exact (all-files) sum,
+    // and far above the compressed on-disk bytes a naive estimate reads
+    val exact = estimate(paths.take(16)) / 16.0 * 24
+    val extrapolated = estimate(paths).toDouble
+    extrapolated shouldBe exact * 1.0 +- exact * 0.2
+    val onDisk = paths.map(p => new java.io.File(p).length()).sum.toDouble
+    extrapolated should be > onDisk
+  }
+
   test("xlsx scan pushes supported filters (and results stay exact)") {
     val path = java.nio.file.Files.createTempDirectory("planf").resolve("f.xlsx").toString
     graft.xlsx.XlsxWriter.write(path, Seq(graft.xlsx.XlsxWriter.Sheet(
