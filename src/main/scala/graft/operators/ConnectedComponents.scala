@@ -32,13 +32,13 @@ import org.apache.spark.sql.functions._
   * min + relabel); every later round touches only the contracted
   * graph, which is at most half the previous round's size — the full
   * per-node label table is updated by a join against the SMALL pointer
-  * map (broadcast below a size threshold, shuffle-hash otherwise) and
-  * is materialized exactly once, at the end, as one chain of those
-  * joins. Nothing is ever collected to the driver (the only
-  * driver-side values are scalar counts); lineage is truncated with
-  * localCheckpoint so plan size stays constant across rounds, and
-  * superseded edge generations are unpersisted, so cache use is O(1)
-  * in rounds (cf. GraphFrames' iterative-algorithm housekeeping).
+  * map (broadcast below a size threshold, shuffle-hash otherwise).
+  * Nothing is ever collected to the driver (the only driver-side
+  * values are scalar counts); lineage is truncated with EAGER
+  * localCheckpoints so plan size stays constant across rounds, and
+  * superseded label/edge/pointer generations are unpersisted as soon
+  * as their successor is materialized, so cache use is O(1) in rounds
+  * (cf. GraphFrames' iterative-algorithm housekeeping).
   */
 object ConnectedComponents {
 
@@ -55,19 +55,27 @@ object ConnectedComponents {
     // randomized total order; `v` carries the original value
     def key(c: Column) = struct(xxhash64(c).as("h"), c.as("v"))
 
-    // symmetric edge set, materialized ONCE (the pair pipeline feeding
-    // this operator is typically the expensive part)
-    val p0 = pairs.select(key(col(a)).as("src"), key(col(b)).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    // raw pairs materialized ONCE (the pair pipeline feeding this
+    // operator is typically the expensive part); self-pairs are kept
+    // here so their nodes appear in the output, and dropped only from
+    // the contraction edge set (they carry no connectivity)
+    val raw = pairs.select(key(col(a)).as("src"), key(col(b)).as("dst"))
+      .localCheckpoint()
+    val p0 = raw.filter(col("src") =!= col("dst"))
     var e = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
     // per-ORIGINAL-node label, updated each round by composing the
-    // round's pointer map; lazily checkpointed — the chain of (small)
-    // relabel joins runs as one job when the result is first consumed
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(false)
+    // round's pointer map. EAGER checkpoints throughout: each label
+    // generation must be materialized before the edge generation it was
+    // derived from is unpersisted below — local checkpoints truncate
+    // lineage, so a lazy chain evaluated only at the end would try to
+    // recompute through freed blocks (timing-dependent crash).
+    var labels = raw.select(col("src")).union(raw.select(col("dst").as("src")))
+      .distinct()
+      .select(col("src").as("id"), col("src").as("label"))
+      .localCheckpoint()
+    freeCheckpoint(raw) // edge set and initial labels are materialized
 
     var n = e.count()
     var round = 0
@@ -87,11 +95,13 @@ object ConnectedComponents {
         .localCheckpoint()
       val hinted = if (n <= BroadcastRows) broadcast(rl) else rl.hint("shuffle_hash")
 
+      val prevLabels = labels
       labels = labels
         .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
           col("label") === col("ls"), "left")
         .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
-        .localCheckpoint(false)
+        .localCheckpoint()
+      freeCheckpoint(prevLabels)
 
       // contract: rewrite both endpoints into pointer-target space,
       // drop collapsed self-edges, dedupe the merged multi-edges
@@ -103,7 +113,11 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
       n = e2.count()
-      freeCheckpoint(e) // superseded generation; e2 is materialized
+      // e2, labels and this round's pointer maps are all materialized —
+      // the previous edge generation and the pointer maps are dead
+      freeCheckpoint(e)
+      freeCheckpoint(rl0)
+      freeCheckpoint(rl)
       e = e2
       round += 1
     }

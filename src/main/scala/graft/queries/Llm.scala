@@ -31,6 +31,16 @@ object Llm extends QueryModule {
   private def shinglesOf(k: Int, wc: Column): Column =
     transform(sequence(lit(1), size(wc) - (k - 1)),
       i => concat_ws(" ", (0 until k).map(o => element_at(wc, i + o)): _*))
+
+  /** Hashed k-shingles: xxhash64 of each k-word array slice, with no
+    * shingle STRING ever materialized. Used where only per-shingle
+    * counts/minima matter (Jaccard pair generation, MinHash) — counts
+    * are invariant under the hashing (64-bit collisions ~1e-10 at
+    * fixture cardinality, and the DuckDB oracle's string shingles turn
+    * a collision into a loud hash-mismatch). */
+  private def hashedShinglesOf(k: Int, wc: Column): Column =
+    transform(sequence(lit(1), size(wc) - (k - 1)),
+      i => xxhash64(slice(wc, i, lit(k))))
   private def shingles(k: Int): Column = shinglesOf(k, words)
   private def sqlShingles(k: Int): String = {
     val parts = (1 to k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
@@ -117,9 +127,7 @@ object Llm extends QueryModule {
       .select(col("doc_id"), col("lang"), words.as("wds"))
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("wds")) - 2),
-          i => xxhash64(slice(col("wds"), i, lit(3)))))).as("s"))
+        explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("s"))
     // postings per (lang, shingle); sorted for deterministic a<b pairs
     val capped = sh0.groupBy("lang", "s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -198,9 +206,8 @@ object Llm extends QueryModule {
     val sh = documents(s, d)
       .select(col("doc_id"), words.as("wds"))
       .filter(size(col("wds")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("wds")) - 2),
-        i => xxhash64(slice(col("wds"), i, lit(3)))))).as("h"))
+      .select(col("doc_id"),
+        explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("h"))
     // ANSI mode forbids wrapping multiplication, so mix in a range that
     // cannot overflow: 31-bit hash × 24-bit odd multiplier + offset < 2^62
     val hm = col("h").bitwiseAND(0x7FFFFFFFL)

@@ -259,15 +259,25 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class FilesOffset(files: Seq[String]) extends Offset {
+    // newline/carriage-return are escaped too: a pathological file NAME
+    // containing one must not re-introduce the multi-line offset this
+    // format exists to prevent
     override def json(): String = files
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\"")
       .mkString("[", ",", "]")
   }
 
-  /** Minimal parser for the array-of-strings json() above (no JSON lib on
-    * the unmanaged classpath is guaranteed stable across Spark versions,
-    * and the grammar here is exactly quoted strings with \\ and \"). */
+  /** Parser for the array-of-strings json() above (no JSON lib on the
+    * unmanaged classpath is guaranteed stable across Spark versions, and
+    * the grammar here is exactly quoted strings with \\ \" \n \r
+    * escapes). A checkpoint written by the legacy newline-separated
+    * format (no brackets) is still readable — silently treating it as
+    * empty would reprocess every workbook as new. */
   private def parseFiles(json: String): Seq[String] = {
+    if (json.isEmpty) return Seq.empty
+    if (!json.trim.startsWith("[")) // legacy pre-JSON offset layout
+      return json.split("\n").toSeq.filter(_.nonEmpty)
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var i = 0
@@ -277,7 +287,13 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
       if (!inStr) {
         if (c == '"') { inStr = true; sb.clear() }
       } else c match {
-        case '\\' => i += 1; if (i < json.length) sb.append(json.charAt(i))
+        case '\\' =>
+          i += 1
+          if (i < json.length) sb.append(json.charAt(i) match {
+            case 'n' => '\n'
+            case 'r' => '\r'
+            case other => other
+          })
         case '"' => inStr = false; out += sb.toString
         case other => sb.append(other)
       }

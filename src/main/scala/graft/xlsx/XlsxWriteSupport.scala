@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 /** Distributed sink for `df.write.format("xlsx").mode(...).save(dir)`:
   * each non-empty partition writes its own workbook
-  * (`part-NNNNN-<task>.xlsx`) into the target directory — xlsx is not a
+  * (`part-NNNNN-<job>.xlsx`) into the target directory — xlsx is not a
   * splittable format, so "distributed xlsx" IS a directory of workbooks,
   * which is exactly what the read side consumes
   * (`spark.read.format("xlsx").load(dir)` plans one partition per file).
@@ -19,13 +19,19 @@ import org.apache.spark.sql.types._
   * cannot exist yet for a fresh directory).
   *
   * Semantics (two-phase commit, FileOutputCommitter-v1 style):
-  *  - tasks write ONLY hidden attempt-unique staging files; the DRIVER
-  *    finalizes after the whole job succeeds, picking exactly one
-  *    staged file per partition and renaming it to its deterministic
-  *    final name — so a speculative or zombie duplicate attempt of a
-  *    partition can never land a second visible file, and a mid-job
-  *    failure leaves nothing visible (only `.staging` litter, which is
-  *    swept on the next job's start);
+  *  - tasks write to a hidden attempt-unique `.staging` name, then
+  *    rename it to `.staged` as the LAST task-side step — so only
+  *    attempts that finished their write completely are ever eligible
+  *    for commit. The DRIVER finalizes after the whole job succeeds,
+  *    promoting exactly one `.staged` file per partition to its
+  *    deterministic final name; a half-written zombie/speculative
+  *    attempt never reaches `.staged` and can never be published, and
+  *    a completed duplicate attempt is byte-equivalent by determinism
+  *    of the writer, so either copy is a valid winner;
+  *  - a mid-job failure leaves nothing visible (only hidden litter,
+  *    which start-of-job sweeps remove once it is demonstrably stale —
+  *    age-gated so a CONCURRENT writer to the same directory is not
+  *    sabotaged);
   *  - Overwrite deletes the PRE-EXISTING workbooks after the new ones
   *    are all in place (deletes are checked — a survivor fails the
   *    job loudly rather than silently polluting the "overwritten"
@@ -43,6 +49,9 @@ import org.apache.spark.sql.types._
 object XlsxSink {
   val MaxRowsPerSheet: Int = 1048575 // sheet limit minus the header row
 
+  /** Hidden litter older than this is assumed to belong to a dead job. */
+  private val StaleAfterMs = 60L * 60 * 1000
+
   private[xlsx] def checkSchema(schema: StructType): Unit = schema.fields.foreach { f =>
     f.dataType match {
       case StringType | DoubleType | FloatType | IntegerType | LongType |
@@ -59,6 +68,12 @@ object XlsxSink {
     else fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx")).toSeq
   }
 
+  private def hiddenLitter(d: File): Seq[File] =
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile &&
+        (f.getName.endsWith(".staging") || f.getName.endsWith(".staged")))
+      .toSeq
+
   def write(df: DataFrame, dir: String, mode: SaveMode, sheet: String): Unit = {
     checkSchema(df.schema)
     val d = new File(dir)
@@ -73,7 +88,12 @@ object XlsxSink {
     }
     if (!d.exists()) require(d.mkdirs(), s"cannot create output directory $dir")
 
-    sweepStaging(d) // litter from previously failed/killed jobs
+    // start-of-job sweep: only demonstrably STALE litter — an mtime gate
+    // keeps a concurrent writer's in-flight files safe
+    hiddenLitter(d)
+      .filter(_.lastModified() < System.currentTimeMillis() - StaleAfterMs)
+      .foreach(f => require(f.delete() || !f.exists(),
+        s"cannot remove stale staging file $f"))
 
     val schema = df.schema
     val header = schema.fieldNames.toSeq
@@ -85,10 +105,10 @@ object XlsxSink {
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
-        // attempt id in the STAGING name only: concurrent attempts of the
-        // same partition must not clobber each other's half-written file
-        val staging = new File(dir,
-          f".part-${ctx.partitionId()}%05d-$jobId-a${ctx.taskAttemptId()}.xlsx.staging")
+        // attempt id in the hidden names: concurrent attempts of the
+        // same partition must not clobber each other's files
+        val base = f".part-${ctx.partitionId()}%05d-$jobId-a${ctx.taskAttemptId()}.xlsx"
+        val staging = new File(dir, s"$base.staging")
         val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
         rows.foreach { r =>
           require(buf.length < MaxRowsPerSheet,
@@ -97,13 +117,17 @@ object XlsxSink {
           buf += r.toSeq
         }
         XlsxWriter.write(staging.getPath, Seq(XlsxWriter.Sheet(sheet, header, buf.toSeq)))
+        // completion marker: the atomic rename is the task's commit —
+        // an attempt killed mid-write never produces a .staged file
+        val done = new File(dir, s"$base.staged")
+        require(staging.renameTo(done), s"cannot rename $staging to $done")
       }
     }
 
-    // driver-side commit: one survivor per partition id, deterministic
-    // final name — duplicate attempts of a partition are discarded here,
-    // never made visible
-    val Staged = raw"\.part-(\d{5})-$jobId-a\d+\.xlsx\.staging".r
+    // driver-side commit: one COMPLETED file per partition id promoted
+    // to the deterministic final name — duplicate attempts of a
+    // partition are discarded here, never made visible
+    val Staged = raw"\.part-(\d{5})-$jobId-a\d+\.xlsx\.staged".r
     val staged = Option(d.listFiles()).getOrElse(Array.empty[File])
       .flatMap(f => f.getName match {
         case Staged(pid) => Some(pid -> f)
@@ -129,15 +153,10 @@ object XlsxSink {
       XlsxWriter.write(new File(d, s"part-00000-$jobId-empty.xlsx").getPath,
         Seq(XlsxWriter.Sheet(sheet, header, Seq.empty)))
 
-    sweepStaging(d) // belt-and-braces: nothing hidden should remain
-  }
-
-  /** Remove `.staging` litter left by failed or killed attempts. Best
-    * effort on in-flight files, but a survivor that blocks deletion is
-    * surfaced, not ignored. */
-  private def sweepStaging(d: File): Unit =
-    Option(d.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.endsWith(".staging"))
+    // end-of-job sweep: OUR leftovers only (a crashed zombie's .staging
+    // with this jobId); other jobs' files are left alone
+    hiddenLitter(d).filter(_.getName.contains(s"-$jobId-"))
       .foreach(f => require(f.delete() || !f.exists(),
-        s"cannot remove stale staging file $f"))
+        s"cannot remove leftover staging file $f"))
+  }
 }

@@ -137,6 +137,11 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     again shouldBe cc
   }
 
+  test("connected components: a node appearing only in a self-pair is still labeled") {
+    val cc = ccOf(Seq((5L, 5L), (1L, 2L)))
+    cc shouldBe Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
+  }
+
   test("connected components: empty input yields empty output") {
     ccOf(Seq.empty) shouldBe Map.empty
   }

@@ -87,15 +87,22 @@ class XlsxSinkSpec extends AnyFunSuite with Matchers {
     names.map(_.take(10)).distinct.size shouldBe names.size // one file per partition id
   }
 
-  test("stale .staging litter from a failed job is swept, never read back") {
+  test("stale .staging litter from a failed job is swept once old; fresh litter survives") {
     val dir = tmp()
     Seq((1.0, "a")).toDF("k", "v").write.format("xlsx").save(dir)
-    // simulate a killed job's leftover: a half-written staging file
+    // simulate a killed job's leftover: a half-written staging file,
+    // backdated past the staleness horizon
     val stale = new java.io.File(dir, ".part-00099-deadbeef-a7.xlsx.staging")
     java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    stale.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000) shouldBe true
+    // a RECENT leftover could belong to a concurrent writer — must be kept
+    val fresh = new java.io.File(dir, ".part-00098-cafebabe-a3.xlsx.staging")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](1))
     Seq((2.0, "b")).toDF("k", "v").write.format("xlsx").mode("append").save(dir)
     stale.exists() shouldBe false
+    fresh.exists() shouldBe true
     spark.read.format("xlsx").load(dir).count() shouldBe 2
+    fresh.delete()
   }
 
   test("custom sheet option names the sheet in every part file") {
