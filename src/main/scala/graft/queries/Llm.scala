@@ -171,6 +171,34 @@ object Llm extends QueryModule {
     * [[graft.operators.ConnectedComponents]]), and the survivor of each
     * cluster is its minimum doc_id. Oracle: DuckDB recursive CTE computing
     * min reachable id over the same pairs. */
+  /** End-to-end near-dup dedup as a single graded operation: candidate
+    * pairs → clusters ([[graft.operators.ConnectedComponents]]) → the
+    * CLEANED CORPUS via [[graft.operators.Dedup.keepSurvivors]] (one
+    * survivor per cluster = min doc_id; unpaired documents pass
+    * through). This is what a training-data pipeline actually consumes
+    * — q47/q78 grade the intermediate steps, this row grades the
+    * composition. Oracle: anti-join documents against the recursive-CTE
+    * non-survivors over the same pairs. */
+  val dedupCorpus: Q = Q(
+    s"""WITH RECURSIVE $sqlPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |losers AS (
+       |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(label))
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.keepSurvivors(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", jaccardPairs(s, d), "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
   val dedupGroups: Q = Q(
     s"""WITH RECURSIVE $sqlPairCtes,
        |edges AS (
@@ -673,6 +701,7 @@ object Llm extends QueryModule {
     "q78_dedup_groups"    -> dedupGroups,
     "q80_embedding_near_dup" -> embeddingNearDup,
     "q81_hash_split"      -> hashSplit,
-    "q82_pack_chunks"     -> packChunks
+    "q82_pack_chunks"     -> packChunks,
+    "q88_dedup_corpus"    -> dedupCorpus
   )
 }
