@@ -122,6 +122,7 @@ object ConnectedComponents {
       round += 1
     }
     require(n == 0, s"connected components did not converge in $maxRounds rounds")
+    freeCheckpoint(e) // terminal (empty) edge generation
 
     // representatives were chosen under the HASHED order; the contract
     // is label = min ORIGINAL id per component, so re-minimize per
@@ -130,6 +131,12 @@ object ConnectedComponents {
     val mins = labels.groupBy("label").agg(min(col("id.v")).as("m"))
     labels.join(mins, "label").select(col("id.v").as("id"), col("m").as("label"))
   }
+
+  /** The returned relation is backed by ONE cached node-size label
+    * table (it cannot be freed inside apply — the result reads it).
+    * Long-lived sessions running many CC invocations should release it
+    * once the result is consumed: `ConnectedComponents.free(result)`. */
+  def free(result: DataFrame): Unit = freeCheckpoint(result)
 
   /** Unpersist the RDD blocks behind a localCheckpoint'd DataFrame
     * (Dataset.unpersist only covers CacheManager entries, not

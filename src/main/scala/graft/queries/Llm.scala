@@ -165,12 +165,6 @@ object Llm extends QueryModule {
   }
   private def sqlShingles3 = sqlShingles(3)
 
-  /** Dedup group resolution — the last mile of the near-dup story: the
-    * q47 candidate pairs are resolved to duplicate CLUSTERS by distributed
-    * connected components (iterative min-label propagation, see
-    * [[graft.operators.ConnectedComponents]]), and the survivor of each
-    * cluster is its minimum doc_id. Oracle: DuckDB recursive CTE computing
-    * min reachable id over the same pairs. */
   /** End-to-end near-dup dedup as a single graded operation: candidate
     * pairs → clusters ([[graft.operators.ConnectedComponents]]) → the
     * CLEANED CORPUS via [[graft.operators.Dedup.keepSurvivors]] (one
@@ -199,6 +193,12 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Dedup group resolution — the q47 candidate pairs resolved to
+    * duplicate CLUSTERS by distributed connected components
+    * (randomized-order edge contraction, see
+    * [[graft.operators.ConnectedComponents]]); the survivor of each
+    * cluster is its minimum doc_id. Oracle: DuckDB recursive CTE
+    * computing min reachable id over the same pairs. */
   val dedupGroups: Q = Q(
     s"""WITH RECURSIVE $sqlPairCtes,
        |edges AS (

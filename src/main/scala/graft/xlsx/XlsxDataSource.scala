@@ -259,47 +259,7 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class FilesOffset(files: Seq[String]) extends Offset {
-    // newline/carriage-return are escaped too: a pathological file NAME
-    // containing one must not re-introduce the multi-line offset this
-    // format exists to prevent
-    override def json(): String = files
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r") + "\"")
-      .mkString("[", ",", "]")
-  }
-
-  /** Parser for the array-of-strings json() above (no JSON lib on the
-    * unmanaged classpath is guaranteed stable across Spark versions, and
-    * the grammar here is exactly quoted strings with \\ \" \n \r
-    * escapes). A checkpoint written by the legacy newline-separated
-    * format (no brackets) is still readable — silently treating it as
-    * empty would reprocess every workbook as new. */
-  private def parseFiles(json: String): Seq[String] = {
-    if (json.isEmpty) return Seq.empty
-    if (!json.trim.startsWith("[")) // legacy pre-JSON offset layout
-      return json.split("\n").toSeq.filter(_.nonEmpty)
-    val out = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    var i = 0
-    var inStr = false
-    while (i < json.length) {
-      val c = json.charAt(i)
-      if (!inStr) {
-        if (c == '"') { inStr = true; sb.clear() }
-      } else c match {
-        case '\\' =>
-          i += 1
-          if (i < json.length) sb.append(json.charAt(i) match {
-            case 'n' => '\n'
-            case 'r' => '\r'
-            case other => other
-          })
-        case '"' => inStr = false; out += sb.toString
-        case other => sb.append(other)
-      }
-      i += 1
-    }
-    out.result()
+    override def json(): String = XlsxOffsets.toJson(files)
   }
 
   private def listFiles(): Seq[String] = {
@@ -333,7 +293,7 @@ class XlsxMicroBatchStream(dir: String, fullSchema: StructType, required: Struct
   // silently reachable with the cap ignored
   override def latestOffset(): Offset = throw new IllegalStateException(
     "unreachable: admission-control latestOffset(start, limit) is implemented")
-  override def deserializeOffset(json: String): Offset = FilesOffset(parseFiles(json))
+  override def deserializeOffset(json: String): Offset = FilesOffset(XlsxOffsets.parse(json))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -389,6 +349,54 @@ object XlsxFilterEval {
     case IsNotNull(a) => get(a) != null
     case And(l, r) => eval(l, get) && eval(r, get)
     case _ => true
+  }
+}
+
+/** Serialization of the streaming source's seen-file offset — one LINE of
+  * JSON-array-of-strings, because Spark's OffsetSeqLog writes/reads
+  * exactly one line per source offset. Newline/carriage-return in a
+  * pathological file NAME are escaped so they cannot re-introduce the
+  * multi-line corruption this format exists to prevent. No JSON lib on
+  * the unmanaged classpath is guaranteed stable across Spark versions,
+  * and the grammar here is exactly quoted strings with \\ \" \n \r. */
+private[xlsx] object XlsxOffsets {
+  def toJson(files: Seq[String]): String = files
+    .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r") + "\"")
+    .mkString("[", ",", "]")
+
+  /** Checkpoints written by the legacy newline-separated format are
+    * still readable — silently treating them as empty would reprocess
+    * every workbook as new. The sniff requires the JSON shape (`[]` or
+    * `["`), so a legacy SINGLE path that merely begins with '[' (e.g.
+    * `[prod]/drop/a.xlsx`) still takes the legacy branch. */
+  def parse(json: String): Seq[String] = {
+    if (json.isEmpty) return Seq.empty
+    val t = json.trim
+    if (t != "[]" && !t.startsWith("[\"")) // legacy pre-JSON offset layout
+      return json.split("\n").toSeq.filter(_.nonEmpty)
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+      } else c match {
+        case '\\' =>
+          i += 1
+          if (i < json.length) sb.append(json.charAt(i) match {
+            case 'n' => '\n'
+            case 'r' => '\r'
+            case other => other
+          })
+        case '"' => inStr = false; out += sb.toString
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    out.result()
   }
 }
 

@@ -4,6 +4,7 @@ import java.io.File
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Distributed sink for `df.write.format("xlsx").mode(...).save(dir)`:
   * each non-empty partition writes its own workbook
@@ -89,7 +90,11 @@ object XlsxSink {
     if (!d.exists()) require(d.mkdirs(), s"cannot create output directory $dir")
 
     // start-of-job sweep: only demonstrably STALE litter — an mtime gate
-    // keeps a concurrent writer's in-flight files safe
+    // keeps a concurrent writer's in-flight files safe. A long-running
+    // concurrent job's COMPLETED (.staged) files can legitimately cross
+    // any age horizon before its driver commits, so a wrong sweep here
+    // is survivable only because the owning job's commit verifies every
+    // non-empty partition against its accumulator and fails loudly.
     hiddenLitter(d)
       .filter(_.lastModified() < System.currentTimeMillis() - StaleAfterMs)
       .foreach(f => require(f.delete() || !f.exists(),
@@ -102,9 +107,16 @@ object XlsxSink {
     // with the same names as the previous run's and then delete them as
     // "pre-existing"
     val jobId = java.util.UUID.randomUUID().toString.take(8)
+    // records which partitions actually produced a workbook, so the
+    // driver commit can PROVE it promoted one file per non-empty
+    // partition — without this, a .staged file deleted out from under
+    // the job (crash cleanup, concurrent sweep, operator error) would
+    // turn into a silently incomplete "successful" write
+    val nonEmpty = df.sparkSession.sparkContext.collectionAccumulator[Int]("xlsxNonEmptyParts")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
+        nonEmpty.add(ctx.partitionId())
         // attempt id in the hidden names: concurrent attempts of the
         // same partition must not clobber each other's files
         val base = f".part-${ctx.partitionId()}%05d-$jobId-a${ctx.taskAttemptId()}.xlsx"
@@ -133,6 +145,13 @@ object XlsxSink {
         case Staged(pid) => Some(pid -> f)
         case _ => None
       })
+    val expected = nonEmpty.value.asScala.map(i => f"$i%05d").toSet
+    val present = staged.map(_._1).toSet
+    require(expected.subsetOf(present),
+      s"xlsx commit is missing staged output for partition(s) " +
+        s"${(expected -- present).toSeq.sorted.mkString(", ")} — " +
+        "a staged file was removed before commit; failing instead of " +
+        "publishing an incomplete result")
     staged.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (pid, attempts) =>
       val sorted = attempts.map(_._2).sortBy(_.getName)
       val winner = sorted.head

@@ -250,6 +250,21 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("offset codec: single-line JSON round-trip, hostile names, legacy formats") {
+    // round-trip incl. quote/backslash/newline in names; always one line
+    val hostile = Seq("/a/plain.xlsx", "/b/we\"ird\\name.xlsx", "/c/new\nline.xlsx")
+    val json = XlsxOffsets.toJson(hostile)
+    json should not include "\n"
+    XlsxOffsets.parse(json) shouldBe hostile
+    XlsxOffsets.parse(XlsxOffsets.toJson(Seq.empty)) shouldBe Seq.empty
+    XlsxOffsets.parse("") shouldBe Seq.empty
+    // legacy newline-separated checkpoints still parse (no reprocessing)
+    XlsxOffsets.parse("/d/a.xlsx\n/d/b.xlsx") shouldBe Seq("/d/a.xlsx", "/d/b.xlsx")
+    XlsxOffsets.parse("/d/only.xlsx") shouldBe Seq("/d/only.xlsx")
+    // a legacy SINGLE path starting with '[' must not be sniffed as JSON
+    XlsxOffsets.parse("[prod]/drop/a.xlsx") shouldBe Seq("[prod]/drop/a.xlsx")
+  }
+
   test("streaming xlsx source: maxFilesPerTrigger admits a bounded backlog per batch") {
     val dir = Files.createTempDirectory("xcap").toString
     (1 to 5).foreach { i =>
