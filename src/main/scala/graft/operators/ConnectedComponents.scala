@@ -47,11 +47,23 @@ object ConnectedComponents {
     * default every one of these joins to sort-merge). */
   private val BroadcastRows = 1000000L
 
+  /** Once the contracted graph has at most this many (directed) edges it
+    * is finished in ONE executor task by a plain union-find instead of
+    * paying several more scheduler rounds — each distributed round costs
+    * a fixed number of jobs + plan compiles, which dominates end-game
+    * cost (the contracted graph shrinks geometrically, so the tail
+    * rounds process trivial data). 2^20 edges ≈ tens of MB in one task:
+    * bounded executor memory, never driver-side. At 100 TB the loop
+    * stays distributed until contraction brings the graph under the
+    * threshold, which it must (or the require below fires). */
+  private val LocalFinishEdges = 1L << 20
+
   /** @param pairs undirected edges, one per row
     * @param a,b   the two endpoint columns (same orderable type)
     * @return one row per node appearing in `pairs`: (id, label) where
     *         label = min node id of the node's component */
-  def apply(pairs: DataFrame, a: String, b: String, maxRounds: Int = 50): DataFrame = {
+  def apply(pairs: DataFrame, a: String, b: String, maxRounds: Int = 50,
+            localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     // randomized total order; `v` carries the original value
     def key(c: Column) = struct(xxhash64(c).as("h"), c.as("v"))
 
@@ -77,49 +89,81 @@ object ConnectedComponents {
       .localCheckpoint()
     freeCheckpoint(raw) // edge set and initial labels are materialized
 
+    // the id column's external type must be Comparable for the one-task
+    // union-find finish (every realistic id type is; binary/array ids
+    // simply stay on the distributed path)
+    val vComparable = {
+      import org.apache.spark.sql.types._
+      pairs.schema(a).dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | StringType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false // binary/array/struct ids stay distributed
+      }
+    }
+
     var n = e.count()
     var round = 0
     while (n > 0 && round < maxRounds) {
-      // pointer map over the current contracted graph: min of self and
-      // neighbors, composed once so two-level trees flatten in-round.
-      // EAGER checkpoints: both maps are referenced several times below
-      // (compose, relabel, both edge endpoints) — lazy ones would be
-      // raced into materialization by concurrent task sets.
-      val rl0 = e.groupBy("src").agg(min(col("dst")).as("m"))
-        .select(col("src"), least(col("src"), col("m")).as("t"))
-        .localCheckpoint()
-      val rl = rl0
-        .join(rl0.select(col("src").as("s2"), col("t").as("t2")),
-          col("t") === col("s2"), "left")
-        .select(col("src"), coalesce(col("t2"), col("t")).as("t"))
-        .localCheckpoint()
-      val hinted = if (n <= BroadcastRows) broadcast(rl) else rl.hint("shuffle_hash")
-
-      val prevLabels = labels
-      labels = labels
-        .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
-          col("label") === col("ls"), "left")
-        .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
-        .localCheckpoint()
-      freeCheckpoint(prevLabels)
-
-      // contract: rewrite both endpoints into pointer-target space,
-      // drop collapsed self-edges, dedupe the merged multi-edges
-      val e2 = e
-        .join(hinted.select(col("src").as("ss"), col("t").as("st")), col("src") === col("ss"))
-        .join(hinted.select(col("src").as("ds"), col("t").as("dt")), col("dst") === col("ds"))
-        .select(col("st").as("src"), col("dt").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint()
-      n = e2.count()
-      // e2, labels and this round's pointer maps are all materialized —
-      // the previous edge generation and the pointer maps are dead
-      freeCheckpoint(e)
-      freeCheckpoint(rl0)
-      freeCheckpoint(rl)
-      e = e2
-      round += 1
+      if (n <= localFinishEdges && vComparable) {
+        // end-game: the remaining graph fits one task — resolve every
+        // contracted node to its component root (min hashed key, same
+        // representative the distributed rounds would converge to) in a
+        // single job, skipping the remaining O(log) scheduler rounds
+        val ptr = localUnionFind(e).localCheckpoint()
+        val prevLabels = labels
+        labels = labels
+          .join(broadcast(ptr).select(col("src").as("ls"), col("t").as("lt")),
+            col("label") === col("ls"), "left")
+          .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
+          .localCheckpoint()
+        freeCheckpoint(prevLabels)
+        freeCheckpoint(ptr)
+        freeCheckpoint(e)
+        n = 0
+      } else {
+        // pointer map over the current contracted graph: min of self and
+        // neighbors, composed once so two-level trees flatten in-round.
+        // EAGER checkpoints: both maps are referenced several times below
+        // (compose, relabel, both edge endpoints) — lazy ones would be
+        // raced into materialization by concurrent task sets.
+        val rl0 = e.groupBy("src").agg(min(col("dst")).as("m"))
+          .select(col("src"), least(col("src"), col("m")).as("t"))
+          .localCheckpoint()
+        val rl = rl0
+          .join(rl0.select(col("src").as("s2"), col("t").as("t2")),
+            col("t") === col("s2"), "left")
+          .select(col("src"), coalesce(col("t2"), col("t")).as("t"))
+          .localCheckpoint()
+        val hinted = if (n <= BroadcastRows) broadcast(rl) else rl.hint("shuffle_hash")
+  
+        val prevLabels = labels
+        labels = labels
+          .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
+            col("label") === col("ls"), "left")
+          .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
+          .localCheckpoint()
+        freeCheckpoint(prevLabels)
+  
+        // contract: rewrite both endpoints into pointer-target space,
+        // drop collapsed self-edges, dedupe the merged multi-edges
+        val e2 = e
+          .join(hinted.select(col("src").as("ss"), col("t").as("st")), col("src") === col("ss"))
+          .join(hinted.select(col("src").as("ds"), col("t").as("dt")), col("dst") === col("ds"))
+          .select(col("st").as("src"), col("dt").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint()
+        n = e2.count()
+        // e2, labels and this round's pointer maps are all materialized —
+        // the previous edge generation and the pointer maps are dead
+        freeCheckpoint(e)
+        freeCheckpoint(rl0)
+        freeCheckpoint(rl)
+        e = e2
+        round += 1
+      }
     }
     require(n == 0, s"connected components did not converge in $maxRounds rounds")
     freeCheckpoint(e) // terminal (empty) edge generation
@@ -130,6 +174,54 @@ object ConnectedComponents {
     // absorbed by partial aggregation (map-side combine).
     val mins = labels.groupBy("label").agg(min(col("id.v")).as("m"))
     labels.join(mins, "label").select(col("id.v").as("id"), col("m").as("label"))
+  }
+
+  /** One-task exact union-find over a bounded edge list: emits the
+    * complete pointer map (node → component root) of the contracted
+    * graph, root = min (hash, id) key — the same representative the
+    * distributed contraction converges to. Runs as ONE executor task
+    * via coalesce(1) (no shuffle, no driver collect); callers gate on
+    * [[LocalFinishEdges]] so the hash map is bounded. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val keyType = e.schema("src").dataType
+    val out = e.rdd.coalesce(1).mapPartitions { it =>
+      import scala.collection.mutable
+      // (h, v) total order, nulls first on v — mirrors Spark's asc
+      // struct ordering used by the distributed min() rounds
+      def cmp(x: Row, y: Row): Int = {
+        val c = java.lang.Long.compare(x.getLong(0), y.getLong(0))
+        if (c != 0) c
+        else (x.get(1), y.get(1)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (p: Comparable[_], q) => p.asInstanceOf[Comparable[Any]].compareTo(q)
+        }
+      }
+      val parent = mutable.HashMap.empty[Row, Row] // absent key = root
+      val nodes = mutable.LinkedHashSet.empty[Row]
+      def find(x0: Row): Row = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) { x = p; p = parent.getOrElse(x, x) }
+        var y = x0 // path compression
+        while (y != x) { val nx = parent(y); parent(y) = x; y = nx }
+        x
+      }
+      it.foreach { r =>
+        val (s, d) = (r.getStruct(0), r.getStruct(1))
+        nodes += s; nodes += d
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) {
+          if (cmp(rs, rd) <= 0) parent(rd) = rs else parent(rs) = rd
+        }
+      }
+      nodes.iterator.map(nd => Row(nd, find(nd)))
+    }
+    e.sparkSession.createDataFrame(out,
+      StructType(Seq(StructField("src", keyType), StructField("t", keyType))))
   }
 
   /** The returned relation is backed by ONE cached node-size label

@@ -85,7 +85,7 @@ object Scalars extends QueryModule {
       |  CAST(sign(l_discount - 0.05) AS INT) AS sgn,
       |  l_orderkey % 7 AS m7
       |FROM lineitem WHERE l_orderkey < 500
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_linenumber, absd, ceilp, floorp, sqrtq, sqq, lnp, sgn, m7""".stripMargin) { (s, d) =>
     lineitem(s, d).filter(col("l_orderkey") < 500)
       .select(col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).cast("double").as("absd"),
@@ -96,7 +96,12 @@ object Scalars extends QueryModule {
         round(log(col("l_extendedprice")), 6).as("lnp"),
         signum(col("l_discount") - 0.05).cast("int").as("sgn"),
         pmod(col("l_orderkey"), lit(7)).as("m7"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture lineitem
+      // — sort on the FULL output row so the dump order is total (tied
+      // keys with different payloads would otherwise interleave
+      // engine-dependently)
+      .orderBy("l_orderkey", "l_linenumber", "absd", "ceilp", "floorp",
+        "sqrtq", "sqq", "lnp", "sgn", "m7")
   }
 
   /** Array / higher-order family over the embedding vectors: lambda

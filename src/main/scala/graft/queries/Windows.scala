@@ -122,7 +122,7 @@ object Windows extends QueryModule {
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, cd, pr""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
     lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp")
@@ -130,7 +130,12 @@ object Windows extends QueryModule {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         cume_dist().over(w).cast("double").as("cd"),
         percent_rank().over(w).cast("double").as("pr"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // the fixture lineitem has duplicate (l_orderkey, l_linenumber)
+      // pairs, so the dump order must be total over the FULL output row
+      // or the engines may interleave tied keys differently (seen at
+      // sf0.1; cd/pr themselves are tie-safe — CUME_DIST/PERCENT_RANK
+      // assign equal values to equal sort keys)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "cd", "pr")
   }
 
   /** Batch sessionization (gaps-and-islands): a new session starts when

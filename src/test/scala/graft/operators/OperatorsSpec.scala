@@ -81,8 +81,11 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
 
   // ------------------------------------- connected components / dedup groups
 
-  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents(pairs.toDF("a", "b"), "a", "b")
+  /** localFinishEdges = 0 forces the distributed contraction rounds;
+    * the default exercises the one-task union-find end-game. Both paths
+    * must agree — the property test below runs every graph through both. */
+  private def ccOf(pairs: Seq[(Long, Long)], localFinishEdges: Long = 1L << 20): Map[Long, Long] =
+    ConnectedComponents(pairs.toDF("a", "b"), "a", "b", localFinishEdges = localFinishEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("connected components: chain, pair, and triangle resolve to min labels") {
@@ -108,7 +111,9 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
     // keep convergence logarithmic — maxRounds=20 would fail a linear
     // or sqrt-ish algorithm loudly via the convergence require()
     val path = (0L until 1023L).map(i => (i, i + 1))
-    val labels = ConnectedComponents(path.toDF("a", "b"), "a", "b", maxRounds = 20)
+    // localFinishEdges = 0: this test pins the DISTRIBUTED rounds' bound
+    val labels = ConnectedComponents(path.toDF("a", "b"), "a", "b", maxRounds = 20,
+      localFinishEdges = 0L)
     labels.agg(countDistinct(col("label"))).collect()(0).getLong(0) shouldBe 1L
     labels.agg(min(col("label")), max(col("label"))).collect()(0) match {
       case r => r.getLong(0) shouldBe 0L; r.getLong(1) shouldBe 0L
@@ -174,7 +179,8 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
         val root = find(id.toInt)
         id -> nodes.filter(x => find(x.toInt) == root).min
       }.toMap
-      ccOf(pairs) shouldBe expected
+      ccOf(pairs) shouldBe expected                        // local union-find end-game
+      ccOf(pairs, localFinishEdges = 0L) shouldBe expected // distributed rounds only
     }
   }
 
