@@ -680,6 +680,51 @@ object Llm extends QueryModule {
       .orderBy("lang", "chunk_id")
   }
 
+  /** Stratified DOWNSAMPLING by per-stratum rate — the rebalancing move
+    * of corpus assembly (cap the over-represented language): keep a
+    * deterministic md5-slice of each language's hash space, rate chosen
+    * per lang (en cut to 4/16, zh kept whole, the rest 8/16). A pure
+    * filter — no shuffle, no rand(): a document's keep/drop decision is
+    * a function of its id alone, so re-runs, backfills and incremental
+    * loads all agree. The aggregate exists to grade the exact surviving
+    * id set (id_sum pins WHICH docs survived, not just how many). */
+  val stratifiedSample: Q = Q(
+    """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      |  CASE lang WHEN 'en' THEN '4' WHEN 'zh' THEN 'g' ELSE '8' END
+      |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) <
+        when(col("lang") === "en", "4").when(col("lang") === "zh", "g").otherwise("8"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Exact-k-per-stratum deterministic sample — "k docs per language,
+    * stable across runs": rank by md5(id) within each language, keep
+    * rank ≤ k. One hash-partitioned window (partial TopK per partition
+    * at scale — rank+filter plans as a WindowGroupLimit pushdown in
+    * Spark 4, so executors never sort whole strata), order uniform in
+    * the hash so the sample is unbiased, deterministic so incremental
+    * reruns agree. */
+  val sampleExactK: Q = Q(
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang, rk FROM ranked WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 10)
+      .orderBy("lang", "rk")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q46_dedup_exact"     -> dedupExact,
     "q47_near_dup_jaccard"-> nearDupJaccard,
@@ -702,6 +747,8 @@ object Llm extends QueryModule {
     "q80_embedding_near_dup" -> embeddingNearDup,
     "q81_hash_split"      -> hashSplit,
     "q82_pack_chunks"     -> packChunks,
-    "q88_dedup_corpus"    -> dedupCorpus
+    "q88_dedup_corpus"    -> dedupCorpus,
+    "q89_stratified_sample" -> stratifiedSample,
+    "q90_sample_exact_k"  -> sampleExactK
   )
 }

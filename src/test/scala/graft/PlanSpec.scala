@@ -195,4 +195,47 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // codegen stages print as "*(n)" prefixes in the final adaptive plan
     df.queryExecution.executedPlan.toString should include regex "\\*\\(\\d+\\)"
   }
+
+  test("q90: exact-k sampling pushes the rank filter into the window (WindowGroupLimit)") {
+    // Spark 4 plans rank<=k as a per-partition partial top-k, so no
+    // executor ever sorts a whole stratum — the property that makes
+    // hash-ranked sampling viable on 100 TB strata
+    plan("q90_sample_exact_k") should include("WindowGroupLimit")
+  }
+
+  test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
+    // Spark injects a bloom filter built from the filtered dim side into
+    // the fact scan of a shuffle join (runtime row-level filtering) —
+    // but only when the fact scan exceeds
+    // spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold
+    // (10 GB by default, i.e. exactly the 100 TB regime; fixture scans
+    // never qualify). Lower the threshold to 0 to pin the behavior the
+    // big cluster gets; broadcast is disabled so the join actually
+    // shuffles (broadcast joins prune without needing the bloom).
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> c.getOption(k) }
+    def run() = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+    try {
+      overrides.foreach { case (k, v) => c.set(k, v) }
+      val df = run()
+      val p = df.queryExecution.optimizedPlan.toString.toLowerCase
+      p should include("bloomfilter") // BloomFilterAggregate on dim, might_contain on fact
+      val withBloom = df.collect().map(_.toString).sorted
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = run().collect().map(_.toString).sorted
+      withBloom shouldBe without // the filter only prunes, never changes results
+    } finally {
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      saved.foreach { case (k, ov) => ov.fold(c.unset(k))(c.set(k, _)) }
+    }
+  }
 }

@@ -184,6 +184,36 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST3c: SessionizeStream emits each session exactly once, on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val sessions = graft.streaming.SessionizeStream.byGap[Ev, Long](
+        stream.toDS().withWatermark("ts", "0 seconds"),
+        _.user, _.ts, gapMs = 5 * 60 * 1000L)
+      .toDF("user", "start", "end", "n")
+    val q = sessions.writeStream.format("memory").queryName("st3c")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one open session for user 1: [00:00, 00:04], 2 events
+      stream.addData(Ev(ts("2024-01-01 00:00:00"), 1, 1.0), Ev(ts("2024-01-01 00:04:00"), 1, 1.0))
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM st3c").count() shouldBe 0 // still open — nothing emitted
+      // 16-minute gap: the arrival itself closes session 1 in-callback
+      stream.addData(Ev(ts("2024-01-01 00:20:00"), 1, 1.0))
+      q.processAllAvailable()
+      // another user's event pushes the watermark to 01:00, which passes
+      // 00:20 + gap → user 1's second session times out and finalizes
+      stream.addData(Ev(ts("2024-01-01 01:00:00"), 2, 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, start, end, n FROM st3c ORDER BY start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      got.toSeq shouldBe Seq(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:04:00"), 2L),
+        (1L, ts("2024-01-01 00:20:00"), ts("2024-01-01 00:20:00"), 1L))
+      // user 2's session stays open (watermark never passed 01:05): exactly-once, no early emit
+    } finally q.stop()
+  }
+
   test("ST3: session gap semantics match the batch session_window declaration") {
     // same 5-minute gap as q65; prove the batch declaration and an
     // explicit gap-merge agree on session boundaries
