@@ -9,6 +9,8 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * {{{
   *   runMain graft.etl.Main <workbook.xlsx> <jdbc-url> [options]
   *     --append         append to existing tables (default: replace)
+  *     --upsert KEYS    comma-separated key columns: update matching
+  *                      rows, insert new ones (idempotent re-runs)
   *     --sheet NAME     load only this sheet (repeatable)
   *     --export TABLE   REVERSE: read TABLE over JDBC and write it as a
   *                      workbook directory at the first positional path
@@ -23,32 +25,38 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object Main {
 
   case class Args(xlsx: String, url: String, mode: SaveMode,
-                  sheets: Option[Seq[String]], export: Option[String], master: String)
+                  sheets: Option[Seq[String]], export: Option[String], master: String,
+                  upsertKeys: Option[Seq[String]] = None)
 
   def parse(argv: Seq[String]): Args = {
     def usage(msg: String): Nothing =
       throw new IllegalArgumentException(
         s"$msg\nusage: graft.etl.Main <workbook.xlsx> <jdbc-url> " +
-          "[--append] [--sheet NAME]... [--export TABLE] [--master URL]")
+          "[--append] [--upsert K1,K2] [--sheet NAME]... [--export TABLE] [--master URL]")
     var positional = Vector.empty[String]
     var mode: SaveMode = SaveMode.Overwrite
     var sheets = Vector.empty[String]
     var export: Option[String] = None
+    var upsert: Option[Seq[String]] = None
     var master = "local[*]"
     var rest = argv.toList
     while (rest.nonEmpty) rest = rest match {
       case "--append" :: t => mode = SaveMode.Append; t
       case "--sheet" :: v :: t => sheets :+= v; t
       case "--export" :: v :: t => export = Some(v); t
+      case "--upsert" :: v :: t =>
+        upsert = Some(v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        if (upsert.get.isEmpty) usage("--upsert needs at least one key column"); t
       case "--master" :: v :: t => master = v; t
-      case ("--sheet" | "--master" | "--export") :: Nil => usage("missing option value")
+      case ("--sheet" | "--master" | "--export" | "--upsert") :: Nil => usage("missing option value")
       case o :: _ if o.startsWith("--") => usage(s"unknown option $o")
       case v :: t => positional :+= v; t
       case Nil => Nil
     }
     positional match {
       case Vector(xlsx, url) =>
-        Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), export, master)
+        Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), export,
+          master, upsert)
       case _ => usage(s"expected 2 positional args, got ${positional.size}")
     }
   }
@@ -56,7 +64,8 @@ object Main {
   /** Library-callable core (tests pass their own session). */
   def run(spark: SparkSession, a: Args): Seq[XlsxToDatabase.LoadedTable] = a.export match {
     case None =>
-      XlsxToDatabase.load(spark, a.xlsx, a.url, a.mode, onlySheets = a.sheets)
+      XlsxToDatabase.load(spark, a.xlsx, a.url, a.mode, onlySheets = a.sheets,
+        upsertKeys = a.upsertKeys)
     case Some(table) =>
       // reverse direction: JDBC table → workbook directory at a.xlsx
       val df = XlsxToDatabase.readJdbc(spark, a.url, table)

@@ -37,11 +37,14 @@ object XlsxToDatabase {
 
   /** Load sheets → JDBC tables. `mode` matches the reference-class
     * tool's append/replace switch; `onlySheets` restricts to named
-    * sheets (default: every sheet, one table each). */
+    * sheets (default: every sheet, one table each); `upsertKeys`
+    * switches to key-idempotent upsert semantics (see [[upsert]] —
+    * `mode` is then ignored). */
   def load(spark: SparkSession, xlsxPath: String, jdbcUrl: String,
            mode: SaveMode = SaveMode.Overwrite,
            connectionProps: Properties = new Properties(),
-           onlySheets: Option[Seq[String]] = None): Seq[LoadedTable] = {
+           onlySheets: Option[Seq[String]] = None,
+           upsertKeys: Option[Seq[String]] = None): Seq[LoadedTable] = {
     DuckDbDialect.registered
     val all = sheetNames(xlsxPath)
     val chosen = onlySheets match {
@@ -55,9 +58,63 @@ object XlsxToDatabase {
     chosen.map { sheet =>
       val df = readSheet(spark, xlsxPath, sheet)
       val table = sanitizeTableName(sheet)
-      df.write.mode(mode).jdbc(jdbcUrl, table, connectionProps)
+      upsertKeys match {
+        case Some(keys) => upsert(df, jdbcUrl, table, keys, connectionProps)
+        case None => df.write.mode(mode).jdbc(jdbcUrl, table, connectionProps)
+      }
       LoadedTable(sheet, table, df.count())
     }
+  }
+
+  /** Key-idempotent load — the missing third mode next to replace and
+    * append: rows whose key already exists are UPDATED (replaced), new
+    * keys are INSERTED, and re-running the same load is a no-op. The
+    * incremental-refresh semantics every recurring spreadsheet drop
+    * needs (replace loses history, append duplicates it).
+    *
+    * Scale shape: the DataFrame is written to a STAGING table through
+    * Spark's normal parallel JDBC sink (one writer per partition — the
+    * only part that scales with data volume), then the merge is ONE
+    * set-based transaction in the target database (DELETE … USING
+    * staging + INSERT … SELECT), so per-row logic never runs on the
+    * driver and the target table is never observable half-merged.
+    * Standard dialect SQL only — no PRIMARY KEY requirement on the
+    * target (DuckDB cannot ALTER one in later). */
+  def upsert(df: DataFrame, jdbcUrl: String, table: String, keys: Seq[String],
+             connectionProps: Properties = new Properties()): Unit = {
+    DuckDbDialect.registered
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val missing = keys.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"key column(s) not in data: ${missing.mkString(", ")}")
+    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    val staging = table + "__upsert_staging"
+    df.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, connectionProps)
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl, connectionProps)
+    try {
+      val exists = {
+        val st = conn.prepareStatement(
+          "SELECT count(*) FROM information_schema.tables WHERE table_name = ?")
+        st.setString(1, table)
+        val rs = st.executeQuery()
+        rs.next() && rs.getLong(1) > 0
+      }
+      val st = conn.createStatement()
+      if (!exists) {
+        st.execute(s"CREATE TABLE ${q(table)} AS SELECT * FROM ${q(staging)}")
+      } else {
+        val keyEq = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val cols = df.columns.map(q).mkString(", ")
+        conn.setAutoCommit(false)
+        try {
+          st.execute(s"DELETE FROM ${q(table)} t USING ${q(staging)} s WHERE $keyEq")
+          st.execute(s"INSERT INTO ${q(table)} ($cols) SELECT $cols FROM ${q(staging)}")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.setAutoCommit(true)
+      }
+      st.execute(s"DROP TABLE ${q(staging)}")
+    } finally conn.close()
   }
 
   /** Read back a table over JDBC (verification path). */

@@ -34,7 +34,7 @@ object SkewSalt {
     require(salts > 0, "salts must be positive")
     require(partials.nonEmpty && finals.nonEmpty, "need at least one aggregate")
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val stage1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(partials.head._1),

@@ -83,6 +83,40 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
     back.columns.toSeq shouldBe Seq("id", "name")
   }
 
+  test("upsert updates matched keys, inserts new ones, and re-runs are no-ops") {
+    val dir = Files.createTempDirectory("etl5")
+    val db = dir.resolve("t.duckdb").toString
+    val url = s"jdbc:duckdb:$db"
+    val v1 = dir.resolve("v1.xlsx").toString
+    XlsxWriter.write(v1, Seq(XlsxWriter.Sheet("People", Seq("id", "name", "score"),
+      Seq(Seq(1.0, "alice", 1.0), Seq(2.0, "bob", 2.0)))))
+    // first load creates the table through the same upsert path
+    XlsxToDatabase.load(spark, v1, url, upsertKeys = Some(Seq("id")))
+    // v2 updates bob, adds carol, leaves alice untouched
+    val v2 = dir.resolve("v2.xlsx").toString
+    XlsxWriter.write(v2, Seq(XlsxWriter.Sheet("People", Seq("id", "name", "score"),
+      Seq(Seq(2.0, "bob", 20.0), Seq(3.0, "carol", 3.0)))))
+    XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("id")))
+    def state() = XlsxToDatabase.readJdbc(spark, url, "people").orderBy("id").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSeq
+    state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 20.0), (3.0, "carol", 3.0))
+    // idempotent: the same drop again changes nothing (append would duplicate)
+    XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("id")))
+    state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 20.0), (3.0, "carol", 3.0))
+    // no staging leftovers
+    an[Exception] should be thrownBy XlsxToDatabase
+      .readJdbc(spark, url, "people__upsert_staging").count()
+    // key column must exist
+    an[IllegalArgumentException] should be thrownBy
+      XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("nope")))
+  }
+
+  test("CLI --upsert parses key lists and rejects empty ones") {
+    Main.parse(Seq("b.xlsx", "url", "--upsert", "id,ts")).upsertKeys shouldBe Some(Seq("id", "ts"))
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("a", "b", "--upsert"))
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("a", "b", "--upsert", " , "))
+  }
+
   test("append mode accumulates rows") {
     val dir = Files.createTempDirectory("etl2")
     val xlsx = dir.resolve("book.xlsx").toString
