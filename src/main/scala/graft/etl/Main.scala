@@ -53,6 +53,8 @@ object Main {
       case v :: t => positional :+= v; t
       case Nil => Nil
     }
+    if (export.isDefined && upsert.isDefined)
+      usage("--export and --upsert cannot be combined (export reads FROM the database)")
     positional match {
       case Vector(xlsx, url) =>
         Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), export,

@@ -87,33 +87,48 @@ object XlsxToDatabase {
     val missing = keys.filterNot(df.columns.contains)
     require(missing.isEmpty, s"key column(s) not in data: ${missing.mkString(", ")}")
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
-    val staging = table + "__upsert_staging"
+    // per-run staging name: concurrent upserts into the same target must
+    // not clobber each other's staging data mid-merge (the merge itself
+    // serializes on the database's transaction layer)
+    val staging = table + "__upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
     df.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, connectionProps)
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, connectionProps)
     try {
       val exists = {
+        // base tables in the CURRENT schema only: a same-named view or a
+        // table in another schema must not flip this into the merge branch
         val st = conn.prepareStatement(
-          "SELECT count(*) FROM information_schema.tables WHERE table_name = ?")
+          "SELECT count(*) FROM information_schema.tables " +
+            "WHERE table_name = ? AND table_schema = current_schema() " +
+            "AND table_type = 'BASE TABLE'")
         st.setString(1, table)
         val rs = st.executeQuery()
         rs.next() && rs.getLong(1) > 0
       }
       val st = conn.createStatement()
-      if (!exists) {
-        st.execute(s"CREATE TABLE ${q(table)} AS SELECT * FROM ${q(staging)}")
-      } else {
-        val keyEq = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-        val cols = df.columns.map(q).mkString(", ")
-        conn.setAutoCommit(false)
-        try {
-          st.execute(s"DELETE FROM ${q(table)} t USING ${q(staging)} s WHERE $keyEq")
-          st.execute(s"INSERT INTO ${q(table)} ($cols) SELECT $cols FROM ${q(staging)}")
-          conn.commit()
-        } catch {
-          case e: Throwable => conn.rollback(); throw e
-        } finally conn.setAutoCommit(true)
+      try {
+        if (!exists) {
+          st.execute(s"CREATE TABLE ${q(table)} AS SELECT * FROM ${q(staging)}")
+        } else {
+          // IS NOT DISTINCT FROM: NULL keys must match themselves, or
+          // NULL-keyed rows re-insert on every run (idempotence breaks)
+          val keyEq = keys.map(k => s"t.${q(k)} IS NOT DISTINCT FROM s.${q(k)}")
+            .mkString(" AND ")
+          val cols = df.columns.map(q).mkString(", ")
+          conn.setAutoCommit(false)
+          try {
+            st.execute(s"DELETE FROM ${q(table)} t USING ${q(staging)} s WHERE $keyEq")
+            st.execute(s"INSERT INTO ${q(table)} ($cols) SELECT $cols FROM ${q(staging)}")
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.setAutoCommit(true)
+        }
+      } finally {
+        // always drop staging, even when the merge failed
+        try st.execute(s"DROP TABLE IF EXISTS ${q(staging)}")
+        catch { case _: java.sql.SQLException => () }
       }
-      st.execute(s"DROP TABLE ${q(staging)}")
     } finally conn.close()
   }
 

@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * min + relabel); every later round touches only the contracted
   * graph, which is at most half the previous round's size — the full
   * per-node label table is updated by a join against the SMALL pointer
-  * map (broadcast below a size threshold, shuffle-hash otherwise).
-  * Nothing is ever collected to the driver (the only driver-side
-  * values are scalar counts); lineage is truncated with EAGER
+  * map (broadcast below a size threshold — which does stage the map
+  * through the driver, the standard broadcast cost, bounded by that
+  * threshold — shuffle-hash otherwise). Row data never reaches the
+  * driver by any other path (the only other driver-side values are
+  * scalar counts); lineage is truncated with EAGER
   * localCheckpoints so plan size stays constant across rounds, and
   * superseded label/edge/pointer generations are unpersisted as soon
   * as their successor is materialized, so cache use is O(1) in rounds
@@ -53,8 +55,10 @@ object ConnectedComponents {
     * a fixed number of jobs + plan compiles, which dominates end-game
     * cost (the contracted graph shrinks geometrically, so the tail
     * rounds process trivial data). 2^20 edges ≈ tens of MB in one task:
-    * bounded executor memory, never driver-side. At 100 TB the loop
-    * stays distributed until contraction brings the graph under the
+    * bounded executor memory for the union-find itself; the resulting
+    * pointer map (≤ 2·2^20 rows) relabels via a shuffle-hash join unless
+    * it fits the BroadcastRows bound. At 100 TB the loop stays
+    * distributed until contraction brings the graph under the
     * threshold, which it must (or the require below fires). */
   private val LocalFinishEdges = 1L << 20
 
@@ -103,6 +107,22 @@ object ConnectedComponents {
       }
     }
 
+    // compose labels with a pointer map (src → t), checkpoint the new
+    // generation, free the old. Shared by both loop branches so their
+    // join semantics can never drift. `mapRows` sizes the join hint: a
+    // broadcast COLLECTS the map to the driver to ship it, so only maps
+    // under BroadcastRows ride a broadcast; larger ones shuffle-hash.
+    def relabel(current: DataFrame, ptr: DataFrame, mapRows: Long): DataFrame = {
+      val hinted = if (mapRows <= BroadcastRows) broadcast(ptr) else ptr.hint("shuffle_hash")
+      val next = current
+        .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
+          col("label") === col("ls"), "left")
+        .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
+        .localCheckpoint()
+      freeCheckpoint(current)
+      next
+    }
+
     var n = e.count()
     var round = 0
     while (n > 0 && round < maxRounds) {
@@ -110,15 +130,10 @@ object ConnectedComponents {
         // end-game: the remaining graph fits one task — resolve every
         // contracted node to its component root (min hashed key, same
         // representative the distributed rounds would converge to) in a
-        // single job, skipping the remaining O(log) scheduler rounds
+        // single job, skipping the remaining O(log) scheduler rounds.
+        // The pointer map has ≤ 2n rows (both endpoints of every edge).
         val ptr = localUnionFind(e).localCheckpoint()
-        val prevLabels = labels
-        labels = labels
-          .join(broadcast(ptr).select(col("src").as("ls"), col("t").as("lt")),
-            col("label") === col("ls"), "left")
-          .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
-          .localCheckpoint()
-        freeCheckpoint(prevLabels)
+        labels = relabel(labels, ptr, mapRows = 2 * n)
         freeCheckpoint(ptr)
         freeCheckpoint(e)
         n = 0
@@ -137,15 +152,9 @@ object ConnectedComponents {
           .select(col("src"), coalesce(col("t2"), col("t")).as("t"))
           .localCheckpoint()
         val hinted = if (n <= BroadcastRows) broadcast(rl) else rl.hint("shuffle_hash")
-  
-        val prevLabels = labels
-        labels = labels
-          .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
-            col("label") === col("ls"), "left")
-          .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
-          .localCheckpoint()
-        freeCheckpoint(prevLabels)
-  
+
+        labels = relabel(labels, rl, mapRows = n)
+
         // contract: rewrite both endpoints into pointer-target space,
         // drop collapsed self-edges, dedupe the merged multi-edges
         val e2 = e

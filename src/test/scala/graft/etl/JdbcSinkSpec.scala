@@ -97,24 +97,53 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
     XlsxWriter.write(v2, Seq(XlsxWriter.Sheet("People", Seq("id", "name", "score"),
       Seq(Seq(2.0, "bob", 20.0), Seq(3.0, "carol", 3.0)))))
     XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("id")))
-    def state() = XlsxToDatabase.readJdbc(spark, url, "people").orderBy("id").collect()
-      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSeq
+    // duckdb_jdbc tears the shared file instance down when the last
+    // connection closes; a read that reopens the file in that instant can
+    // transiently miss the catalog (observed once under parallel-suite
+    // load). One bounded retry absorbs the driver race without weakening
+    // any assertion — the values themselves are still checked exactly.
+    def state() = {
+      def once() = XlsxToDatabase.readJdbc(spark, url, "people").orderBy("id").collect()
+        .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSeq
+      try once() catch {
+        case _: org.apache.spark.SparkException => Thread.sleep(250); once()
+      }
+    }
     state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 20.0), (3.0, "carol", 3.0))
     // idempotent: the same drop again changes nothing (append would duplicate)
     XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("id")))
     state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 20.0), (3.0, "carol", 3.0))
-    // no staging leftovers
-    an[Exception] should be thrownBy XlsxToDatabase
-      .readJdbc(spark, url, "people__upsert_staging").count()
+    // no staging leftovers (staging names are per-run UUIDs)
+    XlsxToDatabase.readJdbc(spark, url,
+        "(SELECT count(*) AS c FROM information_schema.tables " +
+          "WHERE table_name LIKE 'people__upsert%') x")
+      .collect()(0).getAs[Number](0).longValue() shouldBe 0L
     // key column must exist
     an[IllegalArgumentException] should be thrownBy
       XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("nope")))
+  }
+
+  test("upsert treats NULL keys as matching themselves (idempotent re-runs)") {
+    val dir = Files.createTempDirectory("etl6")
+    val url = s"jdbc:duckdb:${dir.resolve("t.duckdb")}"
+    val book = dir.resolve("b.xlsx").toString
+    // one row's key cell is empty → NULL key; plain `=` would re-insert
+    // it on every run (NULL = NULL is not true)
+    XlsxWriter.write(book, Seq(XlsxWriter.Sheet("T", Seq("k", "v"),
+      Seq(Seq(1.0, "a"), Seq(null, "orphan")))))
+    XlsxToDatabase.load(spark, book, url, upsertKeys = Some(Seq("k")))
+    XlsxToDatabase.load(spark, book, url, upsertKeys = Some(Seq("k")))
+    XlsxToDatabase.readJdbc(spark, url, "t").count() shouldBe 2
   }
 
   test("CLI --upsert parses key lists and rejects empty ones") {
     Main.parse(Seq("b.xlsx", "url", "--upsert", "id,ts")).upsertKeys shouldBe Some(Seq("id", "ts"))
     an[IllegalArgumentException] should be thrownBy Main.parse(Seq("a", "b", "--upsert"))
     an[IllegalArgumentException] should be thrownBy Main.parse(Seq("a", "b", "--upsert", " , "))
+    // --export reads FROM the database; combining it with --upsert would
+    // silently drop the upsert — reject instead
+    an[IllegalArgumentException] should be thrownBy
+      Main.parse(Seq("a", "b", "--export", "t", "--upsert", "id"))
   }
 
   test("append mode accumulates rows") {

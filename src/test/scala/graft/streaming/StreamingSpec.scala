@@ -214,6 +214,39 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST3d: on-time out-of-order events prepend and bridge open sessions before any emit") {
+    // 30-minute watermark delay: events arriving out of order but within
+    // 30 min of max event time are ON TIME and must reshape open
+    // sessions — a "close when the next event is far away" design emits
+    // fragments here; closing only on watermark finality does not
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val sessions = graft.streaming.SessionizeStream.byGap[Ev, Long](
+        stream.toDS().withWatermark("ts", "30 minutes"),
+        _.user, _.ts, gapMs = 5 * 60 * 1000L)
+      .toDF("user", "start", "end", "n")
+    val q = sessions.writeStream.format("memory").queryName("st3d")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Ev(ts("2024-01-01 00:20:00"), 1, 1.0)) // open [00:20]
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:10:00"), 1, 1.0)) // on time; EARLIER session [00:10]
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:14:00"), 1, 1.0)) // extends [00:10] to [00:10,00:14]
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 00:17:00"), 1, 1.0)) // BRIDGES both into [00:10,00:20]
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM st3d").count() shouldBe 0 // nothing provably final yet
+      // push the watermark to 00:40 (01:10 - 30min) > 00:20 + gap
+      stream.addData(Ev(ts("2024-01-01 01:10:00"), 2, 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, start, end, n FROM st3d").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      // ONE session, correct start/end/count — not two fragments
+      got.toSeq shouldBe Seq((1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"), 4L))
+    } finally q.stop()
+  }
+
   test("ST3: session gap semantics match the batch session_window declaration") {
     // same 5-minute gap as q65; prove the batch declaration and an
     // explicit gap-merge agree on session boundaries
