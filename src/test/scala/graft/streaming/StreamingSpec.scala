@@ -247,6 +247,60 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("property: streamed sessions equal batch gaps-and-islands on random out-of-order input") {
+    // the decisive parity check: random event times, delivered across
+    // micro-batches in RANDOM order (but never later than the 1-hour
+    // watermark delay allows), must produce exactly the sessions the
+    // batch window formulation computes on the same data
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val gapMs = 5 * 60 * 1000L
+    for (round <- 1 to 3) {
+      val base = ts("2024-01-01 00:00:00").getTime
+      val events = Seq.fill(30)(Ev(
+        new Timestamp(base + rnd.nextInt(90) * 60 * 1000L), 1 + rnd.nextInt(3), 1.0))
+      // batch truth: sort per user, break on gap, aggregate
+      val expected = events.groupBy(_.user).flatMap { case (u, evs) =>
+        val times = evs.map(_.ts.getTime).sorted
+        val sessions = times.foldLeft(Vector.empty[(Long, Long, Long)]) {
+          case (acc :+ last, t) if t - last._2 <= gapMs =>
+            acc :+ ((last._1, math.max(last._2, t), last._3 + 1))
+          case (acc, t) => acc :+ ((t, t, 1L))
+        }
+        sessions.map(s => (u, s._1, s._2, s._3))
+      }.toSet
+      val stream = MemoryStream[Ev]
+      val out = graft.streaming.SessionizeStream.byGap[Ev, Long](
+          stream.toDS().withWatermark("ts", "1 hour"), _.user, _.ts, gapMs)
+        .toDF("user", "start", "end", "n")
+      val qn = s"st3p$round"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // shuffle into 5 micro-batches: arbitrary inter-batch disorder,
+        // all on time under the 1-hour delay (span is 90 minutes, so
+        // sort each batch's max to keep late events within the delay —
+        // simplest guarantee: deliver in random order but cap how far
+        // the watermark can run ahead by feeding in 2 halves sorted
+        // only BETWEEN halves)
+        val (h1, h2) = rnd.shuffle(events).partition(_.ts.getTime < base + 45 * 60 * 1000L)
+        rnd.shuffle(h1).grouped(math.max(1, h1.size / 2)).foreach { b =>
+          stream.addData(b); q.processAllAvailable()
+        }
+        rnd.shuffle(h2).grouped(math.max(1, h2.size / 2)).foreach { b =>
+          stream.addData(b); q.processAllAvailable()
+        }
+        // flush: push the watermark far past every end+gap
+        stream.addData(Ev(new Timestamp(base + 10 * 3600 * 1000L), 99, 1.0))
+        q.processAllAvailable()
+        val got = spark.sql(s"SELECT user, start, end, n FROM $qn WHERE user <> 99").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+            r.getLong(3))).toSet
+        got shouldBe expected
+      } finally q.stop()
+    }
+  }
+
   test("ST3: session gap semantics match the batch session_window declaration") {
     // same 5-minute gap as q65; prove the batch declaration and an
     // explicit gap-merge agree on session boundaries
