@@ -128,6 +128,14 @@ object XlsxToDatabase {
         // always drop staging, even when the merge failed
         try st.execute(s"DROP TABLE IF EXISTS ${q(staging)}")
         catch { case _: java.sql.SQLException => () }
+        // flush the WAL into the database file before closing: a reader
+        // that reopens the file in the instant the last connection's
+        // instance tears down can otherwise attach to the pre-upsert
+        // snapshot (observed with duckdb_jdbc under load — the read saw
+        // an empty catalog). Best-effort: CHECKPOINT can legitimately
+        // fail if another live transaction holds the WAL.
+        try st.execute("CHECKPOINT")
+        catch { case _: java.sql.SQLException => () }
       }
     } finally conn.close()
   }

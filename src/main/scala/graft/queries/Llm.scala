@@ -725,6 +725,57 @@ object Llm extends QueryModule {
       .orderBy("lang", "rk")
   }
 
+  /** Repetition / boilerplate filter (Gopher-style corpus cleaning, the
+    * family next to q58's length/stopword quality score): per-doc
+    * type-token ratio, top-word fraction, and top-bigram fraction, plus
+    * the resulting keep/drop flag. Thresholds sit at the fixture's ~p10
+    * tails so the flag actually fires.
+    *
+    * Scale shape: ZERO shuffles — every metric folds over the doc's own
+    * words array inside codegen (array_sort + one linear run-length
+    * pass gives the max term frequency; no (doc, word) relation is ever
+    * built, unlike the oracle's formulation). Per-doc cost is
+    * O(words · log words); the scan is the whole job. */
+  val repetitionFilter: Q = Q(
+    s"""WITH t AS (SELECT doc_id, lang, $sqlWords AS w FROM documents),
+       |wc AS (SELECT doc_id, s, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(w) AS s FROM t) GROUP BY 1, 2),
+       |wm AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS topw FROM wc GROUP BY 1),
+       |bgc AS (SELECT doc_id, s, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(${sqlShingles(2)}) AS s FROM t) GROUP BY 1, 2),
+       |bm AS (SELECT doc_id, SUM(c) AS nb, MAX(c) AS topb FROM bgc GROUP BY 1)
+       |SELECT t.doc_id, t.lang, CAST(wm.n AS BIGINT) AS n_words,
+       |  ROUND(wm.nd * 1.0 / wm.n, 6) AS ttr,
+       |  ROUND(wm.topw * 1.0 / wm.n, 6) AS top_word_frac,
+       |  ROUND(COALESCE(bm.topb, 0) * 1.0 / GREATEST(COALESCE(bm.nb, 0), 1), 6)
+       |    AS top_bigram_frac,
+       |  (ROUND(wm.nd * 1.0 / wm.n, 6) < 0.32
+       |   OR ROUND(wm.topw * 1.0 / wm.n, 6) > 0.14) AS repetitive
+       |FROM t JOIN wm USING (doc_id) LEFT JOIN bm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // max run length in the sorted array = the top term's frequency,
+    // computed in ONE linear codegen'd fold (prev, current run, best)
+    def maxRun(c: String) =
+      s"""aggregate(array_sort($c),
+         |  struct(cast(null as string) as prev, 0 as run, 0 as best),
+         |  (a, x) -> struct(x as prev,
+         |    if(a.prev <=> x, a.run + 1, 1) as run,
+         |    greatest(a.best, if(a.prev <=> x, a.run + 1, 1)) as best),
+         |  a -> a.best)""".stripMargin
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), words.as("wds"))
+      .withColumn("bg", when(size(col("wds")) >= 2, shinglesOf(2, col("wds")))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("lang"),
+        size(col("wds")).cast("long").as("n_words"),
+        round(size(array_distinct(col("wds"))).cast("double") / size(col("wds")), 6).as("ttr"),
+        round(expr(maxRun("wds")).cast("double") / size(col("wds")), 6).as("top_word_frac"),
+        round(expr(maxRun("bg")).cast("double") / greatest(size(col("bg")), lit(1)), 6)
+          .as("top_bigram_frac"))
+      .withColumn("repetitive", col("ttr") < 0.32 || col("top_word_frac") > 0.14)
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q46_dedup_exact"     -> dedupExact,
     "q47_near_dup_jaccard"-> nearDupJaccard,
@@ -749,6 +800,7 @@ object Llm extends QueryModule {
     "q82_pack_chunks"     -> packChunks,
     "q88_dedup_corpus"    -> dedupCorpus,
     "q89_stratified_sample" -> stratifiedSample,
-    "q90_sample_exact_k"  -> sampleExactK
+    "q90_sample_exact_k"  -> sampleExactK,
+    "q91_repetition_filter" -> repetitionFilter
   )
 }

@@ -203,6 +203,13 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan("q90_sample_exact_k") should include("WindowGroupLimit")
   }
 
+  test("q91: repetition metrics fold per-doc in codegen — the only exchange is the output sort") {
+    // no (doc, word) relation is ever built: array_sort + linear
+    // run-length folds give max term frequency inside the scan stage
+    val p = plan("q91_repetition_filter")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // Spark injects a bloom filter built from the filtered dim side into
     // the fact scan of a shuffle join (runtime row-level filtering) —

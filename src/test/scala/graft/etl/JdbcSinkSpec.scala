@@ -106,7 +106,9 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
       def once() = XlsxToDatabase.readJdbc(spark, url, "people").orderBy("id").collect()
         .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSeq
       try once() catch {
-        case _: org.apache.spark.SparkException => Thread.sleep(250); once()
+        // schema resolution raises SQLException on the driver; task-side
+        // failures surface as SparkException — retry either once
+        case scala.util.control.NonFatal(_) => Thread.sleep(250); once()
       }
     }
     state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 20.0), (3.0, "carol", 3.0))
