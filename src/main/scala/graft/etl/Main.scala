@@ -35,13 +35,14 @@ object Main {
           "[--append] [--upsert K1,K2] [--sheet NAME]... [--export TABLE] [--master URL]")
     var positional = Vector.empty[String]
     var mode: SaveMode = SaveMode.Overwrite
+    var appendSeen = false
     var sheets = Vector.empty[String]
     var export: Option[String] = None
     var upsert: Option[Seq[String]] = None
     var master = "local[*]"
     var rest = argv.toList
     while (rest.nonEmpty) rest = rest match {
-      case "--append" :: t => mode = SaveMode.Append; t
+      case "--append" :: t => mode = SaveMode.Append; appendSeen = true; t
       case "--sheet" :: v :: t => sheets :+= v; t
       case "--export" :: v :: t => export = Some(v); t
       case "--upsert" :: v :: t =>
@@ -55,6 +56,8 @@ object Main {
     }
     if (export.isDefined && upsert.isDefined)
       usage("--export and --upsert cannot be combined (export reads FROM the database)")
+    if (appendSeen && upsert.isDefined)
+      usage("--append and --upsert cannot be combined (upsert defines its own merge semantics)")
     positional match {
       case Vector(xlsx, url) =>
         Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), export,

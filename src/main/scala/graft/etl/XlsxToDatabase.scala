@@ -91,22 +91,26 @@ object XlsxToDatabase {
     // not clobber each other's staging data mid-merge (the merge itself
     // serializes on the database's transaction layer)
     val staging = table + "__upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    df.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, connectionProps)
+    // connection FIRST, staging write second: the finally below then owns
+    // staging cleanup on EVERY failure path (a staging write that died
+    // half-way still gets dropped; with per-run names a leak would
+    // otherwise accumulate one orphan table per failed run)
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, connectionProps)
     try {
-      val exists = {
-        // base tables in the CURRENT schema only: a same-named view or a
-        // table in another schema must not flip this into the merge branch
-        val st = conn.prepareStatement(
-          "SELECT count(*) FROM information_schema.tables " +
-            "WHERE table_name = ? AND table_schema = current_schema() " +
-            "AND table_type = 'BASE TABLE'")
-        st.setString(1, table)
-        val rs = st.executeQuery()
-        rs.next() && rs.getLong(1) > 0
-      }
       val st = conn.createStatement()
       try {
+        df.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, connectionProps)
+        val exists = {
+          // base tables in the CURRENT schema only: a same-named view or a
+          // table in another schema must not flip this into the merge branch
+          val ps = conn.prepareStatement(
+            "SELECT count(*) FROM information_schema.tables " +
+              "WHERE table_name = ? AND table_schema = current_schema() " +
+              "AND table_type = 'BASE TABLE'")
+          ps.setString(1, table)
+          val rs = ps.executeQuery()
+          rs.next() && rs.getLong(1) > 0
+        }
         if (!exists) {
           st.execute(s"CREATE TABLE ${q(table)} AS SELECT * FROM ${q(staging)}")
         } else {
@@ -125,7 +129,9 @@ object XlsxToDatabase {
           } finally conn.setAutoCommit(true)
         }
       } finally {
-        // always drop staging, even when the merge failed
+        // always drop staging — merge failure AND half-written staging
+        // alike (the write runs inside this try, so no failure path can
+        // orphan a per-run staging table)
         try st.execute(s"DROP TABLE IF EXISTS ${q(staging)}")
         catch { case _: java.sql.SQLException => () }
         // flush the WAL into the database file before closing: a reader

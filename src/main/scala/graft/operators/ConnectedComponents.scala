@@ -107,15 +107,19 @@ object ConnectedComponents {
       }
     }
 
+    // ONE hint policy for every small-map join in the loop: broadcast
+    // COLLECTS the map to the driver to ship it, so it is gated on
+    // BroadcastRows; larger maps shuffle-hash (checkpointed RDDs carry
+    // no stats, so Spark would otherwise sort-merge all of these).
+    def sized(map: DataFrame, mapRows: Long): DataFrame =
+      if (mapRows <= BroadcastRows) broadcast(map) else map.hint("shuffle_hash")
+
     // compose labels with a pointer map (src → t), checkpoint the new
     // generation, free the old. Shared by both loop branches so their
-    // join semantics can never drift. `mapRows` sizes the join hint: a
-    // broadcast COLLECTS the map to the driver to ship it, so only maps
-    // under BroadcastRows ride a broadcast; larger ones shuffle-hash.
+    // join semantics can never drift.
     def relabel(current: DataFrame, ptr: DataFrame, mapRows: Long): DataFrame = {
-      val hinted = if (mapRows <= BroadcastRows) broadcast(ptr) else ptr.hint("shuffle_hash")
       val next = current
-        .join(hinted.select(col("src").as("ls"), col("t").as("lt")),
+        .join(sized(ptr, mapRows).select(col("src").as("ls"), col("t").as("lt")),
           col("label") === col("ls"), "left")
         .select(col("id"), coalesce(col("lt"), col("label")).as("label"))
         .localCheckpoint()
@@ -151,7 +155,7 @@ object ConnectedComponents {
             col("t") === col("s2"), "left")
           .select(col("src"), coalesce(col("t2"), col("t")).as("t"))
           .localCheckpoint()
-        val hinted = if (n <= BroadcastRows) broadcast(rl) else rl.hint("shuffle_hash")
+        val hinted = sized(rl, n)
 
         labels = relabel(labels, rl, mapRows = n)
 

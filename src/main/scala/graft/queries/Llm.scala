@@ -737,7 +737,8 @@ object Llm extends QueryModule {
     * built, unlike the oracle's formulation). Per-doc cost is
     * O(words · log words); the scan is the whole job. */
   val repetitionFilter: Q = Q(
-    s"""WITH t AS (SELECT doc_id, lang, $sqlWords AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, $sqlWords AS w FROM documents
+       |           WHERE text IS NOT NULL),
        |wc AS (SELECT doc_id, s, COUNT(*) AS c
        |       FROM (SELECT doc_id, unnest(w) AS s FROM t) GROUP BY 1, 2),
        |wm AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS topw FROM wc GROUP BY 1),
@@ -763,6 +764,9 @@ object Llm extends QueryModule {
          |    greatest(a.best, if(a.prev <=> x, a.run + 1, 1)) as best),
          |  a -> a.best)""".stripMargin
     documents(s, d)
+      // NULL text: the oracle's unnest-based formulation drops such docs
+      // (unnest(NULL) is empty); filter explicitly so both sides agree
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), words.as("wds"))
       .withColumn("bg", when(size(col("wds")) >= 2, shinglesOf(2, col("wds")))
         .otherwise(array().cast("array<string>")))

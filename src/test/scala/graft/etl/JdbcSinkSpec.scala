@@ -146,6 +146,9 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
     // silently drop the upsert — reject instead
     an[IllegalArgumentException] should be thrownBy
       Main.parse(Seq("a", "b", "--export", "t", "--upsert", "id"))
+    // --append would be silently ignored with --upsert — reject too
+    an[IllegalArgumentException] should be thrownBy
+      Main.parse(Seq("a", "b", "--append", "--upsert", "id"))
   }
 
   test("append mode accumulates rows") {
