@@ -259,16 +259,16 @@ object Llm extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash 64-bit signatures (en subset): per-word hash bits vote ±1 per
-    * position; signature bit = sign of the vote sum. Deterministic but
-    * hash-engine-specific → no oracle. */
-  val simHash: Q = Q.noOracle { (s, d) =>
-    // 64 vote accumulators as aggregate COLUMNS over the word-hash rows —
-    // not a posexplode into 64 rows per word, which pushes a 64× row
-    // blowup through the partial aggregate for the same arithmetic. The
-    // shuffled data is identical (one 64-sum row per doc); the map side
-    // just skips materializing the per-bit rows. Values are unchanged:
-    // vote = ±1 per (word, bit), signature bit = sign of the vote sum.
+  /** SimHash 64-bit signatures of the en subset, shared by q49 (the
+    * signature dump) and q92 (the Hamming-banded pair search).
+    *
+    * 64 vote accumulators as aggregate COLUMNS over the word-hash rows —
+    * not a posexplode into 64 rows per word, which pushes a 64× row
+    * blowup through the partial aggregate for the same arithmetic. The
+    * shuffled data is identical (one 64-sum row per doc); the map side
+    * just skips materializing the per-bit rows. Values are unchanged:
+    * vote = ±1 per (word, bit), signature bit = sign of the vote sum. */
+  private def simHashSignatures(s: SparkSession, d: String): DataFrame = {
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     documents(s, d)
@@ -280,7 +280,41 @@ object Llm extends QueryModule {
         (0 until 64).map(b =>
           when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash signatures: per-word hash bits vote ±1 per position;
+    * signature bit = sign of the vote sum. Deterministic but
+    * hash-engine-specific → no oracle. */
+  val simHash: Q = Q.noOracle { (s, d) =>
+    simHashSignatures(s, d).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup PAIRS — the last mile q49's signatures feed: all
+    * pairs within Hamming distance 3, found by 4×16-bit banding. The
+    * pigeonhole argument makes banding EXACT here, not approximate: a
+    * pair differing in ≤3 of 64 bits must agree exactly on ≥1 of the 4
+    * 16-bit bands, so candidate generation is an EQUI-join on
+    * (band, band_key) — linear banding (4 rows/doc), bucketed pair
+    * space (never corpus²), then the cheap exact Hamming check. This is
+    * the published simhash dedup shape (Manku et al.'s web-dedup
+    * scheme); recall is 1.0 by construction (asserted against brute
+    * force in LlmSpec). Hash-engine-specific signatures → no oracle;
+    * rows-only + spec. */
+  val simHashPairs: Q = Q.noOracle { (s, d) =>
+    val banded = simHashSignatures(s, d)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct() // a close pair can agree on several bands
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------- L4 / L5
@@ -805,6 +839,7 @@ object Llm extends QueryModule {
     "q88_dedup_corpus"    -> dedupCorpus,
     "q89_stratified_sample" -> stratifiedSample,
     "q90_sample_exact_k"  -> sampleExactK,
-    "q91_repetition_filter" -> repetitionFilter
+    "q91_repetition_filter" -> repetitionFilter,
+    "q92_simhash_pairs"   -> simHashPairs
   )
 }

@@ -74,6 +74,23 @@ class LlmSpec extends AnyFunSuite with Matchers {
     info(f"ivf recall@5 vs brute force: mean ${recalls.sum / recalls.size}%.2f over ${recalls.size} queries")
   }
 
+  test("SimHash banded pairs find EXACTLY the Hamming<=3 pairs (pigeonhole recall = 1)") {
+    val sigs = graft.SparkEntry.queries("q49_simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // brute force over all signature pairs
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 3
+      a = math.min(sigs(i)._1, sigs(j)._1); b = math.max(sigs(i)._1, sigs(j)._1)
+    } yield (a, b, h.toLong)).toSet
+    val got = graft.SparkEntry.queries("q92_simhash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // banding is EXACT for radius 3 with 4×16-bit bands (pigeonhole):
+    // set equality, not a recall bound
+    got shouldBe expected
+    info(s"hamming<=3 pairs: ${got.size} over ${sigs.length} docs")
+  }
+
   test("SimHash signatures are deterministic across runs") {
     val sig1 = graft.SparkEntry.queries("q49_simhash")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
