@@ -301,19 +301,31 @@ object Llm extends QueryModule {
     * force in LlmSpec). Hash-engine-specific signatures → no oracle;
     * rows-only + spec. */
   val simHashPairs: Q = Q.noOracle { (s, d) =>
-    val banded = simHashSignatures(s, d)
+    // bucketed posting lists, NOT a self-join: a self-join would run the
+    // signature aggregation once per side (exchange reuse does not
+    // bridge the alias boundary here — measured 2×); grouping each
+    // (band, key) bucket and generating i<j pairs in place costs ONE
+    // signature pass + one shuffle. Bucket population is bounded by the
+    // 4×65536 key space (at 100 TB a bucket-size cap — same df-cap move
+    // as q47 — would bound the worst bucket, at the price of the
+    // exactness the spec asserts here).
+    simHashSignatures(s, d)
       .select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> " +
           "struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct() // a close pair can agree on several bands
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc_id"), col("simhash"))
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+          "x.simhash ^ y.simhash AS hx))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        expr("bit_count(p.hx)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct() // a close pair can agree on several bands
       .orderBy("doc_a", "doc_b")
   }
 
