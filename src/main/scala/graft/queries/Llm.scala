@@ -826,6 +826,118 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- decontamination / PII
+
+  /** Benchmark slice for q93: every 97th doc stands in for a held-out
+    * eval set (~1% of the corpus, the realistic benchmark:corpus ratio). */
+  private val evalMod = 97
+
+  /** Decontamination: drop every training doc that shares ANY word
+    * 5-shingle with the held-out benchmark slice — the standard
+    * "n-gram overlap with eval" filter run before LLM training.
+    *
+    * Scale shape: the benchmark side is tiny by construction (benchmarks
+    * are thousands of docs, the corpus is billions), so its distinct
+    * shingle set BROADCASTS; the corpus side is one linear scan joined
+    * map-side against that set (no shuffle of corpus shingles), and the
+    * contaminated-id set — bounded by the corpus hit rate — broadcasts
+    * back into an anti-join against the full table. Shingles travel as
+    * xxhash64 of the 5-word slice (8 bytes, no string materialization);
+    * the string-shingled oracle doubles as the collision check. Docs
+    * with NULL text or <5 words produce no shingles and survive — same
+    * on both sides. */
+  val decontaminate: Q = Q(
+    s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |            WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles(5)}) AS s
+       |       FROM ws WHERE len(w) >= 5),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % $evalMod = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM sh
+       |        WHERE doc_id % $evalMod <> 0 AND s IN (SELECT s FROM ev))
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id % $evalMod <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh0 = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(hashedShinglesOf(5, col("wds")))).as("s"))
+    val ev = sh0.filter(col("doc_id") % evalMod === 0).select("s").distinct()
+    val bad = sh0.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(ev), "s")
+      .select("doc_id").distinct()
+    documents(s, d)
+      .filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Java-regex ∩ RE2 patterns (see [[piiRedact]]): character classes and
+    * bounded repetition only — no backrefs, no lookaround. */
+  private[graft] val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val phoneRe = """\d{3}-555-\d{4}"""
+  private[graft] val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  /** Redaction chain shared by [[piiRedact]] and its spec. Email first:
+    * its match can span characters the later patterns would otherwise
+    * bite into. Idempotent — no placeholder re-matches any pattern. */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** PII scrubbing: redact emails, NANP-style phone numbers and IPv4
+    * addresses to typed placeholders, with per-kind match counts. The
+    * fixture text is synthetic word salad, so deterministic PII derived
+    * from doc_id is appended first — the oracle then verifies the
+    * REDACTED output byte-for-byte (via md5), i.e. the regexes really
+    * matched and really replaced on both engines.
+    *
+    * Regex dialect: patterns restricted to the syntax Java regex and
+    * RE2 (DuckDB) interpret identically — character classes, bounded
+    * repetition; no backrefs or lookaround. DuckDB's regexp_replace
+    * needs the 'g' flag to match Spark's replace-all. Scale shape: pure
+    * per-row map, zero shuffles except the output sort. */
+  val piiRedact: Q = Q(
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or call '
+       |      || CAST((doc_id % 900) + 100 AS VARCHAR) || '-555-'
+       |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+       |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS t
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$ipRe', '<IP>', 'g')) AS red_md5
+       |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call "),
+        ((col("doc_id") % 900) + 100).cast("string"), lit("-555-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 3) % 256).cast("string")).as("t"))
+    aug.select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+        md5(redactPii(col("t"))).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q46_dedup_exact"     -> dedupExact,
     "q47_near_dup_jaccard"-> nearDupJaccard,
@@ -852,6 +964,8 @@ object Llm extends QueryModule {
     "q89_stratified_sample" -> stratifiedSample,
     "q90_sample_exact_k"  -> sampleExactK,
     "q91_repetition_filter" -> repetitionFilter,
-    "q92_simhash_pairs"   -> simHashPairs
+    "q92_simhash_pairs"   -> simHashPairs,
+    "q93_decontaminate"   -> decontaminate,
+    "q94_pii_redact"      -> piiRedact
   )
 }

@@ -210,6 +210,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q93: decontamination joins are broadcast-only — corpus shingles never shuffle into a join") {
+    // the eval shingle set and the contaminated-id set are both small by
+    // construction, so the semi and anti joins must be broadcast hash
+    // joins; a sort-merge join here would shuffle the full corpus
+    // shingle relation (the thing that cannot happen at 100 TB)
+    val p = plan("q93_decontaminate")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // Spark injects a bloom filter built from the filtered dim side into
     // the fact scan of a shuffle join (runtime row-level filtering) —

@@ -124,4 +124,53 @@ class LlmSpec extends AnyFunSuite with Matchers {
       org.apache.spark.sql.functions.least(col("doc_a"), col("doc_b")))).collect()(0).getLong(0)
     keptIds should contain (minPaired)
   }
+
+  test("q93: survivors share NO 5-shingle with the eval slice (independent Scala check)") {
+    // reimplement contamination directly on collected texts — a second,
+    // join-free derivation the query (and its oracle) must agree with
+    def shingles(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val evalSh = docs.filter(_._1 % 97 == 0).flatMap(d => shingles(d._2)).toSet
+    val expectSurvivors = docs.filter(_._1 % 97 != 0)
+      .filter(d => shingles(d._2).intersect(evalSh).isEmpty)
+      .map(_._1).toSet
+    val got = graft.SparkEntry.queries("q93_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got shouldBe expectSurvivors
+    // the eval slice itself is never part of the cleaned corpus
+    got.exists(_ % 97 == 0) shouldBe false
+  }
+
+  test("PII redaction: crafted strings redact exactly, leave no residual match, and are idempotent") {
+    import org.apache.spark.sql.functions.{col, lit, regexp_count}
+    import spark.implicits._
+    val cases = Seq(
+      ("mail a.b+c%x@sub.ex-y.co and d@e.org now", "mail <EMAIL> and <EMAIL> now"),
+      ("call 415-555-0199 or 800-555-0100.", "call <PHONE> or <PHONE>."),
+      ("host 192.168.0.1, gateway 10.0.0.254.", "host <IP>, gateway <IP>."),
+      ("all three: u_1@a.io 212-555-9999 127.0.0.1", "all three: <EMAIL> <PHONE> <IP>"),
+      ("no pii here, just words and 1234 numbers", "no pii here, just words and 1234 numbers"),
+      ("almost: user@localhost 123-444-5678 1.2.3", "almost: user@localhost 123-444-5678 1.2.3"))
+    val df = cases.toDF("raw", "expected")
+      .withColumn("red", Llm.redactPii(col("raw")))
+    df.collect().foreach { r =>
+      r.getString(2) shouldBe r.getString(1)
+    }
+    // idempotence + zero residual matches on the redacted output
+    val chk = df.select(
+      Llm.redactPii(col("red")).as("red2"), col("red"),
+      (regexp_count(col("red"), lit(Llm.emailRe)) +
+        regexp_count(col("red"), lit(Llm.phoneRe)) +
+        regexp_count(col("red"), lit(Llm.ipRe))).as("residual")).collect()
+    chk.foreach { r =>
+      r.getString(0) shouldBe r.getString(1)
+      r.getInt(2) shouldBe 0
+    }
+  }
 }
