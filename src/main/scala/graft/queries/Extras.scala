@@ -156,6 +156,52 @@ object Extras extends QueryModule {
       .orderBy("user_id", "day")
   }
 
+  /** Snapshot diff (change-data-capture between two corpus/table
+    * versions): full-outer join two snapshots on the key, classify each
+    * key as added / removed / changed, and emit only the delta — the
+    * incremental-pipeline primitive for "what changed since the last
+    * load". Snapshots are carved deterministically from `orders` (A
+    * drops keys ≡0 mod 11; B drops ≡0 mod 13 and uplifts prices of keys
+    * ≡0 mod 7 by 5%), so both engines derive identical versions.
+    *
+    * Determinism: prices pass through UNROUNDED — x and x*1.05 are single
+    * IEEE double ops, bit-identical across engines, so emitting the raw
+    * values is SAFER than rounding (no tie-break semantics in play).
+    * Scale shape: one shuffle per side on the join key; the delta is the
+    * only output (unchanged rows — the overwhelming majority at 100 TB —
+    * never leave the join). */
+  val snapshotDiff: Q = Q(
+    """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0),
+      |b AS (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+      |             ELSE o_totalprice END AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 13 <> 0)
+      |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |       WHEN b.o_orderkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change,
+      |  a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val a = orders(s, d).filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("old_price"))
+    val b = orders(s, d).filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("b_key"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.05)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    a.join(b, col("a_key") === col("b_key"), "full")
+      .filter(col("a_key").isNull || col("b_key").isNull ||
+        !(col("old_price") <=> col("new_price")))
+      .select(coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        when(col("a_key").isNull, "added")
+          .when(col("b_key").isNull, "removed")
+          .otherwise("changed").as("change"),
+        col("old_price"), col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q73_join_full_outer"  -> fullOuter,
     "q74_join_right_outer" -> rightOuter,
@@ -163,6 +209,7 @@ object Extras extends QueryModule {
     "q76_sql_api"          -> sqlApi,
     "q77_grouping_sets"    -> groupingSets,
     "q84_resample"         -> resample,
-    "q85_forward_fill"     -> forwardFill
+    "q85_forward_fill"     -> forwardFill,
+    "q98_snapshot_diff"    -> snapshotDiff
   )
 }

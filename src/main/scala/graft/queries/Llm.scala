@@ -430,6 +430,71 @@ object Llm extends QueryModule {
       .orderBy("query_id", "rn")
   }
 
+  /** Sign-LSH machinery for [[lshAnn]]: 4 random hyperplanes with
+    * deterministic Rademacher (±1) components — r(b,i) = −1 iff
+    * ((i+3)·(7b+5)) mod 11 < 5, a fixed pattern both engines compute with
+    * integer arithmetic (multipliers 5,12,19,26 are distinct and coprime
+    * with 11, so the four sign patterns are decorrelated and ~balanced).
+    * A vector's bucket is the 4-bit sign signature of its four hyperplane
+    * dot products; the dot product is the same left-to-right float→double
+    * fold as the cosine queries, so the signs are bit-identical across
+    * engines. */
+  private def lshDot(embCol: String, b: Int): Column = expr(
+    s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, i) -> acc + " +
+      s"cast(element_at($embCol, i+1) as double) * " +
+      s"if(((i+3)*${7 * b + 5}) % 11 < 5, cast(-1.0 as double), cast(1.0 as double)))")
+  private def lshBucket(embCol: String): Column =
+    (0 until 4).map(b => when(lshDot(embCol, b) >= 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+  private def sqlLshDot(b: Int): String =
+    s"list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * " +
+      s"(CASE WHEN ((i+3)*${7 * b + 5}) % 11 < 5 THEN -1.0 ELSE 1.0 END)))"
+  private val sqlLshBucket: String =
+    (0 until 4).map(b => s"(CASE WHEN ${sqlLshDot(b)} >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** LSH-bucketed ANN — the hash-based scale path next to L5's IVF cell
+    * pruning: bucket every vector by its 4-bit hyperplane sign signature
+    * (one linear pass), then run exact cosine top-k only within the
+    * query's bucket. The candidate set per query is corpus/2^bits in
+    * expectation regardless of any label structure — this is what prunes
+    * when no coarse-quantization key exists. At scale: more bits shrink
+    * buckets geometrically, recall comes back via multi-probe (flip one
+    * bit) or signature OR-banding, and the bucket id doubles as the
+    * partition key so a probe touches one partition. Exactly
+    * oracle-checkable because the hyperplanes are deterministic (no RNG;
+    * see [[lshDot]]). */
+  val lshAnn: Q = Q(
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $sqlLshBucket AS bucket FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    q.bucket AS bucket, ROUND(${sqlCosOf("q", "e")}, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosOf("q", "e")} DESC, e.vec_id ASC) AS rn
+       |  FROM sig q JOIN sig e
+       |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val sig = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshBucket("embedding").as("bucket"))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("qb"))
+    val e = sig.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ee"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
+    e.join(broadcast(q), col("bucket") === col("qb") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qb").as("bucket"),
+        expr("cosine_sim(qe, ee)").as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        round(col("cos_raw"), 6).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   // ------------------------------------------------------------- L6 / L7
 
   /** L6: token frequencies — top-10 tokens per lang (count desc, token
@@ -938,6 +1003,126 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Nearest-centroid assignment — the clustering step of semantic data
+    * curation (one k-means iteration with the coarse `label` partitions
+    * as seed clusters): compute each label's centroid, assign every
+    * vector to its nearest centroid by L2, and emit the label × assigned
+    * confusion counts.
+    *
+    * Cross-engine exactness: embedding components are scaled to integer
+    * micro-units first — `round(float·1e6)` is EXACT (a float32 mantissa
+    * × 1e6 fits a double with no rounding, and no float32 can sit on a
+    * .5 boundary of that product since 2·10⁶ has non-dyadic factors), so
+    * centroid sums are integer math with no float accumulation-order
+    * dependence, and the remaining double ops (num/n, the 64-term
+    * distance fold) are the same left-to-right IEEE sequence on both
+    * engines. Scale shape: centroids are k×64 — broadcast; assignment is
+    * one linear scan folding k distances per row inside codegen; the
+    * only shuffles are the centroid aggregate and the final confusion
+    * groupBy. */
+  val centroidAssign: Q = Q(
+    """WITH ed AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS e
+      |  FROM embeddings, range(64) t(i)),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY i) AS cvec FROM (
+      |    SELECT label, i, CAST(SUM(e) AS DOUBLE) / COUNT(*) AS c
+      |    FROM ed GROUP BY label, i)
+      |  GROUP BY label),
+      |asg AS (
+      |  SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+      |    list_sum(list_transform(range(64), i ->
+      |      (ROUND(CAST(v.embedding[i+1] AS DOUBLE) * 1000000, 0) - c.cvec[i+1])
+      |      * (ROUND(CAST(v.embedding[i+1] AS DOUBLE) * 1000000, 0) - c.cvec[i+1]))) AS dist
+      |  FROM embeddings v CROSS JOIN cent c),
+      |best AS (
+      |  SELECT true_label, cand,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+      |  FROM asg)
+      |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+      |FROM best WHERE rn = 1
+      |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    val ed = embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .select(col("label"), col("i"),
+        round(col("e").cast("double") * 1000000d, 0).cast("long").as("e"))
+    val cent = ed.groupBy("label", "i")
+      .agg((sum("e").cast("double") / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cvec"))
+    // micro-scale ONCE per row, before the ×k candidate fan-out (the
+    // projection sits below the join, so the transform is never
+    // re-evaluated per candidate); the distance is then one in-order
+    // fold over the zipped arrays — same IEEE sequence as the oracle
+    val distFold = expr(
+      "aggregate(zip_with(me, cvec, (e, c) -> (e - c) * (e - c)), " +
+        "cast(0.0 as double), (acc, x) -> acc + x)")
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cand"))
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> round(cast(x as double) * 1000000.0, 0))").as("me"))
+      .crossJoin(broadcast(cent.select(col("label").as("cand"), col("cvec"))))
+      .select(col("vec_id"), col("label").as("true_label"), col("cand"),
+        distFold.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_label").as("label"), col("cand").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** Text normalization — the cleaning pass upstream of every dedup /
+    * quality operator: case-fold, strip zero-width characters, collapse
+    * whitespace runs (space/tab/CR/LF) to single spaces, trim. The
+    * fixture text is already clean, so a deterministic messy wrapper
+    * (leading spaces, tabs, CRLF, mixed case, a U+200B zero-width space)
+    * is added first; the oracle verifies the NORMALIZED output
+    * byte-for-byte via md5, i.e. the normalization really ran the same
+    * way on both engines.
+    *
+    * Dialect notes: the zero-width space enters as a Scala literal on
+    * the Spark side but `chr(8203)` in DuckDB (Spark's `chr` is
+    * ASCII-mod-256, not a codepoint constructor); patterns use
+    * `\\x{200B}` — the one Unicode-escape spelling Java regex and RE2
+    * share. Scale shape: pure per-row map, zero shuffles except the
+    * output sort. */
+  /** Normalization chain shared by [[normalizeText]] and its spec:
+    * case-fold → strip U+200B → collapse whitespace runs → trim.
+    * Idempotent: the output contains only single spaces and no
+    * zero-width characters. */
+  private[graft] def normalizeCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c),
+      "\\x{200B}", ""), "[ \\t\\r\\n]+", " "))
+
+  val normalizeText: Q = Q(
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    concat('  ', text, chr(9), 'MiXeD  CaSe', chr(13), chr(10),
+       |           ' trailing ', chr(8203), 'end  ') AS t
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '[ \\t\\r\\n]{2,}')) AS BIGINT) AS n_ws_runs,
+       |  CAST(len(t) AS INT) AS n_chars_raw,
+       |  CAST(len(trim(regexp_replace(regexp_replace(lower(t),
+       |    '\\x{200B}', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g'))) AS INT) AS n_chars_norm,
+       |  md5(trim(regexp_replace(regexp_replace(lower(t),
+       |    '\\x{200B}', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g'))) AS norm_md5
+       |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("  "), col("text"),
+          lit("\tMiXeD  CaSe\r\n trailing \u200Bend  ")).as("t"))
+    val norm = normalizeCol(col("t"))
+    aug.select(col("doc_id"),
+        regexp_count(col("t"), lit("[ \\t\\r\\n]{2,}")).cast("long").as("n_ws_runs"),
+        length(col("t")).as("n_chars_raw"),
+        length(norm).as("n_chars_norm"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q46_dedup_exact"     -> dedupExact,
     "q47_near_dup_jaccard"-> nearDupJaccard,
@@ -966,6 +1151,9 @@ object Llm extends QueryModule {
     "q91_repetition_filter" -> repetitionFilter,
     "q92_simhash_pairs"   -> simHashPairs,
     "q93_decontaminate"   -> decontaminate,
-    "q94_pii_redact"      -> piiRedact
+    "q94_pii_redact"      -> piiRedact,
+    "q95_lsh_ann"         -> lshAnn,
+    "q96_normalize_text"  -> normalizeText,
+    "q99_centroid_assign" -> centroidAssign
   )
 }

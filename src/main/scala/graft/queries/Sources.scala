@@ -135,12 +135,38 @@ object Sources extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** S7c: the curated-corpus PUBLISH layout — documents written as
+    * lang-partitioned parquet (`partitionBy("lang")`, sorted by doc_id
+    * within partitions), then consumed with a lang predicate. This is the
+    * at-scale handoff shape: a 100 TB corpus published this way lets every
+    * downstream per-language job read ONLY its partition directories
+    * (static partition pruning — PlanSpec asserts the pruned read on this
+    * exact layout) and arrive pre-sorted for merge-friendly access. The
+    * oracle compares the pruned read-back against DuckDB filtering the
+    * original table. */
+  val publishCorpus: Q = Q(
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE lang IN ('de', 'en') ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = tmpDir("corpus_by_lang", d)
+    stageOnce(dir) {
+      documents(s, d)
+        .repartition(col("lang"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .filter(col("lang").isin("de", "en"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q68_xlsx_region"   -> xlsxRegion,
     "q69_xlsx_nation"   -> xlsxNation,
     "q70_csv_roundtrip" -> csvRoundtrip,
     "q71_json_roundtrip"-> jsonRoundtrip,
     "q72_jdbc_etl"      -> jdbcEtl,
-    "q87_xlsx_sink"     -> xlsxSinkRoundtrip
+    "q87_xlsx_sink"     -> xlsxSinkRoundtrip,
+    "q97_publish_corpus"-> publishCorpus
   )
 }

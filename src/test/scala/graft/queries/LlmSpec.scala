@@ -173,4 +173,96 @@ class LlmSpec extends AnyFunSuite with Matchers {
       r.getInt(2) shouldBe 0
     }
   }
+
+  test("q95: LSH buckets partition the corpus and within-bucket top-k is measured vs brute force") {
+    val ann = graft.SparkEntry.queries("q95_lsh_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    // per query: at most 5 neighbors, cos non-increasing in rank, one bucket
+    ann.groupBy(_._1).foreach { case (_, rows) =>
+      rows.length should be <= 5
+      val byRank = rows.sortBy(_._5)
+      byRank.map(_._4).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _           =>
+      }
+      rows.map(_._3).distinct.length shouldBe 1
+    }
+    // the hash actually splits the space: >1 distinct bucket over the queries
+    ann.map(_._3).distinct.length should be > 1
+    // recall@5 vs the exact brute-force top-5 (informational: 4 random
+    // hyperplanes keep ~1/16 of the corpus as candidates)
+    val exact = graft.SparkEntry.queries("q50_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ann.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"lsh-ann recall@5 vs brute force: $recall over ${exact.size} pairs")
+    recall should be > 0.0 // buckets preserve SOME true neighbors on this corpus
+  }
+
+  test("normalization: crafted strings normalize exactly and idempotently") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases = Seq(
+      ("  Hello\t\tWORLD  ", "hello world"),
+      ("a\r\nb\rc\nd", "a b c d"),
+      ("zero\u200Bwidth \u200B gone", "zerowidth gone"),
+      ("already clean", "already clean"),
+      ("", ""),
+      ("   ", ""),
+      ("MiXeD CaSe\u200B", "mixed case"))
+    val df = cases.toDF("raw", "expected")
+      .withColumn("norm", Llm.normalizeCol(col("raw")))
+      .withColumn("norm2", Llm.normalizeCol(col("norm")))
+    df.collect().foreach { r =>
+      r.getAs[String]("norm") shouldBe r.getAs[String]("expected")
+      r.getAs[String]("norm2") shouldBe r.getAs[String]("norm") // idempotent
+    }
+  }
+
+  test("q98: snapshot diff agrees with an independent Scala derivation") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val a = orders.filter(_._1 % 11 != 0).toMap
+    val b = orders.filter(_._1 % 13 != 0)
+      .map { case (k, v) => k -> (if (k % 7 == 0) v * 1.05 else v) }.toMap
+    val expected = (a.keySet ++ b.keySet).flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(_))              => Some(k -> "added")
+        case (Some(_), None)              => Some(k -> "removed")
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case _                            => None
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("q98_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe expected
+  }
+
+  test("q99: centroid assignment agrees with an independent Scala derivation") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    // same micro-int scheme as the query: e -> round(e * 1e6) exactly
+    def micro(e: Float): Double = math.rint(e.toDouble * 1000000.0)
+    val byLabel = rows.groupBy(_._3)
+    val centroids = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(64) { i =>
+        vs.map(v => micro(v._2(i)).toLong).sum.toDouble / vs.length
+      }
+    }
+    val expected = rows.map { case (_, emb, label) =>
+      val best = centroids.toSeq.map { case (cand, c) =>
+        val dist = (0 until 64).foldLeft(0.0) { (acc, i) =>
+          val d = micro(emb(i)) - c(i); acc + d * d
+        }
+        (dist, cand)
+      }.minBy(identity)
+      (label, best._2)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.SparkEntry.queries("q99_centroid_assign")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+    got.values.sum shouldBe rows.length // every vector assigned exactly once
+  }
 }
