@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.l2Micro)
   }
 }
 
@@ -27,4 +28,10 @@ object GraftExtensions {
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1)))
+
+  /** (identifier, info, builder) triple for `l2_micro`. */
+  val l2Micro: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2_micro"),
+    new ExpressionInfo(classOf[functions.L2Micro].getName, "l2_micro"),
+    (exprs: Seq[Expression]) => functions.L2Micro(exprs(0), exprs(1)))
 }

@@ -1051,20 +1051,16 @@ object Llm extends QueryModule {
       .agg((sum("e").cast("double") / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cvec"))
-    // micro-scale ONCE per row, before the ×k candidate fan-out (the
-    // projection sits below the join, so the transform is never
-    // re-evaluated per candidate); the distance is then one in-order
-    // fold over the zipped arrays — same IEEE sequence as the oracle
-    val distFold = expr(
-      "aggregate(zip_with(me, cvec, (e, c) -> (e - c) * (e - c)), " +
-        "cast(0.0 as double), (acc, x) -> acc + x)")
+    // the k-distance fan-out runs inside whole-stage codegen via the
+    // fused l2_micro expression (micro-scaling + in-order (e−c)² fold in
+    // one pass — the HOF composite it replaces is interpreted and
+    // bit-identical; see L2MicroSpec)
+    graft.functions.L2Micro.register(s)
     val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cand"))
     embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> round(cast(x as double) * 1000000.0, 0))").as("me"))
       .crossJoin(broadcast(cent.select(col("label").as("cand"), col("cvec"))))
       .select(col("vec_id"), col("label").as("true_label"), col("cand"),
-        distFold.as("dist"))
+        expr("l2_micro(embedding, cvec)").as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("true_label").as("label"), col("cand").as("assigned"))

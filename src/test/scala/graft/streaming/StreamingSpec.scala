@@ -13,6 +13,8 @@ import org.scalatest.matchers.should.Matchers
   * update incrementally, watermarks drop late rows in append mode,
   * stateful dedup holds keys across batches, stream⋈static enriches. */
 case class Ev(ts: Timestamp, user: Long, value: Double)
+case class Imp(its: Timestamp, iuser: Long, ad: String)
+case class Clk(cts: Timestamp, cuser: Long)
 
 class StreamingSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
@@ -100,6 +102,48 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       val rows = spark.sql("SELECT user, tier FROM st6").collect()
       rows.length shouldBe 1 // user 3 has no static row → inner join drops it
       rows(0).getString(1) shouldBe "gold"
+    } finally q.stop()
+  }
+
+  test("ST7: stream-stream interval join matches across micro-batches; outer side emits on watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    // attribution join: click within 10 minutes after the impression.
+    // Both sides watermarked + a two-sided time-range condition — the
+    // combination Spark needs to bound join state and to know when an
+    // unmatched LEFT row can be emitted null-extended.
+    val joined = imps.toDF().withWatermark("its", "0 seconds")
+      .join(clks.toDF().withWatermark("cts", "0 seconds"),
+        expr("iuser = cuser AND cts >= its AND cts <= its + INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .select($"iuser", $"ad", $"its", $"cts")
+    val q = joined.writeStream.format("memory").queryName("st7")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // impression arrives in batch 1, its click only in batch 2 →
+      // the match can only come from buffered join STATE
+      imps.addData(Imp(ts("2024-01-01 00:00:00"), 1, "adA"),
+        Imp(ts("2024-01-01 00:00:00"), 2, "adB"))
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM st7").count() shouldBe 0 // nothing matched or expired yet
+      clks.addData(Clk(ts("2024-01-01 00:05:00"), 1))
+      q.processAllAvailable()
+      val matched = spark.sql("SELECT iuser, ad, cts FROM st7 WHERE cts IS NOT NULL").collect()
+      matched.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((1L, "adA"))
+      // user 2 never clicks; advance BOTH watermarks past its join window
+      // → the unmatched impression is emitted exactly once, null-extended
+      imps.addData(Imp(ts("2024-01-01 01:00:00"), 9, "adZ"))
+      clks.addData(Clk(ts("2024-01-01 01:00:00"), 8))
+      q.processAllAvailable()
+      // one more batch so the new watermark takes effect on state eviction
+      imps.addData(Imp(ts("2024-01-01 01:00:01"), 9, "adZ2"))
+      clks.addData(Clk(ts("2024-01-01 01:00:01"), 8))
+      q.processAllAvailable()
+      val outer = spark.sql("SELECT iuser, ad FROM st7 WHERE cts IS NULL").collect()
+      outer.map(r => (r.getLong(0), r.getString(1))) should contain ((2L, "adB"))
+      // and the matched row was not duplicated by the outer pass
+      spark.sql("SELECT count(*) FROM st7 WHERE iuser = 1").collect()(0).getLong(0) shouldBe 1
     } finally q.stop()
   }
 
