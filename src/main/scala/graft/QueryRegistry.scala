@@ -15,7 +15,9 @@ object QueryRegistry {
     Llm,
     StreamingBatch,
     Sources,
-    Extras
+    Extras,
+    Analytics,
+    TextScoring
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

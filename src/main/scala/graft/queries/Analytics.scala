@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Warehouse-analytics operators beyond the core relational set: funnel
+  * analysis, Markov transitions, SCD2 interval construction, fixed-width
+  * histograms, unpivot/melt, a data-quality audit, and blocked fuzzy
+  * (edit-distance) record linkage.
+  *
+  * Scale notes per query are inline; the common theme is that every
+  * pairwise or per-entity computation is keyed by a bounded blocking key
+  * (user_id, (brand, size) block, bin id) so the shuffle is an equi-key
+  * exchange, never an unpartitioned product.
+  */
+object Analytics extends QueryModule {
+
+  /** Blocked fuzzy join (record linkage): candidate pairs come from an
+    * equi-join on the (p_brand, p_size) blocking key, then the
+    * edit-distance predicate filters within blocks. The quadratic term is
+    * bounded by the largest block (≤7 parts on the fixture; blocking keys
+    * at 100 TB are chosen exactly so this stays O(block²·n_blocks), never
+    * O(n²)). levenshtein() is codegen'd in Spark and built in to DuckDB
+    * with identical unit-cost semantics. */
+  val fuzzyJoin: Q = Q(
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 5
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val a = part(s, d).select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("p_brand"), col("p_size"))
+    val b = part(s, d).select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("p_brand").as("brand_b"), col("p_size").as("size_b"))
+    a.join(b, col("p_brand") === col("brand_b") && col("p_size") === col("size_b") &&
+        col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 5)
+      .select("key_a", "key_b", "name_a", "name_b", "dist")
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Unpivot/melt: wide numeric measures to (key, measure, value) long
+    * form — the standard reshape before per-measure profiling. Narrow
+    * per-row map, no shuffle until the final order. */
+  val unpivot: Q = Q(
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+      |WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity").as("quantity"), col("l_discount").as("discount"),
+          col("l_tax").as("tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
+  /** Fixed-width histogram: bin id is pure per-row arithmetic, then one
+    * partial+final aggregate over ≤10 keys — the cheapest possible
+    * distribution profile at any scale (single scan, map-side combine,
+    * 10-row exchange). */
+  val histogram: Q = Q(
+    s"""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INT) AS bin,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("bin")
+  }
+
+  /** Data-quality audit: one scan, one aggregate row, unpivoted to
+    * (metric, value) — row count, key uniqueness, null counts, domain
+    * cardinality, out-of-range counts. The entire audit is a single
+    * map-side-combined pass regardless of table size. */
+  val qualityAudit: Q = Q(
+    """WITH a AS (SELECT
+      |    COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT o_orderkey) AS n_distinct_key,
+      |    COUNT(*) - COUNT(o_custkey) AS n_null_custkey,
+      |    COUNT(DISTINCT o_orderstatus) AS n_status_values,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_date_low
+      |  FROM orders)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_rows' AS metric, n_rows AS value FROM a
+      |  UNION ALL SELECT 'n_dup_key', n_rows - n_distinct_key FROM a
+      |  UNION ALL SELECT 'n_null_custkey', n_null_custkey FROM a
+      |  UNION ALL SELECT 'n_status_values', n_status_values FROM a
+      |  UNION ALL SELECT 'n_nonpos_price', n_nonpos_price FROM a
+      |  UNION ALL SELECT 'n_date_low', n_date_low FROM a)
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    val a = orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("n_distinct_key"),
+      (count(lit(1)) - count(col("o_custkey"))).as("n_null_custkey"),
+      countDistinct(col("o_orderstatus")).as("n_status_values"),
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("n_nonpos_price"),
+      sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), 1).otherwise(0))
+        .as("n_date_low"))
+    a.select(expr(
+      """stack(6,
+        |  'n_rows', n_rows,
+        |  'n_dup_key', n_rows - n_distinct_key,
+        |  'n_null_custkey', n_null_custkey,
+        |  'n_status_values', n_status_values,
+        |  'n_nonpos_price', n_nonpos_price,
+        |  'n_date_low', n_date_low) AS (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
+
+  /** Funnel analysis (view → click → purchase, strictly ordered in time):
+    * each stage is a per-user MIN over the previous stage's anchor — one
+    * groupBy plus one equi-join per stage, all keyed by user_id, so every
+    * exchange is the same bounded-key hash partition (and reusable).
+    * Never a window over the whole event stream. */
+  val funnel: Q = Q(
+    """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, step, users FROM (
+      |  SELECT 1 AS stage, 'view' AS step, COUNT(*) AS users FROM v
+      |  UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") && col("e.ts") > col("t1"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("t2"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+    val one = (df: org.apache.spark.sql.DataFrame, stage: Int, step: String) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(stage).as("stage"), lit(step).as("step"), col("users"))
+    one(v, 1, "view").unionAll(one(c, 2, "click")).unionAll(one(p, 3, "purchase"))
+      .orderBy("stage")
+  }
+
+  /** Markov transition counts: (event_type → next event_type) per user
+    * timeline. One window keyed by user_id (bounded partitions), then a
+    * 25-key aggregate — the standard clickstream transition matrix. */
+  val transitions: Q = Q(
+    """SELECT cur, nxt, COUNT(*) AS n FROM (
+      |  SELECT event_type AS cur,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events)
+      |WHERE nxt IS NOT NULL
+      |GROUP BY cur, nxt ORDER BY cur, nxt""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("event_type").as("cur"), lead("event_type", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      .orderBy("cur", "nxt")
+  }
+
+  /** SCD2 interval construction: per-user purchase `value` history
+    * compressed to change rows with [valid_from, valid_to) validity —
+    * lag to detect changes, lead to close intervals. Both windows share
+    * one user_id partition; the open interval (valid_to NULL) is the
+    * current row, exactly the warehouse SCD2 load shape. */
+  val scd2Intervals: Q = Q(
+    """WITH h AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE event_type = 'purchase' AND user_id < 20)
+      |SELECT user_id, event_id, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  value
+      |FROM h WHERE prev IS NULL OR prev <> value
+      |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val h = events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id") < 20)
+      .withColumn("prev", lag("value", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("value"))
+    h.select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        lead("ts", 1).over(w).as("valid_to"), col("value"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  override val queries: Seq[(String, Q)] = Seq(
+    "q101_fuzzy_join"     -> fuzzyJoin,
+    "q102_unpivot"        -> unpivot,
+    "q103_histogram"      -> histogram,
+    "q104_quality_audit"  -> qualityAudit,
+    "q106_funnel"         -> funnel,
+    "q107_transitions"    -> transitions,
+    "q108_scd2_intervals" -> scd2Intervals
+  )
+}

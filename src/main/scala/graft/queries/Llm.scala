@@ -346,7 +346,7 @@ object Llm extends QueryModule {
     graft.functions.CosineSimilarity.register(s)
     expr("cosine_sim(qe, ee)")
   }
-  private def sqlCosOf(l: String, r: String): String =
+  private[queries] def sqlCosOf(l: String, r: String): String =
     s"""list_sum(list_transform(range(64), i -> CAST($l.embedding[i+1] AS DOUBLE) * CAST($r.embedding[i+1] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(64), i -> CAST($l.embedding[i+1] AS DOUBLE) * CAST($l.embedding[i+1] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(range(64), i -> CAST($r.embedding[i+1] AS DOUBLE) * CAST($r.embedding[i+1] AS DOUBLE)))))""".stripMargin.replace("\n", "")

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text scoring for training-data curation: BM25 relevance,
+  * unigram language-model cross-entropy (the classic perplexity-ish
+  * quality filter), per-language token entropy, and similarity-graph
+  * degree profiling.
+  *
+  * Determinism: every double expression is written with IDENTICAL
+  * operator shape on the Spark and DuckDB sides (same associativity,
+  * same casts), per-term values are ROUNDed before any SUM, and sums
+  * accumulate in DECIMAL so the result is independent of partition
+  * merge order (Dsl rules R1/R2).
+  */
+object TextScoring extends QueryModule {
+
+  private def words: Column = split(lower(col("text")), " ")
+  private val sqlWords = "string_split(lower(text), ' ')"
+
+  /** One explode + (doc, tok) aggregate — the shared shuffle every score
+    * below derives from (ReuseExchange collapses repeated use). */
+  private def tokCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  private val sqlTok =
+    s"tok AS (SELECT doc_id, unnest($sqlWords) AS tok FROM documents)"
+  private val sqlTf =
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok)"
+
+  /** BM25 (k1=1.2, b=0.75) of every document against the 5 highest-df
+    * corpus terms, top-20 docs. Scale shape: the heavy exchange is the
+    * single (doc,tok) aggregate; df and the 5-term query set are
+    * broadcast; doc length joins on doc_id (same key as tf — co-moves in
+    * one exchange); the corpus stats are a 1-row broadcast. Per-term
+    * scores are ROUND 6 then DECIMAL-summed per doc (order-independent),
+    * so the top-20 is bit-stable across partitionings. */
+  val bm25: Q = Q(
+    s"""WITH $sqlTok,
+       |$sqlTf,
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |qt AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 5),
+       |terms AS (SELECT tf.doc_id, ROUND(
+       |    ln((CAST(stats.n_docs AS DOUBLE) - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS term
+       |  FROM tf JOIN qt ON tf.tok = qt.tok
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+       |SELECT doc_id, CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |FROM terms GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val tf = tokCounts(s, d)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qt = df.orderBy(desc("df"), asc("tok")).limit(5)
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val term = idf * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(qt), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(term, 6).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+  }
+
+  /** Unigram LM cross-entropy per document — the standard cheap quality
+    * filter (a doc of globally-rare tokens scores high). The corpus
+    * unigram table is broadcast (vocabulary-bounded); the only
+    * data-volume exchange is the shared token explode. Per-token log-probs
+    * are ROUND 6 then DECIMAL-averaged per doc. */
+  val unigramLm: Q = Q(
+    s"""WITH $sqlTok,
+       |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT COUNT(*) AS t FROM tok),
+       |terms AS (SELECT tok.doc_id,
+       |    ROUND(ln(CAST(cnt.c AS DOUBLE) / tot.t), 6) AS lp
+       |  FROM tok JOIN cnt ON tok.tok = cnt.tok CROSS JOIN tot
+       |  WHERE tok.doc_id < 50)
+       |SELECT doc_id, COUNT(*) AS n_tok,
+       |  ROUND((-CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)) / COUNT(*), 6)
+       |    AS cross_entropy
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+    val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    tok.filter(col("doc_id") < 50)
+      .join(broadcast(cnt), "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), round(log(col("c").cast("double") / col("t")), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round((-sum(col("lp").cast("decimal(18,6)")).cast("double")) / count(lit(1)), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language token entropy H = -Σ p·ln p — corpus diversity profile
+    * (a near-constant-token corpus shows up as low entropy). Two
+    * aggregates over the shared (lang, tok) exchange; the per-term p·ln p
+    * is ROUND 9 then DECIMAL-summed, emitted ROUND 6. */
+  val langEntropy: Q = Q(
+    s"""WITH tok AS (SELECT lang, unnest($sqlWords) AS tok FROM documents),
+       |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+       |tot AS (SELECT lang, COUNT(*) AS t FROM tok GROUP BY lang),
+       |terms AS (SELECT cnt.lang,
+       |    ROUND((CAST(cnt.c AS DOUBLE) / tot.t)
+       |          * ln(CAST(cnt.c AS DOUBLE) / tot.t), 9) AS plp
+       |  FROM cnt JOIN tot ON cnt.lang = tot.lang)
+       |SELECT lang,
+       |  ROUND(CAST(-SUM(CAST(plp AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+       |FROM terms GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).select(col("lang"), explode(words).as("tok"))
+    val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy("lang").agg(count(lit(1)).as("t"))
+    val p = col("c").cast("double") / col("t")
+    cnt.join(broadcast(tot), "lang")
+      .select(col("lang"), round(p * log(p), 9).as("plp"))
+      .groupBy("lang")
+      .agg(round((-sum(col("plp").cast("decimal(28,9)"))).cast("double"), 6).as("entropy"))
+      .orderBy("lang")
+  }
+
+  /** Degree histogram of the embedding near-dup similarity graph
+    * (q80's pair semantics): per-node degree, then nodes per degree.
+    * Pair space is label-blocked exactly like q80 — per-cell all-pairs,
+    * never corpus² — and the two downstream aggregates are tiny. */
+  val simGraphDegree: Q = Q(
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${Llm.sqlCosOf("a", "b")} >= 0.35),
+       |deg AS (SELECT v, COUNT(*) AS degree FROM (
+       |  SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs) GROUP BY v)
+       |SELECT degree, COUNT(*) AS n_nodes
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val a = embeddings(s, d)
+      .select(col("vec_id").as("va"), col("embedding").as("qe"), col("label"))
+    val b = embeddings(s, d)
+      .select(col("vec_id").as("vb"), col("embedding").as("ee"), col("label").as("label_b"))
+    val pairs = a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+      .filter(expr("cosine_sim(qe, ee)") >= 0.35)
+      .select("va", "vb")
+    pairs.select(col("va").as("v")).unionAll(pairs.select(col("vb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  override val queries: Seq[(String, Q)] = Seq(
+    "q100_bm25"             -> bm25,
+    "q105_unigram_lm"       -> unigramLm,
+    "q109_lang_entropy"     -> langEntropy,
+    "q110_sim_graph_degree" -> simGraphDegree
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantic invariants for the analytics + text-scoring operators
+  * (q100–q110) — properties the DuckDB oracle cannot express (plan shape)
+  * or that must hold structurally regardless of fixture content.
+  */
+class AnalyticsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+  private def run2(dir: String, name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q101 fuzzy join: result equals the brute-force blocked edit-distance pair set") {
+    // brute-force model over all parts (fine at fixture scale) — asserts the
+    // blocked join finds EXACTLY the qualifying pairs, no more, no less
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // sf0.01 so blocks are populated (sf0.001 has ~0.16 parts per block)
+    val sfBig = "/root/testdata/sf0.01"
+    val parts = graft.Tables.part(spark, sfBig).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(4)))
+    val expected = (for {
+      (ka, na, ba, sa) <- parts
+      (kb, nb, bb, sb2) <- parts
+      if ka < kb && ba == bb && sa == sb2 && lev(na, nb) <= 5
+    } yield (ka, kb, lev(na, nb))).toSet
+    expected should not be empty
+    val actual = run2(sfBig, "q101_fuzzy_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    actual shouldBe expected
+  }
+
+  test("q101 plans as an equi-join on the blocking key (no nested-loop product)") {
+    val p = run("q101_fuzzy_join").queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q102 unpivot: 3 long rows per wide row, values round-trip") {
+    val wide = graft.Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") < 100)
+    val long = run("q102_unpivot").collect()
+    long.length shouldBe wide.count() * 3
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture — compare the
+    // full (key, measure, value) MULTISETS, not a keyed map
+    def sorted(xs: Seq[(Long, Int, String, Double)]) = xs.sortBy(t => (t._1, t._2, t._3, t._4))
+    val expected = wide.collect().flatMap(r => Seq(
+      (r.getLong(0), r.getInt(3), "quantity", r.getDouble(4)),
+      (r.getLong(0), r.getInt(3), "discount", r.getDouble(6)),
+      (r.getLong(0), r.getInt(3), "tax", r.getDouble(7)))).toSeq
+    val actual = long.map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    sorted(actual) shouldBe sorted(expected)
+  }
+
+  test("q103 histogram: bin counts and totals partition the table exactly") {
+    val rows = run("q103_histogram").collect()
+    val o = graft.Tables.orders(spark, sf)
+    rows.map(_.getLong(1)).sum shouldBe o.count()
+    val total = rows.map(_.getDouble(2)).sum
+    val direct = o.agg(Dsl.dsum(org.apache.spark.sql.functions.col("o_totalprice")))
+      .collect()(0).getDouble(0)
+    total shouldBe direct +- 1e-6
+    rows.map(_.getInt(0)).toSeq shouldBe rows.map(_.getInt(0)).toSeq.sorted
+  }
+
+  test("q104 quality audit: metrics agree with direct counts on the fixture") {
+    val m = run("q104_quality_audit").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.Tables.orders(spark, sf)
+    m("n_rows") shouldBe o.count()
+    m("n_dup_key") shouldBe 0L       // o_orderkey unique in fixture
+    m("n_null_custkey") shouldBe 0L  // fixture has no nulls
+    m("n_status_values") shouldBe 3L // {F, O, P}
+  }
+
+  test("q106 funnel: stage populations are monotonically non-increasing") {
+    val rows = run("q106_funnel").collect().sortBy(_.getInt(0))
+    rows.map(_.getString(1)).toSeq shouldBe Seq("view", "click", "purchase")
+    val users = rows.map(_.getLong(2))
+    users(0) should be >= users(1)
+    users(1) should be >= users(2)
+    users(0) should be > 0L
+  }
+
+  test("q107 transitions: total transitions = events - users (one chain per user)") {
+    val n = run("q107_transitions").collect().map(_.getLong(2)).sum
+    val ev = graft.Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    n shouldBe ev.count() - users
+  }
+
+  test("q108 SCD2: per-user intervals chain exactly (valid_to = next valid_from, one open)") {
+    val rows = run("q108_scd2_intervals").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      val sorted = hist.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1)))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        a.getTimestamp(3) shouldBe b.getTimestamp(2) // closes at successor's start
+      }
+      sorted.count(_.isNullAt(3)) shouldBe 1 // exactly one current row
+      sorted.last.isNullAt(3) shouldBe true
+      // consecutive versions really differ
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        a.getDouble(4) should not be b.getDouble(4)
+      }
+    }
+  }
+
+  test("q100 BM25: scores positive, sorted desc, and every scored doc holds a query term") {
+    val rows = run("q100_bm25").collect()
+    rows should not be empty
+    val scores = rows.map(_.getDouble(1))
+    scores.foreach(_ should be > 0.0)
+    scores.toSeq shouldBe scores.toSeq.sortBy(-_)
+  }
+
+  test("q100 plans broadcast for query terms, df stats, and corpus stats") {
+    val p = run("q100_bm25").queryExecution.executedPlan.toString
+    val n = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    (n + p.sliding("BroadcastNestedLoopJoin".length).count(_ == "BroadcastNestedLoopJoin")) should be >= 2
+  }
+
+  test("q105 unigram LM: cross-entropy positive and bounded by ln(corpus tokens)") {
+    val rows = run("q105_unigram_lm").collect()
+    rows should not be empty
+    val totalTok = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " "))).count()
+    val bound = math.log(totalTok.toDouble)
+    rows.foreach { r =>
+      r.getDouble(2) should be > 0.0
+      r.getDouble(2) should be <= bound
+    }
+  }
+
+  test("q109 entropy: 0 < H <= ln(vocabulary size) per language") {
+    val rows = run("q109_lang_entropy").collect()
+    rows.length shouldBe 5 // {de, en, es, fr, zh}
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text")), " ")).as("tok"))
+      .distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val h = r.getDouble(1)
+      h should be > 0.0
+      h should be <= math.log(vocab(r.getString(0)).toDouble) + 1e-6
+    }
+  }
+
+  test("q110 degree histogram: handshake lemma — Σ degree·n_nodes = 2·|pairs|") {
+    val rows = run("q110_sim_graph_degree").collect()
+    val degSum = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val pairs = graft.SparkEntry.queries("q80_embedding_near_dup")(spark, sf).count()
+    degSum shouldBe 2 * pairs
+  }
+}
