@@ -17,7 +17,8 @@ object QueryRegistry {
     Sources,
     Extras,
     Analytics,
-    TextScoring
+    TextScoring,
+    ScalePatterns
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact global ranking WITHOUT the single-partition window.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels every
+  * row through ONE task — the canonical scale cliff for exact ranking /
+  * equi-depth binning at 100 TB. This operator computes the identical
+  * rank distributed:
+  *
+  *   1. `repartitionByRange` on the sort key (parallel range exchange —
+  *      the same machinery as a global ORDER BY, sampling determines
+  *      deterministic bounds) + `sortWithinPartitions`;
+  *   2. one cheap pass counts rows per partition (collects ONE long per
+  *      partition to the driver — bounded by partition count, not data);
+  *   3. cumulative offsets are broadcast back, and each partition stamps
+  *      `offset + local position`.
+  *
+  * The sort key must be a TOTAL order (include a unique tiebreaker) or
+  * equal keys straddling a range boundary would make ranks depend on the
+  * sampled bounds. With a total order the result is exactly
+  * `row_number() OVER (ORDER BY sortCols)`.
+  *
+  * The ranked data is cached (memory-and-disk) between the count pass
+  * and the stamping pass so the heavy exchange runs once; callers should
+  * trigger their terminal action and the cache is dropped with the RDD.
+  */
+object GlobalRank {
+
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], rankName: String,
+                    partitions: Int): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: one Long per partition to the driver
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    // pass 2: stamp offset + local position (cache hit, no re-shuffle)
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(rankName, LongType, nullable = false))
+    spark.createDataFrame(stamped, schema)
+  }
+}

@@ -45,6 +45,29 @@ object SkewSalt {
         finals.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Salted equi-join for a skewed fact key: the dim side is replicated
+    * `salts`× (explode over the salt range), the fact side gets a
+    * content-derived deterministic salt, and the join key becomes
+    * (key, salt) — a hot fact key's rows now spread over `salts`
+    * reducers instead of one. Join output is IDENTICAL to the unsalted
+    * equi-join (each fact row matches exactly one dim replica), so the
+    * operator is oracle-able. Use when the dim is too big to broadcast
+    * AND the fact key is skewed; cost is `salts`× the dim shuffle
+    * volume (dims are the small side by definition).
+    */
+  def join(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+           salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim,
+        saltedFact("__salt") === replicatedDim("__salt") &&
+          col(factKey) === col(dimKey))
+      .drop(saltedFact("__salt")).drop(replicatedDim("__salt"))
+  }
+
   /** Common case: salted row count + exact decimal sum per key. */
   def countSum(df: DataFrame, keys: Seq[String], valueCol: String,
                salts: Int = 16): DataFrame =

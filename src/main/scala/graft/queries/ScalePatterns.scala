@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Scale-pattern operators: the shapes that keep working when the data
+  * grows 1000× — distributed exact ranking (no single-partition window),
+  * incremental aggregation (partial-merge = recompute), salted skew
+  * joins, Z-order clustering keys, rolling holistic aggregates, and one
+  * full k-means (Lloyd) iteration.
+  *
+  * Each query is the oracle-checkable face of a reusable operator in
+  * `graft.operators` / `graft.functions`.
+  */
+object ScalePatterns extends QueryModule {
+
+  /** Rolling median over a per-user sliding frame — a HOLISTIC window
+    * aggregate (not algebraic like sum), the shape used for robust
+    * rolling baselines. Partitioned by user_id, so the window never
+    * sees more than one user's slice; ROUND 6 absorbs the engines'
+    * interpolation last-ulp noise. */
+  val rollingMedian: Q = Q(
+    """SELECT event_id, user_id,
+      |  ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("med"))
+      .orderBy("event_id")
+  }
+
+  /** Equi-depth decile statistics via DISTRIBUTED exact ranking
+    * (operators.GlobalRank): range-exchange + per-partition offsets
+    * instead of the single-task `row_number() OVER (ORDER BY …)` — the
+    * exact-ranking shape that survives 100 TB. The (o_totalprice,
+    * o_orderkey) sort key is total, so ranks are engine-identical. */
+  val decileStats: Q = Q(
+    s"""WITH r AS (SELECT o_totalprice,
+       |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM orders)
+       |SELECT CAST(FLOOR((rnk - 1) * 10 / n) AS INT) AS decile,
+       |  COUNT(*) AS n_rows,
+       |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    val o = orders(s, d).select("o_totalprice", "o_orderkey")
+    val ranked = graft.operators.GlobalRank.withRowNumber(
+      o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk", partitions = 32)
+    val n = o.count() // one scalar to the driver; the decile denominator
+    ranked
+      .groupBy(floor((col("rnk") - 1) * 10 / n).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy("decile")
+  }
+
+  /** Incremental aggregation (materialized-view maintenance): a frozen
+    * base aggregate plus a delta aggregate, merged by re-aggregating the
+    * partials — count/decimal-sum are algebraic, so merge == recompute
+    * bit-for-bit, which is exactly what the oracle checks (it recomputes
+    * from scratch). At 100 TB this is the difference between touching
+    * one day of data and touching all of it. */
+  val incrementalAgg: Q = Q(
+    s"""SELECT user_id, COUNT(*) AS n, ${sqlDsum("value")} AS total
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val cut = lit("2024-01-15").cast("timestamp")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(28,4)")).as("__s"))
+    val base = partial(ev.filter(col("ts") < cut))   // the frozen MV
+    val delta = partial(ev.filter(col("ts") >= cut)) // the new arrivals
+    base.unionAll(delta)
+      .groupBy("user_id")
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("total"))
+      .orderBy("user_id")
+  }
+
+  /** Salted skew join (operators.SkewSalt.join): the fact side's hot
+    * keys are spread over 16 salt replicas of the dim — output identical
+    * to the plain equi-join, which is what the oracle runs. The join is
+    * hinted shuffle-hash so the salt actually exercises the shuffle path
+    * (broadcast would hide it at fixture scale). */
+  val saltedJoin: Q = Q(
+    s"""SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val joined = graft.operators.SkewSalt.join(
+      orders(s, d), customer(s, d).hint("shuffle_hash"),
+      factKey = "o_custkey", dimKey = "c_custkey", salts = 16)
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** One full Lloyd (k-means) iteration: nearest-centroid assignment
+    * (the q99 shape — fused codegen l2_micro over a broadcast centroid
+    * set) followed by the centroid UPDATE: per (assigned cluster, dim)
+    * mean of the micro-scaled components. The update is one (cluster,
+    * dim)-keyed aggregate — 64 rows per vector, k·64 output rows — the
+    * canonical distributed k-means step. Micro-scaling keeps every
+    * intermediate exact (integer sums), so the new centroids are
+    * engine-identical. */
+  val kmeansUpdate: Q = Q(
+    """WITH ed AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS e
+      |  FROM embeddings, range(64) t(i)),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY i) AS cvec FROM (
+      |    SELECT label, i, CAST(SUM(e) AS DOUBLE) / COUNT(*) AS c
+      |    FROM ed GROUP BY label, i)
+      |  GROUP BY label),
+      |asg AS (
+      |  SELECT v.vec_id, c.label AS cand,
+      |    list_sum(list_transform(range(64), i ->
+      |      (ROUND(CAST(v.embedding[i+1] AS DOUBLE) * 1000000, 0) - c.cvec[i+1])
+      |      * (ROUND(CAST(v.embedding[i+1] AS DOUBLE) * 1000000, 0) - c.cvec[i+1]))) AS dist
+      |  FROM embeddings v CROSS JOIN cent c),
+      |best AS (SELECT vec_id, cand FROM (
+      |  SELECT vec_id, cand,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+      |  FROM asg) WHERE rn = 1)
+      |SELECT b.cand AS cluster, ed.i AS dim,
+      |  CAST(SUM(ed.e) AS DOUBLE) / COUNT(*) AS c
+      |FROM best b JOIN ed ON b.vec_id = ed.vec_id
+      |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val ed = embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .select(col("vec_id"), col("label"), col("i"),
+        round(col("e").cast("double") * 1000000d, 0).cast("long").as("e"))
+    val cent = ed.groupBy("label", "i")
+      .agg((sum("e").cast("double") / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cand"))
+    val best = embeddings(s, d)
+      .crossJoin(broadcast(cent.select(col("label").as("cand"), col("cvec"))))
+      .select(col("vec_id"), col("cand"), expr("l2_micro(embedding, cvec)").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cand")
+    best.join(ed, "vec_id")
+      .groupBy(col("cand").as("cluster"), col("i").as("dim"))
+      .agg((sum("e").cast("double") / count(lit(1))).as("c"))
+      .orderBy("cluster", "dim")
+  }
+
+  /** Z-order clustering key (functions.ZOrder2, codegen'd Morton
+    * interleave): the multi-dimensional data-layout key — write parquet
+    * sorted by z and min/max stats prune on EITHER dimension. The query
+    * emits the z-values themselves (bit-exact vs DuckDB's integer
+    * formulation of the same interleave) plus the decoded dims as a
+    * self-check. */
+  val zorderKey: Q = Q(
+    s"""SELECT o_orderkey, o_custkey, pb,
+       |  ${graft.functions.ZOrder2.sqlInterleave("o_custkey", "pb")} AS z
+       |FROM (SELECT o_orderkey, o_custkey,
+       |        CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS pb
+       |      FROM orders WHERE o_orderkey < 500)
+       |ORDER BY z, o_orderkey""".stripMargin) { (s, d) =>
+    graft.functions.ZOrder2.register(s)
+    orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("pb"))
+      .withColumn("z", expr("zorder2(o_custkey, pb)"))
+      .orderBy("z", "o_orderkey")
+  }
+
+  /** Approximate percentiles (no oracle — estimate is engine-specific):
+    * the sketch-based scale path for quantiles when the exact
+    * distributed rank (q112) is overkill. AnalyticsSpec bounds the error
+    * against the exact percentile. */
+  val approxPercentile: Q = Q.noOracle { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("approx_q"))
+      .orderBy("l_returnflag")
+  }
+
+  override val queries: Seq[(String, Q)] = Seq(
+    "q111_rolling_median"    -> rollingMedian,
+    "q112_decile_stats"      -> decileStats,
+    "q113_incremental_agg"   -> incrementalAgg,
+    "q114_salted_join"       -> saltedJoin,
+    "q115_kmeans_update"     -> kmeansUpdate,
+    "q116_approx_percentile" -> approxPercentile,
+    "q117_zorder_key"        -> zorderKey
+  )
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** GlobalRank must equal the single-partition window row_number exactly,
+  * for any partition count, while never funnelling data through one task.
+  */
+class GlobalRankSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("withRowNumber == row_number() OVER (ORDER BY ...) for several partition counts") {
+    val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val expected = o
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (p <- Seq(1, 3, 32)) {
+      val got = GlobalRank.withRowNumber(
+        o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk", partitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("ranks are a permutation of 1..n (dense, no gaps, no dupes)") {
+    val ev = graft.Tables.events(spark, sf).select("event_id", "value")
+    val ranked = GlobalRank.withRowNumber(
+      ev, Seq(col("value"), col("event_id")), "r", partitions = 8)
+    val rs = ranked.select("r").collect().map(_.getLong(0)).sorted
+    rs shouldBe (1L to rs.length).toArray
+  }
+
+  test("plan has no single-partition global sort (the window shape it replaces)") {
+    val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val ranked = GlobalRank.withRowNumber(
+      o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk", partitions = 32)
+    // the ranking pipeline must not contain a Window operator at all —
+    // the rank comes from range exchange + per-partition stamping
+    ranked.queryExecution.executedPlan.toString should not include "Window"
+  }
+}

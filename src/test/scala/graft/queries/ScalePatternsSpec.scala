@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantic + plan invariants for the scale-pattern queries (q111–q117)
+  * that the DuckDB oracle cannot express. */
+class ScalePatternsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q113 incremental merge == direct recompute, bit for bit") {
+    val merged = run("q113_incremental_agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), Dsl.dsum(col("value")).as("total"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    merged shouldBe direct
+  }
+
+  test("q114 salted join == plain join, and the plan shuffles on the salted key") {
+    val salted = run("q114_salted_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Dsl.dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    salted shouldBe plain
+    val p = run("q114_salted_join").queryExecution.executedPlan.toString
+    p should include("__salt") // the join key really is (key, salt)
+    p should not include "BroadcastHashJoin"
+  }
+
+  test("q116 approx percentiles within 1% of exact (rank) percentiles") {
+    val approx = run("q116_approx_percentile").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.keySet shouldBe exact.keySet
+    approx.foreach { case (flag, qs) =>
+      qs.zip(exact(flag)).foreach { case (a, e) =>
+        math.abs(a - e) / e should be < 0.01
+      }
+    }
+  }
+
+  test("q115 k-means update: k·64 centroids, each the mean of its members") {
+    val rows = run("q115_kmeans_update").collect()
+    val k = rows.map(_.getInt(0)).distinct.length
+    rows.length shouldBe k * 64
+    // every cluster id that appears is a fixture label (0..9)
+    rows.map(_.getInt(0)).foreach { c => c should (be >= 0 and be <= 9) }
+    // dims are exactly 0..63 per cluster
+    rows.groupBy(_.getInt(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted shouldBe (0 until 64).toArray
+    }
+  }
+
+  test("q111 rolling median: frame of one row is the value itself") {
+    // each user's first event (ordered by ts, event_id) has median == value
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1), r.getLong(0), r.getDouble(4)))
+    val firstPerUser = ev.groupBy(_._1).map { case (_, g) =>
+      val f = g.minBy(t => (t._2.getTime, t._3)); (f._3, f._4)
+    }.toMap
+    val med = run("q111_rolling_median").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    firstPerUser.foreach { case (eid, v) =>
+      med(eid) shouldBe (math.rint(v * 1e6) / 1e6 +- 1e-6)
+    }
+  }
+
+  test("q117 z-values: expression output matches the operator helper row by row") {
+    run("q117_zorder_key").collect().foreach { r =>
+      r.getLong(3) shouldBe graft.functions.ZOrder2.interleave(r.getLong(1), r.getLong(2))
+    }
+  }
+}
