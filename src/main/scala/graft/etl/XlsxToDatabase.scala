@@ -146,6 +146,39 @@ object XlsxToDatabase {
     } finally conn.close()
   }
 
+  /** The CONTINUOUS form of the tool's identity: watch a directory for
+    * new workbooks and keep a database table key-idempotently in sync —
+    * `readStream` over the xlsx DSv2 source (micro-batch = newly dropped
+    * files, `maxFilesPerTrigger` admission control), each batch merged
+    * through [[upsert]]. Upsert-per-batch makes the END STATE exactly-once
+    * even when a batch replays after a crash (the checkpoint offset log
+    * plus key-idempotence — a replayed batch re-merges the same keys).
+    *
+    * `schema`: pass the sheet schema explicitly when the directory may
+    * start empty (a streaming source cannot infer from zero files);
+    * `None` infers from the files present at start, same as the batch
+    * reader. Returns the running query; callers own its lifecycle. */
+  def continuousLoad(spark: SparkSession, dir: String, jdbcUrl: String,
+                     table: String, keys: Seq[String], checkpoint: String,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None,
+                     maxFilesPerTrigger: Option[Int] = None,
+                     connectionProps: Properties = new Properties())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    DuckDbDialect.registered
+    val reader = spark.readStream.format("xlsx")
+    schema.foreach(reader.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(dir)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) upsert(batch, jdbcUrl, table, keys, connectionProps)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Read back a table over JDBC (verification path). */
   def readJdbc(spark: SparkSession, jdbcUrl: String, table: String,
                connectionProps: Properties = new Properties()): DataFrame = {

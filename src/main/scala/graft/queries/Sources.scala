@@ -160,6 +160,28 @@ object Sources extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** S9: ORC round-trip — Spark's second built-in columnar format, with
+    * its own vectorized reader and predicate pushdown. `part` goes out as
+    * ORC and comes back through a filtered scan; the pushed predicate
+    * must reach the ORC reader the same way it does for parquet (the
+    * format choice must not cost pushdown — OrcScan reports PushedFilters
+    * identically). Oracle reads the original parquet with the same
+    * filter, so a lossy type mapping or broken pushdown both surface as a
+    * hash mismatch. */
+  val orcRoundtrip: Q = Q(
+    """SELECT p_partkey, p_name, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      |FROM part WHERE p_brand = 'Brand#13' ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val dir = tmpDir("part_orc", d)
+    stageOnce(dir) {
+      part(s, d).write.mode("overwrite").orc(dir)
+    }
+    s.read.orc(dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q68_xlsx_region"   -> xlsxRegion,
     "q69_xlsx_nation"   -> xlsxNation,
@@ -167,6 +189,7 @@ object Sources extends QueryModule {
     "q71_json_roundtrip"-> jsonRoundtrip,
     "q72_jdbc_etl"      -> jdbcEtl,
     "q87_xlsx_sink"     -> xlsxSinkRoundtrip,
-    "q97_publish_corpus"-> publishCorpus
+    "q97_publish_corpus"-> publishCorpus,
+    "q118_orc_roundtrip"-> orcRoundtrip
   )
 }

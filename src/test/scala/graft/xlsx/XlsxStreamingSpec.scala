@@ -313,6 +313,33 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe Seq(1.0, 2.0, 3.0, 10.0)
   }
 
+  test("continuous ETL: workbooks dropped into a folder upsert into DuckDB end-to-end") {
+    // the full streaming identity: xlsx DSv2 micro-batch source →
+    // foreachBatch → key-idempotent JDBC upsert — drop a workbook, its
+    // rows land; drop a REVISED workbook, overlapping keys update instead
+    // of duplicating
+    val dir = Files.createTempDirectory("xetl").toString
+    val ckpt = Files.createTempDirectory("xetl-ckpt").toString
+    val url = s"jdbc:duckdb:${Files.createTempDirectory("xetl-db")}/t.duckdb"
+    XlsxWriter.write(s"$dir/drop1.xlsx", Seq(XlsxWriter.Sheet("S",
+      Seq("id", "val"), Seq(Seq(1.0, "a"), Seq(2.0, "b")))))
+    val q = graft.etl.XlsxToDatabase.continuousLoad(
+      spark, dir, url, "live", keys = Seq("id"), checkpoint = ckpt)
+    try {
+      q.processAllAvailable()
+      def state(): Seq[(Double, String)] =
+        graft.etl.XlsxToDatabase.readJdbc(spark, url, "live")
+          .collect().map(r => (r.getAs[Number]("id").doubleValue(), r.getAs[String]("val")))
+          .toSeq.sorted
+      state() shouldBe Seq((1.0, "a"), (2.0, "b"))
+      // revision workbook: id=2 changes, id=3 is new — upsert, not append
+      XlsxWriter.write(s"$dir/drop2.xlsx", Seq(XlsxWriter.Sheet("S",
+        Seq("id", "val"), Seq(Seq(2.0, "B2"), Seq(3.0, "c")))))
+      q.processAllAvailable()
+      state() shouldBe Seq((1.0, "a"), (2.0, "B2"), (3.0, "c"))
+    } finally q.stop()
+  }
+
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
     val path = tmp("ctrl.xlsx")
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("s"),
