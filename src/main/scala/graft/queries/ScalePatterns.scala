@@ -187,6 +187,34 @@ object ScalePatterns extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Deterministic PRIORITY SAMPLING (Duffield–Lund–Thorup): each doc
+    * gets priority w/u for weight w = n_chars and a reproducible uniform
+    * u ∈ (0,1] derived from a multiplicative integer hash of its id; the
+    * top-k by priority is a weighted-without-replacement sample whose
+    * inclusion probabilities are ∝ weight, and from which subset sums
+    * are unbiasedly estimable — THE fixed-size-sample primitive for
+    * monitoring a 100 TB corpus. All randomness is hash-derived (no RNG
+    * state), so the sample is a pure function of the data: re-runs,
+    * retries and both engines agree bit-for-bit — the integer hash is
+    * exact, and the two IEEE divisions are exactly rounded identically
+    * in Spark and DuckDB. Scale shape: one linear scan + global top-k
+    * (TakeOrderedAndProject — per-partition heaps, no full sort). */
+  val prioritySample: Q = Q(
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(n_chars AS DOUBLE) /
+      |    (CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE) / 2147483648.0)
+      |    AS priority
+      |FROM documents
+      |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val u = expr("CAST((doc_id * 2654435761L) % 2147483647L + 1 AS DOUBLE)") /
+      lit(2147483648.0)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("priority"))
+      .orderBy(desc("priority"), col("doc_id"))
+      .limit(20)
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q111_rolling_median"    -> rollingMedian,
     "q112_decile_stats"      -> decileStats,
@@ -194,6 +222,7 @@ object ScalePatterns extends QueryModule {
     "q114_salted_join"       -> saltedJoin,
     "q115_kmeans_update"     -> kmeansUpdate,
     "q116_approx_percentile" -> approxPercentile,
-    "q117_zorder_key"        -> zorderKey
+    "q117_zorder_key"        -> zorderKey,
+    "q121_priority_sample"   -> prioritySample
   )
 }

@@ -158,10 +158,90 @@ object TextScoring extends QueryModule {
       .orderBy("degree")
   }
 
+  /** Fixed-point PageRank (3 unrolled iterations, d=0.85) over the q110
+    * embedding-similarity graph — "which documents sit at the center of
+    * a near-duplicate neighborhood" is the curation signal that plain
+    * degree (q110) misses.
+    *
+    * EXACT iterative computation at scale: ranks live as SCALED BIGINTs
+    * (10^12 units) and every step is integer multiply / integer DIV, so
+    * each iteration is associative-commutative — merge order, partition
+    * count and engine cannot change a single bit (float PageRank sums
+    * are order-dependent and would never hash-match DuckDB). The same
+    * discipline as Dsl.dsum, extended through division by outdegree.
+    *
+    * Plan shape: the edge relation is built once and its exchange reused
+    * by all three propagation joins (same key, same partitioning —
+    * ReuseExchange); each iteration is one shuffle on dst. At 100×:
+    * iterations stay O(E) with no driver round-trips; node count arrives
+    * via a 1-row broadcast, never a collect. */
+  val pagerank: Q = {
+    val SCALE = 1000000000000L
+    def sqlIter(k: Int): String =
+      s"""agg$k AS (SELECT e.dst AS id, CAST(SUM(p.pr // p.outdeg) AS BIGINT) AS s
+         |  FROM pr${k - 1} p JOIN edges e ON p.id = e.src GROUP BY e.dst),
+         |pr$k AS (SELECT d.src AS id, d.outdeg, nn.n,
+         |    ((($SCALE // nn.n) * 15) // 100) + ((85 * COALESCE(a.s, 0)) // 100) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN agg$k a ON d.src = a.id)""".stripMargin
+    Q(
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${Llm.sqlCosOf("a", "b")} >= 0.35),
+         |edges AS (SELECT va AS src, vb AS dst FROM pairs
+         |  UNION ALL SELECT vb, va FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT d.src AS id, d.outdeg, nn.n, $SCALE // nn.n AS pr
+         |  FROM deg d CROSS JOIN nn),
+         |${sqlIter(1)},
+         |${sqlIter(2)},
+         |${sqlIter(3)}
+         |SELECT id AS vec_id, pr AS pr_fixed FROM pr3
+         |ORDER BY pr_fixed DESC, vec_id""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val a = embeddings(s, d)
+        .select(col("vec_id").as("va"), col("embedding").as("qe"), col("label"))
+      val b = embeddings(s, d)
+        .select(col("vec_id").as("vb"), col("embedding").as("ee"), col("label").as("label_b"))
+      val pairs = a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+        .filter(expr("cosine_sim(qe, ee)") >= 0.35)
+        .select("va", "vb")
+      // materialize the edge relation ONCE: exchange reuse does not
+      // bridge the three iterations' differing join shapes, so without
+      // this the cosine pair join would recompute per iteration (the
+      // same localCheckpoint discipline ConnectedComponents uses —
+      // iterative algorithms pay one materialization, then every round
+      // reads the small edge set, and plan size stays constant)
+      val edges = pairs.select(col("va").as("src"), col("vb").as("dst"))
+        .unionAll(pairs.select(col("vb").as("src"), col("va").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      val pr0 = deg.crossJoin(broadcast(nn))
+        .select(col("src").as("id"), col("outdeg"), col("n"),
+          expr(s"$SCALE DIV n").as("pr"))
+      val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
+        val contrib = pr.as("p").join(edges.as("e"), col("p.id") === col("e.src"))
+          .select(col("e.dst").as("cid"), expr("p.pr DIV p.outdeg").as("c"))
+        val sums = contrib.groupBy("cid").agg(sum("c").as("s"))
+        deg.crossJoin(broadcast(nn))
+          .join(sums, col("src") === col("cid"), "left")
+          .select(col("src").as("id"), col("outdeg"), col("n"),
+            (expr(s"(($SCALE DIV n) * 15) DIV 100") +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+      }
+      pr3.select(col("id").as("vec_id"), col("pr").as("pr_fixed"))
+        .orderBy(desc("pr_fixed"), col("vec_id"))
+    }
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
     "q109_lang_entropy"     -> langEntropy,
-    "q110_sim_graph_degree" -> simGraphDegree
+    "q110_sim_graph_degree" -> simGraphDegree,
+    "q119_pagerank"         -> pagerank
   )
 }

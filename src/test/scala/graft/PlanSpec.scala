@@ -221,6 +221,27 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "SortMergeJoin"
   }
 
+  test("q121: priority sample plans as TakeOrderedAndProject (per-partition heaps)") {
+    plan("q121_priority_sample") should include("TakeOrderedAndProject")
+  }
+
+  test("q119: pagerank conserves fixed-point mass within truncation loss") {
+    // every rank is SCALE-scaled; integer DIV truncates at two points per
+    // node per iteration, so total mass can only shrink, and by < 2 units
+    // per division. 3 iterations over n nodes bound the loss; a violation
+    // means the arithmetic is not the exact fixed-point form the oracle
+    // depends on.
+    import org.apache.spark.sql.functions._
+    val pr = SparkEntry.queries("q119_pagerank")(spark, sf)
+    val n = pr.count()
+    val mass = pr.agg(sum("pr_fixed")).collect()(0).getLong(0)
+    val scale = 1000000000000L
+    mass should be <= scale
+    // 15% base + 85% propagated: each of the ~4n divisions loses < 1 unit,
+    // amplified by at most 1/(1-0.85) in steady state — 100n is generous
+    mass should be >= scale - 100L * n.max(1L)
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // Spark injects a bloom filter built from the filtered dim side into
     // the fact scan of a shuffle join (runtime row-level filtering) —
