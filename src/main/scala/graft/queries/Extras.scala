@@ -99,6 +99,68 @@ object Extras extends QueryModule {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** A7b: ordered LISTAGG (SQL:2023, new in Spark 4) — deterministic
+    * delimited concatenation via WITHIN GROUP (ORDER BY …), the string
+    * twin of q31's sort_array(collect_list). DuckDB spells it
+    * string_agg(expr, sep ORDER BY …). */
+  val listAgg: Q = Q(
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    nation(s, d).createOrReplaceTempView("nation_v")
+    region(s, d).createOrReplaceTempView("region_v")
+    s.sql(
+      """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM nation_v JOIN region_v ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  /** J12: correlated LATERAL subquery — top-2 orders per qualifying
+    * customer, written as the SQL form (a per-row dependent subquery
+    * with ORDER BY + LIMIT). Catalyst decorrelates this into a
+    * window-rank over ONE join — no nested-loop re-execution per outer
+    * row — which is exactly the rewrite that keeps the construct usable
+    * when the outer side is 10^9 customers. DuckDB executes the same
+    * text natively. */
+  val lateralTopk: Q = Q(
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      |WHERE c_custkey <= 50
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+    customer(s, d).createOrReplaceTempView("customer_v")
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_v, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |WHERE c_custkey <= 50
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** §2.7-json++: the VARIANT type (new in Spark 4) — `parse_json` once,
+    * then typed `variant_get` path extraction. Variant's binary encoding
+    * replaces per-access string re-parsing with O(log fields) field
+    * lookup, the semi-structured answer to "don't re-tokenize JSON in
+    * every expression" at corpus scale. Output is projected to plain
+    * typed columns (the variant never crosses the result boundary), so
+    * the DuckDB oracle is plain json_extract. */
+  val variantExtract: Q = Q(
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS INT) > 95
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = parse_json(col("props"))
+    events(s, d)
+      .select(col("event_id"), variant_get(v, "$.k", "int").as("k"))
+      .filter(col("k") > 95)
+      .orderBy("event_id")
+  }
+
   /** The densified (user × day) grid both resampling queries share: every
     * user crossed with every day of the observed range (the day list is a
     * one-row aggregate → broadcast; the cross join is users × ~30, not a
@@ -210,6 +272,9 @@ object Extras extends QueryModule {
     "q77_grouping_sets"    -> groupingSets,
     "q84_resample"         -> resample,
     "q85_forward_fill"     -> forwardFill,
-    "q98_snapshot_diff"    -> snapshotDiff
+    "q98_snapshot_diff"    -> snapshotDiff,
+    "q122_listagg"         -> listAgg,
+    "q123_lateral_topk"    -> lateralTopk,
+    "q124_variant_extract" -> variantExtract
   )
 }

@@ -242,6 +242,52 @@ class PlanSpec extends AnyFunSuite with Matchers {
     mass should be >= scale - 100L * n.max(1L)
   }
 
+  test("q123: LATERAL top-k decorrelates to one join + WindowGroupLimit (no nested loop)") {
+    val p = plan("q123_lateral_topk")
+    p should not include "NestedLoop"
+    p should include("WindowGroupLimit")
+    p should include("BroadcastHashJoin")
+    // the outer c_custkey<=50 predicate migrates into the orders side:
+    // the decorrelated inner relation is pre-filtered, not orders-wide
+    p should include regex "o_custkey.* <= 50"
+  }
+
+  test("AQE splits a skewed shuffle-join partition (skew=true)") {
+    // one orders key joined against the whole lineitem table via a
+    // skew-amplified synthetic key: all lineitem rows hash to one
+    // partition. With the skew thresholds forced down, AQE must re-plan
+    // the sort-merge join with that partition SPLIT (skew=true in the
+    // final plan) — the runtime answer to hot keys that no static plan
+    // fixes, and the default behavior a 100 TB join relies on.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val overrides = Seq(
+      "spark.sql.shuffle.partitions" -> "10",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "800",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "800",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> c.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => c.set(k, v) }
+      // repartition(10) first: AQE splits a skewed REDUCE partition by
+      // regrouping its per-MAPPER outputs, so the hot key's bytes must
+      // come from several map tasks to be splittable at all (one giant
+      // mapper is exactly the un-splittable case)
+      val fact = Tables.lineitem(spark, sf).repartition(10)
+        .select(when(col("l_orderkey") < 1350, 0L) // ~90% of rows → key 0
+          .otherwise(col("l_orderkey") % 5).as("k"), col("l_extendedprice"))
+      val dim = spark.range(0, 5).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val j = fact.join(dim, "k")
+      j.collect()
+      val finalPlan = j.queryExecution.executedPlan.toString
+      finalPlan should include("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side of a shuffle join") {
     // Spark injects a bloom filter built from the filtered dim side into
     // the fact scan of a shuffle join (runtime row-level filtering) —
