@@ -193,6 +193,64 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ST8: transformWithState (Spark 4 arbitrary-state API) holds typed state in RocksDB") {
+    // the successor to mapGroupsWithState: named, typed, independently
+    // evolvable state variables per key, RocksDB-backed (state scales to
+    // disk, not executor heap — the 100 TB-stream requirement). Running
+    // per-user count + max across micro-batches proves state persists
+    // and updates incrementally.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.streaming.ValueState
+    implicit val sqlCtx = spark.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      class RunningStats extends StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+        @transient private var n: ValueState[Long] = _
+        @transient private var mx: ValueState[Double] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+          n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+          mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+        }
+        override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                     tv: TimerValues): Iterator[(Long, Long, Double)] = {
+          var c = if (n.exists()) n.get() else 0L
+          var m = if (mx.exists()) mx.get() else Double.NegativeInfinity
+          rows.foreach { e => c += 1; m = math.max(m, e.value) }
+          n.update(c); mx.update(m)
+          Iterator((key, c, m))
+        }
+      }
+      val out = stream.toDS().groupByKey(_.user)
+        .transformWithState(new RunningStats, TimeMode.None(), OutputMode.Update(),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("user", "n", "mx")
+      val q = out.writeStream.format("memory").queryName("st7")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        stream.addData(Ev(ts("2024-01-01 00:00:01"), 1, 2.0), Ev(ts("2024-01-01 00:00:02"), 1, 9.0),
+          Ev(ts("2024-01-01 00:00:03"), 2, 4.0))
+        q.processAllAvailable()
+        // second batch: state must carry user 1's count=2/max=9 forward
+        stream.addData(Ev(ts("2024-01-01 00:00:04"), 1, 5.0))
+        q.processAllAvailable()
+        val r = spark.sql(
+          "SELECT n, mx FROM st7 WHERE user = 1 ORDER BY n DESC LIMIT 1").collect()(0)
+        r.getLong(0) shouldBe 3L
+        r.getDouble(1) shouldBe 9.0
+        spark.sql("SELECT n FROM st7 WHERE user = 2").collect()
+          .map(_.getLong(0)).max shouldBe 1L
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("stream -> JDBC sink via foreachBatch: micro-batches land in DuckDB exactly once") {
     // the streaming side of the engine's ETL identity: a stream drains
     // into the same JDBC sink the xlsx loader uses, one idempotent
