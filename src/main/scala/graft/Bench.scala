@@ -37,7 +37,10 @@ object Bench {
     // runs), and min-of-2 is the standard steady-state estimator — it
     // measures the query, not the neighbors. Methodology recorded in
     // BASELINE.md; totals before 2026-08-13 are single-run.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // malformed env must not kill a bench round after warm-up: fall back
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
     val results = QueryRegistry.all.map { case (name, qq) =>
       val t = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -172,7 +172,10 @@ object XlsxToDatabase {
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) upsert(batch, jdbcUrl, table, keys, connectionProps)
+        // no isEmpty pre-check: a file source only triggers on new files,
+        // and probing emptiness would re-parse the workbooks in an extra
+        // job per batch; upsert is a no-op on an empty frame anyway
+        upsert(batch, jdbcUrl, table, keys, connectionProps)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -21,6 +21,48 @@ object Llm extends QueryModule {
   private def words: Column = split(lower(col("text")), " ")
   private val sqlWords = "string_split(lower(text), ' ')"
 
+  /** Shared stopword list (q58 quality score, q120 cleaning pipeline) —
+    * ONE definition interpolated into both engines' expressions so the
+    * quality semantics cannot drift between queries. */
+  private[queries] final val stopWords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "data", "row")
+  private def sqlStopList: String =
+    stopWords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Held-out eval slice for decontamination (q93, q120): every 97th doc
+    * (~1% — the realistic benchmark:corpus ratio). Declared at the TOP of
+    * the object (and as a compile-time constant) because the SQL strings
+    * below interpolate it during object init — a later plain `val` would
+    * read as 0 here. */
+  private final val evalMod = 97
+
+  /** Decontamination CTEs shared by q93 and q120 — benchmark = the eval
+    * slice's distinct 5-shingles, `bad` = training docs sharing any of
+    * them. One definition, two oracles that cannot drift. */
+  private def sqlDeconCtes: String =
+    s"""ws AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |            WHERE text IS NOT NULL),
+       |shd AS (SELECT doc_id, unnest(${sqlShingles(5)}) AS s
+       |        FROM ws WHERE len(w) >= 5),
+       |ev AS (SELECT DISTINCT s FROM shd WHERE doc_id % $evalMod = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM shd
+       |        WHERE doc_id % $evalMod <> 0 AND s IN (SELECT s FROM ev))""".stripMargin
+
+  /** Spark side of [[sqlDeconCtes]]: the contaminated doc_id set (to
+    * anti-join away). Eval shingles and the returned id set are both
+    * broadcast-sized by construction. */
+  private def deconBadIds(docs: DataFrame): DataFrame = {
+    val sh5 = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(hashedShinglesOf(5, col("wds")))).as("s"))
+    val ev = sh5.filter(col("doc_id") % evalMod === 0).select("s").distinct()
+    sh5.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(ev), "s")
+      .select("doc_id").distinct()
+  }
+
   /** Word k-shingles as a Column (1-based element_at; guarded upstream by
     * a size filter so sequence() never sees a negative range).
     *
@@ -219,19 +261,13 @@ object Llm extends QueryModule {
     * reduced relation — each stage only shrinks the data the next stage
     * shuffles. */
   val cleanPipeline: Q = Q(
-    s"""WITH RECURSIVE ws AS (SELECT doc_id, $sqlWords AS w FROM documents
-       |            WHERE text IS NOT NULL),
-       |shd AS (SELECT doc_id, unnest(${sqlShingles(5)}) AS s
-       |        FROM ws WHERE len(w) >= 5),
-       |ev AS (SELECT DISTINCT s FROM shd WHERE doc_id % $evalMod = 0),
-       |bad AS (SELECT DISTINCT doc_id FROM shd
-       |        WHERE doc_id % $evalMod <> 0 AND s IN (SELECT s FROM ev)),
+    s"""WITH RECURSIVE $sqlDeconCtes,
        |kept AS (
        |  SELECT * FROM documents
        |  WHERE doc_id % $evalMod <> 0
        |    AND n_chars BETWEEN 100 AND 500
        |    AND CAST(len(list_filter(string_split(lower(text), ' '),
-       |          t -> list_contains(['the','a','of','and','to','in','is','data','row'], t))) AS DOUBLE)
+       |          t -> list_contains($sqlStopList, t))) AS DOUBLE)
        |        / len(string_split(lower(text), ' ')) >= 0.05
        |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
        |${sqlPairCtesFrom("kept")},
@@ -248,22 +284,12 @@ object Llm extends QueryModule {
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = k.doc_id)
        |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
-    val sh5 = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), words.as("wds"))
-      .filter(size(col("wds")) >= 5)
-      .select(col("doc_id"),
-        explode(array_distinct(hashedShinglesOf(5, col("wds")))).as("s"))
-    val ev = sh5.filter(col("doc_id") % evalMod === 0).select("s").distinct()
-    val bad = sh5.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(ev), "s")
-      .select("doc_id").distinct()
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "data", "row")
     val kept = docs
       .filter(col("doc_id") % evalMod =!= 0)
       .filter(col("n_chars").between(100, 500))
-      .filter(size(filter(words, t => t.isInCollection(stop))).cast("double")
+      .filter(size(filter(words, t => t.isInCollection(stopWords))).cast("double")
         / size(words) >= 0.05)
-      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      .join(broadcast(deconBadIds(docs)), Seq("doc_id"), "left_anti")
     graft.operators.Dedup.keepSurvivors(
         kept.select(col("doc_id"), col("lang"), col("n_chars")),
         "doc_id", jaccardPairsOf(kept), "doc_a", "doc_b")
@@ -742,16 +768,15 @@ object Llm extends QueryModule {
        |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
        |        / len(string_split(lower(text), ' ')), 6) AS avg_word_len,
        |  ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
-       |        t -> list_contains(['the','a','of','and','to','in','is','data','row'], t))) AS DOUBLE)
+       |        t -> list_contains($sqlStopList, t))) AS DOUBLE)
        |        / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
        |  (n_chars >= 100 AND n_chars <= 500) AS length_ok
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "data", "row")
     documents(s, d).select(col("doc_id"),
         size(words).as("n_words"),
         round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 6)
           .as("avg_word_len"),
-        round(size(filter(words, t => t.isInCollection(stop))).cast("double") / size(words), 6)
+        round(size(filter(words, t => t.isInCollection(stopWords))).cast("double") / size(words), 6)
           .as("stopword_ratio"),
         (col("n_chars") >= 100 && col("n_chars") <= 500).as("length_ok"))
       .orderBy("doc_id")
@@ -970,13 +995,6 @@ object Llm extends QueryModule {
 
   // ------------------------------------------- decontamination / PII
 
-  /** Benchmark slice for q93: every 97th doc stands in for a held-out
-    * eval set (~1% of the corpus, the realistic benchmark:corpus ratio). */
-  // `final val` (compile-time constant): cleanPipeline's SQL string is
-  // built during object init BEFORE this line's runtime assignment would
-  // run — a plain val here would interpolate as 0
-  private final val evalMod = 97
-
   /** Decontamination: drop every training doc that shares ANY word
     * 5-shingle with the held-out benchmark slice — the standard
     * "n-gram overlap with eval" filter run before LLM training.
@@ -992,30 +1010,14 @@ object Llm extends QueryModule {
     * with NULL text or <5 words produce no shingles and survive — same
     * on both sides. */
   val decontaminate: Q = Q(
-    s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents
-       |            WHERE text IS NOT NULL),
-       |sh AS (SELECT doc_id, unnest(${sqlShingles(5)}) AS s
-       |       FROM ws WHERE len(w) >= 5),
-       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % $evalMod = 0),
-       |bad AS (SELECT DISTINCT doc_id FROM sh
-       |        WHERE doc_id % $evalMod <> 0 AND s IN (SELECT s FROM ev))
+    s"""WITH $sqlDeconCtes
        |SELECT doc_id, lang, n_chars FROM documents
        |WHERE doc_id % $evalMod <> 0
        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val sh0 = documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), words.as("wds"))
-      .filter(size(col("wds")) >= 5)
-      .select(col("doc_id"),
-        explode(array_distinct(hashedShinglesOf(5, col("wds")))).as("s"))
-    val ev = sh0.filter(col("doc_id") % evalMod === 0).select("s").distinct()
-    val bad = sh0.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(ev), "s")
-      .select("doc_id").distinct()
     documents(s, d)
       .filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      .join(broadcast(deconBadIds(documents(s, d))), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
   }

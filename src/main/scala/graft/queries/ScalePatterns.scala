@@ -197,16 +197,21 @@ object ScalePatterns extends QueryModule {
     * state), so the sample is a pure function of the data: re-runs,
     * retries and both engines agree bit-for-bit — the integer hash is
     * exact, and the two IEEE divisions are exactly rounded identically
-    * in Spark and DuckDB. Scale shape: one linear scan + global top-k
-    * (TakeOrderedAndProject — per-partition heaps, no full sort). */
+    * in Spark and DuckDB. The id is reduced mod 2^31-1 BEFORE the
+    * Knuth-multiplier step, so the product stays < 2^63 for any BIGINT
+    * doc_id (an unreduced multiply wraps past doc_id ≈ 3.5e9 — negative
+    * u in Spark, out-of-range error in the oracle). Scale shape: one
+    * linear scan + global top-k (TakeOrderedAndProject — per-partition
+    * heaps, no full sort). */
   val prioritySample: Q = Q(
     """SELECT doc_id, lang, n_chars,
       |  CAST(n_chars AS DOUBLE) /
-      |    (CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE) / 2147483648.0)
-      |    AS priority
+      |    (CAST(((doc_id % 2147483647) * 2654435761) % 2147483647 + 1 AS DOUBLE)
+      |      / 2147483648.0) AS priority
       |FROM documents
       |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-    val u = expr("CAST((doc_id * 2654435761L) % 2147483647L + 1 AS DOUBLE)") /
+    val u = expr(
+      "CAST(((doc_id % 2147483647L) * 2654435761L) % 2147483647L + 1 AS DOUBLE)") /
       lit(2147483648.0)
     documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),

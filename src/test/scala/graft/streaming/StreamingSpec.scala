@@ -229,7 +229,7 @@ class StreamingSpec extends AnyFunSuite with Matchers {
         .transformWithState(new RunningStats, TimeMode.None(), OutputMode.Update(),
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
         .toDF("user", "n", "mx")
-      val q = out.writeStream.format("memory").queryName("st7")
+      val q = out.writeStream.format("memory").queryName("st8")
         .outputMode(OutputMode.Update()).start()
       try {
         stream.addData(Ev(ts("2024-01-01 00:00:01"), 1, 2.0), Ev(ts("2024-01-01 00:00:02"), 1, 9.0),
@@ -239,10 +239,10 @@ class StreamingSpec extends AnyFunSuite with Matchers {
         stream.addData(Ev(ts("2024-01-01 00:00:04"), 1, 5.0))
         q.processAllAvailable()
         val r = spark.sql(
-          "SELECT n, mx FROM st7 WHERE user = 1 ORDER BY n DESC LIMIT 1").collect()(0)
+          "SELECT n, mx FROM st8 WHERE user = 1 ORDER BY n DESC LIMIT 1").collect()(0)
         r.getLong(0) shouldBe 3L
         r.getDouble(1) shouldBe 9.0
-        spark.sql("SELECT n FROM st7 WHERE user = 2").collect()
+        spark.sql("SELECT n FROM st8 WHERE user = 2").collect()
           .map(_.getLong(0)).max shouldBe 1L
       } finally q.stop()
     } finally saved match {
