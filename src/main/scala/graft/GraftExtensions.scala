@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.l2Micro)
+    // dormant until spark.graft.rangeJoin.binSize is set (see its scaladoc)
+    ext.injectOptimizerRule(s => graft.plans.BandedRangeJoin(s))
   }
 }
 

@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: rewrite a PURE range join — `point BETWEEN lo AND hi`
+  * with no equi-key — into a banded equi-join.
+  *
+  * Spark plans a join whose condition has no equality conjunct as a
+  * nested-loop join: O(|L|·|R|) comparisons, the operator that stops
+  * working first at scale. The standard fix (done by hand in q36/q38) is
+  * banding: bucket the point by a fixed bin width, explode each interval
+  * to the buckets it covers, equi-join on the bucket, and keep the
+  * original predicate as a residual. This rule AUTOMATES the rewrite at
+  * the logical-plan level, so the user writes the natural θ-join and the
+  * planner's own ExtractEquiJoinKeys then picks a hash/sort-merge
+  * strategy on the bucket key. Cost model: banded is
+  * O(|L| + |R|·avgSpans + matches) — linear, versus the quadratic loop.
+  *
+  * Activation: set `spark.graft.rangeJoin.binSize` (a positive long, in
+  * the point column's units; choose ≥ the typical interval width so most
+  * intervals explode to 1–2 buckets). Install per-session via
+  * `SparkSession.builder.withExtensions(new graft.GraftExtensions)`, or
+  * at runtime on a live session through
+  * `spark.experimental.extraOptimizations`.
+  *
+  * Scope guards (the rewrite must never fire where it could lose): inner
+  * joins only; exactly one `lo <= point` / `point <= hi` pair, all three
+  * of LongType; point from one side, both bounds from the other; no
+  * existing cross-side equality conjunct (those joins already hash). The
+  * original condition is kept verbatim as residual, so the rewrite is
+  * result-identical by construction: a matching pair shares the point's
+  * single bucket (bucket(point) ∈ [bucket(lo), bucket(hi)]) exactly
+  * once, and non-matches are filtered by the residual. Inverted (lo>hi)
+  * or NULL-bounded intervals explode to zero buckets — the same rows an
+  * inner θ-join drops.
+  */
+object BandedRangeJoin {
+  /** Idempotently add the rule to a LIVE session via
+    * `spark.experimental.extraOptimizations` (sessions built with
+    * `withExtensions(new GraftExtensions)` get it at construction and
+    * don't need this). Dormant until the binSize conf is set. */
+  def install(session: SparkSession): Unit = synchronized {
+    val cur = session.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[BandedRangeJoin]))
+      session.experimental.extraOptimizations = cur :+ BandedRangeJoin(session)
+  }
+}
+
+case class BandedRangeJoin(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val ConfKey = "spark.graft.rangeJoin.binSize"
+
+  private def binSize: Option[Long] =
+    session.conf.getOption(ConfKey)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = binSize match {
+    case None => plan
+    case Some(bin) =>
+      plan.transformUp {
+        case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, bin).getOrElse(j)
+      }
+  }
+
+  /** floor(e / bin) as exact integer arithmetic, valid for negatives:
+    * (e - pmod(e, bin)) / bin (pmod is non-negative, difference is
+    * divisible, so the integral divide is exact floor division). */
+  private def bucketOf(e: Expression, bin: Long): Expression =
+    IntegralDivide(Subtract(e, Pmod(e, Literal(bin))), Literal(bin))
+
+  private def rewrite(j: Join, bin: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    def fromLeft(e: Expression) = e.references.subsetOf(leftOut) && e.references.nonEmpty
+    def fromRight(e: Expression) = e.references.subsetOf(rightOut) && e.references.nonEmpty
+
+    // joins that already carry a cross-side equality hash fine as-is
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case EqualNullSafe(a, b) => (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // normalize ≥/≤/>/< into (point, bound, isLower): strict bounds band
+    // identically (the residual keeps strictness exact)
+    def asBound(c: Expression): Seq[(Expression, Expression, Boolean)] = c match {
+      case GreaterThanOrEqual(p, lo) => Seq((p, lo, true))
+      case GreaterThan(p, lo) => Seq((p, lo, true))
+      case LessThanOrEqual(p, hi) => Seq((p, hi, false))
+      case LessThan(p, hi) => Seq((p, hi, false))
+      case _ => Seq.empty
+    }
+    val bounds = conjuncts.flatMap(asBound).filter { case (p, b, _) =>
+      p.dataType == LongType && b.dataType == LongType &&
+        ((fromLeft(p) && fromRight(b)) || (fromRight(p) && fromLeft(b)))
+    }
+    val pair = bounds.collectFirst(Function.unlift {
+      case lower @ (p, _, true) =>
+        bounds.collectFirst {
+          case (p2, hi, false) if p2.semanticEquals(p) => (p, lower._2, hi)
+        }
+      case _ => None
+    })
+
+    pair.flatMap { case (point, lo, hi) =>
+      if (!(fromLeft(lo) == fromLeft(hi) && fromRight(lo) == fromRight(hi))) None
+      else {
+        val pointOnLeft = fromLeft(point)
+        val (pointPlan, intervalPlan) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+
+        val bucketAlias = Alias(bucketOf(point, bin), "__graft_bucket_p")()
+        val pointSide = Project(pointPlan.output :+ bucketAlias, pointPlan)
+
+        val bLo = bucketOf(lo, bin)
+        val bHi = bucketOf(hi, bin)
+        // Sequence is TimeZoneAwareExpression (unresolved without a zone
+        // even for longs), and the empty-array literal must match its
+        // containsNull=false element type or the If won't resolve
+        val seq = If(LessThanOrEqual(bLo, bHi),
+          Sequence(bLo, bHi, Some(Literal(1L)),
+            Some(session.sessionState.conf.sessionLocalTimeZone)),
+          Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+        val bucketAttr = AttributeReference("__graft_bucket_i", LongType)()
+        val intervalSide = Generate(Explode(seq), Nil, outer = false, None,
+          Seq(bucketAttr), intervalPlan)
+
+        val newCond = And(EqualTo(bucketAlias.toAttribute, bucketAttr), j.condition.get)
+        val (nl, nr) = if (pointOnLeft) (pointSide, intervalSide) else (intervalSide, pointSide)
+        Some(Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint)))
+      }
+    }
+  }
+}

@@ -181,11 +181,46 @@ object AdvancedJoins extends QueryModule {
   private def sqlRevenueA =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
+  /** J8-auto: the same class of range join as q36, but written as the
+    * NAIVE θ-join and rewritten to the banded equi-join by the
+    * [[graft.plans.BandedRangeJoin]] optimizer rule — the user states
+    * intent, the engine supplies the scale shape (Spark alone would plan
+    * a nested loop here: no equality conjunct exists). Customers matched
+    * to suppliers whose account balance is within ±500.00: acctbals are
+    * floor-scaled to integer cents (floor(x*100) is bit-identical in
+    * both engines; a raw long CAST would round half-even in DuckDB but
+    * truncate in Spark). The rule is installed at runtime through
+    * `spark.experimental.extraOptimizations` — the official hook for
+    * adding optimizer rules to a LIVE session (Verify/Bench build plain
+    * sessions); `withExtensions(new GraftExtensions)` is the
+    * session-construction equivalent. PlanSpec asserts the rewrite
+    * actually replaces the nested loop. */
+  val rangeJoinAuto: Q = Q(
+    """SELECT c_custkey, s_suppkey
+      |FROM
+      | (SELECT c_custkey, CAST(floor(c_acctbal*100) AS BIGINT) AS p FROM customer) c,
+      | (SELECT s_suppkey, CAST(floor(s_acctbal*100) AS BIGINT)-50000 AS lo,
+      |         CAST(floor(s_acctbal*100) AS BIGINT)+50000 AS hi FROM supplier) s
+      |WHERE c.p >= s.lo AND c.p <= s.hi
+      |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, d) =>
+    graft.plans.BandedRangeJoin.install(s)
+    s.conf.set("spark.graft.rangeJoin.binSize", "100000") // = 2× half-width
+    val c = customer(s, d).select(col("c_custkey"),
+      floor(col("c_acctbal") * 100).cast("long").as("p"))
+    val sup = supplier(s, d).select(col("s_suppkey"),
+      (floor(col("s_acctbal") * 100).cast("long") - 50000).as("lo"),
+      (floor(col("s_acctbal") * 100).cast("long") + 50000).as("hi"))
+    c.join(sup, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("c_custkey", "s_suppkey")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q36_range_join"       -> rangeJoinBanded,
     "q37_asof_join"        -> asofJoin,
     "q38_interval_overlap" -> intervalOverlap,
     "q39_star_join"        -> starJoin,
-    "q79_asof_generic"     -> asofGeneric
+    "q79_asof_generic"     -> asofGeneric,
+    "q125_range_join_auto" -> rangeJoinAuto
   )
 }

@@ -252,6 +252,25 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include regex "o_custkey.* <= 50"
   }
 
+  test("q125: BandedRangeJoin rewrites the pure range join — no nested loop, same rows") {
+    val df = SparkEntry.queries("q125_range_join_auto")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "NestedLoop"
+    p should include("__graft_bucket") // the rule's banded equi-key
+    // result-identical to the un-rewritten θ-join (rule disabled)
+    val banded = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val saved = spark.conf.getOption("spark.graft.rangeJoin.binSize")
+    try {
+      spark.conf.unset("spark.graft.rangeJoin.binSize")
+      val naive = SparkEntry.queries("q125_range_join_auto")(spark, sf)
+      // builder re-sets the conf; unset again to truly compare rule-off
+      spark.conf.unset("spark.graft.rangeJoin.binSize")
+      val nplan = naive.queryExecution.executedPlan.toString
+      nplan should include("NestedLoop") // without the rule Spark loops
+      naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe banded
+    } finally saved.foreach(spark.conf.set("spark.graft.rangeJoin.binSize", _))
+  }
+
   test("AQE splits a skewed shuffle-join partition (skew=true)") {
     // one orders key joined against the whole lineitem table via a
     // skew-amplified synthetic key: all lineitem rows hash to one
