@@ -79,8 +79,20 @@ object ZOrder2 {
     s"(($s4 | ($s4 << 1)) & $m5)"
   }
 
-  def sqlInterleave(a: String, b: String): String =
-    s"(${sqlSpread(a)} | (${sqlSpread(b)} << 1))"
+  /** `spread(b) << 1` must wrap into the sign bit (bit 62 → 63), but
+    * DuckDB's `<<` is overflow-checked and ERRORS when bit 62 is set —
+    * i.e. for any b with bit 31 set, half the documented mod-2^32
+    * domain. Spell the wrap explicitly: shift the low 62 bits, then OR
+    * the sign bit back in via a CASE on bit 62. (Java's << wraps
+    * natively; the Scala side needs no guard.) */
+  def sqlInterleave(a: String, b: String): String = {
+    val sb = sqlSpread(b)
+    val low62 = 0x3FFFFFFFFFFFFFFFL
+    val bit62 = 0x4000000000000000L
+    val shifted = s"((($sb & $low62) << 1) | " +
+      s"(CASE WHEN ($sb & $bit62) != 0 THEN (-9223372036854775807 - 1) ELSE 0 END))"
+    s"(${sqlSpread(a)} | $shifted)"
+  }
 
   /** Idempotently registers `zorder2(a, b)` for SQL/expr use. */
   def register(spark: SparkSession): Unit =

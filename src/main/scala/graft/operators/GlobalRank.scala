@@ -30,16 +30,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object GlobalRank {
 
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], rankName: String,
-                    partitions: Int): DataFrame = {
+                    partitions: Int): DataFrame =
+    withRowNumberAndTotal(df, sortCols, rankName, partitions)._1
+
+  /** As [[withRowNumber]], but also returns the TOTAL row count — already
+    * known from the count pass, so callers needing a denominator (e.g.
+    * equi-depth binning) don't re-scan the source for it. */
+  def withRowNumberAndTotal(df: DataFrame, sortCols: Seq[Column], rankName: String,
+                            partitions: Int): (DataFrame, Long) = {
     require(partitions > 0, "partitions must be positive")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: one Long per partition to the driver
+    // pass 1: one Long per partition to the driver. Counted with an
+    // explicit Long loop — Iterator.size returns Int and would wrap
+    // negative past 2^31 rows per partition, exactly the scale this
+    // operator exists for.
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator.single((i, it.size.toLong))
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((i, n))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     // pass 2: stamp offset + local position (cache hit, no re-shuffle)
@@ -48,6 +60,19 @@ object GlobalRank {
       it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
     }
     val schema = StructType(sorted.schema.fields :+ StructField(rankName, LongType, nullable = false))
-    spark.createDataFrame(stamped, schema)
+    val out = spark.createDataFrame(stamped, schema)
+    // generation cleanup: the cache must outlive the CALLER's terminal
+    // action (an eager unpersist here would evict before the stamping
+    // pass ever runs), but must not accumulate across a session's many
+    // invocations either — so each call releases the PREVIOUS call's
+    // generation, bounding live cache to one input at a time (the same
+    // discipline ConnectedComponents applies to its label generations).
+    synchronized {
+      lastCached.foreach(_.unpersist(blocking = false))
+      lastCached = Some(rdd)
+    }
+    (out, offsets.last)
   }
+
+  private var lastCached: Option[org.apache.spark.rdd.RDD[Row]] = None
 }

@@ -58,13 +58,18 @@ object SkewSalt {
   def join(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
            salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already contain a __salt column")
     val saltedFact = fact.withColumn("__salt",
       pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // keys resolved AGAINST THEIR OWN SIDE: an unqualified col(factKey)
+    // is ambiguous whenever the same name exists on both sides — the
+    // common fact.join(dim, "id", "id") case
     saltedFact.join(replicatedDim,
         saltedFact("__salt") === replicatedDim("__salt") &&
-          col(factKey) === col(dimKey))
+          saltedFact(factKey) === replicatedDim(dimKey))
       .drop(saltedFact("__salt")).drop(replicatedDim("__salt"))
   }
 

@@ -463,14 +463,13 @@ object Llm extends QueryModule {
     * at ~0.47; a production near-dup τ on real embeddings is ~0.9) —
     * the operator shape is identical. Bit-parity of the cosine across
     * engines comes from the same float→double left-to-right sum both
-    * sides (see CosineSimilaritySpec). */
-  val embeddingNearDup: Q = Q(
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ROUND(${sqlCosOf("a", "b")}, 6) AS cos
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${sqlCosOf("a", "b")} >= 0.35
-       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    * sides (see CosineSimilaritySpec).
+    *
+    * ONE pair builder shared by q80 (pairs) and q110 (similarity-graph
+    * degrees): the AnalyticsSpec handshake invariant (Σ degree =
+    * 2·|pairs|) holds by construction because there is a single
+    * definition of the edge set. */
+  private[queries] def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val a = embeddings(s, d)
       .select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("label"))
@@ -479,6 +478,20 @@ object Llm extends QueryModule {
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), expr("cosine_sim(qe, ee)").as("cos_raw"))
       .filter(col("cos_raw") >= 0.35)
+  }
+
+  /** The matching oracle-side pair CTE body (FROM+WHERE of the edge set). */
+  private[queries] def sqlEmbeddingPairsFromWhere: String =
+    s"""FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlCosOf("a", "b")} >= 0.35""".stripMargin
+
+  val embeddingNearDup: Q = Q(
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(${sqlCosOf("a", "b")}, 6) AS cos
+       |$sqlEmbeddingPairsFromWhere
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    embeddingPairs(s, d)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
   }

@@ -49,9 +49,10 @@ object ScalePatterns extends QueryModule {
        |  ${sqlDsum("o_totalprice")} AS total
        |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
     val o = orders(s, d).select("o_totalprice", "o_orderkey")
-    val ranked = graft.operators.GlobalRank.withRowNumber(
+    // the count pass inside GlobalRank already knows the total — reuse it
+    // instead of a third full scan for the decile denominator
+    val (ranked, n) = graft.operators.GlobalRank.withRowNumberAndTotal(
       o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk", partitions = 32)
-    val n = o.count() // one scalar to the driver; the decile denominator
     ranked
       .groupBy(floor((col("rnk") - 1) * 10 / n).cast("int").as("decile"))
       .agg(count(lit(1)).as("n_rows"),
@@ -74,7 +75,10 @@ object ScalePatterns extends QueryModule {
     def partial(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("__n"),
         sum(col("value").cast("decimal(28,4)")).as("__s"))
-    val base = partial(ev.filter(col("ts") < cut))   // the frozen MV
+    // NULL-ts rows must land in exactly ONE side or merge != recompute
+    // (the oracle aggregates them; `< cut` and `>= cut` both reject
+    // NULL). Convention: unknown-time rows belong to the frozen base.
+    val base = partial(ev.filter(col("ts") < cut || col("ts").isNull))
     val delta = partial(ev.filter(col("ts") >= cut)) // the new arrivals
     base.unionAll(delta)
       .groupBy("user_id")

@@ -137,21 +137,13 @@ object TextScoring extends QueryModule {
   val simGraphDegree: Q = Q(
     s"""WITH pairs AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id
-       |  WHERE ${Llm.sqlCosOf("a", "b")} >= 0.35),
+       |  ${Llm.sqlEmbeddingPairsFromWhere}),
        |deg AS (SELECT v, COUNT(*) AS degree FROM (
        |  SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs) GROUP BY v)
        |SELECT degree, COUNT(*) AS n_nodes
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
-    graft.functions.CosineSimilarity.register(s)
-    val a = embeddings(s, d)
-      .select(col("vec_id").as("va"), col("embedding").as("qe"), col("label"))
-    val b = embeddings(s, d)
-      .select(col("vec_id").as("vb"), col("embedding").as("ee"), col("label").as("label_b"))
-    val pairs = a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
-      .filter(expr("cosine_sim(qe, ee)") >= 0.35)
-      .select("va", "vb")
+    // the SAME edge set as q80, by construction (shared builder)
+    val pairs = Llm.embeddingPairs(s, d).select(col("vec_a").as("va"), col("vec_b").as("vb"))
     pairs.select(col("va").as("v")).unionAll(pairs.select(col("vb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
@@ -186,9 +178,7 @@ object TextScoring extends QueryModule {
     Q(
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${Llm.sqlCosOf("a", "b")} >= 0.35),
+         |  ${Llm.sqlEmbeddingPairsFromWhere}),
          |edges AS (SELECT va AS src, vb AS dst FROM pairs
          |  UNION ALL SELECT vb, va FROM pairs),
          |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
@@ -200,14 +190,8 @@ object TextScoring extends QueryModule {
          |${sqlIter(3)}
          |SELECT id AS vec_id, pr AS pr_fixed FROM pr3
          |ORDER BY pr_fixed DESC, vec_id""".stripMargin) { (s, d) =>
-      graft.functions.CosineSimilarity.register(s)
-      val a = embeddings(s, d)
-        .select(col("vec_id").as("va"), col("embedding").as("qe"), col("label"))
-      val b = embeddings(s, d)
-        .select(col("vec_id").as("vb"), col("embedding").as("ee"), col("label").as("label_b"))
-      val pairs = a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
-        .filter(expr("cosine_sim(qe, ee)") >= 0.35)
-        .select("va", "vb")
+      val pairs = Llm.embeddingPairs(s, d)
+        .select(col("vec_a").as("va"), col("vec_b").as("vb"))
       // materialize the edge relation ONCE: exchange reuse does not
       // bridge the three iterations' differing join shapes, so without
       // this the cosine pair join would recompute per iteration (the

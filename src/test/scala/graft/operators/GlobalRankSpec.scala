@@ -35,12 +35,22 @@ class GlobalRankSpec extends AnyFunSuite with Matchers {
     rs shouldBe (1L to rs.length).toArray
   }
 
-  test("plan has no single-partition global sort (the window shape it replaces)") {
+  test("data stays distributed: the ranked output keeps all requested partitions") {
+    // A plan-string assertion on the OUTPUT frame is vacuous here: the
+    // ranking runs inside an RDD lineage (createDataFrame over stamped
+    // partitions), so even a single-partition-Window reimplementation
+    // would print only an ExistingRDD scan. The observable that actually
+    // distinguishes the distributed shape is the PARTITIONING of the
+    // materialized result: range-exchange + stamping preserves the
+    // requested partition count with rows spread across them, while the
+    // anti-pattern (Window.orderBy with no partitionBy) funnels all rows
+    // into ONE partition.
     val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val ranked = GlobalRank.withRowNumber(
       o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk", partitions = 32)
-    // the ranking pipeline must not contain a Window operator at all —
-    // the rank comes from range exchange + per-partition stamping
-    ranked.queryExecution.executedPlan.toString should not include "Window"
+    ranked.rdd.getNumPartitions shouldBe 32
+    val perPart = ranked.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    perPart.count(_ > 0) should be > 1 // rows genuinely spread, not funnelled
+    perPart.max.toLong should be < o.count() // no partition holds everything
   }
 }
