@@ -69,6 +69,62 @@ object Multimodal {
     extractFeatures(df.as[MediaRow]).toDF()
   }
 
+  /** One sampled video frame: the 1→N output of [[sampleFrames]]. */
+  case class FrameRow(
+      media_id: Long,
+      frame_index: Int,          // index in the decoded frame sequence
+      ts_millis: Long,           // presentation time of the frame
+      frame_payload: Array[Byte],
+      frame_checksum: Long)
+
+  /** Frame sampling: every `everyNth` frame of each video row — the 1→N
+    * cardinality-changing shape (decode → explode) that distinguishes
+    * video plumbing from per-item transforms. Implemented as a typed
+    * flatMap with an ITERATOR over frame indices, so memory per task is
+    * one frame, not one video — the property that matters when a row is
+    * a 10 GB clip. The stub "decoder" derives a deterministic frame
+    * count and per-frame payload slice from the bytes; a real decoder
+    * swaps in behind the same iterator contract. Non-video rows emit no
+    * frames (a real pipeline routes them to [[extractFeatures]]). */
+  def sampleFrames(media: Dataset[MediaRow], everyNth: Int): Dataset[FrameRow] = {
+    require(everyNth > 0, "everyNth must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.modality != "video" || r.payload.length == 0) Iterator.empty
+      else {
+        val nFrames = r.payload.length / 100 + 1 // stub: ~1 frame per 100 bytes
+        Iterator.range(0, nFrames, everyNth).map { fi =>
+          val start = (fi * 100) % r.payload.length
+          val slice = r.payload.slice(start, math.min(start + 100, r.payload.length))
+          var crc = 1125899906842597L
+          var i = 0
+          while (i < slice.length) { crc = crc * 31 + (slice(i) & 0xff); i += 1 }
+          FrameRow(r.media_id, fi, fi * 40L, slice, crc) // 25 fps → 40 ms/frame
+        }
+      }
+    }
+  }
+
+  /** Resize: per-item payload transform preserving the MediaRow schema —
+    * the in-place map shape (decode → scale → re-encode). The stub
+    * "resampler" keeps every kth byte so output size tracks the target
+    * dimensions deterministically; metadata is updated in lockstep with
+    * the payload, which is the actual contract a catalog depends on. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.modality != "image" || r.width <= 0 || r.height <= 0) r
+      else {
+        val scale = math.max(1, math.ceil(
+          (r.width.toLong * r.height) / math.max(1.0, targetW.toLong * targetH)).toInt)
+        val resampled = Array.range(0, r.payload.length, scale).map(r.payload)
+        r.copy(payload = resampled, width = math.min(r.width, targetW),
+          height = math.min(r.height, targetH))
+      }
+    }
+  }
+
   /** Synthesizes a media table from the documents fixture (text bytes as
     * the opaque payload) — the test harness for the plumbing above. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
