@@ -224,6 +224,29 @@ object ScalePatterns extends QueryModule {
       .limit(20)
   }
 
+  /** Mergeable-sketch COUNT DISTINCT (DataSketches HLL): per-day user
+    * sketches (`hll_sketch_agg`) unioned into the full-range estimate
+    * (`hll_union_agg`) — the pattern that makes DISTINCT maintainable
+    * incrementally at 100 TB. q113's partial-merge trick only works for
+    * ALGEBRAIC aggregates; distinct counts are holistic, and the sketch
+    * is the standard fix: store one small binary per (day, dimension),
+    * merge any subset on demand, never rescan history. Estimates are
+    * deterministic (HLL registers are max-merged — order-insensitive)
+    * but engine-specific → no oracle; ScalePatternsSpec proves
+    * union-of-daily == all-at-once EXACTLY and estimate ≈ exact. */
+  val hllMerge: Q = Q.noOracle { (s, d) =>
+    val ev = events(s, d).select(
+      date_trunc("day", col("ts")).cast("date").as("day"),
+      col("user_id"), col("event_type"))
+    val daily = ev.groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum("n_events").as("n_events"))
+      .orderBy("event_type")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q111_rolling_median"    -> rollingMedian,
     "q112_decile_stats"      -> decileStats,
@@ -232,6 +255,7 @@ object ScalePatterns extends QueryModule {
     "q115_kmeans_update"     -> kmeansUpdate,
     "q116_approx_percentile" -> approxPercentile,
     "q117_zorder_key"        -> zorderKey,
-    "q121_priority_sample"   -> prioritySample
+    "q121_priority_sample"   -> prioritySample,
+    "q126_hll_merge"         -> hllMerge
   )
 }

@@ -13,6 +13,30 @@ class ScalePatternsSpec extends AnyFunSuite with Matchers {
 
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  test("q126 HLL: union of daily sketches == one global sketch, estimate ≈ exact") {
+    // the mergeability contract: sketch-then-union over any partitioning
+    // must equal sketching the whole stream (HLL registers max-merge)
+    val ev = graft.Tables.events(spark, sf).select(
+      date_trunc("day", col("ts")).cast("date").as("day"),
+      col("user_id"), col("event_type"))
+    val viaDaily = ev.groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    viaDaily.toSeq shouldBe direct.toSeq
+    // and the estimate tracks the exact distinct count
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    viaDaily.foreach { case (et, est) =>
+      math.abs(est - exact(et)).toDouble / exact(et) should be < 0.05
+    }
+  }
+
   test("q113 incremental merge == direct recompute, bit for bit") {
     val merged = run("q113_incremental_agg").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
