@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction for parquet datasets — the standing hygiene job
+  * of any long-lived 100 TB table: streaming ingestion and fine-grained
+  * partitioning accumulate thousands of KB-scale files, and scan cost
+  * degrades toward per-file overhead (footer reads, task scheduling,
+  * no intra-file parallelism). Compaction rewrites the data into files
+  * sized for the scan path.
+  *
+  * Shape: one read → `repartition(n)` → one write, with `n` derived from
+  * the CURRENT on-disk bytes over the target file size (Hadoop
+  * FileSystem listing — no data read to plan the job). The round-robin
+  * repartition balances output sizes regardless of input skew. Content
+  * is preserved exactly (row-identical, schema-identical) — which is why
+  * the operator is oracle-able as a round-trip (q127).
+  *
+  * The rewrite lands in `outDir` (copy-compact): compact-in-place on
+  * object storage is a rename dance best left to table formats;
+  * copy-then-swap is the portable form.
+  */
+object Compaction {
+
+  case class Stats(inFiles: Long, inBytes: Long, outFiles: Long, outBytes: Long)
+
+  private def list(spark: SparkSession, dir: String, suffix: String): (Long, Long) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(suffix)) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
+
+  /** Compact `inDir` (parquet) into `outDir` targeting `targetBytes` per
+    * output file. Returns before/after stats. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): Stats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (inFiles, inBytes) = list(spark, inDir, ".parquet")
+    require(inFiles > 0, s"no parquet files under $inDir")
+    val nOut = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val (outFiles, outBytes) = list(spark, outDir, ".parquet")
+    Stats(inFiles, inBytes, outFiles, outBytes)
+  }
+}

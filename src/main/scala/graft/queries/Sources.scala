@@ -182,6 +182,29 @@ object Sources extends QueryModule {
       .orderBy("p_partkey")
   }
 
+  /** S10: small-file COMPACTION round-trip — documents deliberately
+    * shattered into 64 tiny files, compacted by operators.Compaction to
+    * ~1 MB targets, read back and oracle-compared against the original
+    * table. Grades the operational primitive (content-exact rewrite,
+    * size-derived output count) through the same gate as every source. */
+  val compactedRead: Q = Q(
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val shattered = tmpDir("docs_shattered", d)
+    val compacted = tmpDir("docs_compacted", d)
+    stageOnce(compacted) {
+      documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(shattered)
+      val stats = graft.operators.Compaction.compact(
+        s, shattered, compacted, targetBytes = 1L << 20)
+      require(stats.outFiles < stats.inFiles,
+        s"compaction must reduce file count (${stats.inFiles} -> ${stats.outFiles})")
+    }
+    s.read.parquet(compacted)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q68_xlsx_region"   -> xlsxRegion,
     "q69_xlsx_nation"   -> xlsxNation,
@@ -190,6 +213,7 @@ object Sources extends QueryModule {
     "q72_jdbc_etl"      -> jdbcEtl,
     "q87_xlsx_sink"     -> xlsxSinkRoundtrip,
     "q97_publish_corpus"-> publishCorpus,
-    "q118_orc_roundtrip"-> orcRoundtrip
+    "q118_orc_roundtrip"-> orcRoundtrip,
+    "q127_compacted_read"-> compactedRead
   )
 }
