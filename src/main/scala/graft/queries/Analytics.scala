@@ -199,6 +199,78 @@ object Analytics extends QueryModule {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Winsorization: clip a value column at its global p01/p99 — the
+    * standard outlier treatment before training on numeric features.
+    * Scale shape: the two percentiles are ONE 1-row aggregate broadcast
+    * into the scan-side projection (no sort of the data, no second
+    * shuffle); the clip itself folds into codegen. Exact interpolated
+    * percentiles (q32 established Spark percentile == DuckDB
+    * quantile_cont on this data); clipped sums decimal-accumulate. */
+  val winsorize: Q = Q(
+    s"""WITH p AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+       |                 quantile_cont(o_totalprice, 0.99) AS hi FROM orders)
+       |SELECT o_orderpriority,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |  CAST(SUM(CAST(ROUND(CASE WHEN o_totalprice < lo THEN lo
+       |       WHEN o_totalprice > hi THEN hi ELSE o_totalprice END, 2) AS DECIMAL(28,4))) AS DOUBLE) AS total_winsorized
+       |FROM orders CROSS JOIN p
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val p = o.agg(
+      percentile(col("o_totalprice"), lit(0.01)).as("lo"),
+      percentile(col("o_totalprice"), lit(0.99)).as("hi"))
+    val clipped = when(col("o_totalprice") < col("lo"), col("lo"))
+      .when(col("o_totalprice") > col("hi"), col("hi"))
+      .otherwise(col("o_totalprice"))
+    o.crossJoin(broadcast(p))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        sum(round(clipped, 2).cast("decimal(28,4)")).cast("double").as("total_winsorized"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Time-weighted average (irregular time series): each observation is
+    * weighted by how long it remained current (gap to the next event of
+    * the same user) — the correct mean for unevenly-sampled signals,
+    * where the arithmetic mean over-weights bursts. One window (lead)
+    * partitioned by user supplies the holding time; rows with no
+    * successor take zero weight, matching the oracle's lead() NULL
+    * handling. Weighted sums are exact integers — durations floored to
+    * MILLIS (integer division, identical in both engines) × micro-scaled
+    * values keeps the products under 2^63 for month-scale gaps and
+    * 6-figure values (micros × micros overflows at exactly this data's
+    * gap × value range) — so the final division is the only rounding
+    * step. */
+  val timeWeighted: Q = Q(
+    """WITH t AS (SELECT user_id, value,
+      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - ts) AS BIGINT) // 1000 AS dur_ms,
+      |    CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END) AS BIGINT) AS held_ms,
+      |  ROUND(CAST(SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms * v_micro END) AS DOUBLE)
+      |    / (1000000.0 * SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END)), 6) AS twa
+      |FROM t GROUP BY user_id
+      |HAVING SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END) > 0
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = events(s, d).select(col("user_id"), col("value"),
+        expr("(unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))" +
+          " - unix_micros(ts)) DIV 1000").as("dur_ms"),
+        round(col("value") * 1000000).cast("long").as("v_micro"))
+    t.groupBy("user_id")
+      .agg(sum(coalesce(col("dur_ms"), lit(0L))).as("held_ms"),
+        round(
+          sum(coalesce(col("dur_ms") * col("v_micro"), lit(0L))).cast("double") /
+            (lit(1000000.0) * sum(coalesce(col("dur_ms"), lit(0L)))), 6).as("twa"))
+      .filter(col("held_ms") > 0)
+      .orderBy("user_id")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
@@ -206,6 +278,8 @@ object Analytics extends QueryModule {
     "q104_quality_audit"  -> qualityAudit,
     "q106_funnel"         -> funnel,
     "q107_transitions"    -> transitions,
-    "q108_scd2_intervals" -> scd2Intervals
+    "q108_scd2_intervals" -> scd2Intervals,
+    "q128_winsorize"      -> winsorize,
+    "q129_time_weighted"  -> timeWeighted
   )
 }
