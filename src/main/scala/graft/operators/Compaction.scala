@@ -45,7 +45,11 @@ object Compaction {
     require(targetBytes > 0, "targetBytes must be positive")
     val (inFiles, inBytes) = list(spark, inDir, ".parquet")
     require(inFiles > 0, s"no parquet files under $inDir")
-    val nOut = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
+    // clamp before the Long→Int narrowing: a tiny targetBytes against a
+    // big dataset would otherwise wrap negative and fail repartition
+    // AFTER the listing pass. 2^20 output files is far beyond any sane
+    // compaction (whose goal is FEWER files) and keeps the quotient safe.
+    val nOut = math.min(math.max(1L, (inBytes + targetBytes - 1) / targetBytes), 1L << 20).toInt
     spark.read.parquet(inDir)
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)

@@ -54,25 +54,22 @@ object GlobalRank {
       Iterator.single((i, n))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
-    // pass 2: stamp offset + local position (cache hit, no re-shuffle)
+    // pass 2: stamp offset + local position (cache hit, no re-shuffle),
+    // MATERIALIZED via an eager local checkpoint. This closes the
+    // lifetime problem cleanly: the sorted cache is released as soon as
+    // the stamping pass has consumed it (below, deterministically — not
+    // "on the next invocation", which would silently re-run the range
+    // exchange for a caller holding two live ranked frames), and the
+    // checkpointed result blocks are freed by the ContextCleaner when
+    // the returned frame is dropped. Costs one extra traversal of the
+    // cached partitions; the heavy exchange still runs exactly once.
     val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
       var r = offsets(i)
       it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
-    }
+    }.localCheckpoint()
+    stamped.count() // force materialization while the sorted cache is live
+    rdd.unpersist(blocking = false)
     val schema = StructType(sorted.schema.fields :+ StructField(rankName, LongType, nullable = false))
-    val out = spark.createDataFrame(stamped, schema)
-    // generation cleanup: the cache must outlive the CALLER's terminal
-    // action (an eager unpersist here would evict before the stamping
-    // pass ever runs), but must not accumulate across a session's many
-    // invocations either — so each call releases the PREVIOUS call's
-    // generation, bounding live cache to one input at a time (the same
-    // discipline ConnectedComponents applies to its label generations).
-    synchronized {
-      lastCached.foreach(_.unpersist(blocking = false))
-      lastCached = Some(rdd)
-    }
-    (out, offsets.last)
+    (spark.createDataFrame(stamped, schema), offsets.last)
   }
-
-  private var lastCached: Option[org.apache.spark.rdd.RDD[Row]] = None
 }

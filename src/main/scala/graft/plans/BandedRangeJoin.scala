@@ -35,11 +35,23 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * original condition is kept verbatim as residual, so the rewrite is
   * result-identical by construction: a matching pair shares the point's
   * single bucket (bucket(point) ∈ [bucket(lo), bucket(hi)]) exactly
-  * once, and non-matches are filtered by the residual. Inverted (lo>hi)
-  * or NULL-bounded intervals explode to zero buckets — the same rows an
-  * inner θ-join drops.
+  * once, and non-matches are filtered by the residual.
+  *
+  * Hostile intervals cannot break it: bucket arithmetic is exact floor
+  * division over the whole Long domain (incl. Long.MinValue sentinels),
+  * and rows whose bucket span exceeds `spark.graft.rangeJoin.maxBuckets`
+  * (default 4096) — or whose bounds are NULL/inverted — are routed to a
+  * θ-join FALLBACK branch against the point side and unioned back in,
+  * so a stray open-ended interval degrades that one row's work to the
+  * original nested-loop cost instead of failing the query or exploding
+  * a sequence.
   */
 object BandedRangeJoin {
+  /** Marks the θ-join fallback branch the rule itself emits, so the
+    * fixed-point batch does not re-rewrite it (see apply). */
+  private[plans] val Rewritten =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.bandedRangeJoin.rewritten")
+
   /** Idempotently add the rule to a LIVE session via
     * `spark.experimental.extraOptimizations` (sessions built with
     * `withExtensions(new GraftExtensions)` get it at construction and
@@ -65,15 +77,29 @@ case class BandedRangeJoin(session: SparkSession)
     case None => plan
     case Some(bin) =>
       plan.transformUp {
-        case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, bin).getOrElse(j)
+        // the θ-join FALLBACK branch we emit carries the skip tag (tags
+        // survive transform copies): without it the rule would re-match
+        // its own output's range predicate forever and never reach the
+        // batch's fixed point
+        case j @ Join(_, _, Inner, Some(_), _)
+            if j.getTagValue(BandedRangeJoin.Rewritten).isEmpty =>
+          rewrite(j, bin).getOrElse(j)
       }
   }
 
-  /** floor(e / bin) as exact integer arithmetic, valid for negatives:
-    * (e - pmod(e, bin)) / bin (pmod is non-negative, difference is
-    * divisible, so the integral divide is exact floor division). */
-  private def bucketOf(e: Expression, bin: Long): Expression =
-    IntegralDivide(Subtract(e, Pmod(e, Literal(bin))), Literal(bin))
+  /** floor(e / bin) as exact integer arithmetic, valid over the WHOLE
+    * Long domain: truncating divide, minus 1 when a negative value has a
+    * remainder. (The tempting `(e - pmod(e, bin)) / bin` underflows for
+    * e within pmod of Long.MinValue — sentinel open bounds live exactly
+    * there.) `e div bin` cannot overflow for bin ≥ 1, and the -1
+    * correction applies only when the quotient is negative, far from
+    * Long.MinValue. */
+  private def bucketOf(e: Expression, bin: Long): Expression = {
+    val q = IntegralDivide(e, Literal(bin))
+    val r = Remainder(e, Literal(bin))
+    If(And(LessThan(e, Literal(0L)), Not(EqualTo(r, Literal(0L)))),
+      Subtract(q, Literal(1L)), q)
+  }
 
   private def rewrite(j: Join, bin: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
@@ -122,21 +148,51 @@ case class BandedRangeJoin(session: SparkSession)
 
         val bLo = bucketOf(lo, bin)
         val bHi = bucketOf(hi, bin)
+        // WIDE intervals (span > maxBuckets) must not explode — a single
+        // sentinel row like hi = Long.MaxValue would try to materialize
+        // ~2^63/bin sequence elements and turn a slow-but-correct θ-join
+        // into a hard failure. Split the interval relation instead:
+        // narrow rows take the banded equi-join; the (by-assumption
+        // rare) wide/NULL-bounded rows take the original θ-join against
+        // the point side, and the two branches union — result-identical
+        // for EVERY input, no configuration cliff.
+        // span test without arithmetic that can overflow: bHi-bLo wraps
+        // when the buckets straddle ±2^62 (bin=1). Or() short-circuits:
+        // when bLo sits within maxBuckets of Long.MaxValue the interval
+        // is narrow by construction and bLo+maxBuckets is never computed.
+        val mb = maxBuckets
+        val narrowPred = And(GreaterThanOrEqual(bHi, bLo),
+          Or(GreaterThan(bLo, Literal(Long.MaxValue - mb)),
+            LessThan(bHi, Add(bLo, Literal(mb)))))
+        val isNarrow = And(And(IsNotNull(lo), IsNotNull(hi)), narrowPred)
+        val narrow = Filter(isNarrow, intervalPlan)
+        val wide = Filter(Or(IsNull(isNarrow), Not(isNarrow)), intervalPlan)
+
         // Sequence is TimeZoneAwareExpression (unresolved without a zone
-        // even for longs), and the empty-array literal must match its
-        // containsNull=false element type or the If won't resolve
-        val seq = If(LessThanOrEqual(bLo, bHi),
-          Sequence(bLo, bHi, Some(Literal(1L)),
-            Some(session.sessionState.conf.sessionLocalTimeZone)),
-          Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+        // even for longs); bHi - bLo is bounded by the narrow filter so
+        // neither the subtraction nor the sequence can overflow
+        val seq = Sequence(bLo, bHi, Some(Literal(1L)),
+          Some(session.sessionState.conf.sessionLocalTimeZone))
         val bucketAttr = AttributeReference("__graft_bucket_i", LongType)()
         val intervalSide = Generate(Explode(seq), Nil, outer = false, None,
-          Seq(bucketAttr), intervalPlan)
+          Seq(bucketAttr), narrow)
 
         val newCond = And(EqualTo(bucketAlias.toAttribute, bucketAttr), j.condition.get)
         val (nl, nr) = if (pointOnLeft) (pointSide, intervalSide) else (intervalSide, pointSide)
-        Some(Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint)))
+        val banded = Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
+        val (wl, wr) = if (pointOnLeft) (pointPlan, wide) else (wide, pointPlan)
+        val wideJoin = Join(wl, wr, Inner, j.condition, j.hint)
+        wideJoin.setTagValue(BandedRangeJoin.Rewritten, ())
+        val widened = Project(j.output, wideJoin)
+        Some(Union(Seq(banded, widened)))
       }
     }
   }
+
+  /** Max buckets a single interval may explode to before it is routed to
+    * the θ-join fallback branch instead. */
+  private def maxBuckets: Long =
+    session.conf.getOption("spark.graft.rangeJoin.maxBuckets")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(4096L)
 }

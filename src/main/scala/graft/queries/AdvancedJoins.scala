@@ -193,8 +193,13 @@ object AdvancedJoins extends QueryModule {
     * `spark.experimental.extraOptimizations` — the official hook for
     * adding optimizer rules to a LIVE session (Verify/Bench build plain
     * sessions); `withExtensions(new GraftExtensions)` is the
-    * session-construction equivalent. PlanSpec asserts the rewrite
-    * actually replaces the nested loop. */
+    * session-construction equivalent. The conf stays set for the rest of
+    * the session by design — acceptable because the rule is
+    * result-identical for every input (wide/NULL intervals fall back to
+    * the θ-join branch) and fires only on inner joins that have a pure
+    * LongType range predicate and no equi-key, a shape no other query
+    * here produces. PlanSpec asserts the rewrite actually replaces the
+    * nested loop, and restores the conf to unset. */
   val rangeJoinAuto: Q = Q(
     """SELECT c_custkey, s_suppkey
       |FROM

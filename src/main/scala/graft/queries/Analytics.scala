@@ -238,12 +238,14 @@ object Analytics extends QueryModule {
     * where the arithmetic mean over-weights bursts. One window (lead)
     * partitioned by user supplies the holding time; rows with no
     * successor take zero weight, matching the oracle's lead() NULL
-    * handling. Weighted sums are exact integers — durations floored to
-    * MILLIS (integer division, identical in both engines) × micro-scaled
-    * values keeps the products under 2^63 for month-scale gaps and
-    * 6-figure values (micros × micros overflows at exactly this data's
-    * gap × value range) — so the final division is the only rounding
-    * step. */
+    * handling. Each PRODUCT stays exact in Int64 (millis-floored
+    * duration × micro-scaled value — safe through ~year-long gaps at
+    * 5-figure values), and the per-user SUM of products accumulates in
+    * DECIMAL(38,0) — the repo's dsum discipline — because a long sum of
+    * near-2^63 products wraps silently in Spark while DuckDB widens to
+    * HUGEINT: the accumulator, not the product, is where the two
+    * engines would first diverge. The final division is the only
+    * rounding step. */
   val timeWeighted: Q = Q(
     """WITH t AS (SELECT user_id, value,
       |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -252,7 +254,8 @@ object Analytics extends QueryModule {
       |  FROM events)
       |SELECT user_id,
       |  CAST(SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END) AS BIGINT) AS held_ms,
-      |  ROUND(CAST(SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms * v_micro END) AS DOUBLE)
+      |  ROUND(CAST(SUM(CAST(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms * v_micro END
+      |      AS DECIMAL(38,0))) AS DOUBLE)
       |    / (1000000.0 * SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END)), 6) AS twa
       |FROM t GROUP BY user_id
       |HAVING SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END) > 0
@@ -265,7 +268,8 @@ object Analytics extends QueryModule {
     t.groupBy("user_id")
       .agg(sum(coalesce(col("dur_ms"), lit(0L))).as("held_ms"),
         round(
-          sum(coalesce(col("dur_ms") * col("v_micro"), lit(0L))).cast("double") /
+          sum(coalesce(col("dur_ms") * col("v_micro"), lit(0L)).cast("decimal(38,0)"))
+            .cast("double") /
             (lit(1000000.0) * sum(coalesce(col("dur_ms"), lit(0L)))), 6).as("twa"))
       .filter(col("held_ms") > 0)
       .orderBy("user_id")

@@ -14,26 +14,26 @@ class ScalePatternsSpec extends AnyFunSuite with Matchers {
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
   test("q126 HLL: union of daily sketches == one global sketch, estimate ≈ exact") {
-    // the mergeability contract: sketch-then-union over any partitioning
-    // must equal sketching the whole stream (HLL registers max-merge)
+    // gate the REGISTERED query (it is no-oracle, so this spec is its
+    // only check): its daily-sketch→union estimates must equal sketching
+    // the whole stream in one pass (HLL registers max-merge), and its
+    // event counts must be exact
+    val viaDaily = run("q126_hll_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val ev = graft.Tables.events(spark, sf).select(
-      date_trunc("day", col("ts")).cast("date").as("day"),
       col("user_id"), col("event_type"))
-    val viaDaily = ev.groupBy("day", "event_type")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
     val direct = ev.groupBy("event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
-    viaDaily.toSeq shouldBe direct.toSeq
-    // and the estimate tracks the exact distinct count
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n"))
       .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    viaDaily.foreach { case (et, est) =>
-      math.abs(est - exact(et)).toDouble / exact(et) should be < 0.05
+    val exactUsers = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"), count(lit(1)).as("n_events"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    viaDaily.length shouldBe direct.size
+    viaDaily.foreach { case (et, est, nEvents) =>
+      est shouldBe direct(et) // mergeability: union-of-daily == all-at-once
+      nEvents shouldBe exactUsers(et)._2
+      math.abs(est - exactUsers(et)._1).toDouble / exactUsers(et)._1 should be < 0.05
     }
   }
 
