@@ -284,12 +284,18 @@ object Llm extends QueryModule {
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = k.doc_id)
        |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
+    // materialize the filtered relation ONCE: `kept` feeds BOTH the pair
+    // pipeline and the survivor anti-join, and exchange reuse does not
+    // bridge those branch shapes — without the checkpoint the whole
+    // quality+decontamination subtree (two split() passes per row plus
+    // the 5-shingle broadcast join) runs once per consumer
     val kept = docs
       .filter(col("doc_id") % evalMod =!= 0)
       .filter(col("n_chars").between(100, 500))
       .filter(size(filter(words, t => t.isInCollection(stopWords))).cast("double")
         / size(words) >= 0.05)
       .join(broadcast(deconBadIds(docs)), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     graft.operators.Dedup.keepSurvivors(
         kept.select(col("doc_id"), col("lang"), col("n_chars")),
         "doc_id", jaccardPairsOf(kept), "doc_a", "doc_b")
