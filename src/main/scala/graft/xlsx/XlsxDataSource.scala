@@ -326,16 +326,25 @@ object XlsxFilterEval {
 
   private def comparable(schema: StructType, attr: String, v: Any): Boolean =
     schema.fields.exists(f => f.name == attr && (f.dataType match {
-      case StringType | DoubleType | BooleanType => v != null
+      case StringType | DoubleType | BooleanType | TimestampType => v != null
       case _ => false
     }))
 
-  /** value: internal representation (UTF8String/Double/Boolean) or null. */
+  /** value: internal representation (UTF8String/Double/Boolean/Long
+    * timestamp-micros) or null. Timestamp filter literals arrive as
+    * java.sql.Timestamp or java.time.Instant depending on the session's
+    * Java-8-API setting; both convert exactly to micros. */
   private def cmp(value: Any, v: Any): Option[Int] = (value, v) match {
     case (null, _) => None
     case (s: org.apache.spark.unsafe.types.UTF8String, x: String) => Some(s.toString.compareTo(x))
     case (d: java.lang.Double, x: Number) => Some(java.lang.Double.compare(d, x.doubleValue()))
     case (b: java.lang.Boolean, x: Boolean) => Some(b.compareTo(x))
+    case (l: java.lang.Long, x: java.sql.Timestamp) =>
+      Some(java.lang.Long.compare(l,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x)))
+    case (l: java.lang.Long, x: java.time.Instant) =>
+      Some(java.lang.Long.compare(l,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x)))
     case _ => None
   }
 

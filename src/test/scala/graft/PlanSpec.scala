@@ -109,6 +109,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("b", "c")
   }
 
+  test("xlsx scan pushes timestamp filters (and results stay exact)") {
+    val path = java.nio.file.Files.createTempDirectory("plants").resolve("t.xlsx").toString
+    graft.xlsx.XlsxWriter.write(path, Seq(graft.xlsx.XlsxWriter.Sheet(
+      "S", Seq("name", "at"),
+      Seq(Seq("old", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+        Seq("mid", java.sql.Timestamp.valueOf("2022-06-15 12:30:00")),
+        Seq("new", java.sql.Timestamp.valueOf("2024-12-31 23:59:59"))))))
+    val df = spark.read.format("xlsx").load(path)
+      .filter(org.apache.spark.sql.functions.col("at") >
+        java.sql.Timestamp.valueOf("2021-01-01 00:00:00"))
+    df.queryExecution.executedPlan.toString should include regex "PushedFilters=\\[.*at.*\\]"
+    df.collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("mid", "new")
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
     Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(dir)
