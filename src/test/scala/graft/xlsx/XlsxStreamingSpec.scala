@@ -340,6 +340,38 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("continuous ETL: restart from checkpoint neither reprocesses nor loses workbooks") {
+    // the exactly-once END STATE claim: offsets committed before the
+    // stop are honored after restart (no re-merge of drop1), a workbook
+    // dropped while the query is DOWN is picked up, and key-idempotent
+    // upsert means even a replayed batch cannot duplicate rows
+    val dir = Files.createTempDirectory("xetl2").toString
+    val ckpt = Files.createTempDirectory("xetl2-ckpt").toString
+    val url = s"jdbc:duckdb:${Files.createTempDirectory("xetl2-db")}/t.duckdb"
+    def start() = graft.etl.XlsxToDatabase.continuousLoad(
+      spark, dir, url, "live2", keys = Seq("id"), checkpoint = ckpt)
+    def state(): Seq[(Double, String)] =
+      graft.etl.XlsxToDatabase.readJdbc(spark, url, "live2")
+        .collect().map(r => (r.getAs[Number]("id").doubleValue(), r.getAs[String]("val")))
+        .toSeq.sorted
+    XlsxWriter.write(s"$dir/drop1.xlsx", Seq(XlsxWriter.Sheet("S",
+      Seq("id", "val"), Seq(Seq(1.0, "a"), Seq(2.0, "b")))))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    state() shouldBe Seq((1.0, "a"), (2.0, "b"))
+    // dropped while no query is running: must arrive after restart
+    XlsxWriter.write(s"$dir/drop2.xlsx", Seq(XlsxWriter.Sheet("S",
+      Seq("id", "val"), Seq(Seq(2.0, "B2"), Seq(3.0, "c")))))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      state() shouldBe Seq((1.0, "a"), (2.0, "B2"), (3.0, "c"))
+      // nothing new → no batch, and the end state is stable
+      q2.processAllAvailable()
+      state() shouldBe Seq((1.0, "a"), (2.0, "B2"), (3.0, "c"))
+    } finally q2.stop()
+  }
+
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
     val path = tmp("ctrl.xlsx")
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("S", Seq("s"),
