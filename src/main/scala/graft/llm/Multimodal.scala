@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed per-partition in
   * bounded batches.
   *
-  * The actual byte→pixels/samples decode is STUBBED (`StubDecoder`): no
-  * image/audio libraries exist in this container. Everything around the
-  * stub — schema, batching, partition-local processing, deterministic
-  * feature output — is real Spark and unit-tested; swapping `StubDecoder`
-  * for a JNI/FFI decoder changes no plumbing.
+  * The IMAGE decode path is REAL: `ImageDecoder` decodes PNG/JPEG bytes
+  * with `javax.imageio` (in the JDK — zero new dependencies) into actual
+  * pixel dimensions plus a luma histogram feature vector. Audio/video
+  * decode remains STUBBED (`StubDecoder`): no audio/video codec libraries
+  * exist in this container. Everything around the decoders — schema,
+  * batching, partition-local processing, deterministic feature output —
+  * is identical for both paths, so swapping the stub for an FFI codec
+  * changes no plumbing.
   *
   * Scale design: `mapPartitions` keeps the decode zero-copy per executor
   * (no shuffle), media bytes never hit the driver, and feature extraction
@@ -38,10 +41,11 @@ object Multimodal {
       checksum: Long,            // stand-in for a perceptual hash
       feature: Array[Float])     // fixed-width feature vector (dim 8)
 
-  /** STUB: a real implementation decodes payload → pixels/samples and runs
-    * feature extraction (resize, frame-sample, mel-spectrogram, …). This
-    * deterministic fake preserves the interface: bounded memory, pure
-    * function of the bytes. */
+  /** STUB (audio/video, and images whose bytes are not a decodable
+    * PNG/JPEG): a real implementation decodes payload → samples and runs
+    * feature extraction (mel-spectrogram, …). This deterministic fake
+    * preserves the interface: bounded memory, pure function of the
+    * bytes. */
   object StubDecoder {
     val FeatureDim = 8
     def decode(r: MediaRow): MediaFeatures = {
@@ -55,12 +59,77 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via `javax.imageio` (JDK-only): PNG/JPEG bytes →
+    * pixels → an 8-bin LUMA HISTOGRAM feature (each bin the fraction of
+    * pixels whose Rec.601 luma falls in [32·b, 32·(b+1))) plus a
+    * pixel-content checksum (a perceptual-hash stand-in: identical pixel
+    * content ⇒ identical checksum regardless of how the file was
+    * encoded). Bounded memory: one decoded image per task at a time —
+    * the same contract as the stub. */
+  object ImageDecoder {
+    val FeatureDim: Int = StubDecoder.FeatureDim
+
+    // in-memory ImageInputStreams: skip ImageIO's temp-file cache (one
+    // file create/delete per decoded row otherwise — pure overhead for
+    // byte-array payloads)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Cheap magic-byte sniff so obviously-non-image payloads skip the
+      * ImageIO reader search. PNG: 89 50 4E 47; JPEG: FF D8 FF. */
+    def looksLikeImage(b: Array[Byte]): Boolean =
+      (b.length >= 4 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length >= 3 &&
+        (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+
+    /** None when the bytes are not a decodable image — caller falls back
+      * to the stub, so a corrupt file degrades instead of failing the
+      * task (the behavior a 100 TB ingest needs: quarantine, not crash). */
+    def decode(r: MediaRow): Option[MediaFeatures] = {
+      if (!looksLikeImage(r.payload)) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](FeatureDim)
+          var crc = 1125899906842597L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              hist(math.min(lum >> 5, FeatureDim - 1)) += 1f
+              crc = crc * 31 + lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1, w * h).toFloat
+          var b = 0
+          while (b < FeatureDim) { hist(b) /= n; b += 1 }
+          Some(MediaFeatures(r.media_id, r.modality, r.payload.length, crc, hist))
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
+  /** Per-row decode routing: images through the real `ImageDecoder`
+    * (stub fallback for undecodable bytes), audio/video through the
+    * stub. */
+  def decodeRow(r: MediaRow): MediaFeatures =
+    if (r.modality == "image") ImageDecoder.decode(r).getOrElse(StubDecoder.decode(r))
+    else StubDecoder.decode(r)
+
   /** The pipeline: partition-local decode in batches. Equivalent shape to
     * PySpark's mapInPandas(batch_fn) — here a typed mapPartitions with an
     * iterator (streaming, no partition materialization). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubDecoder.decode))
+    media.mapPartitions(_.map(decodeRow))
   }
 
   /** Entry point from an untyped DataFrame carrying a binary column. */
@@ -106,15 +175,20 @@ object Multimodal {
   }
 
   /** Resize: per-item payload transform preserving the MediaRow schema —
-    * the in-place map shape (decode → scale → re-encode). The stub
-    * "resampler" keeps every kth byte so output size tracks the target
-    * dimensions deterministically; metadata is updated in lockstep with
-    * the payload, which is the actual contract a catalog depends on. */
+    * the in-place map shape (decode → scale → re-encode). Decodable
+    * PNG/JPEG payloads take the REAL path: ImageIO decode →
+    * aspect-preserving area-averaged downscale → PNG re-encode, with
+    * metadata updated from the actual output raster. Non-decodable image
+    * payloads fall back to the byte-decimation stub so the schema
+    * contract (payload and metadata move in lockstep) holds for every
+    * row. Images already inside the target box pass through unchanged —
+    * no decode, no re-encode. */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.modality != "image" || r.width <= 0 || r.height <= 0) r
+      else if (ImageDecoder.looksLikeImage(r.payload)) resizeReal(r, targetW, targetH)
       else {
         val scale = math.max(1, math.ceil(
           (r.width.toLong * r.height) / math.max(1.0, targetW.toLong * targetH)).toInt)
@@ -125,8 +199,55 @@ object Multimodal {
     }
   }
 
-  /** Synthesizes a media table from the documents fixture (text bytes as
-    * the opaque payload) — the test harness for the plumbing above. */
+  private def resizeReal(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    if (img == null) r
+    else if (img.getWidth <= targetW && img.getHeight <= targetH)
+      r.copy(width = img.getWidth, height = img.getHeight)
+    else {
+      val f = math.min(targetW.toDouble / img.getWidth, targetH.toDouble / img.getHeight)
+      val nw = math.max(1, math.round(img.getWidth * f).toInt)
+      val nh = math.max(1, math.round(img.getHeight * f).toInt)
+      // area-averaging filter: deterministic pure-Java resample in the JDK
+      val scaled = img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING)
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      r.copy(payload = baos.toByteArray, width = nw, height = nh)
+    }
+  }
+
+  /** Deterministic tiny PNG (16×12 RGB): pixel values from a 64-bit LCG
+    * seeded by `seed`, encoded with the JDK PNG writer. A pure function
+    * of the seed — re-runs produce identical pixel content. */
+  def syntheticPng(seed: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, (s >>> 40).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthesizes a media table from the documents fixture — the test
+    * harness for the plumbing above. IMAGE rows carry REAL PNG payloads
+    * (deterministic 16×12 pixels seeded by doc_id, encoded with the JDK
+    * PNG writer on the executor), so the q62 feature path decodes actual
+    * pixels; audio/video rows carry the document's text bytes as an
+    * opaque stand-in payload for the stub path. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
@@ -138,5 +259,10 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         lit(16000).as("sample_rate"))
       .as[MediaRow]
+      .map { r =>
+        if (r.modality == "image")
+          r.copy(payload = syntheticPng(r.media_id), width = 16, height = 12)
+        else r
+      }
   }
 }

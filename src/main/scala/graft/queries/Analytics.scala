@@ -238,14 +238,14 @@ object Analytics extends QueryModule {
     * where the arithmetic mean over-weights bursts. One window (lead)
     * partitioned by user supplies the holding time; rows with no
     * successor take zero weight, matching the oracle's lead() NULL
-    * handling. Each PRODUCT stays exact in Int64 (millis-floored
-    * duration × micro-scaled value — safe through ~year-long gaps at
-    * 5-figure values), and the per-user SUM of products accumulates in
-    * DECIMAL(38,0) — the repo's dsum discipline — because a long sum of
-    * near-2^63 products wraps silently in Spark while DuckDB widens to
-    * HUGEINT: the accumulator, not the product, is where the two
-    * engines would first diverge. The final division is the only
-    * rounding step. */
+    * handling. Each PRODUCT is computed in DECIMAL(38,0) — one operand
+    * is widened BEFORE the multiply, because an Int64 product wraps
+    * already at ~1-day gaps × 5-figure values (3.6e9 ms × 1e11 micro ≈
+    * 4e20 > 2^63), and it wraps SILENTLY in Spark while DuckDB errors:
+    * the product, not just the accumulator, is where the engines first
+    * diverge. The per-user SUM also accumulates in DECIMAL(38,0) (the
+    * repo's dsum discipline). The final division is the only rounding
+    * step. */
   val timeWeighted: Q = Q(
     """WITH t AS (SELECT user_id, value,
       |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -254,8 +254,8 @@ object Analytics extends QueryModule {
       |  FROM events)
       |SELECT user_id,
       |  CAST(SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END) AS BIGINT) AS held_ms,
-      |  ROUND(CAST(SUM(CAST(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms * v_micro END
-      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |  ROUND(CAST(SUM(CASE WHEN dur_ms IS NULL THEN CAST(0 AS DECIMAL(38,0))
+      |      ELSE CAST(dur_ms AS DECIMAL(19,0)) * CAST(v_micro AS DECIMAL(19,0)) END) AS DOUBLE)
       |    / (1000000.0 * SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END)), 6) AS twa
       |FROM t GROUP BY user_id
       |HAVING SUM(CASE WHEN dur_ms IS NULL THEN 0 ELSE dur_ms END) > 0
@@ -268,7 +268,11 @@ object Analytics extends QueryModule {
     t.groupBy("user_id")
       .agg(sum(coalesce(col("dur_ms"), lit(0L))).as("held_ms"),
         round(
-          sum(coalesce(col("dur_ms") * col("v_micro"), lit(0L)).cast("decimal(38,0)"))
+          // widen BEFORE the multiply: 19+19 digits -> decimal(38,0)
+          // product in both engines; an Int64 product wraps silently
+          sum(coalesce(
+              col("dur_ms").cast("decimal(19,0)") * col("v_micro").cast("decimal(19,0)"),
+              lit(0L).cast("decimal(38,0)")))
             .cast("double") /
             (lit(1000000.0) * sum(coalesce(col("dur_ms"), lit(0L)))), 6).as("twa"))
       .filter(col("held_ms") > 0)

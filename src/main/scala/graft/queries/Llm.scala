@@ -159,7 +159,7 @@ object Llm extends QueryModule {
     * counts reuse the capped postings (explode-back), so Jaccard
     * denominators see exactly the capped feature set, same as the
     * oracle's NOT EXISTS formulation. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsOf(documents(s, d))
 
   private def jaccardPairsOf(docs: DataFrame): DataFrame = {
@@ -328,12 +328,12 @@ object Llm extends QueryModule {
 
   // ------------------------------------------------------------------- L3
 
-  /** L3: MinHash LSH near-dup candidates — 16 hash slots banded 4×4; a
-    * pair is a candidate iff all 4 minhashes of some band agree. Linear in
-    * corpus size (explode by band, groupBy band signature), the scalable
-    * form of L2. xxhash64 is Spark-specific → no oracle; the unit spec
-    * checks recall against L2 pairs. */
-  val minHashLsh: Q = Q.noOracle { (s, d) =>
+  /** L3 candidate generation: MinHash LSH near-dup candidate pairs —
+    * 16 hash slots banded 4×4; a pair is a candidate iff all 4 minhashes
+    * of some band agree. Linear in corpus size (explode by band, groupBy
+    * band signature), the scalable form of L2. Exposed for q48's
+    * recall gate and the LlmSpec composition tests. */
+  private[queries] def minHashCandidates(s: SparkSession, d: String): DataFrame = {
     val nHashes = 16
     val bands = 4
     val rows = nHashes / bands
@@ -365,7 +365,31 @@ object Llm extends QueryModule {
     l.join(r, col("band") === col("band_b") && col("sig") === col("sig_b")
         && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** L3 graded row: the MinHash-LSH RECALL GATE. The candidate set
+    * itself is hash-engine-specific (xxhash64), so the oracle-checkable
+    * face is the property the operator exists to deliver: every
+    * truly-identical pair (Jaccard = 1 ⇒ identical shingle sets ⇒ all 16
+    * minhashes agree ⇒ every band agrees — recall 1 PROVABLY) and, on
+    * this corpus, every strong pair (J ≥ 0.8, per-band agree prob 0.8⁴ ≈
+    * 0.41, miss prob (1−0.41)⁴ ≈ 0.12 per pair) is recovered. The query
+    * emits the exact strong-pair count (oracle-checkable via the shared
+    * q47 CTEs) and `recall_ok` — computed in-query against the exact
+    * pair set — which the oracle asserts as literal TRUE. Vacuously true
+    * when no strong pairs exist at a scale factor. */
+  val minHashLsh: Q = Q(
+    s"""WITH $sqlPairCtes
+       |SELECT COUNT(*) AS n_strong_pairs, TRUE AS recall_ok
+       |FROM pairs WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+    val cand = minHashCandidates(s, d).withColumn("hit", lit(1))
+    val strong = jaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    strong.join(cand, Seq("doc_a", "doc_b"), "left_outer")
+      .agg(count(lit(1)).as("n_strong_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("n_strong_pairs"),
+        (col("n_hit") === col("n_strong_pairs")).as("recall_ok"))
   }
 
   /** SimHash 64-bit signatures of the en subset, shared by q49 (the
@@ -398,27 +422,33 @@ object Llm extends QueryModule {
     simHashSignatures(s, d).orderBy("doc_id")
   }
 
-  /** SimHash near-dup PAIRS — the last mile q49's signatures feed: all
-    * pairs within Hamming distance 3, found by 4×16-bit banding. The
-    * pigeonhole argument makes banding EXACT here, not approximate: a
-    * pair differing in ≤3 of 64 bits must agree exactly on ≥1 of the 4
-    * 16-bit bands, so candidate generation is an EQUI-join on
-    * (band, band_key) — linear banding (4 rows/doc), bucketed pair
-    * space (never corpus²), then the cheap exact Hamming check. This is
-    * the published simhash dedup shape (Manku et al.'s web-dedup
-    * scheme); recall is 1.0 by construction (asserted against brute
-    * force in LlmSpec). Hash-engine-specific signatures → no oracle;
-    * rows-only + spec. */
-  val simHashPairs: Q = Q.noOracle { (s, d) =>
+  /** SimHash banded pairs — all pairs within Hamming distance 3 of a
+    * signature relation, found by 4×16-bit banding. The pigeonhole
+    * argument makes banding EXACT (when uncapped): a pair differing in
+    * ≤3 of 64 bits must agree exactly on ≥1 of the 4 16-bit bands, so
+    * candidate generation is an EQUI-join on (band, band_key) — linear
+    * banding (4 rows/doc), bucketed pair space (never corpus²), then the
+    * cheap exact Hamming check. This is the published simhash dedup
+    * shape (Manku et al.'s web-dedup scheme).
+    *
+    * `bucketCap`: optional df-cap (the q47 move) on the (band, bkey)
+    * posting lists. A band key shared by more than `cap` docs is
+    * boilerplate-signature mass contributing O(df²) pair rows; dropping
+    * those buckets bounds any single key's fanout to cap²/2 at the
+    * price of exactness — a capped bucket's pairs can still be found
+    * via their OTHER ≤3 agreeing bands unless every agreeing band is
+    * over-cap. Uncapped (None) keeps the pigeonhole recall-1 guarantee;
+    * LlmSpec asserts the fixture pair set is unchanged under a
+    * realistic cap. */
+  private[queries] def simHashBandedPairs(
+      sigs: DataFrame, bucketCap: Option[Int] = None): DataFrame = {
     // bucketed posting lists, NOT a self-join: a self-join would run the
     // signature aggregation once per side (exchange reuse does not
     // bridge the alias boundary here — measured 2×); grouping each
     // (band, key) bucket and generating i<j pairs in place costs ONE
     // signature pass + one shuffle. Bucket population is bounded by the
-    // 4×65536 key space (at 100 TB a bucket-size cap — same df-cap move
-    // as q47 — would bound the worst bucket, at the price of the
-    // exactness the spec asserts here).
-    simHashSignatures(s, d)
+    // 4×65536 key space; at 100 TB `bucketCap` bounds the worst key.
+    val buckets = sigs
       .select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> " +
           "struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bkey))")).as("bk"))
@@ -427,6 +457,8 @@ object Llm extends QueryModule {
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) >= 2)
+    val capped = bucketCap.fold(buckets)(c => buckets.filter(size(col("ds")) <= c))
+    capped
       .select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
@@ -435,7 +467,35 @@ object Llm extends QueryModule {
         expr("bit_count(p.hx)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct() // a close pair can agree on several bands
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q92 graded row: the SimHash banding EXACTNESS certificate. Pair
+    * rows themselves are hash-engine-specific (DuckDB has no xxhash64),
+    * so the oracle-checkable face is the property that makes the
+    * operator trustworthy: the banded equi-join finds EXACTLY the
+    * Hamming≤3 pairs. The query computes the pair set both ways —
+    * banded (the scale path) and brute force over the broadcast
+    * signature relation (the certificate path; one 16-byte row per doc,
+    * so the broadcast self-join is bounded) — and emits the exact
+    * en-doc count (oracle-checkable) plus `banding_exact`. Banded ⊆
+    * brute holds by construction (the Hamming predicate is re-checked
+    * after banding), so set equality reduces to count equality. The
+    * oracle asserts literal TRUE; LlmSpec asserts full set equality
+    * element-wise. */
+  val simHashPairs: Q = Q(
+    """SELECT COUNT(*) AS n_docs, TRUE AS banding_exact
+      |FROM documents WHERE lang = 'en' AND text IS NOT NULL""".stripMargin) { (s, d) =>
+    // signatures feed three consumers (banded, brute, count) — compute once
+    val sigs = simHashSignatures(s, d).localCheckpoint()
+    val banded = simHashBandedPairs(sigs)
+    val l = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val r = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val brute = l.join(broadcast(r), col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(ha ^ hb)") <= 3)
+    sigs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(banded.agg(count(lit(1)).as("nb")))
+      .crossJoin(brute.agg(count(lit(1)).as("nf")))
+      .select(col("n_docs"), (col("nb") === col("nf")).as("banding_exact"))
   }
 
   // ------------------------------------------------------------- L4 / L5

@@ -276,12 +276,24 @@ object Relational extends QueryModule {
       .orderBy(col("gid"), asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
   }
 
-  /** A4: approximate count-distinct (HyperLogLog++). No oracle — HLL
-    * estimates are engine-specific; the unit spec asserts ±5% vs exact. */
-  val approxDistinct: Q = Q.noOracle { (s, d) =>
+  /** A4: approximate count-distinct (HyperLogLog++). The estimate is
+    * engine-specific, so the graded columns are the EXACT distinct count
+    * (oracle-checkable) plus a `within_tol` boolean proving in-query
+    * that the HLL++ estimate at rsd=0.02 lands within 6% (3σ) of exact —
+    * the oracle asserts literal TRUE. The unit spec additionally bounds
+    * the estimate at ±5%. */
+  val approxDistinct: Q = Q(
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("ap") - col("exact_parts")).cast("double") <=
+          lit(0.06) * col("exact_parts").cast("double")).as("within_tol"))
       .orderBy("l_returnflag")
   }
 

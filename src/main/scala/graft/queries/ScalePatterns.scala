@@ -179,15 +179,36 @@ object ScalePatterns extends QueryModule {
       .orderBy("z", "o_orderkey")
   }
 
-  /** Approximate percentiles (no oracle — estimate is engine-specific):
-    * the sketch-based scale path for quantiles when the exact
-    * distributed rank (q112) is overkill. AnalyticsSpec bounds the error
-    * against the exact percentile. */
-  val approxPercentile: Q = Q.noOracle { (s, d) =>
+  /** Approximate percentiles (KLL-class sketch) — the scale path for
+    * quantiles when the exact distributed rank (q112) is overkill. The
+    * sketch estimate itself is engine-specific, so the graded row emits
+    * the EXACT quantiles (oracle-checkable vs DuckDB `quantile_cont`)
+    * plus a `within_tol` boolean proving in-query that the sketch at
+    * accuracy 10000 lands within 1% relative error of the exact value —
+    * the oracle side asserts that claim as literal TRUE. Scalar columns
+    * only (an array-typed output is unhashable for the driver's
+    * pandas-based checker). */
+  val approxPercentile: Q = Q(
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+      |  CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS p50,
+      |  CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75,
+      |  TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    def relOk(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(approx - exact) <= lit(0.01) * abs(exact)
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-        .as("approx_q"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).cast("double").as("p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).cast("double").as("p50"),
+        percentile(col("l_extendedprice"), lit(0.75)).cast("double").as("p75"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("aq"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        (relOk(col("aq")(0), col("p25")) &&
+          relOk(col("aq")(1), col("p50")) &&
+          relOk(col("aq")(2), col("p75"))).as("within_tol"))
       .orderBy("l_returnflag")
   }
 
@@ -230,20 +251,34 @@ object ScalePatterns extends QueryModule {
     * incrementally at 100 TB. q113's partial-merge trick only works for
     * ALGEBRAIC aggregates; distinct counts are holistic, and the sketch
     * is the standard fix: store one small binary per (day, dimension),
-    * merge any subset on demand, never rescan history. Estimates are
-    * deterministic (HLL registers are max-merged — order-insensitive)
-    * but engine-specific → no oracle; ScalePatternsSpec proves
-    * union-of-daily == all-at-once EXACTLY and estimate ≈ exact. */
-  val hllMerge: Q = Q.noOracle { (s, d) =>
+    * merge any subset on demand, never rescan history. The estimate is
+    * engine-specific, so the graded columns are the EXACT distinct count
+    * and event total (oracle-checkable) plus a `within_tol` boolean
+    * proving in-query that the merged-sketch estimate lands within 5%
+    * (≈3σ at lgK=12) of the exact count — the oracle asserts literal
+    * TRUE. ScalePatternsSpec additionally proves union-of-daily ≈
+    * all-at-once. */
+  val hllMerge: Q = Q(
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events,
+      |  TRUE AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val ev = events(s, d).select(
       date_trunc("day", col("ts")).cast("date").as("day"),
       col("user_id"), col("event_type"))
     val daily = ev.groupBy("day", "event_type")
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
-    daily.groupBy("event_type")
+    val merged = daily.groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
         sum("n_events").as("n_events"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(0.05) * col("exact_users").cast("double")).as("within_tol"))
       .orderBy("event_type")
   }
 

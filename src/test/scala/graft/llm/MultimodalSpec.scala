@@ -15,6 +15,73 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
 
   private def media = Multimodal.mediaFromDocuments(spark, sf)
 
+  test("ImageDecoder decodes a REAL PNG: dims, histogram and checksum come from pixels") {
+    // known pixel content: 8×8, left half black (luma 0 -> bin 0), right
+    // half white (luma 255 -> bin 7)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    Multimodal.ImageDecoder.looksLikeImage(png) shouldBe true
+    val f = Multimodal.ImageDecoder
+      .decode(Multimodal.MediaRow(1L, "image", png, 8, 8, 0)).get
+    f.n_bytes shouldBe png.length
+    f.feature(0) shouldBe 0.5f          // 32 black pixels of 64
+    f.feature(7) shouldBe 0.5f          // 32 white pixels of 64
+    (1 to 6).foreach(b => f.feature(b) shouldBe 0.0f)
+    // checksum is a function of pixel CONTENT: identical pixels encoded
+    // as a different byte stream must produce the same checksum
+    val baos2 = new java.io.ByteArrayOutputStream()
+    val img2 = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB) // different encoding
+    for (y <- 0 until 8; x <- 0 until 8)
+      img2.setRGB(x, y, 0xff000000 | (if (x < 4) 0x000000 else 0xffffff))
+    javax.imageio.ImageIO.write(img2, "png", baos2)
+    val f2 = Multimodal.ImageDecoder
+      .decode(Multimodal.MediaRow(2L, "image", baos2.toByteArray, 8, 8, 0)).get
+    f2.checksum shouldBe f.checksum
+    // garbage bytes are rejected, not thrown
+    Multimodal.ImageDecoder
+      .decode(Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3, 4, 5), 0, 0, 0)) shouldBe None
+  }
+
+  test("image rows carry decodable PNGs; their features are pixel histograms") {
+    val feats = Multimodal.extractFeatures(media).collect()
+      .filter(_.modality == "image")
+    feats should not be empty
+    feats.foreach { f =>
+      // a luma histogram sums to 1 over the 8 bins — the stub's byte-sum
+      // features do not; this pins that the REAL decode path ran
+      f.feature.sum shouldBe 1.0f +- 1e-4f
+    }
+    // and the payloads really are PNGs with the declared dimensions
+    media.collect().filter(_.modality == "image").take(5).foreach { r =>
+      Multimodal.ImageDecoder.looksLikeImage(r.payload) shouldBe true
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      img.getWidth shouldBe r.width
+      img.getHeight shouldBe r.height
+    }
+  }
+
+  test("resize REALLY downscales a decodable PNG and metadata tracks the raster") {
+    import spark.implicits._
+    val big = Multimodal.syntheticPng(seed = 42L, w = 64, h = 48)
+    val ds = spark.createDataset(Seq(Multimodal.MediaRow(7L, "image", big, 64, 48, 0)))
+    val out = Multimodal.resize(ds, targetW = 16, targetH = 16).collect().head
+    out.width shouldBe 16               // aspect preserved: 64×48 -> 16×12
+    out.height shouldBe 12
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    decoded.getWidth shouldBe 16
+    decoded.getHeight shouldBe 12
+    out.payload.length should be < big.length
+    // already-in-box images pass through without re-encoding
+    val small = Multimodal.resize(ds, targetW = 128, targetH = 128).collect().head
+    small.payload shouldBe big
+  }
+
   test("feature extraction is deterministic and never moves bytes to the driver plan") {
     val a = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val b = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
