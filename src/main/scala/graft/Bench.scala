@@ -44,7 +44,10 @@ object Bench {
     val results = QueryRegistry.all.map { case (name, qq) =>
       val t = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { qq.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // conf-scoped so a query that flips spark.graft.* (q125) cannot
+        // change the plans or timings of the queries after it
+        try GraftConf.scoped(spark) { qq.build(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> t

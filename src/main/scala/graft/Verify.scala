@@ -18,8 +18,10 @@ object Verify {
     // Declaration order (QueryRegistry.all), not Map hash order — stable,
     // comparable logs across refactors that touch the key set.
     QueryRegistry.all.foreach { case (name, qq) =>
-      try qq.build(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try GraftConf.scoped(spark) {
+        qq.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

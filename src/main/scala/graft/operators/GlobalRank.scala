@@ -30,14 +30,31 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object GlobalRank {
 
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], rankName: String,
-                    partitions: Int): DataFrame =
-    withRowNumberAndTotal(df, sortCols, rankName, partitions)._1
+                    partitions: Int, reliable: Boolean = false): DataFrame =
+    withRowNumberAndTotal(df, sortCols, rankName, partitions, reliable)._1
 
   /** As [[withRowNumber]], but also returns the TOTAL row count — already
     * known from the count pass, so callers needing a denominator (e.g.
-    * equi-depth binning) don't re-scan the source for it. */
+    * equi-depth binning) don't re-scan the source for it.
+    *
+    * `reliable = false` (default) materializes the ranked frame with a
+    * LOCAL checkpoint: lineage is truncated and the result blocks live
+    * only on the executors that computed them. Fast (no re-traversal on
+    * reuse), but a lost executor later makes the returned frame
+    * UNRECOVERABLE — the job fails with a missing-checkpoint-block error
+    * instead of recomputing. Right for the common case: rank, consume,
+    * drop, all within one job wave.
+    *
+    * `reliable = true` persists the stamped RDD (memory-and-disk)
+    * WITHOUT truncating lineage: a lost block recomputes from source —
+    * the range exchange re-runs for that lineage, slower but never
+    * fatal. Right for long-lived ranked frames on preemptible/spot
+    * executors. Recompute is deterministic: the RangePartitioner keeps
+    * its sampled bounds (no resampling on retry), the contract-required
+    * total order fixes within-partition row order, and the stamping
+    * closure captures only the offsets array (one Long per partition). */
   def withRowNumberAndTotal(df: DataFrame, sortCols: Seq[Column], rankName: String,
-                            partitions: Int): (DataFrame, Long) = {
+                            partitions: Int, reliable: Boolean = false): (DataFrame, Long) = {
     require(partitions > 0, "partitions must be positive")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(partitions, sortCols: _*)
@@ -63,10 +80,14 @@ object GlobalRank {
     // checkpointed result blocks are freed by the ContextCleaner when
     // the returned frame is dropped. Costs one extra traversal of the
     // cached partitions; the heavy exchange still runs exactly once.
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+    val stampedBase = rdd.mapPartitionsWithIndex { (i, it) =>
       var r = offsets(i)
       it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
-    }.localCheckpoint()
+    }
+    val stamped =
+      if (reliable)
+        stampedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else stampedBase.localCheckpoint()
     stamped.count() // force materialization while the sorted cache is live
     rdd.unpersist(blocking = false)
     val schema = StructType(sorted.schema.fields :+ StructField(rankName, LongType, nullable = false))

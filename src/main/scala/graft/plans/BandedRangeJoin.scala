@@ -80,11 +80,31 @@ case class BandedRangeJoin(session: SparkSession)
         // the θ-join FALLBACK branch we emit carries the skip tag (tags
         // survive transform copies): without it the rule would re-match
         // its own output's range predicate forever and never reach the
-        // batch's fixed point
+        // batch's fixed point. The tag alone is not durable — a rule in
+        // another batch that rebuilds the Join via case-class copy()
+        // (rather than makeCopy/withNewChildren) drops tags, after which
+        // this rule would re-wrap the fallback every batch iteration
+        // until maxIterations (result-correct but plan bloat). So the
+        // STRUCTURAL guard below backs it up: the fallback is the only
+        // inner θ-join whose interval-side child is our own wide-row
+        // Filter (Or(IsNull(c), Not(c)) over a bucket-arithmetic c).
         case j @ Join(_, _, Inner, Some(_), _)
-            if j.getTagValue(BandedRangeJoin.Rewritten).isEmpty =>
+            if j.getTagValue(BandedRangeJoin.Rewritten).isEmpty &&
+              !isOwnFallback(j) =>
           rewrite(j, bin).getOrElse(j)
       }
+  }
+
+  /** Structural re-detection of the rule's own θ-join fallback branch
+    * (see apply): one child is the wide-row Filter this rule emits —
+    * `Or(IsNull(c), Not(c))` with both sides the same narrowness
+    * predicate, which contains the bucket IntegralDivide. A user join
+    * accidentally matching this exact shape is only SKIPPED (it keeps
+    * its original nested-loop plan), never mis-rewritten. */
+  private def isOwnFallback(j: Join): Boolean = j.children.exists {
+    case Filter(Or(IsNull(a), Not(b)), _) if a.semanticEquals(b) =>
+      b.exists(_.isInstanceOf[IntegralDivide])
+    case _ => false
   }
 
   /** floor(e / bin) as exact integer arithmetic, valid over the WHOLE

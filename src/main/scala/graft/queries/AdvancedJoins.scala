@@ -193,13 +193,17 @@ object AdvancedJoins extends QueryModule {
     * `spark.experimental.extraOptimizations` — the official hook for
     * adding optimizer rules to a LIVE session (Verify/Bench build plain
     * sessions); `withExtensions(new GraftExtensions)` is the
-    * session-construction equivalent. The conf stays set for the rest of
-    * the session by design — acceptable because the rule is
-    * result-identical for every input (wide/NULL intervals fall back to
-    * the θ-join branch) and fires only on inner joins that have a pure
-    * LongType range predicate and no equi-key, a shape no other query
-    * here produces. PlanSpec asserts the rewrite actually replaces the
-    * nested loop, and restores the conf to unset. */
+    * session-construction equivalent. The binSize conf must be LIVE at
+    * action time (the optimizer reads it when the query executes, not
+    * when this builder runs), so the builder cannot restore it itself;
+    * Verify and Bench wrap every query in [[graft.GraftConf.scoped]],
+    * which reverts all `spark.graft.*` keys after the action — no other
+    * query's plan sees the setting. Library callers doing the same
+    * should use that scope (the rule is result-identical regardless —
+    * wide/NULL intervals fall back to the θ-join branch — but an
+    * unscoped conf silently changes plans of later pure-range joins).
+    * PlanSpec asserts the rewrite actually replaces the nested loop,
+    * and restores the conf to unset. */
   val rangeJoinAuto: Q = Q(
     """SELECT c_custkey, s_suppkey
       |FROM

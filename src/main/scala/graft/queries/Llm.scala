@@ -625,7 +625,7 @@ object Llm extends QueryModule {
     s"aggregate(sequence(0, 63), cast(0.0 as double), (acc, i) -> acc + " +
       s"cast(element_at($embCol, i+1) as double) * " +
       s"if(((i+3)*${7 * b + 5}) % 11 < 5, cast(-1.0 as double), cast(1.0 as double)))")
-  private def lshBucket(embCol: String): Column =
+  private[queries] def lshBucket(embCol: String): Column =
     (0 until 4).map(b => when(lshDot(embCol, b) >= 0, lit(1 << b)).otherwise(lit(0)))
       .reduce(_ + _)
   private def sqlLshDot(b: Int): String =

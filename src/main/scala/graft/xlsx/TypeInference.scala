@@ -49,15 +49,17 @@ object TypeInference {
   def infer(zip: ZipFile, partName: String, shared: Array[String],
             dateStyle: Array[Boolean], date1904: Boolean,
             headerRow: Boolean, inferTypes: Boolean,
-            sampleRows: Int = 10000): SheetSchema = {
+            sampleRows: Int = 10000, skipRows: Int = 0): SheetSchema = {
     var header: Option[(Int, Array[(Int, CellValue)])] = None
     var maxCol = -1
     val stats = scala.collection.mutable.ArrayBuffer[ColStat]()
     var dataRows = 0
     var headerRowIdx = -1
+    var toSkip = skipRows
 
     foreachRow(zip, partName, shared, dateStyle, _ => true) { row =>
-      if (row.hasAnyCell && dataRows <= sampleRows) {
+      if (row.hasAnyCell && toSkip > 0) toSkip -= 1 // pre-header banner rows
+      else if (row.hasAnyCell && dataRows <= sampleRows) {
         // cells can be empty even when hasAnyCell (all-error cells, bad
         // shared-string refs): maxOption keeps such rows from failing
         // inference — they contribute no columns.
@@ -101,7 +103,10 @@ object TypeInference {
     val names = sanitizeNames(rawNames)
     val types = (0 until nCols).map(i => if (inferTypes) stats(i).dataType else StringType)
     val schema = StructType(names.zip(types).map { case (n0, t) => StructField(n0, t, nullable = true) })
-    SheetSchema(schema, (0 until nCols).toArray, if (header.isDefined) headerRowIdx + 1 else 0, date1904)
+    // headerRowIdx is the header's SHEET row index, so +1 already covers
+    // any skipped banner rows before it; with no header, skipRows alone.
+    SheetSchema(schema, (0 until nCols).toArray,
+      if (header.isDefined) headerRowIdx + 1 else skipRows, date1904)
   }
 
   /** Convert a parsed cell to the target Spark type (null if incompatible

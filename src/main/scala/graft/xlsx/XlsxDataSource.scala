@@ -34,7 +34,23 @@ import scala.jdk.CollectionConverters._
   * false forces the row-at-a-time reader), `mode` (PERMISSIVE default:
   * malformed cells → null; FAILFAST: abort with row/column context),
   * `maxFilesPerTrigger` (streaming only: cap each micro-batch to N new
-  * workbooks, like Spark's file sources; default unbounded).
+  * workbooks, like Spark's file sources; default unbounded),
+  * `skipRows` (default 0: non-empty rows to discard BEFORE the header
+  * row — title banners and the extra rows of a multi-row header; the
+  * `headerRow` option then applies to the first surviving row).
+  *
+  * Documented corner-case semantics (each pinned by a test):
+  *  - MERGED CELLS: OOXML stores a merged region's value in the anchor
+  *    (top-left) cell only; the other cells of the region are absent or
+  *    empty in sheetData. The scan reads what is stored — anchor value,
+  *    nulls elsewhere — it does NOT replicate the value across the
+  *    region (matching every streaming xlsx→table reader).
+  *  - FORMULA CELLS: a `<c>` carrying `<f>` keeps its CACHED `<v>`
+  *    result; the scan reads the cached value and never re-evaluates
+  *    the formula. A formula whose result was not cached by the
+  *    producing application reads as null.
+  *  - MULTI-ROW HEADERS are not merged into compound column names; use
+  *    `skipRows` to drop the banner rows and keep the one real header.
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider {
@@ -85,7 +101,8 @@ object XlsxDataSource {
   case class Opts(sheet: Option[String], sheetIndex: Option[Int],
                   headerRow: Boolean, inferTypes: Boolean, sampleRows: Int,
                   columnar: Boolean, failFast: Boolean,
-                  maxFilesPerTrigger: Option[Int] = None)
+                  maxFilesPerTrigger: Option[Int] = None,
+                  skipRows: Int = 0)
 
   def opts(o: CaseInsensitiveStringMap): Opts = Opts(
     Option(o.get("sheet")),
@@ -104,7 +121,11 @@ object XlsxDataSource {
       val n = v.toInt
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
-    })
+    },
+    skipRows = Option(o.get("skipRows")).map(_.toInt).map { n =>
+      require(n >= 0, s"skipRows must be non-negative, got $n")
+      n
+    }.getOrElse(0))
 
   /** Sheet selection: by name, else by 0-based index, else the first. */
   def resolveSheet(zip: ZipFile, o: Opts): XlsxParser.SheetInfo = {
@@ -128,7 +149,8 @@ object XlsxDataSource {
       val wb = XlsxParser.parseWorkbook(zip)
       val sheet = resolveSheet(zip, o)
       TypeInference.infer(zip, sheet.partName, XlsxParser.parseSharedStrings(zip),
-        XlsxParser.parseDateStyles(zip), wb.date1904, o.headerRow, o.inferTypes, o.sampleRows)
+        XlsxParser.parseDateStyles(zip), wb.date1904, o.headerRow, o.inferTypes,
+        o.sampleRows, o.skipRows)
     } finally zip.close()
   }
 }
@@ -450,6 +472,7 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
       XlsxParser.parseDateStyles(zip), wanted.contains, o.failFast)
   }
   private var headerSkipped = !o.headerRow
+  private var toSkip = o.skipRows
 
   protected def nextValues(): Array[Any] = {
     // pushed limit: stop decoding the stream once this partition has
@@ -459,7 +482,8 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
     while (rows.hasNext) {
       val row = rows.next()
       if (row.hasAnyCell) {
-        if (!headerSkipped) headerSkipped = true
+        if (toSkip > 0) toSkip -= 1 // pre-header banner rows (skipRows)
+        else if (!headerSkipped) headerSkipped = true
         else {
           val vals = new Array[Any](requiredIdx.length)
           val m = row.cells.toMap

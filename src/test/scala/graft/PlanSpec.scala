@@ -134,6 +134,27 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.select("lang").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("en")
   }
 
+  test("q130: DYNAMIC partition pruning — the dim join injects a runtime subquery into the corpus scan") {
+    // static pruning (above, and q97) needs a literal partition predicate;
+    // q130's partitions are selected by a dim filtered on a NON-join
+    // column, so only DPP can avoid scanning every lang directory
+    val df = SparkEntry.queries("q130_dpp_prune")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("dynamicpruning")
+    p should include regex "PartitionFilters: \\[.*dynamicpruning.*lang.*\\]"
+    df.select("lang").distinct().collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("de", "en")
+  }
+
+  test("q131: the persisted ANN index probe is pruned to the probed buckets") {
+    val df = SparkEntry.queries("q131_ann_index")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    p should include regex "PartitionFilters: \\[.*dynamicpruning.*bucket.*\\]"
+    // and the indexed path serves exactly what q95's in-memory path serves
+    val viaIndex = df.collect().map(_.toSeq)
+    val inMemory = SparkEntry.queries("q95_lsh_ann")(spark, sf).collect().map(_.toSeq)
+    viaIndex shouldBe inMemory
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // warehouse dir is a temp dir configured at session creation (static conf)
     import org.apache.spark.sql.functions.col

@@ -35,6 +35,19 @@ class GlobalRankSpec extends AnyFunSuite with Matchers {
     rs shouldBe (1L to rs.length).toArray
   }
 
+  test("reliable=true (lineage kept, fault-tolerant) ranks identically to the default") {
+    // the default path truncates lineage with a LOCAL checkpoint (fast,
+    // but a lost executor makes the frame unrecoverable); reliable=true
+    // persists without truncation so lost blocks recompute. Both must
+    // stamp the exact same ranks.
+    val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val key = Seq(col("o_totalprice"), col("o_orderkey"))
+    val fast = GlobalRank.withRowNumber(o, key, "rnk", partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val safe = GlobalRank.withRowNumber(o, key, "rnk", partitions = 8, reliable = true)
+    safe.collect().map(r => (r.getLong(0), r.getLong(2))).toMap shouldBe fast
+  }
+
   test("data stays distributed: the ranked output keeps all requested partitions") {
     // A plan-string assertion on the OUTPUT frame is vacuous here: the
     // ranking runs inside an RDD lineage (createDataFrame over stamped

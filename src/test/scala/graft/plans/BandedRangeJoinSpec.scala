@@ -51,6 +51,55 @@ class BandedRangeJoinSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset(Conf)
   }
 
+  test("fallback skip survives tag loss: structural guard stops re-wrapping") {
+    // the fixed-point skip is primarily a TreeNodeTag on the θ-join
+    // fallback branch, but rules in other batches that rebuild a Join via
+    // case-class copy() DROP tags. Simulate exactly that and re-apply the
+    // rule: the structural guard (wide-row Filter detection) must keep
+    // the plan stable instead of wrapping the fallback again each batch
+    // iteration until maxIterations.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+    BandedRangeJoin.install(spark)
+    try {
+      spark.conf.set(Conf, "1000")
+      val optimized = points
+        .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").queryExecution.optimizedPlan
+      def count(p: LogicalPlan, f: LogicalPlan => Boolean): Int =
+        p.collect { case n if f(n) => n }.size
+      val joins = count(optimized, _.isInstanceOf[Join])
+      val unions = count(optimized, _.isInstanceOf[Union])
+      unions should be >= 1 // the rewrite fired: banded ∪ fallback
+      // drop ALL tags the way a copy()-rebuilding rule would
+      val untagged = optimized.transform { case j: Join => j.copy() }
+      val again = BandedRangeJoin(spark)(untagged)
+      count(again, _.isInstanceOf[Join]) shouldBe joins
+      count(again, _.isInstanceOf[Union]) shouldBe unions
+    } finally spark.conf.unset(Conf)
+  }
+
+  test("GraftConf.scoped reverts spark.graft.* keys set or changed inside the block") {
+    val bin = Conf
+    val mb = "spark.graft.rangeJoin.maxBuckets"
+    spark.conf.set(mb, "1234")          // pre-existing: must be RESTORED
+    try {
+      graft.GraftConf.scoped(spark) {
+        spark.conf.set(bin, "100000")   // new inside scope: must be UNSET
+        spark.conf.set(mb, "9999")      // changed inside scope: must revert
+        spark.conf.get(bin) shouldBe "100000"
+      }
+      spark.conf.getOption(bin) shouldBe None
+      spark.conf.get(mb) shouldBe "1234"
+      // and the conf reverts even when the block throws
+      intercept[RuntimeException] {
+        graft.GraftConf.scoped(spark) {
+          spark.conf.set(bin, "7"); throw new RuntimeException("boom")
+        }
+      }
+      spark.conf.getOption(bin) shouldBe None
+    } finally spark.conf.unset(mb)
+  }
+
   test("wide sentinel rows take the fallback branch; narrow rows are banded") {
     BandedRangeJoin.install(spark)
     try {
