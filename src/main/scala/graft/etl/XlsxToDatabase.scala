@@ -80,6 +80,13 @@ object XlsxToDatabase {
     * driver and the target table is never observable half-merged.
     * Standard dialect SQL only — no PRIMARY KEY requirement on the
     * target (DuckDB cannot ALTER one in later). */
+  /** Test failpoint: invoked between the staging write and the merge —
+    * the most dangerous instant of an upsert (parallel work done,
+    * nothing committed). The crash-recovery spec points this at a
+    * throwing closure to kill a streaming batch exactly there and prove
+    * the end state survives the replay. Production never sets it. */
+  private[graft] var interruptAfterStage: () => Unit = () => ()
+
   def upsert(df: DataFrame, jdbcUrl: String, table: String, keys: Seq[String],
              connectionProps: Properties = new Properties()): Unit = {
     DuckDbDialect.registered
@@ -100,6 +107,7 @@ object XlsxToDatabase {
       val st = conn.createStatement()
       try {
         df.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, connectionProps)
+        interruptAfterStage()
         val exists = {
           // base tables in the CURRENT schema only: a same-named view or a
           // table in another schema must not flip this into the merge branch

@@ -1,9 +1,8 @@
 package graft.xlsx
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 import java.sql.Timestamp
-import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import java.util.zip.ZipFile
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -81,36 +80,9 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe ts
   }
 
-  /** Minimal hand-rolled workbook for shapes XlsxWriter never emits. */
-  private def rawWorkbook(path: String, sheetXml: String, sharedXml: String): Unit = {
-    val z = new ZipOutputStream(new java.io.FileOutputStream(path))
-    def entry(name: String, body: String): Unit = {
-      z.putNextEntry(new ZipEntry(name))
-      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
-    }
-    entry("[Content_Types].xml",
-      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-        |<Default Extension="xml" ContentType="application/xml"/>
-        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |</Types>""".stripMargin)
-    entry("_rels/.rels",
-      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-        |</Relationships>""".stripMargin)
-    entry("xl/workbook.xml",
-      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
-    entry("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
-    entry("xl/worksheets/sheet1.xml",
-      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetXml</sheetData></worksheet>""")
-    entry("xl/sharedStrings.xml",
-      s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$sharedXml</sst>""")
-    z.close()
-  }
+  /** Delegates to the shared [[RawXlsx]] builder. */
+  private def rawWorkbook(path: String, sheetXml: String, sharedXml: String): Unit =
+    RawXlsx.workbook(path, sheetXml, sharedXml)
 
   test("malformed cells degrade to null instead of failing the scan") {
     val path = tmp("mal.xlsx")
@@ -370,6 +342,63 @@ class XlsxStreamingSpec extends AnyFunSuite with Matchers {
       q2.processAllAvailable()
       state() shouldBe Seq((1.0, "a"), (2.0, "B2"), (3.0, "c"))
     } finally q2.stop()
+  }
+
+  test("continuous ETL: a crash BETWEEN staging write and merge commit replays cleanly") {
+    // the mid-batch kill: the upsert failpoint throws after the staging
+    // table is written but before the merge transaction — the worst
+    // crash instant (parallel work done, nothing committed, offset not
+    // logged). Three invariants: (1) the target never shows a partial
+    // merge, (2) the crashed run's staging table is dropped, not
+    // orphaned, (3) a restart from the same checkpoint REPLAYS the batch
+    // and converges to the exact end state — key-idempotence end-to-end.
+    val dir = Files.createTempDirectory("xetl3").toString
+    val ckpt = Files.createTempDirectory("xetl3-ckpt").toString
+    val url = s"jdbc:duckdb:${Files.createTempDirectory("xetl3-db")}/t.duckdb"
+    def start() = graft.etl.XlsxToDatabase.continuousLoad(
+      spark, dir, url, "live3", keys = Seq("id"), checkpoint = ckpt)
+    def state(): Seq[(Double, String)] =
+      graft.etl.XlsxToDatabase.readJdbc(spark, url, "live3")
+        .collect().map(r => (r.getAs[Number]("id").doubleValue(), r.getAs[String]("val")))
+        .toSeq.sorted
+    def stagingTables(): Seq[String] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT table_name FROM information_schema.tables WHERE table_name LIKE '%__upsert_%'")
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (rs.next()) out += rs.getString(1)
+        out.toSeq
+      } finally conn.close()
+    }
+    XlsxWriter.write(s"$dir/drop1.xlsx", Seq(XlsxWriter.Sheet("S",
+      Seq("id", "val"), Seq(Seq(1.0, "a"), Seq(2.0, "b")))))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    state() shouldBe Seq((1.0, "a"), (2.0, "b"))
+    // arm the failpoint, drop the revision workbook, restart: the batch
+    // dies mid-upsert
+    graft.etl.XlsxToDatabase.interruptAfterStage =
+      () => throw new RuntimeException("simulated executor loss mid-upsert")
+    try {
+      XlsxWriter.write(s"$dir/drop2.xlsx", Seq(XlsxWriter.Sheet("S",
+        Seq("id", "val"), Seq(Seq(2.0, "B2"), Seq(3.0, "c")))))
+      val q2 = start()
+      try {
+        intercept[Exception] { q2.processAllAvailable() }
+      } finally q2.stop()
+      state() shouldBe Seq((1.0, "a"), (2.0, "b")) // no partial merge
+      stagingTables() shouldBe empty               // no orphaned staging
+    } finally graft.etl.XlsxToDatabase.interruptAfterStage = () => ()
+    // disarmed restart: the uncommitted batch replays and converges
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      state() shouldBe Seq((1.0, "a"), (2.0, "B2"), (3.0, "c"))
+      // replay is idempotent: nothing new → state stable
+      q3.processAllAvailable()
+      state() shouldBe Seq((1.0, "a"), (2.0, "B2"), (3.0, "c"))
+    } finally q3.stop()
   }
 
   test("writer strips XML-1.0-invalid control chars; valid text survives") {
