@@ -677,6 +677,56 @@ object Llm extends QueryModule {
       .orderBy("query_id", "rn")
   }
 
+  /** MULTI-PROBE LSH ANN — the recall knob [[lshAnn]]'s scaladoc
+    * promises: each query probes its own 4-bit bucket AND the four
+    * buckets at Hamming distance 1 (flip each hyperplane sign once).
+    * A near neighbor that landed just across one hyperplane — the
+    * dominant miss mode of sign-LSH — is recovered without growing the
+    * index or rehashing anything; the candidate set grows from 1/16 to
+    * 5/16 of the corpus in expectation, still a 3.2× prune. Shape: the
+    * query side EXPLODES to 5 probe rows (broadcast — queries are the
+    * small side by construction), the corpus side stays one row per
+    * vector and equi-joins on the probed bucket; a neighbor matches at
+    * most one probe (it has one bucket), so no dedup step is needed.
+    * Exactly oracle-checkable like q95 (deterministic hyperplanes,
+    * integer bucket arithmetic). */
+  val multiProbeAnn: Q = Q(
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $sqlLshBucket AS bucket FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${sqlCosOf("q", "e")}, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosOf("q", "e")} DESC, e.vec_id ASC) AS rn
+       |  FROM sig q JOIN sig e
+       |    ON (e.bucket = q.bucket OR e.bucket = xor(q.bucket, 1)
+       |        OR e.bucket = xor(q.bucket, 2) OR e.bucket = xor(q.bucket, 4)
+       |        OR e.bucket = xor(q.bucket, 8))
+       |      AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val sig = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshBucket("embedding").as("bucket"))
+    val probes = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"),
+        explode(array((lit(0) +: (0 until 4).map(b => lit(1 << b))): _*)).as("flip"))
+      .select(col("query_id"), col("qe"),
+        col("bucket").bitwiseXOR(col("flip")).as("pb"))
+    val e = sig.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ee"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
+    e.join(broadcast(probes), col("bucket") === col("pb") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cosine_sim(qe, ee)").as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   // ------------------------------------------------------------- L6 / L7
 
   /** L6: token frequencies — top-10 tokens per lang (count desc, token
@@ -910,15 +960,35 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Multimodal feature-extraction pipeline (decode stubbed — see
-    * graft.llm.Multimodal): binary payload → per-partition batch decode →
-    * fixed-width features. Engine-internal bytes → no oracle; rows-only. */
-  val mediaFeatures: Q = Q.noOracle { (s, d) =>
+  /** Multimodal feature-extraction pipeline — image rows decode REAL
+    * PNG payloads via graft.llm.Multimodal.ImageDecoder (javax.imageio),
+    * audio/video rows take the documented stub path. The graded face:
+    * media_id and modality are pure functions of doc_id
+    * (oracle-checkable), `stub_bytes` re-derives the stub path's byte
+    * count from the raw text (oracle-checkable; NULL for images whose
+    * PNG payload length is engine-internal), and `feat_ok` certifies
+    * in-query that every image feature is a VALID normalized luma
+    * histogram (sums to 1 — only true if actual pixels were decoded;
+    * the stub's byte-fold features don't normalize) and every stub
+    * feature has the contract width. The oracle asserts feat_ok as
+    * literal TRUE. MultimodalSpec pins the pixel-level values. */
+  val mediaFeatures: Q = Q(
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CASE WHEN doc_id % 3 = 0 THEN NULL
+      |       ELSE octet_length(CAST(text AS BLOB)) END AS stub_bytes,
+      |  TRUE AS feat_ok
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
     graft.llm.Multimodal.extractFeatures(graft.llm.Multimodal.mediaFromDocuments(s, d))
       .toDF()
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
-        round(aggregate(transform(col("feature"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("feat_energy"))
+      .select(col("media_id"), col("modality"),
+        when(col("modality") =!= "image", col("n_bytes")).as("stub_bytes"),
+        when(col("modality") === "image",
+          abs(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")) - 1.0d)
+            <= lit(1e-4))
+          .otherwise(size(col("feature")) === graft.llm.Multimodal.StubDecoder.FeatureDim)
+          .as("feat_ok"))
       .orderBy("media_id")
   }
 
@@ -1312,6 +1382,7 @@ object Llm extends QueryModule {
     "q120_clean_pipeline" -> cleanPipeline,
     "q95_lsh_ann"         -> lshAnn,
     "q96_normalize_text"  -> normalizeText,
-    "q99_centroid_assign" -> centroidAssign
+    "q99_centroid_assign" -> centroidAssign,
+    "q132_multiprobe_ann" -> multiProbeAnn
   )
 }

@@ -82,6 +82,31 @@ class LlmSpec extends AnyFunSuite with Matchers {
     info(f"ivf recall@5 vs brute force: mean ${recalls.sum / recalls.size}%.2f over ${recalls.size} queries")
   }
 
+  test("multi-probe LSH: candidate set strictly contains single-bucket's; recall never drops") {
+    // q132 probes the query's bucket plus its four 1-bit-flip neighbors,
+    // so per query its neighbor set must contain every q95 neighbor with
+    // cos >= the multi-probe 5th-best (the candidate set is a superset;
+    // top-5 can only improve), and recall@5 vs brute force (q50) must be
+    // >= single-probe recall for every query set
+    def topSets(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = topSets("q95_lsh_ann")
+    val multi = topSets("q132_multiprobe_ann")
+    val brute = topSets("q50_cosine_topk")
+    multi.keys.toSet shouldBe single.keys.toSet
+    def recall(ann: Map[Long, Set[Long]]) = {
+      val per = brute.toSeq.map { case (q, ns) =>
+        ann.get(q).map(a => a.intersect(ns).size.toDouble / ns.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    val rs = recall(single)
+    val rm = recall(multi)
+    rm should be >= rs
+    info(f"recall@5 vs brute: single-probe $rs%.2f -> multi-probe $rm%.2f")
+  }
+
   test("SimHash banded pairs find EXACTLY the Hamming<=3 pairs (pigeonhole recall = 1)") {
     val sigsDf = graft.SparkEntry.queries("q49_simhash")(spark, sf)
     val sigs = sigsDf.collect().map(r => r.getLong(0) -> r.getLong(1))
