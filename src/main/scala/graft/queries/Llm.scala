@@ -1171,6 +1171,54 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** BLOOM-FILTER decontamination — the shape q93 grows into at 100 TB.
+    * q93 broadcasts the EXACT eval-shingle set: right while the eval
+    * suite is small, but the exact set scales with the benchmark corpus
+    * (a large suite is GBs of 8-byte hashes, re-broadcast to every
+    * executor). The industrial fix is Spark's own runtime-filter
+    * primitive: fold the eval shingles into a FIXED-SIZE bloom sketch
+    * (here 800k bits ≈ 100 KB regardless of suite size, built by the
+    * same `BloomFilterAggregate` the optimizer injects for join
+    * pruning, exposed via [[graft.functions.BloomBridge]]), ship it as
+    * a scalar subquery, and probe with `might_contain`. No false
+    * NEGATIVES by construction — a contaminated doc can never slip
+    * through, which is the direction that matters (over-removal is
+    * safe, under-removal poisons the eval) — while false positives
+    * over-flag a bounded fraction. The graded row certifies exactly
+    * that contract in-query: the exact candidate/contaminated counts
+    * (oracle-checkable via the shared q93 CTEs), `no_false_negatives`,
+    * and a 5%-of-candidates FP bound, both asserted TRUE by the
+    * oracle. */
+  val bloomDecon: Q = Q(
+    s"""WITH $sqlDeconCtes
+       |SELECT
+       |  (SELECT COUNT(DISTINCT doc_id) FROM shd WHERE doc_id % $evalMod <> 0) AS n_candidates,
+       |  (SELECT COUNT(*) FROM bad) AS exact_bad,
+       |  TRUE AS no_false_negatives,
+       |  TRUE AS fp_bounded""".stripMargin) { (s, d) =>
+    graft.functions.BloomBridge.register(s)
+    documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(hashedShinglesOf(5, col("wds")))).as("s"))
+      .createOrReplaceTempView("graft_shd_q133")
+    s.sql(
+      s"""WITH ev AS (SELECT DISTINCT s FROM graft_shd_q133 WHERE doc_id % $evalMod = 0),
+         |bloom AS (SELECT graft_bloom_agg(s, CAST(100000 AS BIGINT), CAST(800000 AS BIGINT)) AS bf FROM ev),
+         |cand AS (SELECT doc_id, s FROM graft_shd_q133 WHERE doc_id % $evalMod <> 0),
+         |flagged AS (SELECT DISTINCT doc_id FROM cand
+         |            WHERE graft_might_contain((SELECT bf FROM bloom), s)),
+         |exact_bad AS (SELECT DISTINCT c.doc_id FROM cand c JOIN ev ON c.s = ev.s)
+         |SELECT
+         |  (SELECT COUNT(DISTINCT doc_id) FROM cand) AS n_candidates,
+         |  (SELECT COUNT(*) FROM exact_bad) AS exact_bad,
+         |  (SELECT COUNT(*) FROM exact_bad e
+         |     WHERE e.doc_id NOT IN (SELECT doc_id FROM flagged)) = 0 AS no_false_negatives,
+         |  (SELECT COUNT(*) FROM flagged) - (SELECT COUNT(*) FROM exact_bad)
+         |     <= CAST(ceil(0.05 * (SELECT COUNT(DISTINCT doc_id) FROM cand)) AS BIGINT) AS fp_bounded
+         |""".stripMargin)
+  }
+
   /** Java-regex ∩ RE2 patterns (see [[piiRedact]]): character classes and
     * bounded repetition only — no backrefs, no lookaround. */
   private[graft] val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
@@ -1383,6 +1431,7 @@ object Llm extends QueryModule {
     "q95_lsh_ann"         -> lshAnn,
     "q96_normalize_text"  -> normalizeText,
     "q99_centroid_assign" -> centroidAssign,
-    "q132_multiprobe_ann" -> multiProbeAnn
+    "q132_multiprobe_ann" -> multiProbeAnn,
+    "q133_bloom_decon"    -> bloomDecon
   )
 }

@@ -107,6 +107,23 @@ class LlmSpec extends AnyFunSuite with Matchers {
     info(f"recall@5 vs brute: single-probe $rs%.2f -> multi-probe $rm%.2f")
   }
 
+  test("q133 bloom decontamination: no false negatives, bounded false positives") {
+    // the graded row computes its gates in-query; re-derive the exact
+    // side here to pin the wiring (candidates = docs with >=5 words off
+    // the eval slice; exact_bad matches the q93 contaminated-set size)
+    val row = graft.SparkEntry.queries("q133_bloom_decon")(spark, sf).collect()
+    row.length shouldBe 1
+    row(0).getLong(0) should be > 0L    // n_candidates
+    row(0).getBoolean(2) shouldBe true  // no_false_negatives
+    row(0).getBoolean(3) shouldBe true  // fp_bounded (5% of candidates)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val nDecontaminated = graft.SparkEntry.queries("q93_decontaminate")(spark, sf).count()
+    val offEval = docs.filter(col("doc_id") % 97 =!= 0).count()
+    // q93 keeps (off-eval docs - exact_bad); q133's exact_bad must agree
+    row(0).getLong(1) shouldBe (offEval - nDecontaminated)
+  }
+
   test("SimHash banded pairs find EXACTLY the Hamming<=3 pairs (pigeonhole recall = 1)") {
     val sigsDf = graft.SparkEntry.queries("q49_simhash")(spark, sf)
     val sigs = sigsDf.collect().map(r => r.getLong(0) -> r.getLong(1))
