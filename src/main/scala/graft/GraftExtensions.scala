@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.l2Micro)
+    ext.injectFunction(GraftExtensions.zOrder2)
+    ext.injectFunction(GraftExtensions.bloomAgg)
+    ext.injectFunction(GraftExtensions.mightContain)
     // dormant until spark.graft.rangeJoin.binSize is set (see its scaladoc)
     ext.injectOptimizerRule(s => graft.plans.BandedRangeJoin(s))
   }
@@ -36,4 +39,37 @@ object GraftExtensions {
     FunctionIdentifier("l2_micro"),
     new ExpressionInfo(classOf[functions.L2Micro].getName, "l2_micro"),
     (exprs: Seq[Expression]) => functions.L2Micro(exprs(0), exprs(1)))
+
+  /** (identifier, info, builder) triple for `zorder2`. */
+  val zOrder2: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder2"),
+    new ExpressionInfo(classOf[functions.ZOrder2].getName, "zorder2"),
+    (exprs: Seq[Expression]) => functions.ZOrder2(exprs(0), exprs(1)))
+
+  /** `graft_bloom_agg` — see [[functions.BloomBridge]] for why the
+    * internal runtime-filter aggregate is surfaced under a graft name. */
+  val bloomAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    {
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
+    })
+
+  /** `graft_might_contain` — scalar probe for [[bloomAgg]] sketches. */
+  val mightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_might_contain"),
+    (exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
 }

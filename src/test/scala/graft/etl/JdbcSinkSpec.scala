@@ -38,6 +38,25 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
     flags.orderBy("k").collect().map(_.getBoolean(1)).toSeq shouldBe Seq(true, false)
   }
 
+  test("JDBC read-back pushes filters into the database (no full-table pull)") {
+    // at scale the JDBC source must ship predicates to the database —
+    // pulling a full table through one connection to filter in Spark is
+    // the anti-pattern. Spark's JDBC relation compiles catalyst filters
+    // to dialect SQL; the plan records them as PushedFilters.
+    val dir = Files.createTempDirectory("etlpush")
+    val xlsx = dir.resolve("book.xlsx").toString
+    val db = dir.resolve("t.duckdb").toString
+    XlsxWriter.write(xlsx, Seq(XlsxWriter.Sheet("S", Seq("id", "score"),
+      (1 to 50).map(i => Seq(i.toDouble, i * 1.5)))))
+    val url = s"jdbc:duckdb:$db"
+    XlsxToDatabase.load(spark, xlsx, url, SaveMode.Overwrite)
+    val df = XlsxToDatabase.readJdbc(spark, url, "s")
+      .filter(org.apache.spark.sql.functions.col("id") > 40.0)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "PushedFilters: \\[.*id.*\\]"
+    df.count() shouldBe 10L
+  }
+
   test("CLI argument parsing covers mode, sheet selection, and errors") {
     val a = Main.parse(Seq("book.xlsx", "jdbc:duckdb:x", "--append",
       "--sheet", "s1", "--sheet", "s2"))

@@ -24,6 +24,22 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     e shouldBe a[CosineSimilarity]
   }
 
+  test("GraftExtensions injects zorder2 and the bloom sketch pair") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val (zi, _, zb) = GraftExtensions.zOrder2
+    zi.funcName shouldBe "zorder2"
+    zb(Seq(Literal(1L), Literal(2L))) shouldBe a[ZOrder2]
+    val (bi, _, bb) = GraftExtensions.bloomAgg
+    bi.funcName shouldBe "graft_bloom_agg"
+    bb(Seq(Literal(1L), Literal(100L), Literal(800L))) shouldBe
+      a[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+    an[IllegalArgumentException] should be thrownBy bb(Seq.empty)
+    val (mi, _, mb) = GraftExtensions.mightContain
+    mi.funcName shouldBe "graft_might_contain"
+    mb(Seq(Literal(Array[Byte](1)), Literal(1L))) shouldBe
+      a[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+  }
+
   test("the registered SQL name evaluates through the catalog (shared session)") {
     val spark = graft.TestSpark.spark
     CosineSimilarity.register(spark)
