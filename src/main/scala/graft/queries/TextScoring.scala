@@ -221,11 +221,43 @@ object TextScoring extends QueryModule {
     }
   }
 
+  /** GPT-2-style REGEX PRE-TOKENIZATION accounting — the token-budget
+    * arithmetic q59 approximates (chars/4) done properly: split text
+    * into letter runs, digit runs and single punctuation marks, the
+    * category structure every BPE pre-tokenizer (GPT-2, tiktoken,
+    * SentencePiece byte-level) imposes before merges. Per-lang totals of
+    * each category feed budget planning (merges only shrink counts
+    * within a pre-token, so `n_tokens` upper-bounds true BPE tokens,
+    * a SOUND budget bound, while chars/4 is only a guess). The pattern
+    * uses character classes + alternation only — the regex subset on
+    * which java.util.regex (Spark) and RE2 (DuckDB) agree exactly, so
+    * the row is fully oracle-checkable. One codegen'd pass over text;
+    * the only exchange is the 5-row lang aggregate. */
+  val regexTokens: Q = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Q(
+      s"""SELECT lang,
+         |  CAST(SUM(len(regexp_extract_all(lower(text), '$pat'))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_word_runs,
+         |  CAST(SUM(len(regexp_extract_all(lower(text), '[0-9]+'))) AS BIGINT) AS n_digit_runs,
+         |  CAST(SUM(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))) AS BIGINT) AS n_punct
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      def n(p: String) = sum(size(regexp_extract_all(lower(col("text")), lit(p), lit(0))))
+      documents(s, d).filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(n(pat).as("n_tokens"), n("[a-z]+").as("n_word_runs"),
+          n("[0-9]+").as("n_digit_runs"), n("[^a-z0-9 ]").as("n_punct"))
+        .orderBy("lang")
+    }
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
     "q109_lang_entropy"     -> langEntropy,
     "q110_sim_graph_degree" -> simGraphDegree,
-    "q119_pagerank"         -> pagerank
+    "q119_pagerank"         -> pagerank,
+    "q134_regex_tokens"     -> regexTokens
   )
 }
