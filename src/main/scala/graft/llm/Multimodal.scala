@@ -191,7 +191,8 @@ object Multimodal {
       else if (ImageDecoder.looksLikeImage(r.payload)) resizeReal(r, targetW, targetH)
       else {
         val scale = math.max(1, math.ceil(
-          (r.width.toLong * r.height) / math.max(1.0, targetW.toLong * targetH)).toInt)
+          (r.width.toLong * r.height).toDouble /
+            math.max(1.0, (targetW.toLong * targetH).toDouble)).toInt)
         val resampled = Array.range(0, r.payload.length, scale).map(r.payload)
         r.copy(payload = resampled, width = math.min(r.width, targetW),
           height = math.min(r.height, targetH))

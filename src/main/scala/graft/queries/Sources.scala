@@ -144,6 +144,39 @@ object Sources extends QueryModule {
     * exact layout) and arrive pre-sorted for merge-friendly access. The
     * oracle compares the pruned read-back against DuckDB filtering the
     * original table. */
+  /** S2 graded: MULTI-FILE xlsx scan — a directory of workbooks reads as
+    * one relation (one InputPartition per file, the scan's parallelism
+    * unit), and sheet SELECTION inside multi-sheet workbooks routes to
+    * the named sheet. Customers are split across two workbooks, each
+    * carrying a decoy sheet first so the `sheet` option (not sheet
+    * order) is what finds the data; the oracle recomputes from the
+    * original parquet. xlsx's single numeric type makes keys DOUBLE,
+    * same as q68/q69. */
+  val xlsxMultiFile: Q = Q(
+    """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name,
+      |  CAST(c_nationkey AS DOUBLE) AS c_nationkey
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val dir = tmpDir("customer_multi", d)
+    stageOnce(dir) {
+      new java.io.File(dir).mkdirs()
+      val rows = customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey").collect()
+      val (lo, hi) = rows.splitAt(rows.length / 2)
+      Seq("part1.xlsx" -> lo, "part2.xlsx" -> hi).foreach { case (f, rs) =>
+        graft.xlsx.XlsxWriter.write(s"$dir/$f", Seq(
+          graft.xlsx.XlsxWriter.Sheet("readme", Seq("note"),
+            Seq(Seq("decoy sheet: data lives on the 'customers' sheet"))),
+          graft.xlsx.XlsxWriter.Sheet("customers",
+            Seq("c_custkey", "c_name", "c_nationkey"),
+            rs.toSeq.map(r => Seq[Any](r.getAs[Number](0).doubleValue(), r.getString(1),
+              r.getAs[Number](2).doubleValue())))))
+      }
+    }
+    s.read.format("xlsx").option("sheet", "customers").load(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
   /** Shared staging for q97/q130: the corpus published partitioned by
     * lang (hive layout, sorted within partitions), once per JVM. */
   private def stageCorpusByLang(s: SparkSession, d: String): String = {
@@ -297,6 +330,7 @@ object Sources extends QueryModule {
     "q118_orc_roundtrip"-> orcRoundtrip,
     "q127_compacted_read"-> compactedRead,
     "q130_dpp_prune"    -> dppPrune,
-    "q131_ann_index"    -> annIndex
+    "q131_ann_index"    -> annIndex,
+    "q135_xlsx_multifile" -> xlsxMultiFile
   )
 }
