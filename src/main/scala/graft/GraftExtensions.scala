@@ -46,23 +46,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[functions.ZOrder2].getName, "zorder2"),
     (exprs: Seq[Expression]) => functions.ZOrder2(exprs(0), exprs(1)))
 
-  /** `graft_bloom_agg` — see [[functions.BloomBridge]] for why the
-    * internal runtime-filter aggregate is surfaced under a graft name. */
+  /** `graft_bloom_agg` — builder defined once on
+    * [[functions.BloomBridge]], which also documents why the internal
+    * runtime-filter aggregate is surfaced under a graft name. */
   val bloomAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_bloom_agg"),
     new ExpressionInfo(
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
       "graft_bloom_agg"),
-    {
-      case Seq(c) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
-      case Seq(c, n) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
-      case Seq(c, n, b) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
-      case other => throw new IllegalArgumentException(
-        s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
-    })
+    functions.BloomBridge.aggBuilder)
 
   /** `graft_might_contain` — scalar probe for [[bloomAgg]] sketches. */
   val mightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -70,6 +62,5 @@ object GraftExtensions {
     new ExpressionInfo(
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
       "graft_might_contain"),
-    (exprs: Seq[Expression]) =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
+    functions.BloomBridge.containBuilder)
 }

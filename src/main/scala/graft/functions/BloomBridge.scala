@@ -24,20 +24,26 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * `graft_might_contain` must be foldable or a scalar subquery — the
   * scalar-subquery form is the broadcast-a-sketch shape used in q133. */
 object BloomBridge {
+  /** The single definition of both builders — [[graft.GraftExtensions]]
+    * injects these same functions for extension-built sessions, so the
+    * two registration paths cannot drift. */
+  val aggBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(c)       => new BloomFilterAggregate(c)
+    case Seq(c, n)    => new BloomFilterAggregate(c, n)
+    case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
+  }
+
+  val containBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => BloomFilterMightContain(exprs(0), exprs(1))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      {
-        case Seq(c)       => new BloomFilterAggregate(c)
-        case Seq(c, n)    => new BloomFilterAggregate(c, n)
-        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
-        case other => throw new IllegalArgumentException(
-          s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
-      },
-      "built-in")
+      "graft_bloom_agg", aggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+      "graft_might_contain", containBuilder, "built-in")
   }
 }

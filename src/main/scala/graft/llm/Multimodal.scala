@@ -84,7 +84,11 @@ object Multimodal {
 
     /** None when the bytes are not a decodable image — caller falls back
       * to the stub, so a corrupt file degrades instead of failing the
-      * task (the behavior a 100 TB ingest needs: quarantine, not crash). */
+      * task (the behavior a 100 TB ingest needs: quarantine, not crash).
+      * Catches ALL non-fatal throwables, not just IOException: the JDK
+      * readers throw RuntimeExceptions on malformed input (CMMException
+      * for bad ICC profiles, ArrayIndexOutOfBounds/NegativeArraySize in
+      * the JPEG reader) and any of them escaping kills the task. */
     def decode(r: MediaRow): Option[MediaFeatures] = {
       if (!looksLikeImage(r.payload)) None
       else try {
@@ -95,11 +99,17 @@ object Multimodal {
           val h = img.getHeight
           val hist = new Array[Float](FeatureDim)
           var crc = 1125899906842597L
+          // one row per getRGB call, not one pixel: the per-pixel form
+          // pays a ColorModel conversion round-trip per call (~10-50×
+          // slower) — this loop is the decode kernel at ingest scale.
+          // Memory stays bounded: one int row (4·w bytes) per task.
+          val rowBuf = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = rowBuf(x)
               val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
                 114 * (rgb & 0xff)) / 1000
               hist(math.min(lum >> 5, FeatureDim - 1)) += 1f
@@ -113,7 +123,7 @@ object Multimodal {
           while (b < FeatureDim) { hist(b) /= n; b += 1 }
           Some(MediaFeatures(r.media_id, r.modality, r.payload.length, crc, hist))
         }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
@@ -188,8 +198,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.modality != "image" || r.width <= 0 || r.height <= 0) r
-      else if (ImageDecoder.looksLikeImage(r.payload)) resizeReal(r, targetW, targetH)
-      else {
+      else resizeReal(r, targetW, targetH).getOrElse {
+        // stub fallback — non-image bytes AND corrupt/undecodable image
+        // bytes land here, so every row keeps the contract: payload
+        // shrinks, metadata clamps to the target box, the task never
+        // dies on one bad file
         val scale = math.max(1, math.ceil(
           (r.width.toLong * r.height).toDouble /
             math.max(1.0, (targetW.toLong * targetH).toDouble)).toInt)
@@ -200,25 +213,33 @@ object Multimodal {
     }
   }
 
-  private def resizeReal(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-    if (img == null) r
-    else if (img.getWidth <= targetW && img.getHeight <= targetH)
-      r.copy(width = img.getWidth, height = img.getHeight)
-    else {
-      val f = math.min(targetW.toDouble / img.getWidth, targetH.toDouble / img.getHeight)
-      val nw = math.max(1, math.round(img.getWidth * f).toInt)
-      val nh = math.max(1, math.round(img.getHeight * f).toInt)
-      // area-averaging filter: deterministic pure-Java resample in the JDK
-      val scaled = img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING)
-      val out = new java.awt.image.BufferedImage(
-        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      try g.drawImage(scaled, 0, 0, null) finally g.dispose()
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", baos)
-      r.copy(payload = baos.toByteArray, width = nw, height = nh)
-    }
+  /** None when the payload is not a decodable image (wrong magic, null
+    * reader result, or any non-fatal decoder throw — the JDK readers
+    * throw RuntimeExceptions on malformed bodies); the caller then takes
+    * the stub-decimation branch, same quarantine contract as
+    * [[ImageDecoder.decode]]. */
+  private def resizeReal(r: MediaRow, targetW: Int, targetH: Int): Option[MediaRow] = {
+    if (!ImageDecoder.looksLikeImage(r.payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else if (img.getWidth <= targetW && img.getHeight <= targetH)
+        Some(r.copy(width = img.getWidth, height = img.getHeight))
+      else {
+        val f = math.min(targetW.toDouble / img.getWidth, targetH.toDouble / img.getHeight)
+        val nw = math.max(1, math.round(img.getWidth * f).toInt)
+        val nh = math.max(1, math.round(img.getHeight * f).toInt)
+        // area-averaging filter: deterministic pure-Java resample in the JDK
+        val scaled = img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some(r.copy(payload = baos.toByteArray, width = nw, height = nh))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic tiny PNG (16×12 RGB): pixel values from a 64-bit LCG

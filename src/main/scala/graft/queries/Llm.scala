@@ -1233,7 +1233,7 @@ object Llm extends QueryModule {
       .filter(size(col("wds")) >= 5)
       .select(col("doc_id"), explode(array_distinct(hashedShinglesOf(5, col("wds")))).as("s"))
       .createOrReplaceTempView("graft_shd_q133")
-    s.sql(
+    val out = s.sql(
       s"""WITH ev AS (SELECT DISTINCT s FROM graft_shd_q133 WHERE doc_id % $evalMod = 0),
          |bloom AS (SELECT graft_bloom_agg(s, CAST(100000 AS BIGINT), CAST(800000 AS BIGINT)) AS bf FROM ev),
          |cand AS (SELECT doc_id, s FROM graft_shd_q133 WHERE doc_id % $evalMod <> 0),
@@ -1248,6 +1248,11 @@ object Llm extends QueryModule {
          |  (SELECT COUNT(*) FROM flagged) - (SELECT COUNT(*) FROM exact_bad)
          |     <= CAST(ceil(0.05 * (SELECT COUNT(DISTINCT doc_id) FROM cand)) AS BIGINT) AS fp_bounded
          |""".stripMargin)
+    // spark.sql analyzes eagerly, so the returned frame keeps its plan;
+    // dropping the temp view here leaves no session-state residue (the
+    // same hygiene GraftConf.scoped enforces for confs)
+    s.catalog.dropTempView("graft_shd_q133")
+    out
   }
 
   /** Java-regex ∩ RE2 patterns (see [[piiRedact]]): character classes and

@@ -10,12 +10,13 @@ import XlsxParser._
   */
 object TypeInference {
 
+  /** Inference result. Row skipping at SCAN time is driven entirely by
+    * `XlsxDataSource.Opts` (headerRow/skipRows) in the reader — this
+    * result carries only what the scan cannot re-derive per file. */
   case class SheetSchema(
       schema: StructType,
       /** 0-based sheet-column index per schema field. */
       colIndex: Array[Int],
-      /** number of leading rows to skip (header). */
-      skipRows: Int,
       date1904: Boolean)
 
   /** Sanitize to a sql-friendly identifier; dedup with _2, _3… suffixes. */
@@ -50,11 +51,10 @@ object TypeInference {
             dateStyle: Array[Boolean], date1904: Boolean,
             headerRow: Boolean, inferTypes: Boolean,
             sampleRows: Int = 10000, skipRows: Int = 0): SheetSchema = {
-    var header: Option[(Int, Array[(Int, CellValue)])] = None
+    var header: Option[Array[(Int, CellValue)]] = None
     var maxCol = -1
     val stats = scala.collection.mutable.ArrayBuffer[ColStat]()
     var dataRows = 0
-    var headerRowIdx = -1
     var toSkip = skipRows
 
     foreachRow(zip, partName, shared, dateStyle, _ => true) { row =>
@@ -64,8 +64,7 @@ object TypeInference {
         // shared-string refs): maxOption keeps such rows from failing
         // inference — they contribute no columns.
         if (headerRow && header.isEmpty) {
-          header = Some((row.rowIndex, row.cells))
-          headerRowIdx = row.rowIndex
+          header = Some(row.cells)
           maxCol = math.max(maxCol, row.cells.map(_._1).maxOption.getOrElse(-1))
         } else if (dataRows < sampleRows) {
           dataRows += 1
@@ -90,7 +89,7 @@ object TypeInference {
     val nCols = maxCol + 1
     while (stats.size < nCols) stats += new ColStat
     val rawNames: Seq[String] = header match {
-      case Some((_, cells)) =>
+      case Some(cells) =>
         val m = cells.toMap
         (0 until nCols).map(i => m.get(i) match {
           case Some(XString(s)) => s
@@ -103,10 +102,7 @@ object TypeInference {
     val names = sanitizeNames(rawNames)
     val types = (0 until nCols).map(i => if (inferTypes) stats(i).dataType else StringType)
     val schema = StructType(names.zip(types).map { case (n0, t) => StructField(n0, t, nullable = true) })
-    // headerRowIdx is the header's SHEET row index, so +1 already covers
-    // any skipped banner rows before it; with no header, skipRows alone.
-    SheetSchema(schema, (0 until nCols).toArray,
-      if (header.isDefined) headerRowIdx + 1 else skipRows, date1904)
+    SheetSchema(schema, (0 until nCols).toArray, date1904)
   }
 
   /** Convert a parsed cell to the target Spark type (null if incompatible

@@ -66,6 +66,26 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("corrupt image bodies degrade to the stub on BOTH decode and resize paths") {
+    import spark.implicits._
+    // valid PNG magic, garbage body — passes the sniff, fails the reader
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill[Byte](64)(0x5a)
+    Multimodal.ImageDecoder.looksLikeImage(corrupt) shouldBe true
+    Multimodal.ImageDecoder.decode(
+      Multimodal.MediaRow(9L, "image", corrupt, 100, 80, 0)) shouldBe None
+    // extractFeatures falls back to the stub instead of failing the task
+    val ds = spark.createDataset(Seq(Multimodal.MediaRow(9L, "image", corrupt, 100, 80, 0)))
+    val f = Multimodal.extractFeatures(ds).collect().head
+    f.n_bytes shouldBe corrupt.length
+    // resize falls back to byte decimation WITH clamped metadata — the
+    // target-box contract holds even for undecodable bytes
+    val out = Multimodal.resize(ds, targetW = 16, targetH = 16).collect().head
+    out.width should be <= 16
+    out.height should be <= 16
+    out.payload.length should be <= corrupt.length
+  }
+
   test("resize REALLY downscales a decodable PNG and metadata tracks the raster") {
     import spark.implicits._
     val big = Multimodal.syntheticPng(seed = 42L, w = 64, h = 48)
