@@ -1073,6 +1073,45 @@ object Llm extends QueryModule {
       .orderBy("lang", "chunk_id")
   }
 
+  /** Sliding-window DOCUMENT CHUNKING with overlap — the segmentation
+    * move of embedding/RAG/long-context prep: each document splits into
+    * windows of C=40 words at stride S=30 (10-word overlap so no
+    * boundary context is lost), and every chunk carries its provenance
+    * (doc_id, chunk_id, bounds). Pure per-row arithmetic — explode by a
+    * computed chunk count, slice the materialized word array — so the
+    * operator is embarrassingly parallel with NO shuffle before the
+    * output sort; at 100 TB chunking is a map stage that fuses into
+    * whatever consumes it. Chunk starts are i·S for i ∈
+    * [0, floor((len−1)/S)]: the tail chunk may be shorter than C, and a
+    * doc shorter than C yields exactly one chunk. Fully deterministic →
+    * exact oracle (DuckDB mirrors with range + list slicing). */
+  val chunkDocs: Q = {
+    val C = 40
+    val S = 30
+    Q(
+      s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |ch AS (
+         |  SELECT doc_id, len(w) AS n_words, unnest(range(((len(w) - 1) // $S) + 1)) AS chunk_id, w
+         |  FROM ws WHERE len(w) >= 1)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(least($C, n_words - chunk_id * $S) AS BIGINT) AS chunk_words,
+         |  w[chunk_id * $S + 1] AS first_tok,
+         |  w[least(chunk_id * $S + $C, n_words)] AS last_tok
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), words.as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), size(col("w")).as("n_words"), col("w"),
+          explode(expr(s"sequence(0L, cast((size(w) - 1) div $S as long))")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          least(lit(C), col("n_words") - col("chunk_id") * S).cast("long").as("chunk_words"),
+          expr(s"element_at(w, cast(chunk_id * $S + 1 as int))").as("first_tok"),
+          expr(s"element_at(w, cast(least(chunk_id * $S + $C, n_words) as int))").as("last_tok"))
+        .orderBy("doc_id", "chunk_id")
+    }
+  }
+
   /** Stratified DOWNSAMPLING by per-stratum rate — the rebalancing move
     * of corpus assembly (cap the over-represented language): keep a
     * deterministic md5-slice of each language's hash space, rate chosen
@@ -1468,6 +1507,7 @@ object Llm extends QueryModule {
     "q96_normalize_text"  -> normalizeText,
     "q99_centroid_assign" -> centroidAssign,
     "q132_multiprobe_ann" -> multiProbeAnn,
-    "q133_bloom_decon"    -> bloomDecon
+    "q133_bloom_decon"    -> bloomDecon,
+    "q137_chunk_docs"     -> chunkDocs
   )
 }
