@@ -41,7 +41,16 @@ object Bench {
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(2)
-    val results = QueryRegistry.all.map { case (name, qq) =>
+    // optional comma-separated name-prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q44,q139); driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = only match {
+      case Some(ps) => QueryRegistry.all.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => QueryRegistry.all
+    }
+    val results = selected.map { case (name, qq) =>
       val t = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         // conf-scoped so a query that flips spark.graft.* (q125) cannot

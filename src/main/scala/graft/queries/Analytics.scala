@@ -279,6 +279,90 @@ object Analytics extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Robust per-group outlier detection via median/MAD — the screen that
+    * survives the outliers it is hunting (mean/stddev get dragged by the
+    * very tail they should flag). Three passes over events, but the
+    * per-group statistics are TINY (one row per event_type): each pass
+    * is a grouped aggregate whose result broadcasts back into the next
+    * scan-side projection — no row-level shuffle beyond the aggregates
+    * themselves, no sort of the data. The outlier test compares the
+    * UN-rounded med/mad (identical interpolation arithmetic in both
+    * engines, the q111/q32 precedent); rounding happens only on the
+    * emitted columns. At 100 TB the exact medians become one
+    * approx_percentile pass (q116's sketch) and the shape is unchanged. */
+  val madOutliers: Q = Q(
+    """WITH med AS (SELECT event_type, median(value) AS med
+      |             FROM events GROUP BY event_type),
+      |mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      |        FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  ROUND(m.med, 6) AS med, ROUND(a.mad, 6) AS mad,
+      |  CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+      |GROUP BY e.event_type, m.med, a.mad
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Multi-touch ATTRIBUTION — every click within the 6 h before a
+    * purchase by the same user shares the credit equally (1/n per
+    * touch). Join key is (user_id, 6 h time bucket) — the q38 banding
+    * discipline: a click ≤6 h before a purchase lives in the purchase's
+    * bucket or the one before, so the purchase side EXPLODES to those
+    * two probe buckets and the join is pure equi. A power user's fanout
+    * is bounded by clicks-per-6 h × purchases-per-6 h, not by the
+    * product of lifetime totals — the difference between linear and
+    * quadratic on the users that matter. A (purchase, click) pair
+    * matches exactly one probe (the click's bucket), so no dedup step.
+    * The streaming twin is the ST7 stream-stream interval join
+    * (StreamingSpec): same condition, watermark-bounded state. gap_ms
+    * and the credit denominator are exact integer arithmetic
+    * (unix_micros), so the oracle is exact. */
+  val attribution: Q = Q(
+    """WITH pairs AS (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |    CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) // 1000 AS gap_ms
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id
+      |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 6 HOUR)
+      |SELECT purchase_id, click_id, gap_ms,
+      |  ROUND(1.0 / COUNT(*) OVER (PARTITION BY purchase_id), 6) AS credit
+      |FROM pairs ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+    val BucketUs = 6L * 3600 * 1000000 // 6 h in microseconds
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"),
+        explode(array(lit(0L), lit(1L))).as("back"))
+      .withColumn("bucket", expr(s"unix_micros(pts) DIV $BucketUs") - col("back"))
+      .drop("back")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"),
+        expr(s"unix_micros(cts) DIV $BucketUs").as("bucket"))
+    val w = Window.partitionBy("purchase_id")
+    p.join(c, Seq("user_id", "bucket"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 6 HOURS"))
+      .select(col("purchase_id"), col("click_id"),
+        expr("(unix_micros(pts) - unix_micros(cts)) DIV 1000").as("gap_ms"))
+      .withColumn("credit", round(lit(1.0) / count(lit(1)).over(w), 6))
+      .orderBy("purchase_id", "click_id")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
@@ -288,6 +372,8 @@ object Analytics extends QueryModule {
     "q107_transitions"    -> transitions,
     "q108_scd2_intervals" -> scd2Intervals,
     "q128_winsorize"      -> winsorize,
-    "q129_time_weighted"  -> timeWeighted
+    "q129_time_weighted"  -> timeWeighted,
+    "q140_mad_outliers"   -> madOutliers,
+    "q141_attribution"    -> attribution
   )
 }

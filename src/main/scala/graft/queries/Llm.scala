@@ -1112,6 +1112,64 @@ object Llm extends QueryModule {
     }
   }
 
+  /** REPEATED-PASSAGE MINING — substring-level duplication signal, the
+    * step between document-level dedup (L1) and near-dup (L2): find
+    * 13-word spans that occur in ≥2 DISTINCT documents (boilerplate,
+    * licence headers, templated passages — the spans substring-dedup
+    * tools mask before training).
+    *
+    * Scale shape (the q47 discipline, implemented not just promised):
+    * the span STRING never ships — pass 1 aggregates on the 8-byte
+    * xxhash64 of each 13-word slice ([[hashedShinglesOf]]): (hash, doc)
+    * partial-aggregate → per-hash (distinct docs, occurrences), i.e. no
+    * countDistinct Expand doubling the exploded rows and a shuffle
+    * payload of 8 bytes instead of ~90. The top-50 cut uses
+    * TakeOrderedAndProject (per-partition heaps) to find the 50th
+    * entry's (n_docs, n_occ) and keeps every hash at-or-above it — ties
+    * at the boundary INCLUDED, so the later span-string tie-break stays
+    * exact. Pass 2 re-scans documents and joins the ≤50+ties candidate
+    * hashes (broadcast) against a positional re-explode; the span text
+    * is materialized AFTER that filter, only for winners. 64-bit
+    * collisions would make two different spans share counts; at ~1e-10
+    * per pair the oracle's string-keyed aggregate turns any collision
+    * into a loud hash-mismatch (same argument as q47). */
+  val dupSpans: Q = Q(
+    s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |            WHERE text IS NOT NULL),
+       |sp AS (SELECT doc_id, unnest(${sqlShingles(13)}) AS span
+       |       FROM ws WHERE len(w) >= 13)
+       |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+       |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= 13)
+    // pass 1: counts keyed by span hash (8-byte shuffle, no strings)
+    val perDoc = docs
+      .select(col("doc_id"), explode(hashedShinglesOf(13, col("wds"))).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum("c").as("n_occ"))
+      .filter(col("n_docs") >= 2)
+    // 50th-strongest (n_docs, n_occ) via per-partition heaps; keep every
+    // hash at-or-above it so boundary ties survive to the string sort
+    val th = stats.orderBy(desc("n_docs"), desc("n_occ")).limit(50)
+      .agg(min(struct(col("n_docs"), col("n_occ"))).as("t"))
+    val cand = stats.crossJoin(broadcast(th))
+      .filter(col("n_docs") > col("t.n_docs") ||
+        (col("n_docs") === col("t.n_docs") && col("n_occ") >= col("t.n_occ")))
+      .select("h", "n_docs", "n_occ")
+    // pass 2: recover the winning span strings only (string built AFTER
+    // the broadcast candidate filter)
+    docs.select(col("wds"), posexplode(hashedShinglesOf(13, col("wds"))).as(Seq("pos", "h")))
+      .join(broadcast(cand), "h")
+      .select(concat_ws(" ", slice(col("wds"), col("pos") + 1, lit(13))).as("span"),
+        col("n_docs"), col("n_occ"))
+      .distinct()
+      .orderBy(desc("n_docs"), desc("n_occ"), asc("span"))
+      .limit(50)
+  }
+
   /** Stratified DOWNSAMPLING by per-stratum rate — the rebalancing move
     * of corpus assembly (cap the over-represented language): keep a
     * deterministic md5-slice of each language's hash space, rate chosen
@@ -1508,6 +1566,7 @@ object Llm extends QueryModule {
     "q99_centroid_assign" -> centroidAssign,
     "q132_multiprobe_ann" -> multiProbeAnn,
     "q133_bloom_decon"    -> bloomDecon,
-    "q137_chunk_docs"     -> chunkDocs
+    "q137_chunk_docs"     -> chunkDocs,
+    "q139_dup_spans"      -> dupSpans
   )
 }

@@ -334,6 +334,60 @@ object ScalePatterns extends QueryModule {
     }
   }
 
+  /** MERGE INTO (upsert + delete) as a batch operator — the incremental
+    * table-maintenance shape every 100 TB table needs: a CDC batch of
+    * inserts/updates/deletes is applied to the base snapshot in ONE
+    * full-outer join on the key, with MERGE semantics (matched+U →
+    * update, matched+D → drop, unmatched+I/U → insert, unmatched+D →
+    * no-op). The CDC batch is derived deterministically from orders so
+    * both engines see the identical change set: keys %11==0 delete,
+    * else %5==0 update (+100.00), else %7==0 insert; the base snapshot
+    * excludes the %7 keys so inserts are genuinely new.
+    *
+    * Scale notes: the join shuffles both sides by the merge key — with
+    * the base table bucketed/partitioned by that key (the q97 publish
+    * shape) the base side needs NO shuffle, and a small CDC batch
+    * broadcasts instead. Before the join, a real system first joins the
+    * CDC batch's DISTINCT partition keys against the table layout to
+    * rewrite only touched partitions (see q130's DPP pin for the
+    * pruning machinery). */
+  val mergeUpsert: Q = Q(
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+      |cdc AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+      |         WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'I' END AS op,
+      |    CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+      |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS new_price
+      |  FROM orders
+      |  WHERE o_orderkey % 11 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 7 = 0)
+      |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  CASE WHEN c.op IS NULL THEN b.o_totalprice ELSE c.new_price END AS o_totalprice,
+      |  CASE WHEN c.op IS NULL THEN 'keep'
+      |       WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS src
+      |FROM base b FULL OUTER JOIN cdc c ON b.o_orderkey = c.o_orderkey
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val base = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_price"))
+    val cdc = o
+      .filter(col("o_orderkey") % 11 === 0 || col("o_orderkey") % 5 === 0 ||
+        col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("c_key"),
+        when(col("o_orderkey") % 11 === 0, lit("D"))
+          .when(col("o_orderkey") % 5 === 0, lit("U")).otherwise(lit("I")).as("op"),
+        when(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 11 =!= 0,
+          col("o_totalprice") + lit(100.0)).otherwise(col("o_totalprice")).as("new_price"))
+    base.join(cdc, col("b_key") === col("c_key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("b_key"), col("c_key")).as("o_orderkey"),
+        when(col("op").isNull, col("b_price")).otherwise(col("new_price")).as("o_totalprice"),
+        when(col("op").isNull, lit("keep"))
+          .when(col("b_key").isNull, lit("insert")).otherwise(lit("update")).as("src"))
+      .orderBy("o_orderkey")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q111_rolling_median"    -> rollingMedian,
     "q112_decile_stats"      -> decileStats,
@@ -344,6 +398,7 @@ object ScalePatterns extends QueryModule {
     "q117_zorder_key"        -> zorderKey,
     "q121_priority_sample"   -> prioritySample,
     "q126_hll_merge"         -> hllMerge,
-    "q136_int8_quantize"     -> int8Quantize
+    "q136_int8_quantize"     -> int8Quantize,
+    "q138_merge_upsert"      -> mergeUpsert
   )
 }

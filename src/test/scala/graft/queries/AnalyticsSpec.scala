@@ -168,4 +168,54 @@ class AnalyticsSpec extends AnyFunSuite with Matchers {
     val pairs = graft.SparkEntry.queries("q80_embedding_near_dup")(spark, sf).count()
     degSum shouldBe 2 * pairs
   }
+
+  test("q140 MAD outliers: counts equal a brute-force median/MAD model per group") {
+    // same interpolation as Spark percentile / DuckDB median: rank (n-1)/2
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val r = (s.length - 1) * 0.5
+      val lo = r.toInt
+      if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * (r - lo) else s(lo)
+    }
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getString(3), r.getDouble(4)))
+    val expected = ev.groupBy(_._1).map { case (t, g) =>
+      val vs = g.map(_._2)
+      val med = median(vs)
+      val mad = median(vs.map(v => math.abs(v - med)))
+      (t, (vs.length.toLong, med, mad, vs.count(v => math.abs(v - med) > 3 * mad).toLong))
+    }
+    val rows = run("q140_mad_outliers").collect()
+    rows.length shouldBe expected.size
+    rows.foreach { r =>
+      val (n, med, mad, out) = expected(r.getString(0))
+      r.getLong(1) shouldBe n
+      r.getDouble(2) shouldBe (med +- 1e-6)
+      r.getDouble(3) shouldBe (mad +- 1e-6)
+      r.getLong(4) shouldBe out
+      r.getLong(4) should be < n // the screen never flags a whole group
+    }
+  }
+
+  test("q141 attribution: pair set matches brute force; credits split a purchase exactly") {
+    // microsecond-exact model: getTime is ms-truncated, and
+    // floor(a/1000)-floor(b/1000) != floor((a-b)/1000) in general
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val expected = (for {
+      (pid, pts, pu, _) <- ev.filter(_._4 == "purchase")
+      (cid, cts, cu, _) <- clicks
+      if cu == pu && cts <= pts && cts > pts - 6L * 3600 * 1000000
+    } yield (pid, cid, (pts - cts) / 1000)).toSet
+    val rows = run("q141_attribution").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe expected
+    expected should not be empty
+    rows.groupBy(_.getLong(0)).foreach { case (_, touches) =>
+      // equal split: n · round(1/n, 6) — within rounding of the 1/n literal
+      touches.map(_.getDouble(3)).sum shouldBe (1.0 +- 1e-4)
+      touches.map(_.getDouble(3)).distinct.length shouldBe 1
+    }
+  }
 }

@@ -318,6 +318,26 @@ class LlmSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("q139 dup spans: result equals the brute-force 13-gram cross-doc model") {
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val occ = for {
+      (id, text) <- docs.toSeq
+      w = text.toLowerCase.split(" ", -1)
+      if w.length >= 13
+      i <- 0 to w.length - 13
+    } yield (w.slice(i, i + 13).mkString(" "), id)
+    val expected = occ.groupBy(_._1)
+      .map { case (s, g) => (s, g.map(_._2).distinct.length.toLong, g.length.toLong) }
+      .filter(_._2 >= 2).toSeq
+      .sortBy { case (s, nd, no) => (-nd, -no, s) }
+      .take(50)
+    expected should not be empty
+    val rows = graft.SparkEntry.queries("q139_dup_spans")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    rows shouldBe expected
+  }
+
   test("q99: centroid assignment agrees with an independent Scala derivation") {
     val rows = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()

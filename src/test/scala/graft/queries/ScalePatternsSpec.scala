@@ -121,4 +121,30 @@ class ScalePatternsSpec extends AnyFunSuite with Matchers {
       r.getLong(3) shouldBe graft.functions.ZOrder2.interleave(r.getLong(1), r.getLong(2))
     }
   }
+
+  test("q138 merge: result equals the row-by-row MERGE model (upsert+delete semantics)") {
+    val src = graft.Tables.orders(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val base = src.filter(_._1 % 7 != 0).toMap
+    // one op per key by construction: D (%11) > U (%5) > I (%7)
+    val cdc = src.collect {
+      case (k, p) if k % 11 == 0 => k -> ("D", p)
+      case (k, p) if k % 5 == 0  => k -> ("U", p + 100.0)
+      case (k, p) if k % 7 == 0  => k -> ("I", p)
+    }.toMap
+    val expected = (base.keySet ++ cdc.keySet).toSeq.sorted.flatMap { k =>
+      (base.get(k), cdc.get(k)) match {
+        case (_, Some(("D", _)))       => None // matched or not: D never lands
+        case (Some(_), Some((_, np)))  => Some((k, np, "update"))
+        case (None, Some((_, np)))     => Some((k, np, "insert")) // upsert on miss
+        case (Some(bp), None)          => Some((k, bp, "keep"))
+        case (None, None)              => None
+      }
+    }
+    val rows = run("q138_merge_upsert").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    rows shouldBe expected
+    Seq("keep", "update", "insert").foreach(s => rows.count(_._3 == s) should be > 0)
+    rows.map(_._1).distinct.length shouldBe rows.length // merge keys stay unique
+  }
 }
