@@ -260,6 +260,27 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan("q121_priority_sample") should include("TakeOrderedAndProject")
   }
 
+  test("q141: banded attribution is a pure equi-join (no nested-loop on the range residual)") {
+    val p = plan("q141_attribution")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q139: the corpus-wide aggregates key on the 8-byte span hash, strings recover post-broadcast") {
+    val p = plan("q139_dup_spans")
+    p should include("BroadcastHashJoin") // pass-2 candidate-hash filter
+    // the heavy shuffles partition by the xxhash64 span hash, never the string
+    p should include regex "Exchange hashpartitioning\\(h#"
+    // the span string is built exactly once, in the post-join projection
+    // ahead of the bounded (≤50+ties occurrences) distinct
+    p.sliding("concat_ws".length).count(_ == "concat_ws") shouldBe 1
+  }
+
+  test("q138: MERGE plans one join over base+cdc, with the CDC filter pushed to the scan") {
+    val p = plan("q138_merge_upsert")
+    p should include regex "PushedFilters: \\[.*o_orderkey.*\\]"
+  }
+
   test("q119: pagerank conserves fixed-point mass within truncation loss") {
     // every rank is SCALE-scaled; integer DIV truncates per DIRECTED EDGE
     // (pr DIV outdeg) and twice per node per iteration, so total mass can
