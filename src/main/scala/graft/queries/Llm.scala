@@ -1170,6 +1170,63 @@ object Llm extends QueryModule {
       .limit(50)
   }
 
+  /** DATA-MIXTURE ALLOCATION — the proportional-budget step of corpus
+    * assembly: split a fixed budget (N=1000 docs) across languages
+    * proportional to corpus share with largest-remainder (Hamilton)
+    * apportionment — floor the exact quotas in INTEGER arithmetic
+    * ((N·cnt) div total, no float ratios to diverge), then hand the
+    * leftover seats to the largest remainders. The result is the unique
+    * allocation with Σ=N and base ≤ alloc ≤ base+1 (quota property).
+    * Each language then contributes EXACTLY its allocation,
+    * deterministically (md5-ranked pick, the q90 WindowGroupLimit
+    * shape), so reruns and incremental rebuilds reproduce the identical
+    * mixture. All apportionment state is one row per language —
+    * broadcast-sized by construction; the single-partition windows run
+    * over #languages rows, never data. */
+  val mixtureAlloc: Q = Q(
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |t AS (SELECT SUM(cnt) AS tot, SUM(cnt) // 2 AS budget FROM c),
+      |b AS (SELECT lang, budget, (budget * cnt) // tot AS base,
+      |        budget * cnt - ((budget * cnt) // tot) * tot AS rem
+      |      FROM c CROSS JOIN t),
+      |l AS (SELECT MAX(budget) - SUM(base) AS leftover FROM b),
+      |a AS (SELECT lang, base + CASE WHEN ROW_NUMBER()
+      |          OVER (ORDER BY rem DESC, lang) <= leftover
+      |        THEN 1 ELSE 0 END AS alloc
+      |      FROM b CROSS JOIN l),
+      |ranked AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+      |SELECT r.lang, CAST(MAX(a.alloc) AS BIGINT) AS alloc, COUNT(*) AS n_kept,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM ranked r JOIN a USING (lang) WHERE r.rk <= a.alloc
+      |GROUP BY r.lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    // budget = half the corpus: corpus-relative so the allocation is
+    // feasible (alloc ≤ cnt) at every scale factor
+    val tot = counts.agg(sum("cnt").as("tot"), expr("sum(cnt) div 2").as("budget"))
+    val b = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("budget"),
+        expr("(budget * cnt) div tot").as("base"),
+        expr("budget * cnt - ((budget * cnt) div tot) * tot").as("rem"))
+    val leftover = b.agg((max("budget") - sum("base")).as("leftover"))
+    val wRem = Window.orderBy(desc("rem"), asc("lang")) // #languages rows
+    val alloc = b.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("lang"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+    val wPick = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(wPick))
+      .join(broadcast(alloc), "lang")
+      .filter(col("rk") <= col("alloc"))
+      .groupBy("lang")
+      .agg(max("alloc").as("alloc"), count(lit(1)).as("n_kept"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** Stratified DOWNSAMPLING by per-stratum rate — the rebalancing move
     * of corpus assembly (cap the over-represented language): keep a
     * deterministic md5-slice of each language's hash space, rate chosen
@@ -1567,6 +1624,7 @@ object Llm extends QueryModule {
     "q132_multiprobe_ann" -> multiProbeAnn,
     "q133_bloom_decon"    -> bloomDecon,
     "q137_chunk_docs"     -> chunkDocs,
-    "q139_dup_spans"      -> dupSpans
+    "q139_dup_spans"      -> dupSpans,
+    "q142_mixture_alloc"  -> mixtureAlloc
   )
 }

@@ -338,6 +338,22 @@ class LlmSpec extends AnyFunSuite with Matchers {
     rows shouldBe expected
   }
 
+  test("q142 mixture: allocation sums to budget, satisfies quota, and delivers exactly") {
+    val rows = graft.SparkEntry.queries("q142_mixture_alloc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = graft.Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val budget = total / 2
+    rows.map(_._2).sum shouldBe budget
+    rows.foreach { case (lang, alloc, kept, _) =>
+      kept shouldBe alloc // exact delivery, not best-effort
+      val base = budget * counts(lang) / total
+      alloc should (be(base) or be(base + 1)) // Hamilton quota property
+    }
+    rows.map(_._1).toSet shouldBe counts.keySet // no language starved out
+  }
+
   test("q99: centroid assignment agrees with an independent Scala derivation") {
     val rows = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
