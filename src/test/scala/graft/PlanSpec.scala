@@ -281,6 +281,18 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include regex "PushedFilters: \\[.*o_orderkey.*\\]"
   }
 
+  test("q140: the tiny per-group stats broadcast back — no sort-merge on the events side") {
+    val p = plan("q140_mad_outliers")
+    p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 2
+    p should not include "SortMergeJoin"
+  }
+
+  test("q142: apportionment state broadcasts; the delivery pick is a lang-partitioned window") {
+    val p = plan("q142_mixture_alloc")
+    p should include("BroadcastHashJoin") // alloc joined to the ranked pick
+    p should include regex "windowspecdefinition\\(lang#"
+  }
+
   test("q119: pagerank conserves fixed-point mass within truncation loss") {
     // every rank is SCALE-scaled; integer DIV truncates per DIRECTED EDGE
     // (pr DIV outdeg) and twice per node per iteration, so total mass can
