@@ -25,7 +25,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object Main {
 
   case class Args(xlsx: String, url: String, mode: SaveMode,
-                  sheets: Option[Seq[String]], export: Option[String], master: String,
+                  sheets: Option[Seq[String]], exportTable: Option[String], master: String,
                   upsertKeys: Option[Seq[String]] = None)
 
   def parse(argv: Seq[String]): Args = {
@@ -37,14 +37,14 @@ object Main {
     var mode: SaveMode = SaveMode.Overwrite
     var appendSeen = false
     var sheets = Vector.empty[String]
-    var export: Option[String] = None
+    var exportTable: Option[String] = None
     var upsert: Option[Seq[String]] = None
     var master = "local[*]"
     var rest = argv.toList
     while (rest.nonEmpty) rest = rest match {
       case "--append" :: t => mode = SaveMode.Append; appendSeen = true; t
       case "--sheet" :: v :: t => sheets :+= v; t
-      case "--export" :: v :: t => export = Some(v); t
+      case "--export" :: v :: t => exportTable = Some(v); t
       case "--upsert" :: v :: t =>
         upsert = Some(v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         if (upsert.get.isEmpty) usage("--upsert needs at least one key column"); t
@@ -54,20 +54,20 @@ object Main {
       case v :: t => positional :+= v; t
       case Nil => Nil
     }
-    if (export.isDefined && upsert.isDefined)
+    if (exportTable.isDefined && upsert.isDefined)
       usage("--export and --upsert cannot be combined (export reads FROM the database)")
     if (appendSeen && upsert.isDefined)
       usage("--append and --upsert cannot be combined (upsert defines its own merge semantics)")
     positional match {
       case Vector(xlsx, url) =>
-        Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), export,
+        Args(xlsx, url, mode, if (sheets.isEmpty) None else Some(sheets.toSeq), exportTable,
           master, upsert)
       case _ => usage(s"expected 2 positional args, got ${positional.size}")
     }
   }
 
   /** Library-callable core (tests pass their own session). */
-  def run(spark: SparkSession, a: Args): Seq[XlsxToDatabase.LoadedTable] = a.export match {
+  def run(spark: SparkSession, a: Args): Seq[XlsxToDatabase.LoadedTable] = a.exportTable match {
     case None =>
       XlsxToDatabase.load(spark, a.xlsx, a.url, a.mode, onlySheets = a.sheets,
         upsertKeys = a.upsertKeys)
@@ -89,7 +89,7 @@ object Main {
       .getOrCreate()
     try {
       val loaded = run(spark, a)
-      if (a.export.isDefined)
+      if (a.exportTable.isDefined)
         loaded.foreach(t => println(s"exported table '${t.sheet}' -> workbook dir ${t.table} (${t.rows} rows)"))
       else
         loaded.foreach(t => println(s"loaded sheet '${t.sheet}' -> table ${t.table} (${t.rows} rows)"))

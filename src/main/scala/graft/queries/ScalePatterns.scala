@@ -334,6 +334,44 @@ object ScalePatterns extends QueryModule {
     }
   }
 
+  /** Mergeable FREQUENT-ITEMS sketch top-k (DataSketches via Spark 4's
+    * approx_top_k_accumulate/combine/estimate) — the heavy-hitters
+    * companion to q126's HLL row: store one small sketch per (group),
+    * union any subset on demand, read the top-k without rescanning
+    * history. Here per-lang token sketches are COMBINED into the global
+    * top-10, graded against the exact aggregate. maxItemsTracked=64
+    * exceeds the fixture vocabulary (31), so the sketch is in exact
+    * mode and `sketch_exact` (estimated count == exact count for every
+    * top-10 token) is a PROVABLE certificate, not a tolerance bet; at
+    * real scale (vocab ≫ slots) the sketch guarantees counts within
+    * n/maxMapSize and every item above that error floor survives the
+    * merge — the property that makes distributed heavy-hitters
+    * maintainable incrementally. */
+  val topkSketch: Q = Q(
+    s"""SELECT tok, n, rn, TRUE AS sketch_exact FROM (
+       |  SELECT tok, COUNT(*) AS n,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |  GROUP BY tok)
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
+    val tok = documents(s, d)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+    val perLang = tok.groupBy("lang")
+      .agg(expr("approx_top_k_accumulate(tok, 64)").as("sk"))
+    val est = perLang
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 64), 64)").as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("est_n"))
+    val w = Window.orderBy(desc("n"), asc("tok")) // bounded: vocabulary rows
+    tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .join(broadcast(est), Seq("tok"), "left")
+      .select(col("tok"), col("n"), col("rn"),
+        (col("est_n").isNotNull && col("est_n") === col("n")).as("sketch_exact"))
+      .orderBy("rn")
+  }
+
   /** MERGE INTO (upsert + delete) as a batch operator — the incremental
     * table-maintenance shape every 100 TB table needs: a CDC batch of
     * inserts/updates/deletes is applied to the base snapshot in ONE
@@ -370,21 +408,16 @@ object ScalePatterns extends QueryModule {
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val o = orders(s, d)
     val base = o.filter(col("o_orderkey") % 7 =!= 0)
-      .select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_price"))
+      .select(col("o_orderkey"), col("o_totalprice"))
     val cdc = o
       .filter(col("o_orderkey") % 11 === 0 || col("o_orderkey") % 5 === 0 ||
         col("o_orderkey") % 7 === 0)
-      .select(col("o_orderkey").as("c_key"),
+      .select(col("o_orderkey"),
         when(col("o_orderkey") % 11 === 0, lit("D"))
           .when(col("o_orderkey") % 5 === 0, lit("U")).otherwise(lit("I")).as("op"),
         when(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 11 =!= 0,
-          col("o_totalprice") + lit(100.0)).otherwise(col("o_totalprice")).as("new_price"))
-    base.join(cdc, col("b_key") === col("c_key"), "full_outer")
-      .filter(col("op").isNull || col("op") =!= "D")
-      .select(coalesce(col("b_key"), col("c_key")).as("o_orderkey"),
-        when(col("op").isNull, col("b_price")).otherwise(col("new_price")).as("o_totalprice"),
-        when(col("op").isNull, lit("keep"))
-          .when(col("b_key").isNull, lit("insert")).otherwise(lit("update")).as("src"))
+          col("o_totalprice") + lit(100.0)).otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.operators.MergeInto(base, cdc, Seq("o_orderkey"))
       .orderBy("o_orderkey")
   }
 
@@ -399,6 +432,7 @@ object ScalePatterns extends QueryModule {
     "q121_priority_sample"   -> prioritySample,
     "q126_hll_merge"         -> hllMerge,
     "q136_int8_quantize"     -> int8Quantize,
-    "q138_merge_upsert"      -> mergeUpsert
+    "q138_merge_upsert"      -> mergeUpsert,
+    "q143_topk_sketch"       -> topkSketch
   )
 }

@@ -203,6 +203,31 @@ class OperatorsSpec extends AnyFunSuite with Matchers {
 
   // ------------------------------------------------------------- skew salt
 
+  test("MergeInto: all verb x match combinations, multi-column payload with nulls, composite key") {
+    val base = Seq(
+      (1L, "a", Some(10.0)), // untouched        -> keep
+      (2L, "a", Some(20.0)), // matched U        -> update
+      (3L, "b", None),       // matched D        -> dropped
+      (4L, "b", Some(40.0))  // matched I        -> update (I on match = upsert)
+    ).toDF("k", "part", "v")
+    val cdc = Seq(
+      (2L, "a", "U", Some(21.0)),
+      (3L, "b", "D", None),
+      (4L, "b", "I", Some(41.0)),
+      (5L, "c", "U", None),        // unmatched U -> insert (with null payload)
+      (6L, "c", "D", Some(60.0))   // unmatched D -> no-op
+    ).toDF("k", "part", "op", "v")
+    val got = MergeInto(base, cdc, Seq("k", "part"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    got.toSeq shouldBe Seq(
+      (1L, "a", Some(10.0), "keep"),
+      (2L, "a", Some(21.0), "update"),
+      (4L, "b", Some(41.0), "update"),
+      (5L, "c", None, "insert"))
+  }
+
   test("salted aggregation equals the direct groupBy, including on a hot key") {
     // key "hot" has 50× the rows of the others
     val rows = (1 to 5000).map(i => ("hot", i.toDouble)) ++

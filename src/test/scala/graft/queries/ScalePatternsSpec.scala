@@ -122,6 +122,27 @@ class ScalePatternsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q143 top-k sketch: gate true, and union-of-group sketches == one global sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q143_topk_sketch").collect()
+    rows.length shouldBe 10
+    rows.foreach(_.getBoolean(3) shouldBe true) // estimate exact at fixture vocab
+    // mergeability: combining per-lang sketches estimates the same item
+    // counts as accumulating the whole corpus at once (exact mode)
+    val tok = graft.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+    val merged = tok.groupBy("lang").agg(expr("approx_top_k_accumulate(tok, 64)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 64), 64)").as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.item"), col("x.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = tok.agg(expr("approx_top_k_estimate(approx_top_k_accumulate(tok, 64), 64)").as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.item"), col("x.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged shouldBe direct
+  }
+
   test("q138 merge: result equals the row-by-row MERGE model (upsert+delete semantics)") {
     val src = graft.Tables.orders(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
