@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact global EXCLUSIVE running sum WITHOUT the single-partition window.
+  *
+  * `SUM(w) OVER (ORDER BY ...)` with no PARTITION BY funnels every row
+  * through one task — the same scale cliff GlobalRank removes for
+  * row_number, here removed for the weighted prefix sum that powers
+  * token-budget batch assignment, contiguous shard cutting, and
+  * cumulative-quota delivery. Same two-pass shape as
+  * [[GlobalRank.withRowNumberAndTotal]]:
+  *
+  *   1. `repartitionByRange` on the sort key + `sortWithinPartitions`;
+  *   2. one cheap pass sums the weight per partition (ONE long per
+  *      partition to the driver — bounded by partition count, not data);
+  *   3. cumulative offsets broadcast back; each partition stamps
+  *      `offset + running local sum` (exclusive: a row's prefix does NOT
+  *      include its own weight, so `prefix DIV budget` is the batch the
+  *      row STARTS in).
+  *
+  * The sort key must be a TOTAL order (unique tiebreaker), or rows with
+  * equal keys straddling a range boundary would make prefixes depend on
+  * the sampled bounds. Weights must be non-negative Longs; the Long
+  * accumulator bounds the usable total at 2^63 (9.2e18 — ~9 exabytes of
+  * char weight, not the constraint at 100 TB).
+  *
+  * Materialization discipline is GlobalRank's: the range-exchanged sort
+  * is cached across the two passes, the stamped result is local-
+  * checkpointed eagerly, and the sort cache is released deterministically
+  * once stamping has consumed it.
+  */
+object PrefixSum {
+
+  /** Appends `prefixName` = exclusive running sum of `weightCol` in
+    * (sortCols) total order. `weightCol` must be LongType (cast first). */
+  def withPrefixSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+                    prefixName: String, partitions: Int): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    require(sorted.schema(weightCol).dataType == LongType,
+      s"$weightCol must be LongType, got ${sorted.schema(weightCol).dataType.sql}")
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: one Long (partition weight total) per partition
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(wIdx)
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    // pass 2: stamp offset + running local sum (cache hit, no re-shuffle)
+    val stampedBase = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ acc)
+        acc += row.getLong(wIdx)
+        out
+      }
+    }
+    val stamped = stampedBase.localCheckpoint()
+    stamped.count() // force materialization while the sorted cache is live
+    rdd.unpersist(blocking = false)
+    val schema = StructType(sorted.schema.fields :+ StructField(prefixName, LongType, nullable = false))
+    spark.createDataFrame(stamped, schema)
+  }
+}

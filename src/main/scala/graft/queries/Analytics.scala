@@ -363,6 +363,53 @@ object Analytics extends QueryModule {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Population Stability Index — the standard distribution-drift gate
+    * between a reference corpus slice and a candidate slice (here: even
+    * vs odd event_id halves over fixed 50-wide value bins, capped at bin
+    * 9). A retraining pipeline runs exactly this before accepting a new
+    * data drop; PSI > 0.2 is the conventional "distribution moved" alarm.
+    *
+    * Laplace-smoothed (+0.5 per bin, +5.0 per side) so an empty bin on
+    * one side contributes a finite term instead of ±∞ — and the smoothing
+    * arithmetic is written with IDENTICAL shape on both engines. Scale
+    * shape: one pass bins the fan-in (conditional COUNT per bin — a
+    * 10-row aggregate), the side totals are a 1-row broadcast, and the
+    * per-bin PSI terms are ROUND 9 then DECIMAL-summed into the total, so
+    * the drift score is bit-stable at any partitioning. */
+  val psiDrift: Q = Q(
+    """WITH binned AS (SELECT CAST(LEAST(9, FLOOR(value / 50)) AS INT) AS bin,
+      |    CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side FROM events),
+      |cnts AS (SELECT bin,
+      |    COUNT(*) FILTER (WHERE side = 'ref') AS c_ref,
+      |    COUNT(*) FILTER (WHERE side = 'cur') AS c_cur
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM cnts),
+      |terms AS (SELECT bin, c_ref, c_cur,
+      |    ROUND(((c_cur + 0.5) / (n_cur + 5.0) - (c_ref + 0.5) / (n_ref + 5.0))
+      |      * ln(((c_cur + 0.5) / (n_cur + 5.0)) / ((c_ref + 0.5) / (n_ref + 5.0))), 9)
+      |      AS psi_term
+      |  FROM cnts CROSS JOIN tot),
+      |total AS (SELECT ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |            AS psi_total FROM terms)
+      |SELECT bin, c_ref, c_cur, psi_term, psi_total
+      |FROM terms CROSS JOIN total ORDER BY bin""".stripMargin) { (s, d) =>
+    val binned = events(s, d).select(
+      least(lit(9), floor(col("value") / 50)).cast("int").as("bin"),
+      when(col("event_id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("side"))
+    val cnts = binned.groupBy("bin").agg(
+      count(when(col("side") === "ref", 1)).as("c_ref"),
+      count(when(col("side") === "cur", 1)).as("c_cur"))
+    val tot = cnts.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    val pCur = (col("c_cur") + 0.5) / (col("n_cur") + 5.0)
+    val pRef = (col("c_ref") + 0.5) / (col("n_ref") + 5.0)
+    val terms = cnts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
+    val total = terms.agg(
+      round(sum(col("psi_term").cast("decimal(28,9)")).cast("double"), 6).as("psi_total"))
+    terms.crossJoin(broadcast(total)).orderBy("bin")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
@@ -374,6 +421,7 @@ object Analytics extends QueryModule {
     "q128_winsorize"      -> winsorize,
     "q129_time_weighted"  -> timeWeighted,
     "q140_mad_outliers"   -> madOutliers,
-    "q141_attribution"    -> attribution
+    "q141_attribution"    -> attribution,
+    "q145_psi_drift"      -> psiDrift
   )
 }

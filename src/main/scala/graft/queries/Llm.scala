@@ -1588,6 +1588,118 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — WHERE near-duplicates come from:
+    * the q47 pair set joined back to each side's `source` and rolled up
+    * per (unordered) source pair. A crawl pipeline reads this before
+    * dropping a source: high off-diagonal mass means two feeds mirror
+    * each other (keep one); high diagonal mass means a feed re-publishes
+    * itself. Reuses the SHARED pair builder (same CTEs as q47/q78/q120,
+    * so the oracle can't drift). Scale shape: the doc→source map joins
+    * the pair set on doc_id — two equi exchanges over the (bounded,
+    * df-capped) pair relation, never over the corpus; the matrix itself
+    * is |sources|² at most. LEAST/GREATEST canonicalizes the pair so
+    * (a,b) and (b,a) land in one cell. */
+  val sourceOverlap: Q = Q(
+    s"""WITH $sqlPairCtes
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |  GREATEST(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_jaccard
+       |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+       |           JOIN documents db ON pairs.doc_b = db.doc_id
+       |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairs(s, d)
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-document n-gram NOVELTY — the inverse of contamination: the
+    * fraction of a document's distinct 3-grams that appear in NO other
+    * document. Low novelty = assembled from corpus boilerplate (template
+    * pages, quote farms); a curation pipeline uses it as a keep-score
+    * next to q58 quality and q91 repetition (which only see WITHIN-doc
+    * structure — novelty is the cross-doc complement). Scale shape: one
+    * (doc, gram) exchange; the gram df aggregate groups on the SAME key,
+    * and the df join back is co-keyed on it (co-partitioned, no extra
+    * exchange of the postings) — grams travel as xxhash64 (q47's 8-byte
+    * discipline; counts are hash-invariant). No pair generation at all,
+    * so no df cap is needed. */
+  val noveltyScore: Q = Q(
+    s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(sq) AS s FROM (
+       |      SELECT doc_id, $sqlShingles3 AS sq
+       |      FROM (SELECT doc_id, $sqlWords AS w FROM documents)
+       |      WHERE len(w) >= 3))),
+       |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+       |per AS (SELECT sh.doc_id, COUNT(*) AS n_grams,
+       |    COUNT(*) FILTER (WHERE df.df >= 2) AS n_shared
+       |  FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id)
+       |SELECT doc_id, n_grams, n_shared,
+       |  ROUND(1.0 - CAST(n_shared AS DOUBLE) / n_grams, 6) AS novelty
+       |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = documents(s, d)
+      .select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("s"))
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(when(col("df") >= 2, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast("double") / col("n_grams"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-3 most-similar vectors with a DIFFERENT label —
+    * near the anchor in embedding space but semantically wrong, exactly
+    * the negatives that make a retrieval/embedding model learn fastest
+    * (random negatives are too easy; same-label neighbors are q51's
+    * positives).
+    *
+    * Scale shape: the probe set is bounded (10 anchors) and broadcast;
+    * the corpus side STREAMS through one codegen cosine per (anchor,
+    * candidate) — a linear scan, no shuffle of the corpus, no self-join.
+    * The label≠ predicate rides the broadcast join condition so wrong-
+    * label filtering happens before the window; top-3 per anchor is a
+    * WindowGroupLimit over the 10-key window. At 100 TB the anchor batch
+    * grows, not the shape: partition the corpus once, broadcast anchors
+    * per batch. */
+  val hardNegatives: Q = Q(
+    s"""SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    e.label AS neg_label, ROUND($sqlCos, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $sqlCos DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings q JOIN embeddings e ON e.label <> q.label
+       |  WHERE q.vec_id < 10)
+       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val q = embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("ql"))
+    val e = embeddings(s, d).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ee"), col("label"))
+    val cosc = dotCos(s)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_raw"), asc("neighbor_id"))
+    e.join(broadcast(q), col("label") =!= col("ql"))
+      .select(col("query_id"), col("neighbor_id"), col("label").as("neg_label"),
+        cosc.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(col("cos_raw"), 6).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q46_dedup_exact"     -> dedupExact,
     "q47_near_dup_jaccard"-> nearDupJaccard,
@@ -1625,6 +1737,9 @@ object Llm extends QueryModule {
     "q133_bloom_decon"    -> bloomDecon,
     "q137_chunk_docs"     -> chunkDocs,
     "q139_dup_spans"      -> dupSpans,
-    "q142_mixture_alloc"  -> mixtureAlloc
+    "q142_mixture_alloc"  -> mixtureAlloc,
+    "q147_hard_negatives" -> hardNegatives,
+    "q152_source_overlap" -> sourceOverlap,
+    "q153_novelty_score"  -> noveltyScore
   )
 }

@@ -319,6 +319,37 @@ object Sources extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** S13: SCHEMA EVOLUTION read — the long-lived-dataset reality: files
+    * written before a column existed sit next to files written after.
+    * Half the corpus is staged as writer-v1 (no n_chars), half as
+    * writer-v2 (with n_chars), under v=1/v=2 partition directories; one
+    * `mergeSchema` scan reconciles them — v1 rows surface NULL n_chars,
+    * and the writer version rides along as a partition column. At 100 TB
+    * this is why a backfill is optional rather than forced: the scan
+    * itself absorbs the schema skew, per-file, with no rewrite. Footer
+    * merging is metadata-only (no data read), and partition pruning on
+    * `v` still works — old-writer files can be excluded by predicate
+    * alone. */
+  val schemaEvolution: Q = Q(
+    """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, 1 AS v
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, 2 FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = tmpDir("docs_evolved", d)
+    stageOnce(dir) {
+      documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+    }
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("v"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q68_xlsx_region"   -> xlsxRegion,
     "q69_xlsx_nation"   -> xlsxNation,
@@ -331,6 +362,7 @@ object Sources extends QueryModule {
     "q127_compacted_read"-> compactedRead,
     "q130_dpp_prune"    -> dppPrune,
     "q131_ann_index"    -> annIndex,
-    "q135_xlsx_multifile" -> xlsxMultiFile
+    "q135_xlsx_multifile" -> xlsxMultiFile,
+    "q150_schema_evolution" -> schemaEvolution
   )
 }

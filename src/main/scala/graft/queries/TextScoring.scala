@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text scoring for training-data curation: BM25 relevance,
@@ -252,12 +253,117 @@ object TextScoring extends QueryModule {
     }
   }
 
+  /** PMI bigram association — the collocation miner behind phrase
+    * vocabularies (wordpiece seeding, stop-phrase lists): score every
+    * adjacent word pair by pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))), keep pairs seen ≥5 times, top-50.
+    *
+    * Scale shape: bigram generation is ARRAY-LOCAL (one `transform` over
+    * the token array — no positional self-join, no extra shuffle), so
+    * the only data-volume exchange is the (a,b) count aggregate. The
+    * unigram table is vocabulary-bounded and broadcast twice (once per
+    * bigram side); corpus totals arrive as 1-row broadcasts. The PMI
+    * arithmetic is written with IDENTICAL shape both engines
+    * (CAST(c_ab)·n_uni·n_uni / (CAST(n_big)·c_a·c_b), left-to-right),
+    * ROUND 6 absorbing libm ln last-ulp noise (same discipline as bm25). */
+  val pmiBigrams: Q = Q(
+    """WITH w AS (SELECT string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |big AS (SELECT w[i] AS a, w[i+1] AS b
+      |        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+      |bcnt AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b),
+      |tok AS (SELECT unnest(w) AS tok FROM w),
+      |uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      |nu AS (SELECT COUNT(*) AS n_uni FROM tok),
+      |nb AS (SELECT COUNT(*) AS n_big FROM big)
+      |SELECT a, b, c_ab,
+      |  ROUND(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+      |         / (CAST(n_big AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+      |FROM bcnt JOIN uni ua ON bcnt.a = ua.tok JOIN uni ub ON bcnt.b = ub.tok
+      |CROSS JOIN nu CROSS JOIN nb
+      |WHERE c_ab >= 5
+      |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = documents(s, d).filter(col("text").isNotNull)
+      .select(words.as("w"))
+    // adjacent pairs in-place: sequence is only valid ascending, so the
+    // size>=2 guard keeps sequence(1, size-1) from running backwards
+    val big = docs.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w)-1), i -> named_struct('a', w[i-1], 'b', w[i]))")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val bcnt = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val tok = docs.select(explode(col("w")).as("tok"))
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nUni = tok.agg(count(lit(1)).as("n_uni"))
+    val nBig = big.agg(count(lit(1)).as("n_big"))
+    val pmi = round(log((col("c_ab").cast("double") * col("n_uni") * col("n_uni")) /
+      (col("n_big").cast("double") * col("c_a") * col("c_b"))), 6)
+    bcnt.filter(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .select(col("a"), col("b"), col("c_ab"), pmi.as("pmi"))
+      .orderBy(desc("pmi"), asc("a"), asc("b")).limit(50)
+  }
+
+  /** Zipf slope per language — fit ln(freq) ~ ln(rank) by least squares
+    * over the top-500 terms; natural corpora sit near slope −1, so a
+    * language whose slope collapses toward 0 (near-uniform token use) is
+    * machine-generated/boilerplate — a corpus-health gate next to
+    * q109's entropy.
+    *
+    * DETERMINISTIC regression: no regr_slope (float accumulation order
+    * differs between engines) — the closed form (n·Σxy − ΣxΣy)/(n·Σx² −
+    * (Σx)²) over ROUND-9 points with DECIMAL sums, the Dsl discipline
+    * extended to second moments. The rank window partitions by lang over
+    * the vocabulary-bounded count table (never the corpus), and the
+    * 500-term cap bounds every lang's regression input regardless of
+    * vocabulary size. */
+  val zipfSlope: Q = Q(
+    """WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      |             FROM documents WHERE text IS NOT NULL),
+      |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+      |rnk AS (SELECT lang, c,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r FROM cnt),
+      |pts AS (SELECT lang, ROUND(ln(CAST(r AS DOUBLE)), 9) AS x,
+      |               ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
+      |        FROM rnk WHERE r <= 500),
+      |sums AS (SELECT lang, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x*y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(x*x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+      |  FROM pts GROUP BY lang)
+      |SELECT lang, n AS n_terms,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+      |FROM sums ORDER BY lang""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).filter(col("text").isNotNull)
+      .select(col("lang"), explode(words).as("tok"))
+    val cnt = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(desc("c"), asc("tok"))
+    val pts = cnt.withColumn("r", row_number().over(w)).filter(col("r") <= 500)
+      .select(col("lang"), round(log(col("r").cast("double")), 9).as("x"),
+        round(log(col("c").cast("double")), 9).as("y"))
+    val sums = pts.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,9)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,9)")).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 9).cast("decimal(28,9)")).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).cast("double").as("sxx"))
+    sums.select(col("lang"), col("n").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
     "q109_lang_entropy"     -> langEntropy,
     "q110_sim_graph_degree" -> simGraphDegree,
     "q119_pagerank"         -> pagerank,
-    "q134_regex_tokens"     -> regexTokens
+    "q134_regex_tokens"     -> regexTokens,
+    "q144_pmi_bigrams"      -> pmiBigrams,
+    "q148_zipf_slope"       -> zipfSlope
   )
 }

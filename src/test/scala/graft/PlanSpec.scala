@@ -179,6 +179,26 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q146: the published bucketed layout joins with ZERO join-side exchange") {
+    // the fact⋈fact join must consume the bucketing: both scans report
+    // Bucketed, and the ONLY hash exchange in the whole plan is the
+    // 5-key priority aggregate ABOVE the join — the join inputs shuffle
+    // nothing. (Task-local per-bucket sorts remain: Spark 3+ does not
+    // trust bucket-file sort order without a legacy flag; they read one
+    // bucket each and touch no network, which is the property that
+    // matters.)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q146_bucketed_join")
+      p should include("SortMergeJoin")
+      p should include("SelectedBucketsCount: 8 out of 8")
+      p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") shouldBe 1
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+  }
+
   test("q79: the generic as-of join plans with NO join operator at all") {
     val p = plan("q79_asof_generic")
     p should include("Window")

@@ -47,6 +47,31 @@ class ScalePatternsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q149 bitmap: daily-merged words equal all-at-once words — EXACT mergeability") {
+    // the property HLL only approximates: bit_or over per-day partial
+    // bitmaps is bitwise identical to the single-pass bitmap, so the
+    // incremental path answers exact distinct counts over any day range
+    val ev = graft.Tables.events(spark, sf)
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), expr("user_id DIV 32").as("wk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))").as("word"))
+    val direct = words(ev).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val viaDaily = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        expr("user_id DIV 32").as("wk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))").as("pw"))
+      .groupBy("event_type", "wk").agg(expr("bit_or(pw)").as("word"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    viaDaily shouldBe direct
+    // and the popcount sum IS the exact distinct count
+    val fromBitmap = direct.groupBy(_._1._1).view
+      .mapValues(_.values.map(java.lang.Long.bitCount(_).toLong).sum).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    fromBitmap shouldBe exact
+  }
+
   test("q113 incremental merge == direct recompute, bit for bit") {
     val merged = run("q113_incremental_agg").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
