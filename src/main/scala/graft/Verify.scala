@@ -15,9 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // optional comma-separated name-prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_VERIFY_ONLY=q154); the driver runs unfiltered.
+    // The oracle_sql.json dump below is filtered identically so
+    // oracle_check.py sees a consistent subset.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = only match {
+      case Some(ps) => QueryRegistry.all.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => QueryRegistry.all
+    }
     // Declaration order (QueryRegistry.all), not Map hash order — stable,
     // comparable logs across refactors that touch the key set.
-    QueryRegistry.all.foreach { case (name, qq) =>
+    selected.foreach { case (name, qq) =>
       try GraftConf.scoped(spark) {
         qq.build(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -38,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = QueryRegistry.all
+    val json = selected
       .collect { case (k, qq) if qq.oracle.isDefined => s"${q(k)}: ${q(qq.oracle.get)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -410,6 +410,63 @@ object Analytics extends QueryModule {
     terms.crossJoin(broadcast(total)).orderBy("bin")
   }
 
+  /** Triangle counting over the co-purchase graph with DEGREE-ORDERED
+    * edge orientation — the standard trick that makes distributed
+    * triangle enumeration data-bound: orienting every edge from its
+    * lower-(degree, id) endpoint to the higher one bounds each node's
+    * out-degree by O(√m), so the wedge join generates O(m^1.5) candidate
+    * wedges worst-case instead of Σ deg² (a single celebrity node never
+    * explodes). Pipeline: distinct (order, part) pairs → in-order pair
+    * generation (per-key fanout bounded by order size, ≤7 on TPC-H-ish
+    * data — an equi-key exchange, never a self-cross) → weight filter
+    * w ≥ 2 (co-purchased at least twice) → degree table (small: one row
+    * per surviving node, broadcast into the orientation) → wedge join on
+    * the oriented edges → closing-edge semi-check. Every triangle is
+    * counted exactly once (its unique lowest-(deg,id) apex emits the
+    * wedge). The (deg, id) tie-break total-orders nodes identically in
+    * both engines via native struct/row comparison. */
+  val triangleCount: Q = Q(
+    """WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+      |      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p
+      |      GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) un
+      |        GROUP BY node),
+      |o AS (SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS s,
+      |             CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS t
+      |      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      |tri AS (SELECT COUNT(*) AS n_triangles FROM o e1
+      |        JOIN o e2 ON e2.s = e1.t
+      |        JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t)
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+      |       (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
+    val pr = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = pr.as("a").join(pr.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // deg has one row per surviving node — broadcast both orientation joins
+    val lower = struct(col("du.deg"), col("u")) < struct(col("dv.deg"), col("v"))
+    val o = e.join(broadcast(deg.as("du")), col("du.node") === col("u"))
+      .join(broadcast(deg.as("dv")), col("dv.node") === col("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e2.s") === col("e1.t"))
+      .join(o.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(tri)
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
@@ -422,6 +479,7 @@ object Analytics extends QueryModule {
     "q129_time_weighted"  -> timeWeighted,
     "q140_mad_outliers"   -> madOutliers,
     "q141_attribution"    -> attribution,
-    "q145_psi_drift"      -> psiDrift
+    "q145_psi_drift"      -> psiDrift,
+    "q155_triangle_count" -> triangleCount
   )
 }

@@ -1227,6 +1227,57 @@ object Llm extends QueryModule {
       .orderBy("lang")
   }
 
+  /** TEMPERATURE-REWEIGHTED MIXTURE (T = 0.5) — the standard multilingual
+    * rebalancing move (sample languages ∝ p^α, α = 1/2): small languages
+    * are boosted, the head language capped, without hand-tuned rates.
+    * Normalization cancels in the apportionment, so the weight is simply
+    * √cnt — and SQRT is IEEE-754 correctly rounded in BOTH engines
+    * (unlike POW), so `floor(√cnt · 10⁶)` is a bit-identical integer
+    * weight everywhere; from there the allocation is q142's
+    * largest-remainder (Hamilton) apportionment in pure integer
+    * arithmetic: base = (budget·w) div Σw, leftovers to the largest
+    * remainders (rem DESC, lang tie-break). Output includes the
+    * per-language effective epoch count alloc/cnt — the oversampling
+    * diagnostic that tells you a low-resource language would repeat
+    * >x times in training. All state is one row per language
+    * (broadcast-sized); windows run over #languages rows, never data. */
+  val temperatureMix: Q = Q(
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |w AS (SELECT lang, cnt,
+      |        CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+      |      FROM c),
+      |t AS (SELECT SUM(wi) AS sw, SUM(cnt) // 2 AS budget FROM w),
+      |b AS (SELECT lang, cnt, wi, budget,
+      |        (budget * wi) // sw AS base,
+      |        budget * wi - ((budget * wi) // sw) * sw AS rem
+      |      FROM w CROSS JOIN t),
+      |l AS (SELECT MAX(budget) - SUM(base) AS leftover FROM b),
+      |a AS (SELECT lang, cnt, base + CASE WHEN ROW_NUMBER()
+      |          OVER (ORDER BY rem DESC, lang) <= leftover
+      |        THEN 1 ELSE 0 END AS alloc
+      |      FROM b CROSS JOIN l)
+      |SELECT lang, cnt, CAST(alloc AS BIGINT) AS alloc,
+      |  ROUND(CAST(alloc AS DOUBLE) / cnt, 6) AS epochs
+      |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+    val w = documents(s, d).groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        floor(sqrt(col("cnt").cast("double")) * 1000000).cast("long").as("wi"))
+    val t = w.agg(sum("wi").as("sw"), expr("sum(cnt) div 2").as("budget"))
+    val b = w.crossJoin(broadcast(t))
+      .select(col("lang"), col("cnt"), col("budget"),
+        expr("(budget * wi) div sw").as("base"),
+        expr("budget * wi - ((budget * wi) div sw) * sw").as("rem"))
+    val leftover = b.agg((max("budget") - sum("base")).as("leftover"))
+    val wRem = Window.orderBy(desc("rem"), asc("lang")) // #languages rows
+    b.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("lang"), col("cnt"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .select(col("lang"), col("cnt"), col("alloc"),
+        round(col("alloc").cast("double") / col("cnt"), 6).as("epochs"))
+      .orderBy("lang")
+  }
+
   /** Stratified DOWNSAMPLING by per-stratum rate — the rebalancing move
     * of corpus assembly (cap the over-represented language): keep a
     * deterministic md5-slice of each language's hash space, rate chosen
@@ -1740,6 +1791,7 @@ object Llm extends QueryModule {
     "q142_mixture_alloc"  -> mixtureAlloc,
     "q147_hard_negatives" -> hardNegatives,
     "q152_source_overlap" -> sourceOverlap,
-    "q153_novelty_score"  -> noveltyScore
+    "q153_novelty_score"  -> noveltyScore,
+    "q157_temperature_mix"-> temperatureMix
   )
 }

@@ -356,6 +356,118 @@ object TextScoring extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Held-out BIGRAM language-model scoring — the CCNet/KenLM-style
+    * perplexity quality filter, one level up from q105's unigram
+    * cross-entropy: train add-one-smoothed bigram counts on the md5
+    * train split (same portable split rule as q81: md5(doc_id) prefix
+    * < 'd0') and score every held-out document's per-bigram cross
+    * entropy lp(w2|w1) = ln((c(w1w2)+1)/(c(w1·)+V)), where c(w1·) is
+    * the count of train bigrams led by w1 and V the distinct lead-word
+    * vocabulary. Unseen bigrams and unseen lead words fall back to the
+    * smoothing mass via LEFT joins (coalesce 0) — exactly the add-one
+    * estimator, no special-casing.
+    *
+    * Scale shape: bigrams shuffle as 8-byte xxhash64 keys (the strings
+    * never leave the scan, same move as q139); the three train
+    * aggregates and the two probe joins all hash-partition on those
+    * keys. V is a 1-row broadcast. At 100 TB the model tables are
+    * data-bound aggregates you'd persist once and reuse across scoring
+    * runs (the q97 publish shape); the probe side is a linear scan
+    * joined against them. Hash-vs-string keying is count-invariant
+    * modulo 64-bit collisions (~1e-10 at fixture cardinality), and the
+    * string-keyed oracle turns any collision into a loud mismatch.
+    * Per-term lp is ROUND 9 then DECIMAL-summed per doc (order
+    * independent), emitted ROUND 6. */
+  val bigramPerplexity: Q = Q(
+    s"""WITH ws AS (SELECT doc_id, $sqlWords AS w,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0' AS is_train
+       |  FROM documents WHERE text IS NOT NULL),
+       |tb AS (SELECT doc_id, is_train,
+       |    unnest(list_transform(range(len(w) - 1),
+       |      i -> w[i+1] || ' ' || w[i+2])) AS bg
+       |  FROM ws WHERE len(w) >= 2),
+       |tb2 AS (SELECT doc_id, is_train, bg,
+       |    split_part(bg, ' ', 1) AS w1 FROM tb),
+       |cb AS (SELECT bg, COUNT(*) AS cb FROM tb2 WHERE is_train GROUP BY bg),
+       |cu AS (SELECT w1, COUNT(*) AS cu FROM tb2 WHERE is_train GROUP BY w1),
+       |v AS (SELECT COUNT(DISTINCT w1) AS v FROM tb2 WHERE is_train),
+       |terms AS (SELECT t.doc_id,
+       |    ROUND(ln((COALESCE(cb.cb, 0) + 1.0) /
+       |      (CAST(COALESCE(cu.cu, 0) AS DOUBLE) + v.v)), 9) AS lp
+       |  FROM tb2 t LEFT JOIN cb USING (bg) LEFT JOIN cu USING (w1)
+       |  CROSS JOIN v WHERE NOT t.is_train)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ROUND((-CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)) / COUNT(*), 6)
+       |    AS cross_entropy
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("w"),
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "d0")
+          .as("is_train"))
+      .filter(size(col("w")) >= 2)
+    // (bigram hash, lead-word hash) pairs — 16 bytes per bigram, built in
+    // one pass; the equivalent strings exist only inside the oracle
+    val tb = ws.select(col("doc_id"), col("is_train"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(xxhash64(slice(col("w"), i, lit(2))).as("hb"),
+            xxhash64(slice(col("w"), i, lit(1))).as("h1")))).as("t"))
+      .select(col("doc_id"), col("is_train"), col("t.hb"), col("t.h1"))
+    val train = tb.filter(col("is_train"))
+    val cb = train.groupBy("hb").agg(count(lit(1)).as("cb"))
+    val cu = train.groupBy("h1").agg(count(lit(1)).as("cu"))
+    val v = train.agg(count_distinct(col("h1")).as("v"))
+    tb.filter(!col("is_train"))
+      .join(cb, Seq("hb"), "left")
+      .join(cu, Seq("h1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)).cast("double") + col("v"))), 9).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((-sum(col("lp").cast("decimal(18,9)")).cast("double")) / count(lit(1)), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** N-GRAM DIVERSITY per source — the corpus-QA self-repetition probe
+    * (low distinct-trigram ratio ⇒ templated/boilerplate-heavy source,
+    * the thing you cap before training). Per source: total trigram
+    * occurrences, distinct trigrams, their ratio, and the share of the
+    * single most repeated trigram (a one-line "how templated is the
+    * worst offender" diagnostic). Scale shape: trigrams shuffle once as
+    * (source, xxhash64) 8-byte keys into a (source, h) count — strings
+    * never leave the scan (q139's move); everything after is per-source
+    * rows. COUNT(DISTINCT) rides the same exchange as the max/total
+    * (one expand, same key). Hash-vs-string keying is count-invariant
+    * modulo 64-bit collisions; the string-keyed oracle makes a
+    * collision a loud mismatch. */
+  val ngramDiversity: Q = Q(
+    s"""WITH ws AS (SELECT source, $sqlWords AS w FROM documents
+       |            WHERE text IS NOT NULL),
+       |tg AS (SELECT source, unnest(list_transform(range(len(w) - 2),
+       |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+       |       FROM ws WHERE len(w) >= 3),
+       |cnt AS (SELECT source, g, COUNT(*) AS c FROM tg GROUP BY source, g)
+       |SELECT source, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |  COUNT(*) AS n_distinct,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS diversity,
+       |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share
+       |FROM cnt GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val tg = documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => xxhash64(slice(col("w"), i, lit(3))))).as("g"))
+    tg.groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum("c"), 6).as("diversity"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_share"))
+      .orderBy("source")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
@@ -364,6 +476,8 @@ object TextScoring extends QueryModule {
     "q119_pagerank"         -> pagerank,
     "q134_regex_tokens"     -> regexTokens,
     "q144_pmi_bigrams"      -> pmiBigrams,
-    "q148_zipf_slope"       -> zipfSlope
+    "q148_zipf_slope"       -> zipfSlope,
+    "q154_bigram_perplexity"-> bigramPerplexity,
+    "q156_ngram_diversity"  -> ngramDiversity
   )
 }

@@ -218,4 +218,89 @@ class AnalyticsSpec extends AnyFunSuite with Matchers {
       touches.map(_.getDouble(3)).distinct.length shouldBe 1
     }
   }
+
+  test("q155 triangles: count equals a brute-force model; orientation preserves edges") {
+    val sfBig = "/root/testdata/sf0.01" // sf0.001's graph is near-empty
+    // brute-force co-purchase graph: distinct (order, part), pairs within
+    // order, weight >= 2, degree-ordered orientation, closed wedges
+    val li = graft.Tables.lineitem(spark, sfBig)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    // (not Map.collect returning the pair — that overload would REBUILD a
+    // Map keyed by the first endpoint and silently collapse edges)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    def key(n: Long) = (deg(n), n)
+    val oriented = edges.map { case (u, v) =>
+      if (Ordering[(Long, Long)].lt(key(u), key(v))) (u, v) else (v, u) }
+    val bySrc = oriented.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    val expectedTri = oriented.toSeq.map { case (s0, t0) =>
+      bySrc.getOrElse(t0, Set.empty).count(w => oriented.contains((s0, w))).toLong
+    }.sum
+    val r = run2(sfBig, "q155_triangle_count").collect().head
+    r.getLong(0) shouldBe edges.size.toLong   // n_edges
+    r.getLong(1) shouldBe deg.size.toLong     // n_nodes
+    r.getLong(2) shouldBe expectedTri         // n_triangles
+    expectedTri should be > 0L
+  }
+
+  test("q155 plans broadcast orientation joins and no cartesian product") {
+    val p = run2("/root/testdata/sf0.01", "q155_triangle_count")
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should include ("BroadcastHashJoin")
+  }
+
+  test("q154 bigram LM: cross-entropy positive, bounded by the smoothing floor") {
+    val sfBig = "/root/testdata/sf0.01"
+    val rows = run2(sfBig, "q154_bigram_perplexity").collect()
+    rows should not be empty
+    // add-one smoothing: every bigram probability is >= 1/(max_lead+V)
+    // and < 1, so 0 < cross_entropy <= ln(max_lead_count + vocab)
+    val train = graft.Tables.documents(spark, sfBig)
+      .filter("substr(md5(cast(cast(doc_id as string) as binary)),1,2) < 'd0'")
+      .selectExpr("split(lower(text), ' ') as w").filter("size(w) >= 2")
+      .selectExpr("explode(transform(sequence(1, size(w)-1), i -> w[i-1])) as w1")
+    val v = train.distinct().count()
+    val maxLead = train.groupBy("w1").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    val bound = math.log(maxLead.toDouble + v)
+    rows.foreach { r =>
+      r.getDouble(2) should be > 0.0
+      r.getDouble(2) should be <= bound
+    }
+    // every held-out doc with >= 2 tokens is scored — none dropped
+    val nTest = graft.Tables.documents(spark, sfBig)
+      .filter("text is not null and size(split(lower(text), ' ')) >= 2")
+      .filter("substr(md5(cast(cast(doc_id as string) as binary)),1,2) >= 'd0'")
+      .count()
+    rows.length.toLong shouldBe nTest
+  }
+
+  test("q156 diversity: ratios in (0,1], distinct <= total, agrees with direct counts") {
+    val sfBig = "/root/testdata/sf0.01"
+    val rows = run2(sfBig, "q156_ngram_diversity").collect()
+    rows should not be empty
+    val direct = graft.Tables.documents(spark, sfBig).filter("text is not null")
+      .selectExpr("source", "split(lower(text), ' ') as w").filter("size(w) >= 3")
+      .selectExpr("source",
+        "explode(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))) as g")
+      .groupBy("source", "g").count()
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("count").as("n"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (n, dct) = direct(r.getString(0))
+      r.getLong(1) shouldBe n
+      r.getLong(2) shouldBe dct
+      r.getDouble(3) should (be > 0.0 and be <= 1.0)
+      r.getDouble(4) should (be > 0.0 and be <= 1.0)
+      r.getDouble(4) should be >= 1.0 / dct
+    }
+  }
 }

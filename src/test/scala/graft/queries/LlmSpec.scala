@@ -380,4 +380,28 @@ class LlmSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
     got.values.sum shouldBe rows.length // every vector assigned exactly once
   }
+
+  test("q157 temperature mix: sums to budget, quota holds, boosts low-resource langs") {
+    val rows = graft.SparkEntry.queries("q157_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val counts = graft.Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = counts.values.sum / 2
+    rows.map(_._3).sum shouldBe budget
+    // Hamilton quota property against the sqrt-integer weights
+    val wi = counts.map { case (l, c) => l -> math.floor(math.sqrt(c.toDouble) * 1e6).toLong }
+    val sw = wi.values.sum
+    rows.foreach { case (lang, cnt, alloc, epochs) =>
+      cnt shouldBe counts(lang)
+      val base = budget * wi(lang) / sw
+      alloc should (be(base) or be(base + 1))
+      epochs shouldBe (alloc.toDouble / cnt +- 1e-6)
+    }
+    // the temperature property: effective epochs never increase with size
+    val byCnt = rows.sortBy(_._2)
+    byCnt.zip(byCnt.tail).foreach { case (small, large) =>
+      small._4 should be >= large._4 - 1e-9
+    }
+    rows.map(_._1).toSet shouldBe counts.keySet
+  }
 }
