@@ -125,7 +125,10 @@ object Llm extends QueryModule {
     * resolution) and q120 (cleaning pipeline); kept in one place so the
     * oracles can never drift. `src` is the relation the pairs are
     * computed over (`documents`, or a filtered CTE of it). */
-  private def sqlPairCtesFrom(src: String): String =
+  /** The intersection-counting prefix (postings → df cap → per-doc
+    * counts → pair intersections) shared by the Jaccard CTEs below and
+    * q158's containment query. */
+  private def sqlInterCtesFrom(src: String): String =
     s"""sh0 AS (
        |  SELECT DISTINCT doc_id, lang, s FROM (
        |    SELECT doc_id, lang, unnest(sq) AS s FROM (
@@ -139,7 +142,10 @@ object Llm extends QueryModule {
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def sqlPairCtesFrom(src: String): String =
+    s"""${sqlInterCtesFrom(src)},
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |    ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
@@ -162,7 +168,11 @@ object Llm extends QueryModule {
   private[queries] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsOf(documents(s, d))
 
-  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  /** Pair intersections with both per-doc capped-shingle counts:
+    * (doc_a, doc_b, i, ca, cb). The shared prefix of Jaccard (q47/q78/
+    * q120) and containment (q158) — one posting-list shuffle, in-place
+    * pair generation, never a self-join. */
+  private def intersectionsOf(docs: DataFrame): DataFrame = {
     // array_distinct already dedupes within a doc and docs are unique, so
     // (doc_id, s) is distinct by construction — no extra shuffle needed.
     // Shingles travel as xxhash64 of the word-array slice, not as the
@@ -190,11 +200,16 @@ object Llm extends QueryModule {
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") /
-      (col("ca.c") + col("cb.c") - col("i"))
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        col("ca.c").as("ca"), col("cb.c").as("cb"))
+  }
+
+  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    val jac = col("i").cast("double") / (col("ca") + col("cb") - col("i"))
+    intersectionsOf(docs)
       .filter(jac >= 0.03)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
@@ -213,6 +228,34 @@ object Llm extends QueryModule {
     jaccardPairs(s, d).orderBy("doc_a", "doc_b")
   }
   private def sqlShingles3 = sqlShingles(3)
+
+  /** CONTAINMENT near-dup — the asymmetric companion to q47's Jaccard:
+    * C(A,B) = |S(A)∩S(B)| / min(|S(A)|, |S(B)|), i.e. the larger of the
+    * two DIRECTED containments. Jaccard misses subset duplication (a
+    * short doc quoted whole inside a long one scores i/(ca+cb−i) ≈
+    * small even though one side is fully contained); containment is the
+    * screen that catches it, which is why dedup stacks run both.
+    * Identical scale shape to q47 — the SAME intersection prefix (one
+    * posting-list shuffle, df-capped in-place pair generation), only
+    * the final scalar differs. Threshold 0.5: at least half of the
+    * smaller doc's shingle set re-occurs in the other doc. */
+  val containmentDup: Q = Q(
+    s"""WITH ${sqlInterCtesFrom("documents")}
+       |SELECT doc_a, doc_b, CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
+       |  CAST(i AS BIGINT) AS i,
+       |  ROUND(CAST(i AS DOUBLE) / LEAST(ca.c, cb.c), 6) AS containment
+       |FROM inter
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / LEAST(ca.c, cb.c) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val cont = col("i").cast("double") / least(col("ca"), col("cb"))
+    intersectionsOf(documents(s, d))
+      .filter(cont >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"), col("i"),
+        round(cont, 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** End-to-end near-dup dedup as a single graded operation: candidate
     * pairs → clusters ([[graft.operators.ConnectedComponents]]) → the
@@ -1792,6 +1835,7 @@ object Llm extends QueryModule {
     "q147_hard_negatives" -> hardNegatives,
     "q152_source_overlap" -> sourceOverlap,
     "q153_novelty_score"  -> noveltyScore,
-    "q157_temperature_mix"-> temperatureMix
+    "q157_temperature_mix"-> temperatureMix,
+    "q158_containment_dup"-> containmentDup
   )
 }

@@ -381,6 +381,38 @@ class LlmSpec extends AnyFunSuite with Matchers {
     got.values.sum shouldBe rows.length // every vector assigned exactly once
   }
 
+  test("q158 containment: agrees with a brute-force shingle-set model (incl. df cap)") {
+    val sfBig = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sfBig)
+      .selectExpr("doc_id", "lang", "split(lower(text), ' ') as w")
+      .filter("size(w) >= 3").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).sliding(3).map(_.mkString(" ")).toSet))
+    // df cap at 100 within lang — mirror the query's posting-list cap
+    val df = docs.flatMap { case (_, l, ss) => ss.map(sh => (l, sh)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val capped = docs.map { case (id, l, ss) =>
+      (id, l, ss.filter(sh => df((l, sh)) <= 100)) }
+    val expected = (for {
+      (ida, la, sa) <- capped; (idb, lb, sb2) <- capped
+      if ida < idb && la == lb
+      i = (sa & sb2).size
+      if i > 0 && sa.nonEmpty && sb2.nonEmpty
+      c = i.toDouble / math.min(sa.size, sb2.size)
+      if c >= 0.5
+    } yield (ida, idb) -> (sa.size.toLong, sb2.size.toLong, i.toLong, c)).toMap
+    val rows = graft.SparkEntry.queries("q158_containment_dup")(spark, sfBig).collect()
+    rows.length shouldBe expected.size
+    expected should not be empty
+    rows.foreach { r =>
+      val (ca, cb, i, c) = expected((r.getLong(0), r.getLong(1)))
+      r.getLong(2) shouldBe ca
+      r.getLong(3) shouldBe cb
+      r.getLong(4) shouldBe i
+      r.getDouble(5) shouldBe (c +- 1e-6)
+    }
+  }
+
   test("q157 temperature mix: sums to budget, quota holds, boosts low-resource langs") {
     val rows = graft.SparkEntry.queries("q157_temperature_mix")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
