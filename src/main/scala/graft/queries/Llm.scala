@@ -1321,6 +1321,60 @@ object Llm extends QueryModule {
       .orderBy("lang")
   }
 
+  /** INCREMENTAL-INGEST dedup — the arrival-time form of dedup: a new
+    * batch (md5-split ≥ 'd0', ~19% of the corpus) is deduplicated BOTH
+    * against the already-ingested index (distinct fingerprints of the
+    * other 81%) and within itself (first-doc_id survivor per
+    * fingerprint). The dedup key is sha256 of the canonical 8-word
+    * prefix (q60's fingerprint family) — the re-post screen that
+    * catches articles re-syndicated with edited tails, which exact
+    * whole-text hashing misses (this fixture has zero whole-text dups
+    * but 23 prefix-dup groups, 8 of them crossing the split). Every
+    * new doc is classified dup_of_index / dup_in_batch / new — the
+    * decision an ingest pipeline makes per arriving file without
+    * rescanning history. Scale shape: the index side is a hash-keyed
+    * DISTINCT you'd publish once as a bucketed table (q146's layout)
+    * so the per-batch join shuffles ONLY the new batch; within-batch
+    * survivorship is one window over the batch's own hash partition
+    * (batch-sized, not corpus-sized). Graded as per-(lang, status)
+    * counts + exact id sums, so the oracle pins WHICH docs landed in
+    * each class. */
+  val incrementalDedup: Q = Q(
+    """WITH h AS (SELECT doc_id, lang,
+      |    sha256(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS ch,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0' AS in_index
+      |  FROM documents WHERE text IS NOT NULL),
+      |idx AS (SELECT DISTINCT ch FROM h WHERE in_index),
+      |b AS (SELECT doc_id, lang, ch,
+      |    MIN(doc_id) OVER (PARTITION BY ch) AS min_id
+      |  FROM h WHERE NOT in_index),
+      |cls AS (SELECT b.doc_id, b.lang,
+      |    CASE WHEN EXISTS (SELECT 1 FROM idx WHERE idx.ch = b.ch)
+      |           THEN 'dup_of_index'
+      |         WHEN b.doc_id > b.min_id THEN 'dup_in_batch'
+      |         ELSE 'new' END AS status
+      |  FROM b)
+      |SELECT lang, status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM cls GROUP BY 1, 2 ORDER BY lang, status""".stripMargin) { (s, d) =>
+    val h = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        sha2(concat_ws(" ", slice(words, 1, 8)), 256).as("ch"),
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "d0")
+          .as("in_index"))
+    val idx = h.filter(col("in_index")).select("ch").distinct()
+      .withColumn("hit", lit(1))
+    val batch = h.filter(!col("in_index"))
+      .withColumn("min_id", min("doc_id").over(Window.partitionBy("ch")))
+    batch.join(idx, Seq("ch"), "left")
+      .select(col("lang"), col("doc_id"),
+        when(col("hit") === 1, "dup_of_index")
+          .when(col("doc_id") > col("min_id"), "dup_in_batch")
+          .otherwise("new").as("status"))
+      .groupBy("lang", "status")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "status")
+  }
+
   /** Stratified DOWNSAMPLING by per-stratum rate — the rebalancing move
     * of corpus assembly (cap the over-represented language): keep a
     * deterministic md5-slice of each language's hash space, rate chosen
@@ -1836,6 +1890,7 @@ object Llm extends QueryModule {
     "q152_source_overlap" -> sourceOverlap,
     "q153_novelty_score"  -> noveltyScore,
     "q157_temperature_mix"-> temperatureMix,
-    "q158_containment_dup"-> containmentDup
+    "q158_containment_dup"-> containmentDup,
+    "q160_incremental_dedup" -> incrementalDedup
   )
 }

@@ -297,6 +297,46 @@ object ScalePatterns extends QueryModule {
     * diverge. `err_ok` certifies the ≤ scale/2 reconstruction bound
     * in-query; the oracle recomputes the identical arithmetic from the
     * raw embeddings and asserts the bound as TRUE. */
+  /** Per-DIMENSION embedding statistics — the fit step of feature
+    * normalization (whitening / standardization) every embedding
+    * pipeline runs before training or indexing: mean, std, min, max for
+    * each of the 64 dimensions. One posexplode → one 64-key aggregate;
+    * at 100 TB this is a single map-side-combining exchange of 64
+    * partial-stat rows per task (the partial aggregate collapses each
+    * partition to 64 rows before any shuffle), and the resulting
+    * 64-row table is the broadcast-sized normalization parameter set
+    * the transform step consumes. float→double widening is exact;
+    * per-element terms are ROUND 9 then DECIMAL-summed (partition-order
+    * independent), and the variance is assembled from those exact sums
+    * in one identical expression shape on both engines. */
+  val embedStats: Q = Q(
+    """WITH e AS (SELECT unnest(range(64)) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |s AS (SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+      |    MIN(x) AS vmin, MAX(x) AS vmax
+      |  FROM e GROUP BY dim)
+      |SELECT dim, n, ROUND(sx / n, 6) AS mean,
+      |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std,
+      |  ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax
+      |FROM s ORDER BY dim""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"), col("xf").cast("double").as("x"))
+    e.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double").as("sx"),
+        sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).cast("double").as("sxx"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .select(col("dim"), col("n"), round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("std"),
+        round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"))
+      .orderBy("dim")
+  }
+
   val int8Quantize: Q = {
     val sqlScale = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"
     Q(
@@ -544,6 +584,7 @@ object ScalePatterns extends QueryModule {
     "q143_topk_sketch"       -> topkSketch,
     "q146_bucketed_join"     -> bucketedJoin,
     "q149_bitmap_distinct"   -> bitmapDistinct,
-    "q151_token_batches"     -> tokenBatches
+    "q151_token_batches"     -> tokenBatches,
+    "q159_embed_stats"       -> embedStats
   )
 }

@@ -413,6 +413,53 @@ class LlmSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q160 incremental dedup: classes agree with a brute-force fingerprint model") {
+    val sfBig = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sfBig).filter("text is not null")
+      .selectExpr("doc_id", "lang",
+        "concat_ws(' ', slice(split(lower(text), ' '), 1, 8)) as fp",
+        "substr(md5(cast(cast(doc_id as string) as binary)),1,2) < 'd0' as in_index")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    val idxFp = docs.filter(_._4).map(_._3).toSet
+    val batch = docs.filterNot(_._4)
+    val minId = batch.groupBy(_._3).map { case (fp, ds) => fp -> ds.map(_._1).min }
+    val expected = batch.map { case (id, lang, fp, _) =>
+      val status =
+        if (idxFp(fp)) "dup_of_index"
+        else if (id > minId(fp)) "dup_in_batch"
+        else "new"
+      (lang, status, id)
+    }.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val rows = graft.SparkEntry.queries("q160_incremental_dedup")(spark, sfBig).collect()
+    rows.length shouldBe expected.size
+    rows.foreach { r =>
+      val (n, idSum) = expected((r.getString(0), r.getString(1)))
+      r.getLong(2) shouldBe n
+      r.getLong(3) shouldBe idSum
+    }
+    // the fixture exercises every class — the query is not degenerate
+    rows.map(_.getString(1)).toSet shouldBe Set("dup_of_index", "dup_in_batch", "new")
+  }
+
+  test("q159 embed stats: agrees with a direct per-dimension model") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val rows = graft.SparkEntry.queries("q159_embed_stats")(spark, sf).collect()
+    rows.length shouldBe 64
+    rows.foreach { r =>
+      val dim = r.getLong(0).toInt
+      val xs = vecs.map(v => v(dim).toDouble)
+      r.getLong(1) shouldBe xs.length.toLong
+      val mean = xs.sum / xs.length
+      val std = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
+      r.getDouble(2) shouldBe (mean +- 1e-5)
+      r.getDouble(3) shouldBe (std +- 1e-5)
+      r.getDouble(4) shouldBe (xs.min +- 1e-6)
+      r.getDouble(5) shouldBe (xs.max +- 1e-6)
+    }
+  }
+
   test("q157 temperature mix: sums to budget, quota holds, boosts low-resource langs") {
     val rows = graft.SparkEntry.queries("q157_temperature_mix")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
