@@ -24,15 +24,21 @@ object Analytics extends QueryModule {
     * at 100 TB are chosen exactly so this stays O(block²·n_blocks), never
     * O(n²)). levenshtein() is codegen'd in Spark and built in to DuckDB
     * with identical unit-cost semantics. */
-  val fuzzyJoin: Q = Q(
-    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-      |  a.p_name AS name_a, b.p_name AS name_b,
-      |  levenshtein(a.p_name, b.p_name) AS dist
-      |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-      | AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 5
-      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+  /** The blocked candidate-pair relation shared by q101 (graded pairs)
+    * and q167 (transitive entity clusters) — ONE definition of the edge
+    * set, so the cluster query's components are exactly the pair
+    * query's edges (the q80/q110 shared-builder discipline). */
+  private val sqlFuzzyPairs =
+    """fp AS (
+      |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |    a.p_name AS name_a, b.p_name AS name_b,
+      |    levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |   AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 5)""".stripMargin
+
+  private def fuzzyPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val a = part(s, d).select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
       col("p_brand"), col("p_size"))
     val b = part(s, d).select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
@@ -42,7 +48,43 @@ object Analytics extends QueryModule {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 5)
       .select("key_a", "key_b", "name_a", "name_b", "dist")
-      .orderBy("key_a", "key_b")
+  }
+
+  val fuzzyJoin: Q = Q(
+    s"""WITH $sqlFuzzyPairs
+       |SELECT key_a, key_b, name_a, name_b, dist FROM fp
+       |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    fuzzyPairs(s, d).orderBy("key_a", "key_b")
+  }
+
+  /** ENTITY RESOLUTION: the q101 fuzzy matches resolved to transitive
+    * entities — if A≈B and B≈C, all three are one entity even when A
+    * and C are not a direct match. Same distributed connected-components
+    * machinery as the text dedup family (q78), applied to record
+    * linkage; the entity id is the cluster's minimum part key. Scale
+    * inherits from both halves: pair generation is bounded by the
+    * blocking key, CC shuffles a geometrically contracting edge list.
+    * cluster_size rides a window partitioned by entity (bounded by
+    * entity size). */
+  val entityClusters: Q = Q(
+    s"""WITH RECURSIVE $sqlFuzzyPairs,
+       |edges AS (
+       |  SELECT key_a AS src, key_b AS dst FROM fp
+       |  UNION SELECT key_b, key_a FROM fp),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id, MIN(label) AS entity_id FROM reach GROUP BY id)
+       |SELECT id AS p_partkey, entity_id,
+       |  COUNT(*) OVER (PARTITION BY entity_id) AS entity_size
+       |FROM cl ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val cl = graft.operators.ConnectedComponents(
+        fuzzyPairs(s, d).select("key_a", "key_b"), "key_a", "key_b")
+      .select(col("id"), col("label").as("entity_id"))
+    cl.select(col("id").as("p_partkey"), col("entity_id"),
+        count(lit(1)).over(Window.partitionBy("entity_id")).as("entity_size"))
+      .orderBy("p_partkey")
   }
 
   /** Unpivot/melt: wide numeric measures to (key, measure, value) long
@@ -467,6 +509,125 @@ object Analytics extends QueryModule {
       .crossJoin(tri)
   }
 
+  /** Grouped OLS regression: per-user linear trend of `value` over time,
+    * closed form from the five sufficient statistics (n, Σx, Σy, Σx²,
+    * Σxy) — the distributed way to fit millions of small models at once:
+    * ONE grouped aggregate, no per-group iteration, no driver loop.
+    *
+    * Exactness discipline (q129's): x = whole seconds since the corpus
+    * origin (bounded, so x² sums fit BIGINT), y is micro-scaled to
+    * BIGINT, and the one product that can wrap int64 (x·y ≈ 2.6e15 per
+    * row) is widened to DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0)
+    * BEFORE multiplying. All five statistics are therefore exact and
+    * order-independent; the closed-form division happens once per
+    * group in DOUBLE with identical expression shape in both engines.
+    * At 100 TB this is a textbook map-side-combinable aggregate: five
+    * partial sums per (user, partition), one exchange on user_id. */
+  val groupedRegression: Q = {
+    val origin = 1704067200L // 2024-01-01T00:00:00Z, inside the fixture range
+    Q(
+      s"""WITH t AS (SELECT user_id,
+         |    CAST(epoch_us(ts) AS BIGINT) // 1000000 - $origin AS x,
+         |    CAST(ROUND(value * 1000000) AS BIGINT) AS y
+         |  FROM events),
+         |s AS (SELECT user_id, COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+         |  FROM t GROUP BY user_id HAVING COUNT(*) >= 3)
+         |SELECT user_id, CAST(n AS BIGINT) AS n,
+         |  ROUND(((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+         |      - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1000000.0))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 86400.0, 6) AS slope_per_day,
+         |  ROUND((CAST(sy AS DOUBLE) / 1000000.0
+         |      - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+         |          - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1000000.0))
+         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
+      val t = events(s, d).select(col("user_id"),
+        (expr("unix_micros(ts) DIV 1000000") - origin).as("x"),
+        round(col("value") * 1000000).cast("long").as("y"))
+      val st = t.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
+        .filter(col("n") >= 3)
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double") / 1000000.0
+      val sxxD = col("sxx").cast("double")
+      val sxyD = col("sxy").cast("double") / 1000000.0
+      val slopeSec = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+      st.select(col("user_id"), col("n"),
+          round(slopeSec * 86400.0, 6).as("slope_per_day"),
+          round((syD - slopeSec * sxD) / nD, 6).as("intercept"))
+        .orderBy("user_id")
+    }
+  }
+
+  /** Point-in-time (leakage-free) feature extraction — the feature-store
+    * join every supervised pipeline needs: at each LABEL event (a
+    * purchase), compute features from the user's history STRICTLY
+    * before it — views/clicks in the trailing 7 days and the previous
+    * event's value. Strictness is enforced in the frame itself: the
+    * range frame is keyed on epoch MICROseconds ending at 1 PRECEDING,
+    * so same-second neighbors never leak in, and the row frame ends at
+    * 1 PRECEDING under a (ts, event_id) total order.
+    *
+    * Scale shape: one exchange on user_id serves all three window
+    * frames (same partition key, same sort); the label filter applies
+    * AFTER the windows (it must — features read pre-label history) but
+    * the projection is the only thing that survives it. No self-join:
+    * the naive formulation is events⋈events on user & range, which
+    * shuffles the fact table twice and fans out per pair; the window
+    * form moves each row once. */
+  val pitFeatures: Q = Q(
+    """WITH t AS (SELECT event_id, user_id, event_type, value,
+      |    CAST(epoch_us(ts) AS BIGINT) AS x_us FROM events),
+      |f AS (SELECT event_id, user_id, event_type, x_us,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') OVER (
+      |      PARTITION BY user_id ORDER BY x_us
+      |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS n_views_7d,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') OVER (
+      |      PARTITION BY user_id ORDER BY x_us
+      |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS n_clicks_7d,
+      |    last_value(value) OVER (
+      |      PARTITION BY user_id ORDER BY x_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value,
+      |    x_us - lag(x_us) OVER (PARTITION BY user_id ORDER BY x_us, event_id)
+      |      AS gap_us
+      |  FROM t)
+      |SELECT event_id, user_id,
+      |  CAST(n_views_7d AS BIGINT) AS n_views_7d,
+      |  CAST(n_clicks_7d AS BIGINT) AS n_clicks_7d,
+      |  prev_value, CAST(gap_us // 1000000 AS BIGINT) AS gap_sec
+      |FROM f WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val t = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), expr("unix_micros(ts)").as("x_us"))
+    val wRange = Window.partitionBy("user_id").orderBy("x_us")
+      .rangeBetween(-604800000000L, -1L)
+    val wRows = Window.partitionBy("user_id").orderBy("x_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy("user_id").orderBy("x_us", "event_id")
+    t.select(col("event_id"), col("user_id"), col("event_type"),
+        count(when(col("event_type") === "view", 1)).over(wRange).as("n_views_7d"),
+        count(when(col("event_type") === "click", 1)).over(wRange).as("n_clicks_7d"),
+        last(col("value")).over(wRows).as("prev_value"),
+        (col("x_us") - lag(col("x_us"), 1).over(wLag)).as("gap_us"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("n_views_7d"),
+        col("n_clicks_7d"), col("prev_value"),
+        expr("CAST(gap_us DIV 1000000 AS BIGINT)").as("gap_sec"))
+      .orderBy("user_id", "event_id")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
@@ -480,6 +641,9 @@ object Analytics extends QueryModule {
     "q140_mad_outliers"   -> madOutliers,
     "q141_attribution"    -> attribution,
     "q145_psi_drift"      -> psiDrift,
-    "q155_triangle_count" -> triangleCount
+    "q155_triangle_count" -> triangleCount,
+    "q163_grouped_regression" -> groupedRegression,
+    "q164_pit_features"   -> pitFeatures,
+    "q167_entity_clusters" -> entityClusters
   )
 }

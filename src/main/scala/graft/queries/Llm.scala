@@ -369,6 +369,50 @@ object Llm extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-AWARE survivor selection — q78 picks each cluster's minimum
+    * doc_id, which is arbitrary; a curator keeps the BEST member. Here
+    * "best" = longest document (max n_chars, the practical proxy when a
+    * near-dup cluster mixes a full document with its truncations),
+    * tiebreak min doc_id for determinism. Same cluster machinery as
+    * q78 ([[graft.operators.ConnectedComponents]]); the selection is one
+    * window per cluster — partitioned by cluster label, so the frame is
+    * bounded by cluster size (small by dedup's nature), never a global
+    * sort. At 100 TB: clusters ride one exchange keyed on label; the
+    * quality attribute joins on doc_id BEFORE the window so the per-
+    * cluster frame carries only (id, n_chars). */
+  val qualitySurvivor: Q = Q(
+    s"""WITH RECURSIVE $sqlPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       |j AS (SELECT cl.cluster_id, cl.id, d.n_chars
+       |      FROM cl JOIN documents d ON cl.id = d.doc_id),
+       |r AS (SELECT cluster_id, id, n_chars,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |          ORDER BY n_chars DESC, id ASC) AS rn,
+       |        COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |      FROM j)
+       |SELECT cluster_id, id AS kept_doc, n_docs, n_chars AS kept_chars
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val cl = graft.operators.ConnectedComponents(jaccardPairs(s, d), "doc_a", "doc_b")
+      .select(col("id"), col("label").as("cluster_id"))
+    val j = cl.join(documents(s, d).select(col("doc_id"), col("n_chars")),
+      col("id") === col("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+    j.select(col("cluster_id"), col("id"), col("n_chars"),
+        row_number().over(w.orderBy(desc("n_chars"), asc("id"))).as("rn"),
+        count(lit(1)).over(w).as("n_docs"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("kept_doc"),
+        col("n_docs"), col("n_chars").as("kept_chars"))
+      .orderBy("cluster_id")
+  }
+
   // ------------------------------------------------------------------- L3
 
   /** L3 candidate generation: MinHash LSH near-dup candidate pairs —
@@ -1637,8 +1681,12 @@ object Llm extends QueryModule {
     * one linear scan folding k distances per row inside codegen; the
     * only shuffles are the centroid aggregate and the final confusion
     * groupBy. */
-  val centroidAssign: Q = Q(
-    """WITH ed AS (
+  /** The nearest-centroid ASSIGNMENT relation (vec_id → winning
+    * centroid), shared by q99 (confusion counts) and q168 (cluster
+    * labeling) — one definition, so both queries agree on every
+    * assignment by construction. */
+  private val sqlAssignCtes =
+    """ed AS (
       |  SELECT vec_id, label, i,
       |    CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS e
       |  FROM embeddings, range(64) t(i)),
@@ -1654,12 +1702,12 @@ object Llm extends QueryModule {
       |      * (ROUND(CAST(v.embedding[i+1] AS DOUBLE) * 1000000, 0) - c.cvec[i+1]))) AS dist
       |  FROM embeddings v CROSS JOIN cent c),
       |best AS (
-      |  SELECT true_label, cand,
+      |  SELECT vec_id, true_label, cand,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
-      |  FROM asg)
-      |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
-      |FROM best WHERE rn = 1
-      |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+      |  FROM asg)""".stripMargin
+
+  /** Spark face of [[sqlAssignCtes]]: (vec_id, true_label, assigned). */
+  private def centroidAssignments(s: SparkSession, d: String): DataFrame = {
     val ed = embeddings(s, d)
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
       .select(col("label"), col("i"),
@@ -1680,9 +1728,51 @@ object Llm extends QueryModule {
         expr("l2_micro(embedding, cvec)").as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("true_label").as("label"), col("cand").as("assigned"))
+      .select(col("vec_id"), col("true_label"), col("cand").as("assigned"))
+  }
+
+  val centroidAssign: Q = Q(
+    s"""WITH $sqlAssignCtes
+       |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+       |FROM best WHERE rn = 1
+       |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    centroidAssignments(s, d)
+      .groupBy(col("true_label").as("label"), col("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
+  }
+
+  /** CLUSTER LABELING: the top-3 most frequent tokens of the documents
+    * assigned to each centroid cluster — how a curator reads a clustering
+    * ("what IS cluster 7?"). Composition row: q99's assignment relation
+    * joined to the token stream, then a per-cluster frequency top-k.
+    * Scale shape: assignments are (id → small int) — the join to tokens
+    * is an equi-join on doc id riding the token explode's natural key;
+    * per-(cluster, token) counts are map-side combinable; the top-k is a
+    * WindowGroupLimit over k=10 clusters. Tie-break (count DESC, token
+    * ASC) makes the pick total-ordered. */
+  val clusterTerms: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |tok AS (SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+       |jt AS (SELECT b.cand AS cluster, t.tok
+       |       FROM tok t JOIN best b ON t.doc_id = b.vec_id AND b.rn = 1),
+       |cnt AS (SELECT cluster, tok, COUNT(*) AS c FROM jt GROUP BY cluster, tok),
+       |r AS (SELECT cluster, tok, c,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster
+       |          ORDER BY c DESC, tok ASC) AS rn
+       |      FROM cnt)
+       |SELECT cluster, tok AS term, CAST(c AS BIGINT) AS cnt, rn
+       |FROM r WHERE rn <= 3 ORDER BY cluster, rn""".stripMargin) { (s, d) =>
+    val asg = centroidAssignments(s, d)
+      .select(col("vec_id"), col("assigned").as("cluster"))
+    val tok = documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+    val w = Window.partitionBy("cluster").orderBy(desc("c"), asc("tok"))
+    tok.join(asg, tok("doc_id") === asg("vec_id"))
+      .groupBy("cluster", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("cluster"), col("tok").as("term"), col("c").as("cnt"), col("rn"))
+      .orderBy("cluster", "rn")
   }
 
   /** Text normalization — the cleaning pass upstream of every dedup /
@@ -1891,6 +1981,8 @@ object Llm extends QueryModule {
     "q153_novelty_score"  -> noveltyScore,
     "q157_temperature_mix"-> temperatureMix,
     "q158_containment_dup"-> containmentDup,
+    "q162_quality_survivor" -> qualitySurvivor,
+    "q168_cluster_terms"  -> clusterTerms,
     "q160_incremental_dedup" -> incrementalDedup
   )
 }

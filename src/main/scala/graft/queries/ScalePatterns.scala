@@ -569,6 +569,87 @@ object ScalePatterns extends QueryModule {
       .orderBy("batch_id")
   }
 
+  /** Per-source embedding centroids + the pairwise centroid-cosine
+    * matrix — the corpus-composition diagnostic ("are two scrapes the
+    * same distribution?") and the first step of semantic source
+    * weighting. Two-level reduction: (source, dim) decimal-exact
+    * component means — ONE exchange keyed on a 20×64 key space, map-
+    * side combinable — then the pairwise matrix over the TINY centroid
+    * relation (20 rows of 64 dims → 190 pairs), where dot/norm sums
+    * again accumulate in DECIMAL so merge order cannot flip a bit.
+    * At 100 TB only the first aggregate touches the data; the matrix
+    * cost is sources², independent of corpus size. The join key for
+    * pairing is the dim index, so the pair aggregate is another equi-
+    * keyed exchange — never a cross join of embeddings. */
+  val sourceCentroids: Q = Q(
+    """WITH j AS (SELECT d.source, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |comp AS (SELECT source, t.i,
+      |    CAST(embedding[t.i + 1] AS DOUBLE) AS v FROM j, range(64) t(i)),
+      |cent AS (SELECT source, i,
+      |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM comp GROUP BY source, i),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,30))) AS DOUBLE) AS dot,
+      |    CAST(SUM(CAST(a.c * a.c AS DECIMAL(38,30))) AS DOUBLE) AS naa,
+      |    CAST(SUM(CAST(b.c * b.c AS DECIMAL(38,30))) AS DOUBLE) AS nbb
+      |  FROM cent a JOIN cent b ON a.i = b.i AND a.source < b.source
+      |  GROUP BY src_a, src_b)
+      |SELECT src_a, src_b,
+      |  ROUND(dot / (sqrt(naa) * sqrt(nbb)), 6) AS cos
+      |FROM p ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val j = documents(s, d).select(col("doc_id"), col("source"))
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+    val comp = j.select(col("source"), posexplode(col("embedding")).as(Seq("i", "vf")))
+      .select(col("source"), col("i"), col("vf").cast("double").as("v"))
+    val cent = comp.groupBy("source", "i")
+      .agg((sum(col("v").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+    val a = cent.select(col("source").as("src_a"), col("i"), col("c").as("ca"))
+    val b = cent.select(col("source").as("src_b"), col("i").as("ib"), col("c").as("cb"))
+    a.join(b, col("i") === col("ib") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum((col("ca") * col("cb")).cast("decimal(38,30)")).cast("double").as("dot"),
+        sum((col("ca") * col("ca")).cast("decimal(38,30)")).cast("double").as("naa"),
+        sum((col("cb") * col("cb")).cast("decimal(38,30)")).cast("double").as("nbb"))
+      .select(col("src_a"), col("src_b"),
+        round(col("dot") / (sqrt(col("naa")) * sqrt(col("nbb"))), 6).as("cos"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Sliding-window COUNT DISTINCT (7-day active users per day) — the
+    * aggregate neither engine's window functions support directly
+    * (DISTINCT inside an OVER frame), and the one that breaks naive
+    * scaling hardest: the textbook workaround re-joins the fact table
+    * per window offset. The scale-safe shape is KEY FANOUT over the
+    * pre-deduplicated (day, user) relation: dedup first (one exchange,
+    * map-side combinable), then each (day, user) row contributes to at
+    * most 7 target days — a bounded ×7 expansion of the SMALL distinct
+    * relation, not of the raw events — and the final per-day distinct
+    * count is one more keyed aggregate. Work is O(distinct·window/day),
+    * independent of raw event volume, and every step is an equi-keyed
+    * exchange. Day ids are whole-integer epoch-day arithmetic. */
+  val slidingDistinct: Q = Q(
+    """WITH du AS (SELECT DISTINCT
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_id, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day_id FROM du),
+      |x AS (SELECT du.user_id, du.day_id + t.i AS target
+      |      FROM du, range(7) t(i))
+      |SELECT x.target AS day_id, COUNT(DISTINCT x.user_id) AS n_active_7d
+      |FROM x JOIN days dd ON x.target = dd.day_id
+      |GROUP BY x.target ORDER BY day_id""".stripMargin) { (s, d) =>
+    val du = events(s, d)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day_id"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day_id").as("present_day")).distinct()
+    val x = du.select(col("user_id"),
+      explode(sequence(col("day_id"), col("day_id") + 6)).as("target"))
+    x.join(days, col("target") === col("present_day"), "left_semi")
+      .groupBy(col("target").as("day_id"))
+      .agg(countDistinct("user_id").as("n_active_7d"))
+      .orderBy("day_id")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q111_rolling_median"    -> rollingMedian,
     "q112_decile_stats"      -> decileStats,
@@ -585,6 +666,8 @@ object ScalePatterns extends QueryModule {
     "q146_bucketed_join"     -> bucketedJoin,
     "q149_bitmap_distinct"   -> bitmapDistinct,
     "q151_token_batches"     -> tokenBatches,
-    "q159_embed_stats"       -> embedStats
+    "q159_embed_stats"       -> embedStats,
+    "q165_source_centroids"  -> sourceCentroids,
+    "q166_sliding_distinct"  -> slidingDistinct
   )
 }

@@ -468,6 +468,44 @@ object TextScoring extends QueryModule {
       .orderBy("source")
   }
 
+  /** Boolean retrieval: conjunctive (AND) multi-term search through an
+    * inverted index — the exact-match complement to BM25's ranked
+    * retrieval (q100). A doc matches iff it contains EVERY query term.
+    *
+    * The distributed shape is intersect-by-counting: explode to DISTINCT
+    * (doc, term) postings, keep only postings for query terms, then a
+    * doc qualifies when its surviving posting count equals |terms|.
+    * This is the classic posting-list intersection without ever
+    * materializing per-term lists or joining them pairwise: ONE shuffle
+    * keyed by doc_id, term-filter pushed below it so only matching
+    * postings move. At 100 TB the filter runs at scan time (terms are a
+    * literal IN-list → codegen'd), the exchange carries only docs that
+    * contain at least one query term, and the HAVING count is a
+    * map-side-combinable aggregate. No posting list is ever collected. */
+  val booleanRetrieval: Q = {
+    val terms = Seq("spark", "join", "window")
+    val sqlTerms = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    Q(
+      s"""WITH post AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($sqlWords) AS tok FROM documents)
+         |  WHERE tok IN $sqlTerms),
+         |hits AS (SELECT doc_id FROM post GROUP BY doc_id
+         |         HAVING COUNT(*) = ${terms.size})
+         |SELECT h.doc_id, d.lang, d.source
+         |FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+         |ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      val post = documents(s, d)
+        .select(col("doc_id"), explode(words).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .distinct()
+      val hits = post.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size)
+        .select("doc_id")
+      hits.join(documents(s, d).select("doc_id", "lang", "source"), "doc_id")
+        .orderBy("doc_id")
+    }
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
@@ -478,6 +516,7 @@ object TextScoring extends QueryModule {
     "q144_pmi_bigrams"      -> pmiBigrams,
     "q148_zipf_slope"       -> zipfSlope,
     "q154_bigram_perplexity"-> bigramPerplexity,
-    "q156_ngram_diversity"  -> ngramDiversity
+    "q156_ngram_diversity"  -> ngramDiversity,
+    "q161_boolean_retrieval"-> booleanRetrieval
   )
 }

@@ -313,6 +313,37 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include regex "windowspecdefinition\\(lang#"
   }
 
+  test("q161: boolean retrieval filters terms below the posting aggregate (one explode, no pairwise list join)") {
+    val p = plan("q161_boolean_retrieval")
+    // the query-term IN filter runs directly over the generator output,
+    // before the distinct/count aggregates ever shuffle
+    p should include("Generate explode")
+    p should include regex "tok#\\d+ IN \\(spark,join,window\\)|tok#\\d+ INSET"
+    p should not include "CartesianProduct"
+  }
+
+  test("q163: grouped regression is ONE map-side-combinable aggregate — a single hash exchange") {
+    val p = plan("q163_grouped_regression")
+    p should include("partial_") // five sufficient statistics combine map-side
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q164: point-in-time features plan with NO join — one user exchange feeds all frames") {
+    val p = plan("q164_pit_features")
+    p should not include "Join" // the naive form is a range self-join
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q165: centroid matrix joins per-dim centroids — never a product of embeddings") {
+    val p = plan("q165_source_centroids")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the heavy aggregate keys on (source, dim)
+    p should include regex "Exchange hashpartitioning\\(source#\\d+, i#"
+  }
+
   test("q119: pagerank conserves fixed-point mass within truncation loss") {
     // every rank is SCALE-scaled; integer DIV truncates per DIRECTED EDGE
     // (pr DIV outdeg) and twice per node per iteration, so total mass can
