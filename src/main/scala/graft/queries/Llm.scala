@@ -1983,6 +1983,41 @@ object Llm extends QueryModule {
     "q158_containment_dup"-> containmentDup,
     "q162_quality_survivor" -> qualitySurvivor,
     "q168_cluster_terms"  -> clusterTerms,
-    "q160_incremental_dedup" -> incrementalDedup
+    "q160_incremental_dedup" -> incrementalDedup,
+    "q170_data_card"      -> dataCard
   )
+
+  /** The per-language DATA CARD — the one-page corpus summary a dataset
+    * release ships: volume (docs, chars, words), exact-duplicate rate,
+    * and the q120 quality-gate pass rate, per language. Every metric
+    * folds into ONE grouped aggregate over ONE scan: per-row predicates
+    * (quality gate, word count) are codegen'd projections, the dup rate
+    * is n_docs − COUNT(DISTINCT sha256(text)) riding the same exchange
+    * (Spark plans distinct-aggregate via expand on the lang key), and
+    * lang has 5 values so the final relation is tiny. The cheapest
+    * possible shape at any scale: one pass, one exchange, no joins. */
+  val dataCard: Q = Q(
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_words,
+       |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_exact_dups,
+       |  ROUND(CAST(COUNT(*) FILTER (WHERE n_chars BETWEEN 100 AND 500
+       |      AND CAST(len(list_filter(string_split(lower(text), ' '),
+       |            t -> list_contains($sqlStopList, t))) AS DOUBLE)
+       |          / len(string_split(lower(text), ' ')) >= 0.05) AS DOUBLE)
+       |    / COUNT(*), 6) AS quality_pass_rate
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val pass = col("n_chars").between(100, 500) &&
+      (size(filter(words, t => t.isInCollection(stopWords))).cast("double") /
+        size(words)) >= 0.05
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(size(words)).as("total_words"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_exact_dups"),
+        round(count(when(pass, 1)).cast("double") / count(lit(1)), 6)
+          .as("quality_pass_rate"))
+      .orderBy("lang")
+  }
 }

@@ -506,6 +506,51 @@ object TextScoring extends QueryModule {
     }
   }
 
+  /** Vocabulary coverage truncation — the tokenizer-building question
+    * "how many types cover 95% of tokens?" answered per language.
+    * ALL-INTEGER thresholding: the crossing test is `100·prefix ≥
+    * 95·total` over exact BIGINT counts, so no float comparison can
+    * disagree between engines at the boundary. The cumulative sum runs
+    * over the VOCABULARY relation (types, not tokens) — orders of
+    * magnitude smaller than the corpus — partitioned per lang under a
+    * total (count DESC, token ASC) order. With an unbounded vocabulary
+    * the per-lang window would become the single-partition cliff; the
+    * escape is the same two-phase shape as operators.PrefixSum (range-
+    * exchange by count bucket, offset-stamp per partition) — documented
+    * here, not needed at any plausible vocab size (vocab grows ~√corpus
+    * by Heaps' law). */
+  val vocabCoverage: Q = Q(
+    s"""WITH cnt AS (SELECT lang, tok, COUNT(*) AS c FROM (
+       |    SELECT lang, unnest($sqlWords) AS tok FROM documents)
+       |  GROUP BY lang, tok),
+       |cum AS (SELECT lang, c,
+       |    SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, tok ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+       |    SUM(c) OVER (PARTITION BY lang) AS total
+       |  FROM cnt)
+       |SELECT lang, COUNT(*) AS vocab_total,
+       |  CAST(MAX(total) AS BIGINT) AS total_tokens,
+       |  COUNT(*) FILTER (WHERE (pfx - c) * 100 < 95 * total) AS vocab_95,
+       |  ROUND(CAST(COUNT(*) FILTER (WHERE (pfx - c) * 100 < 95 * total) AS DOUBLE)
+       |    / COUNT(*), 6) AS vocab_share_95
+       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val cnt = documents(s, d).select(col("lang"), explode(words).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy(desc("c"), asc("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val cum = cnt.select(col("lang"), col("c"),
+      sum("c").over(wCum).as("pfx"), sum("c").over(wAll).as("total"))
+    val crossed = (col("pfx") - col("c")) * 100 < lit(95) * col("total")
+    cum.groupBy("lang")
+      .agg(count(lit(1)).as("vocab_total"),
+        max("total").as("total_tokens"),
+        count(when(crossed, 1)).as("vocab_95"),
+        round(count(when(crossed, 1)).cast("double") / count(lit(1)), 6)
+          .as("vocab_share_95"))
+      .orderBy("lang")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
@@ -517,6 +562,7 @@ object TextScoring extends QueryModule {
     "q148_zipf_slope"       -> zipfSlope,
     "q154_bigram_perplexity"-> bigramPerplexity,
     "q156_ngram_diversity"  -> ngramDiversity,
-    "q161_boolean_retrieval"-> booleanRetrieval
+    "q161_boolean_retrieval"-> booleanRetrieval,
+    "q169_vocab_coverage"   -> vocabCoverage
   )
 }
