@@ -486,19 +486,28 @@ object Analytics extends QueryModule {
       |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
     val pr = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+    // materialize the weighted edge relation ONCE: it feeds deg, the
+    // orientation join, the n_edges count AND (via o) all three legs of
+    // the triangle join — six consumers whose shapes exchange reuse does
+    // not bridge, so without the checkpoint the per-order pair generation
+    // and its aggregate run six times (the q120/pagerank discipline)
     val e = pr.as("a").join(pr.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
+      .localCheckpoint()
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // deg has one row per surviving node — broadcast both orientation joins
     val lower = struct(col("du.deg"), col("u")) < struct(col("dv.deg"), col("v"))
+    // o is read three times by the triangle join — checkpoint it too,
+    // or each leg re-runs both broadcast orientation joins
     val o = e.join(broadcast(deg.as("du")), col("du.node") === col("u"))
       .join(broadcast(deg.as("dv")), col("dv.node") === col("v"))
       .select(when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
     val tri = o.as("e1")
       .join(o.as("e2"), col("e2.s") === col("e1.t"))
       .join(o.as("e3"),

@@ -1984,8 +1984,49 @@ object Llm extends QueryModule {
     "q162_quality_survivor" -> qualitySurvivor,
     "q168_cluster_terms"  -> clusterTerms,
     "q160_incremental_dedup" -> incrementalDedup,
-    "q170_data_card"      -> dataCard
+    "q170_data_card"      -> dataCard,
+    "q171_feature_hashing"-> featureHashing
   )
+
+  /** FEATURE HASHING (the hashing trick): project the unbounded token
+    * vocabulary into a fixed 16-dim signed count vector per document —
+    * the memoryless featurizer for linear models at corpus scale, where
+    * a learned vocabulary cannot be built or broadcast. No dictionary,
+    * no second pass: dim = h(token) mod 16, sign = ±1 from the next
+    * hash bit (the signed variant that makes collisions cancel in
+    * expectation rather than bias upward).
+    *
+    * The token hash is the repo's ORACLE-PORTABLE polynomial (q60's
+    * discipline at char level): exact BIGINT arithmetic identical in
+    * both engines — engine hash builtins (xxhash64 / DuckDB hash) never
+    * match across engines, so hash-dependent OUTPUT must come from
+    * arithmetic the oracle can replicate. Collisions are not a defect
+    * here; they are the method.
+    *
+    * Scale: one explode → one (doc, dim) grouped aggregate, map-side
+    * combinable, bounded fanout (≤16 dims/doc survive). Long form
+    * (doc, dim, w) keeps the schema fixed regardless of dim count. */
+  val featureHashing: Q = Q(
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlWords) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(range(length(tok)),
+       |      i -> (i + 1) * ord(tok[i+1]))), 0) + 7919 * length(tok) AS BIGINT) AS hv
+       |  FROM tok)
+       |SELECT doc_id, CAST(hv % 16 AS BIGINT) AS dim,
+       |  CAST(SUM(CASE WHEN hv % 32 >= 16 THEN -1 ELSE 1 END) AS BIGINT) AS w
+       |FROM h GROUP BY doc_id, dim
+       |ORDER BY doc_id, dim""".stripMargin) { (s, d) =>
+    val ch = split(col("tok"), "")
+    val hv = (aggregate(
+      transform(sequence(lit(1), length(col("tok"))),
+        i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
+      lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))).as("hv")
+    documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+      .select(col("doc_id"), hv)
+      .groupBy(col("doc_id"), (col("hv") % 16).as("dim"))
+      .agg(sum(when(col("hv") % 32 >= 16, -1L).otherwise(1L)).as("w"))
+      .orderBy("doc_id", "dim")
+  }
 
   /** The per-language DATA CARD — the one-page corpus summary a dataset
     * release ships: volume (docs, chars, words), exact-duplicate rate,
