@@ -637,6 +637,199 @@ object Analytics extends QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** Higher central moments per group — mean, stddev, SKEWNESS and
+    * KURTOSIS — from the four raw power sums in ONE map-side-combinable
+    * aggregate (the moments-sketch shape: partials merge by addition,
+    * so the same query runs incrementally or distributed). Engine
+    * builtins for skew/kurt use different bias corrections per engine —
+    * unusable for an oracle — so both sides compute the SAME closed
+    * form from the same exact sums. Milli-scaled BIGINT values keep
+    * every power sum exact: v² fits int64; the v³/v⁴ products are
+    * widened to DECIMAL(19,0)×DECIMAL(19,0) BEFORE the multiply — 19
+    * digits specifically, because DuckDB evaluates DECIMAL(≤18)
+    * multiplies on the int64 fast path and range-errors at 1e18, while
+    * 19 forces the 128-bit path in both engines (the q129 discipline).
+    * Spark would instead wrap silently — divergence exactly at the
+    * cube. Scaling cancels
+    * in skew/kurt (dimensionless). */
+  val higherMoments: Q = Q(
+    """WITH t AS (SELECT event_type,
+      |    CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events),
+      |s AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS s1,
+      |    CAST(SUM(v * v) AS BIGINT) AS s2,
+      |    SUM(CAST(v * v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s3,
+      |    SUM(CAST(v * v AS DECIMAL(19,0)) * CAST(v * v AS DECIMAL(19,0))) AS s4
+      |  FROM t GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(s1 AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)), 6) AS mean,
+      |  ROUND(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1000.0, 6) AS stddev,
+      |  ROUND((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5), 6) AS skewness,
+      |  ROUND((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 6) AS kurtosis
+      |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+    val t = events(s, d).select(col("event_type"),
+      round(col("value") * 1000).cast("long").as("v"))
+    val st = t.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("v").as("s1"),
+      sum(col("v") * col("v")).as("s2"),
+      sum((col("v") * col("v")).cast("decimal(19,0)") * col("v").cast("decimal(19,0)")).as("s3"),
+      sum((col("v") * col("v")).cast("decimal(19,0)")
+        * (col("v") * col("v")).cast("decimal(19,0)")).as("s4"))
+    val nD = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nD   // milli units
+    val r2 = col("s2").cast("double") / nD
+    val r3 = col("s3").cast("double") / nD
+    val r4 = col("s4").cast("double") / nD
+    val m2 = r2 - m1 * m1
+    st.select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / (lit(1000.0) * nD), 6).as("mean"),
+        round(sqrt(m2) / 1000.0, 6).as("stddev"),
+        round((r3 - lit(3.0) * m1 * r2 + lit(2.0) * m1 * m1 * m1) / pow(m2, 1.5), 6)
+          .as("skewness"),
+        round((r4 - lit(4.0) * m1 * r3 + lit(6.0) * m1 * m1 * r2
+          - lit(3.0) * m1 * m1 * m1 * m1) / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+      .orderBy("event_type")
+  }
+
+  /** Chi-square test of independence (lang × source) — the corpus-audit
+    * question "does language depend on scrape source?". Observed counts
+    * from one grouped aggregate; the EXPECTED grid is the cross join of
+    * the two TINY marginal relations (5 langs × 20 sources), left-joined
+    * to observed so empty cells contribute (0−e)²/e — dropping them
+    * understates the statistic. Per-cell contributions are ROUNDed then
+    * DECIMAL-summed (the q100 per-term discipline) so the global sum is
+    * order-independent. Everything after the one big aggregate is
+    * marginal-sized — at 100 TB the grid math is free. */
+  val chiSquare: Q = Q(
+    """WITH o AS (SELECT lang, source, COUNT(*) AS c FROM documents
+      |           GROUP BY lang, source),
+      |rt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM o GROUP BY lang),
+      |ct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS k FROM o GROUP BY source),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+      |grid AS (SELECT rt.lang, ct.source, rt.r, ct.k, nn.n,
+      |           COALESCE(o.c, 0) AS c
+      |         FROM rt CROSS JOIN ct CROSS JOIN nn
+      |         LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+      |cell AS (SELECT ROUND(
+      |    (CAST(c AS DOUBLE) - CAST(r AS DOUBLE) * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(c AS DOUBLE) - CAST(r AS DOUBLE) * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(r AS DOUBLE) * CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS x
+      |  FROM grid)
+      |SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+      |  (SELECT COUNT(*) FROM rt) * (SELECT COUNT(*) FROM ct)
+      |    - (SELECT COUNT(*) FROM rt) - (SELECT COUNT(*) FROM ct) + 1 AS df
+      |FROM cell""".stripMargin) { (s, d) =>
+    val o = documents(s, d).groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val rt = o.groupBy("lang").agg(sum("c").as("r"))
+    val ct = o.groupBy("source").agg(sum("c").as("k"))
+    val nn = o.agg(sum("c").as("n"))
+    val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(nn))
+      .join(o, Seq("lang", "source"), "left")
+      .select(col("r"), col("k"), col("n"), coalesce(col("c"), lit(0L)).as("c"))
+    val e = col("r").cast("double") * col("k").cast("double") / col("n").cast("double")
+    val x = round((col("c").cast("double") - e) * (col("c").cast("double") - e) / e, 9)
+    // df arrives in-plan from the two 1-row marginal counts (no driver
+    // action at build time), matching the oracle's subquery arithmetic
+    val nl = rt.agg(count(lit(1)).as("nl"))
+    val ns = ct.agg(count(lit(1)).as("ns"))
+    grid.select(x.as("x"))
+      .agg(round(sum(col("x").cast("decimal(28,9)")).cast("double"), 6).as("chi2"))
+      .crossJoin(broadcast(nl)).crossJoin(broadcast(ns))
+      .select(col("chi2"),
+        (col("nl") * col("ns") - col("nl") - col("ns") + 1).as("df"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (src0 vs src1 length
+    * distributions) — distribution drift measured EXACTLY: the KS
+    * supremum |F_a − F_b| is maximized as the INTEGER |ca·nb − cb·na|
+    * over the merged value support, so engines cannot disagree at the
+    * argmax (the float CDF difference would tie-break differently under
+    * rounding). The support relation is bounded by distinct value count
+    * (≤ ~500 lengths), so the unpartitioned cumulative window is over a
+    * provably tiny relation — same justification as q142's #languages
+    * window; the per-source counts arrive from one grouped aggregate
+    * over the data. */
+  val ksTest: Q = Q(
+    """WITH ab AS (SELECT n_chars AS v,
+      |    COUNT(*) FILTER (WHERE source = 'src0') AS na_v,
+      |    COUNT(*) FILTER (WHERE source = 'src1') AS nb_v
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars),
+      |cum AS (SELECT v,
+      |    SUM(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    SUM(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+      |    SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+      |  FROM ab)
+      |SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+      |  CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d_num,
+      |  ROUND(CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+      |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) AS ks
+      |FROM cum""".stripMargin) { (s, d) =>
+    val ab = documents(s, d).filter(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(when(col("source") === "src0", 1)).as("na_v"),
+        count(when(col("source") === "src1", 1)).as("nb_v"))
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = ab.select(col("v"),
+      sum("na_v").over(wCum).as("ca"), sum("nb_v").over(wCum).as("cb"),
+      sum("na_v").over(wAll).as("na"), sum("nb_v").over(wAll).as("nb"))
+    cum.agg(max("na").as("na"), max("nb").as("nb"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"),
+        round(max(abs(col("ca") * col("nb") - col("cb") * col("na"))).cast("double")
+          / (max("na").cast("double") * max("nb").cast("double")), 6).as("ks"))
+  }
+
+  /** Gini coefficient of order value per priority class — revenue
+    * concentration, the classic inequality measure, via the sorted
+    * prefix-sum identity G = (2·Σi·vᵢ − (n+1)·Σvᵢ) / (n·Σvᵢ). Values
+    * are centi-scaled BIGINTs and the rank i is a per-group row_number
+    * under a TOTAL order (value, then key), so the big sums are exact
+    * integers — the division at the end is the only float op. The
+    * per-priority window is a keyed partition (5 groups), each sorted
+    * once; the identity needs no pairwise |vᵢ−vⱼ| expansion (the naive
+    * O(n²) formulation). */
+  val giniIndex: Q = Q(
+    """WITH t AS (SELECT o_orderpriority AS pri,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) AS i
+      |  FROM orders),
+      |s AS (SELECT pri, COUNT(*) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS sv,
+      |    CAST(SUM(i * v) AS BIGINT) AS siv
+      |  FROM t GROUP BY pri)
+      |SELECT pri, CAST(n AS BIGINT) AS n,
+      |  ROUND((2.0 * CAST(siv AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6) AS gini
+      |FROM s ORDER BY pri""".stripMargin) { (s, d) =>
+    val v = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("pri").orderBy("v", "o_orderkey")
+    val t = orders(s, d)
+      .select(col("o_orderpriority").as("pri"), v.as("v"), col("o_orderkey"))
+      .withColumn("i", row_number().over(w))
+    val st = t.groupBy("pri").agg(count(lit(1)).as("n"),
+      sum("v").as("sv"), sum(col("i") * col("v")).as("siv"))
+    st.select(col("pri"), col("n"),
+        round((lit(2.0) * col("siv").cast("double")
+          - (col("n").cast("double") + 1.0) * col("sv").cast("double"))
+          / (col("n").cast("double") * col("sv").cast("double")), 6).as("gini"))
+      .orderBy("pri")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
@@ -653,6 +846,10 @@ object Analytics extends QueryModule {
     "q155_triangle_count" -> triangleCount,
     "q163_grouped_regression" -> groupedRegression,
     "q164_pit_features"   -> pitFeatures,
-    "q167_entity_clusters" -> entityClusters
+    "q167_entity_clusters" -> entityClusters,
+    "q172_higher_moments" -> higherMoments,
+    "q173_chi_square"     -> chiSquare,
+    "q174_ks_test"        -> ksTest,
+    "q175_gini_index"     -> giniIndex
   )
 }
