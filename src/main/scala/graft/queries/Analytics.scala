@@ -637,6 +637,78 @@ object Analytics extends QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * measures — the feature-audit grid ("which measures are redundant")
+    * — computed the scale-right way: ONE wide aggregate producing every
+    * sufficient statistic (4 sums, 4 square sums, 6 cross sums) in a
+    * single map-side-combinable pass, then the 6 matrix cells expand
+    * from that ONE row. The generic alternative (unpivot → self-join on
+    * the row key → per-pair aggregate) shuffles the fact table twice
+    * and fans out ×measures²; the wide aggregate moves each row once
+    * and exchanges 14 numbers. Centi-scaled BIGINT values; every
+    * product is DECIMAL(19,0)-widened pre-multiply (price² ≈ 1e14 per
+    * row × 6e5 rows overflows int64 in the sum — and DuckDB's
+    * DECIMAL(≤18) multiply range-errors at 1e18, so 19 digits forces
+    * the 128-bit path in both engines). corr computed once per pair in
+    * identically-shaped DOUBLE. `corr()` builtins are float-accumulation
+    * order-dependent — unusable as an oracle. */
+  val corrMatrix: Q = {
+    val ms = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val prs = for (i <- ms.indices; j <- ms.indices if i < j) yield (ms(i), ms(j))
+    def sqlCorr(a: String, b: String): String =
+      s"""ROUND((CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_$a$a AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE) * CAST(s_$b$b AS DOUBLE)
+         |      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)""".stripMargin
+    Q(
+      s"""WITH t AS (SELECT ${ms.map { case (k, c) =>
+            s"CAST(ROUND($c * 100) AS BIGINT) AS $k" }.mkString(", ")} FROM lineitem),
+         |s AS (SELECT COUNT(*) AS n,
+         |  ${ms.map { case (k, _) => s"CAST(SUM($k) AS BIGINT) AS s_$k" }.mkString(", ")},
+         |  ${(ms.map { case (k, _) => (k, k) } ++ prs.map(p => (p._1._1, p._2._1)))
+              .map { case (a, b) =>
+                s"SUM(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS s_$a$b" }
+              .mkString(", ")}
+         |  FROM t)
+         |SELECT m_a, m_b, n, corr FROM (
+         |${prs.map { case ((ka, ca), (kb, cb)) =>
+            s"  SELECT '$ca' AS m_a, '$cb' AS m_b, CAST(n AS BIGINT) AS n, ${sqlCorr(ka, kb)} AS corr FROM s" }
+            .mkString("\n  UNION ALL\n")}
+         |) ORDER BY m_a, m_b""".stripMargin) { (s, d) =>
+      val t = lineitem(s, d).select(ms.map { case (k, c) =>
+        round(col(c) * 100).cast("long").as(k) }: _*)
+      val aggs =
+        ms.map { case (k, _) => sum(col(k)).as(s"s_$k") } ++
+        (ms.map { case (k, _) => (k, k) } ++ prs.map(p => (p._1._1, p._2._1))).map {
+          case (a, b) =>
+            sum(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)")).as(s"s_$a$b") }
+      val wide = t.agg(count(lit(1)).as("n"), aggs: _*)
+      def corrOf(a: String, b: String) = {
+        val nD = col("n").cast("double")
+        ((nD * col(s"s_$a$b").cast("double")
+          - col(s"s_$a").cast("double") * col(s"s_$b").cast("double"))
+          / (sqrt(nD * col(s"s_$a$a").cast("double")
+              - col(s"s_$a").cast("double") * col(s"s_$a").cast("double"))
+            * sqrt(nD * col(s"s_$b$b").cast("double")
+              - col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))))
+      }
+      // the 6 cells expand from the ONE aggregate row via stack — a
+      // unionAll of per-pair selects would re-run the wide aggregate
+      // once per pair (no exchange to reuse between identical aggs)
+      val one = wide.select(col("n") +: prs.map { case ((ka, _), (kb, _)) =>
+        round(corrOf(ka, kb), 6).as(s"c_$ka$kb") }: _*)
+      val stackArgs = prs.map { case ((ka, ca), (kb, cb)) =>
+        s"'$ca', '$cb', c_$ka$kb" }.mkString(", ")
+      one.select(col("n"),
+          expr(s"stack(${prs.size}, $stackArgs) AS (m_a, m_b, corr)"))
+        .select(col("m_a"), col("m_b"), col("n"), col("corr"))
+        .orderBy("m_a", "m_b")
+    }
+  }
+
   /** Higher central moments per group — mean, stddev, SKEWNESS and
     * KURTOSIS — from the four raw power sums in ONE map-side-combinable
     * aggregate (the moments-sketch shape: partials merge by addition,
@@ -847,6 +919,7 @@ object Analytics extends QueryModule {
     "q163_grouped_regression" -> groupedRegression,
     "q164_pit_features"   -> pitFeatures,
     "q167_entity_clusters" -> entityClusters,
+    "q176_corr_matrix"    -> corrMatrix,
     "q172_higher_moments" -> higherMoments,
     "q173_chi_square"     -> chiSquare,
     "q174_ks_test"        -> ksTest,

@@ -1985,8 +1985,89 @@ object Llm extends QueryModule {
     "q168_cluster_terms"  -> clusterTerms,
     "q160_incremental_dedup" -> incrementalDedup,
     "q170_data_card"      -> dataCard,
-    "q171_feature_hashing"-> featureHashing
+    "q171_feature_hashing"-> featureHashing,
+    "q177_semantic_dedup" -> semanticDedup,
+    "q178_span_corruption"-> spanCorruption
   )
+
+  /** SEMANTIC dedup (SemDeDup-shaped): near-dup pairs WITHIN LEARNED
+    * clusters — q80 buckets pairs by the given label; here the bucket is
+    * the nearest-centroid ASSIGNMENT (q99's shared relation), i.e. the
+    * cluster structure discovered from the data itself, which is how
+    * semantic dedup actually runs (cluster once with k-means, compare
+    * only within cells). Pair space is bounded per assigned cell —
+    * corpus² never materializes — and the cosine is the fused codegen
+    * expression. The clustered relation is checkpointed ONCE and
+    * self-joined (both pair sides read the same materialization; the
+    * assignment subtree — a k-way broadcast distance fan-out plus a
+    * window — would otherwise run twice). */
+  val semanticDedup: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |ce AS (SELECT b.cand AS cluster, e.vec_id, e.embedding
+       |       FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+       |       WHERE b.rn = 1)
+       |SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  ROUND(${sqlCosOf("x", "y")}, 6) AS cos
+       |FROM ce x JOIN ce y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |WHERE ${sqlCosOf("x", "y")} >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val ce = centroidAssignments(s, d)
+      .select(col("vec_id").as("aid"), col("assigned").as("cluster"))
+      .join(embeddings(s, d), col("aid") === col("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val a = ce.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("qe"))
+    val b = ce.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),
+      col("embedding").as("ee"))
+    a.join(b, col("cluster") === col("cb") && col("vec_a") < col("vec_b"))
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        expr("cosine_sim(qe, ee)").as("cos_raw"))
+      .filter(col("cos_raw") >= 0.35)
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Span-corruption example generation (the T5/UL2 denoising objective's
+    * data op): one deterministic masked span per document — position and
+    * length derive from pure integer hash arithmetic on doc_id, so the
+    * SAME examples regenerate on every run/engine/partitioning (training
+    *-data reproducibility, the property that matters when a 100 TB
+    * corpus is re-materialized). Pure per-row map: no shuffle at all
+    * until the output sort; bounds guarantee the span fits (start ≤
+    * n−10, len ≤ 9). Emits the corrupted input (sentinel in place of
+    * the span) and the target span — the actual training pair. */
+  val spanCorruption: Q = Q(
+    s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents),
+       |t AS (SELECT doc_id, len(w) AS n, w,
+       |    CAST(1 + (doc_id * 40503) % (len(w) - 10) AS BIGINT) AS st,
+       |    CAST(5 + doc_id % 5 AS BIGINT) AS ln
+       |  FROM ws WHERE len(w) >= 20)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       |  st AS span_start, ln AS span_len,
+       |  array_to_string(list_concat(list_concat(
+       |    w[1:st-1], ['<extra_id_0>']), w[st+ln:n]), ' ') AS corrupted,
+       |  array_to_string(w[st:st+ln-1], ' ') AS target
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = documents(s, d).select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 20)
+    val t = ws.select(col("doc_id"), size(col("w")).as("n"), col("w"),
+      (lit(1) + (col("doc_id") * 40503) % (size(col("w")) - 10)).cast("int").as("st"),
+      (lit(5) + col("doc_id") % 5).cast("int").as("ln"))
+    t.select(col("doc_id"), col("n").cast("long").as("n_words"),
+        col("st").cast("long").as("span_start"),
+        col("ln").cast("long").as("span_len"),
+        array_join(concat(
+          slice(col("w"), lit(1), col("st") - 1),
+          array(lit("<extra_id_0>")),
+          slice(col("w"), col("st") + col("ln"),
+            col("n") - col("st") - col("ln") + 1)), " ").as("corrupted"),
+        array_join(slice(col("w"), col("st"), col("ln")), " ").as("target"))
+      .orderBy("doc_id")
+  }
 
   /** FEATURE HASHING (the hashing trick): project the unbounded token
     * vocabulary into a fixed 16-dim signed count vector per document —
