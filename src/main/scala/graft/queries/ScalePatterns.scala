@@ -650,6 +650,45 @@ object ScalePatterns extends QueryModule {
       .orderBy("day_id")
   }
 
+  /** Deterministic NEGATIVE SAMPLING (recommendation/contrastive
+    * training): for each anchor order, 5 hash-derived candidate parts
+    * minus the parts actually purchased — the (user, item⁻) pairs a
+    * ranking model trains on. The textbook trap is the anti-join against
+    * the full user×item product; here candidates are GENERATED (pure
+    * integer hash arithmetic on (order, slot) → a part key in range) so
+    * the relation entering the anti-join is |anchors|×5, and the
+    * anti-join runs on (order, part) — an equi-key exchange against the
+    * order's OWN lineitems only. Hash-derived ⇒ the same negatives
+    * regenerate on every run/engine (q81/q90's reproducibility
+    * discipline); the part-key upper bound arrives as a 1-row
+    * broadcast, never a collect. */
+  val negativeSampling: Q = Q(
+    """WITH mx AS (SELECT MAX(p_partkey) AS maxk FROM part),
+      |cand AS (SELECT o.o_orderkey, t.i,
+      |    1 + ((o.o_orderkey % 1000003) * 2654435761 + t.i * 40503) % mx.maxk AS neg_part
+      |  FROM orders o CROSS JOIN mx, range(5) t(i)
+      |  WHERE o.o_orderkey % 97 = 0)
+      |SELECT c.o_orderkey, c.i AS slot, CAST(c.neg_part AS BIGINT) AS neg_part
+      |FROM cand c
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = c.o_orderkey AND l.l_partkey = c.neg_part)
+      |ORDER BY o_orderkey, slot""".stripMargin) { (s, d) =>
+    val mx = part(s, d).agg(max("p_partkey").as("maxk"))
+    val cand = orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), explode(sequence(lit(0L), lit(4L))).as("i"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_orderkey"), col("i"),
+        (lit(1) + ((col("o_orderkey") % 1000003) * 2654435761L
+          + col("i") * 40503) % col("maxk")).as("neg_part"))
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    cand.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("neg_part") === col("l_partkey"),
+        "left_anti")
+      .select(col("o_orderkey"), col("i").as("slot"), col("neg_part"))
+      .orderBy("o_orderkey", "slot")
+  }
+
   override val queries: Seq[(String, Q)] = Seq(
     "q111_rolling_median"    -> rollingMedian,
     "q112_decile_stats"      -> decileStats,
@@ -668,6 +707,7 @@ object ScalePatterns extends QueryModule {
     "q151_token_batches"     -> tokenBatches,
     "q159_embed_stats"       -> embedStats,
     "q165_source_centroids"  -> sourceCentroids,
-    "q166_sliding_distinct"  -> slidingDistinct
+    "q166_sliding_distinct"  -> slidingDistinct,
+    "q179_negative_sampling" -> negativeSampling
   )
 }
