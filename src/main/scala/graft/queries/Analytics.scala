@@ -484,16 +484,26 @@ object Analytics extends QueryModule {
       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
       |       (SELECT COUNT(*) FROM deg) AS n_nodes,
       |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
-    val pr = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    // pair generation is IN-ARRAY (the q47 posting-list discipline):
+    // collect_set per order dedups and bounds the fanout by order size,
+    // the sorted array yields u<v pairs inside codegen — ONE exchange
+    // (by order), where the former distinct + self-join spelling paid
+    // the (o,p)-distinct exchange AND re-exchanged both join sides on o
+    val ps = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairsCol = flatten(transform(sequence(lit(1), size(col("ps")) - 1), i =>
+      transform(sequence(i + 1, size(col("ps"))), j =>
+        struct(element_at(col("ps"), i).as("u"), element_at(col("ps"), j).as("v")))))
     // materialize the weighted edge relation ONCE: it feeds deg, the
     // orientation join, the n_edges count AND (via o) all three legs of
     // the triangle join — six consumers whose shapes exchange reuse does
     // not bridge, so without the checkpoint the per-order pair generation
     // and its aggregate run six times (the q120/pagerank discipline)
-    val e = pr.as("a").join(pr.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    val e = ps.select(explode(pairsCol).as("pr"))
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .groupBy("u", "v")
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .localCheckpoint()
