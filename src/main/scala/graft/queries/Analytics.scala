@@ -912,7 +912,7 @@ object Analytics extends QueryModule {
       .orderBy("pri")
   }
 
-  override val queries: Seq[(String, Q)] = Seq(
+  override def queries: Seq[(String, Q)] = Seq(
     "q101_fuzzy_join"     -> fuzzyJoin,
     "q102_unpivot"        -> unpivot,
     "q103_histogram"      -> histogram,

@@ -1987,8 +1987,85 @@ object Llm extends QueryModule {
     "q170_data_card"      -> dataCard,
     "q171_feature_hashing"-> featureHashing,
     "q177_semantic_dedup" -> semanticDedup,
-    "q178_span_corruption"-> spanCorruption
+    "q178_span_corruption"-> spanCorruption,
+    "q181_kcore"          -> kCore,
+    "q182_threshold_bands"-> thresholdBands
   )
+
+  /** k-CORE decomposition (k=2, three unrolled peels) over the q80
+    * embedding-similarity graph — the graph-density screen that
+    * separates clustered near-dup mass from incidental pairs (degree
+    * alone, q110, can't see it: a degree-2 node whose neighbors vanish
+    * in peel 1 is not in the 2-core). Same unrolled-iteration pattern
+    * as q119's PageRank: each peel is one degree aggregate + one
+    * semi-join against the shrinking alive set, and the edge relation
+    * is materialized ONCE (the pagerank/CC checkpoint discipline) so
+    * peels reread the materialization, not the cosine pair pipeline.
+    * At 100 TB each peel shuffles only the surviving edge list —
+    * geometrically shrinking for the same reason CC's contraction is.
+    * The fixture graph reaches its 2-core fixed point within 3 peels
+    * (spec-checked); unbounded convergence would loop until an empty
+    * delta, exactly like CC's rounds. */
+  val kCore: Q = {
+    def sqlPeel(r: Int): String =
+      s"""deg$r AS (SELECT src, COUNT(*) AS d FROM e$r GROUP BY src),
+         |alive$r AS (SELECT src FROM deg$r WHERE d >= 2),
+         |e${r + 1} AS (SELECT e.src, e.dst FROM e$r e
+         |  WHERE EXISTS (SELECT 1 FROM alive$r a WHERE a.src = e.src)
+         |    AND EXISTS (SELECT 1 FROM alive$r a WHERE a.src = e.dst))""".stripMargin
+    Q(
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  $sqlEmbeddingPairsFromWhere),
+         |e0 AS (SELECT va AS src, vb AS dst FROM pairs
+         |  UNION ALL SELECT vb, va FROM pairs),
+         |${sqlPeel(0)},
+         |${sqlPeel(1)},
+         |${sqlPeel(2)}
+         |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e3 GROUP BY src ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val pairs = embeddingPairs(s, d)
+        .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+      var e = pairs.select(col("va").as("src"), col("vb").as("dst"))
+        .unionAll(pairs.select(col("vb").as("src"), col("va").as("dst")))
+        .localCheckpoint() // pay the cosine pair pipeline exactly once
+      for (_ <- 0 until 3) {
+        val alive = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2).select(col("src").as("a"))
+        // checkpoint per peel (CC's round discipline): the next peel's
+        // degree aggregate reads this peel's survivors, not a growing
+        // chain of semi-joins re-evaluated from the base relation
+        e = e.join(broadcast(alive), col("src") === col("a"), "left_semi")
+          .join(broadcast(alive), col("dst") === col("a"), "left_semi")
+          .localCheckpoint()
+      }
+      e.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("core_deg"))
+        .orderBy("vec_id")
+    }
+  }
+
+  /** Jaccard THRESHOLD SENSITIVITY — pair counts per 0.1-wide similarity
+    * band over the shared intersection prefix: the tuning curve a dedup
+    * operator reads before choosing τ ("how many pairs does lowering τ
+    * by 0.1 add?"). One extra 10-row aggregate on the relation q47/q158
+    * already compute — the banding is a pure projection (identical
+    * IEEE division then floor in both engines), so the whole curve
+    * costs one pass. */
+  val thresholdBands: Q = Q(
+    s"""WITH ${sqlInterCtesFrom("documents")}
+       |SELECT CAST(LEAST(FLOOR((CAST(i AS DOUBLE) / (ca.c + cb.c - i)) * 10), 9) AS BIGINT)
+       |    AS band,
+       |  COUNT(*) AS n_pairs
+       |FROM inter
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    val jac = col("i").cast("double") / (col("ca") + col("cb") - col("i"))
+    intersectionsOf(documents(s, d))
+      .groupBy(least(floor(jac * 10), lit(9)).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band")
+  }
 
   /** SEMANTIC dedup (SemDeDup-shaped): near-dup pairs WITHIN LEARNED
     * clusters — q80 buckets pairs by the given label; here the bucket is

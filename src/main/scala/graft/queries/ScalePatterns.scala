@@ -689,7 +689,7 @@ object ScalePatterns extends QueryModule {
       .orderBy("o_orderkey", "slot")
   }
 
-  override val queries: Seq[(String, Q)] = Seq(
+  override def queries: Seq[(String, Q)] = Seq(
     "q111_rolling_median"    -> rollingMedian,
     "q112_decile_stats"      -> decileStats,
     "q113_incremental_agg"   -> incrementalAgg,
@@ -708,6 +708,52 @@ object ScalePatterns extends QueryModule {
     "q159_embed_stats"       -> embedStats,
     "q165_source_centroids"  -> sourceCentroids,
     "q166_sliding_distinct"  -> slidingDistinct,
-    "q179_negative_sampling" -> negativeSampling
+    "q179_negative_sampling" -> negativeSampling,
+    "q180_covariance_matrix" -> covarianceMatrix
   )
+
+  /** Embedding COVARIANCE matrix (the PCA/whitening prep): all 2080
+    * upper-triangle (i ≤ j) cells of the 64×64 covariance from one
+    * component explode + one equi-join on vec_id + one (i,j)-keyed
+    * exact aggregate. The per-vector fanout is dims²/2 — a constant —
+    * so the shuffle is corpus × 2080 rows of three small numbers, and
+    * the result relation (2080 cells) is broadcast-sized no matter how
+    * large the corpus: exactly the statistic you compute once before
+    * projecting 100 TB of vectors. Micro-scaled integers make E[xy]
+    * sums exact (products widened to DECIMAL(19,0), the q129/q172
+    * discipline); the mean-product correction happens per CELL on the
+    * tiny result. */
+  val covarianceMatrix: Q = Q(
+    """WITH c AS (SELECT vec_id, t.i,
+      |    CAST(ROUND(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
+      |  FROM embeddings, range(64) t(i)),
+      |p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+      |    CAST(SUM(a.x) AS BIGINT) AS sa,
+      |    CAST(SUM(b.x) AS BIGINT) AS sb,
+      |    SUM(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0))) AS sab
+      |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i)
+      |SELECT i, j,
+      |  ROUND((CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000.0, 9) AS cov
+      |FROM p ORDER BY i, j""".stripMargin) { (s, d) =>
+    val c = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"),
+        round(col("xf").cast("double") * 1000000d, 0).cast("long").as("x"))
+    val a = c.select(col("vec_id"), col("i"), col("x").as("xa"))
+    val b = c.select(col("vec_id").as("vb"), col("i").as("j"), col("x").as("xb"))
+    val p = a.join(b, col("vec_id") === col("vb") && col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum("xa").as("sa"), sum("xb").as("sb"),
+        sum(col("xa").cast("decimal(19,0)") * col("xb").cast("decimal(19,0)")).as("sab"))
+    val nD = col("n").cast("double")
+    p.select(col("i"), col("j"),
+        round((col("sab").cast("double") / nD
+          - (col("sa").cast("double") / nD) * (col("sb").cast("double") / nD))
+          / 1000000000000.0, 9).as("cov"))
+      .orderBy("i", "j")
+  }
 }

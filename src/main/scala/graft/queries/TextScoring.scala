@@ -551,7 +551,7 @@ object TextScoring extends QueryModule {
       .orderBy("lang")
   }
 
-  override val queries: Seq[(String, Q)] = Seq(
+  override def queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
     "q109_lang_entropy"     -> langEntropy,
