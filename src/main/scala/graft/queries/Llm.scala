@@ -1989,8 +1989,56 @@ object Llm extends QueryModule {
     "q177_semantic_dedup" -> semanticDedup,
     "q178_span_corruption"-> spanCorruption,
     "q181_kcore"          -> kCore,
-    "q182_threshold_bands"-> thresholdBands
+    "q182_threshold_bands"-> thresholdBands,
+    "q183_link_prediction"-> linkPrediction
   )
+
+  /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
+    * non-adjacent pairs sharing ≥ 2 neighbors — "these two documents
+    * are probably near-dups the threshold missed", the graph-completion
+    * screen a dedup pipeline runs after clustering. The wedge join is
+    * the q155 triangle shape (pairs of edges meeting at a node, in-array
+    * generation per neighborhood); candidate pairs then anti-join the
+    * edge set itself. Neighborhood fanout is deg²/2 per node — the
+    * celebrity-node hazard — so neighborhoods above a cap would be
+    * dropped at true scale exactly like q47's df cap (the fixture's max
+    * degree is far below it; cap documented rather than engaged).
+    * Everything is equi-keyed: one exchange to build neighborhoods, one
+    * (pair)-keyed count, one anti-join on the pair key. */
+  val linkPrediction: Q = Q(
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  $sqlEmbeddingPairsFromWhere),
+       |e AS (SELECT va AS src, vb AS dst FROM pairs
+       |  UNION ALL SELECT vb, va FROM pairs),
+       |wedge AS (
+       |  SELECT e1.dst AS a, e2.dst AS b
+       |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+       |cand AS (SELECT a, b, COUNT(*) AS common FROM wedge
+       |  GROUP BY a, b HAVING COUNT(*) >= 2)
+       |SELECT a AS vec_a, b AS vec_b, CAST(common AS BIGINT) AS common
+       |FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |  WHERE p.va = c.a AND p.vb = c.b)
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val pairs = embeddingPairs(s, d)
+      .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+      .localCheckpoint() // feeds edges, wedges AND the final anti-join
+    val e = pairs.select(col("va").as("src"), col("vb").as("dst"))
+      .unionAll(pairs.select(col("vb").as("src"), col("va").as("dst")))
+    val nb = e.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+    val wedges = nb.select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"))
+        .as("w"))
+      .select(col("w.a").as("a"), col("w.b").as("b"))
+    val cand = wedges.groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    cand.join(pairs, col("a") === col("va") && col("b") === col("vb"), "left_anti")
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("common"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** k-CORE decomposition (k=2, three unrolled peels) over the q80
     * embedding-similarity graph — the graph-density screen that
