@@ -647,6 +647,50 @@ object Analytics extends QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** AUC (Mann–Whitney) of `value` as a ranking score for purchase
+    * events — the model-evaluation aggregate, computed EXACTLY: ties
+    * get proper midranks, and every term stays integer until the final
+    * division. Per distinct score: r_lo/r_hi from the EXCLUSIVE prefix
+    * of value counts (doubled midrank = r_lo + r_hi, so no .5 ever
+    * appears), U·2 = Σ_pos(r_lo + r_hi) − n_pos·(n_pos+1), AUC =
+    * U·2 / (2·n_pos·n_neg). The global cumulative ranking is the
+    * single-partition trap — the distinct-score relation can be
+    * millions of rows — so the prefix comes from operators.PrefixSum
+    * (range exchange, one Long per partition to the driver, parallel
+    * stamping), the same machinery as q151. One grouped aggregate over
+    * the data, one PrefixSum over the distinct-score relation, one
+    * 1-row result. */
+  val aucScore: Q = Q(
+    """WITH dv AS (SELECT value AS s, COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS np
+      |  FROM events GROUP BY value),
+      |c AS (SELECT s, n, np,
+      |    COALESCE(SUM(n) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM dv),
+      |agg AS (SELECT
+      |    CAST(SUM(np) AS BIGINT) AS n_pos,
+      |    CAST(SUM(n - np) AS BIGINT) AS n_neg,
+      |    CAST(SUM(np * (pfx + 1 + pfx + n)) AS BIGINT) AS sum_mid2
+      |  FROM c)
+      |SELECT n_pos, n_neg,
+      |  ROUND(CAST(sum_mid2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+      |FROM agg""".stripMargin) { (s, d) =>
+    val dv = events(s, d).groupBy(col("value").as("s"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("np"))
+    // PrefixSum emits the EXCLUSIVE prefix (q151's contract)
+    val c = graft.operators.PrefixSum.withPrefixSum(
+      dv, Seq(col("s")), "n", "pfx", partitions = 32)
+    c.agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (col("pfx") + 1 + col("pfx") + col("n"))).as("sum_mid2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("sum_mid2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+          / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+  }
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * measures — the feature-audit grid ("which measures are redundant")
     * — computed the scale-right way: ONE wide aggregate producing every
@@ -930,6 +974,7 @@ object Analytics extends QueryModule {
     "q164_pit_features"   -> pitFeatures,
     "q167_entity_clusters" -> entityClusters,
     "q176_corr_matrix"    -> corrMatrix,
+    "q184_auc"            -> aucScore,
     "q172_higher_moments" -> higherMoments,
     "q173_chi_square"     -> chiSquare,
     "q174_ks_test"        -> ksTest,

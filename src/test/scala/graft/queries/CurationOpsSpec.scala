@@ -189,6 +189,85 @@ class CurationOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q180: covariance cells equal a brute-force model; diagonal is variance") {
+    val embs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getSeq[Float](1).toArray.map(x => math.round(x.toDouble * 1e6).toDouble))
+    val n = embs.length.toDouble
+    def cell(i: Int, j: Int) = {
+      val sab = embs.map(e => e(i) * e(j)).sum
+      val sa = embs.map(_(i)).sum; val sb = embs.map(_(j)).sum
+      (sab / n - (sa / n) * (sb / n)) / 1e12
+    }
+    val rows = run("q180_covariance_matrix").collect()
+    rows.length shouldBe 64 * 65 / 2
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      r.getDouble(2) shouldBe cell(i, j) +- 1e-6
+      if (i == j) r.getDouble(2) should be >= 0.0
+    }
+  }
+
+  test("q181: third peel is the 2-core fixed point on the fixture") {
+    val pairs = run("q80_embedding_near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    def peel(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= 2).keySet
+      es.filter(e => alive(e._1) && alive(e._2))
+    }
+    for (_ <- 0 until 3) edges = peel(edges)
+    peel(edges) shouldBe edges // converged: a 4th peel changes nothing
+    val expected = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val actual = run("q181_kcore").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    actual shouldBe expected
+  }
+
+  test("q182: band counts partition the intersection pair set exactly") {
+    val bands = run("q182_threshold_bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    bands.map(_._1).distinct.length shouldBe bands.length
+    bands.foreach { case (b, np) => (b >= 0 && b <= 9) shouldBe true; np should be > 0L }
+    // pairs at jaccard >= 0.03 (q47's floor) are a subset of all banded pairs
+    val q47n = run("q47_near_dup_jaccard").collect().length.toLong
+    bands.map(_._2).sum should be >= q47n
+  }
+
+  test("q183: predictions equal brute-force common-neighbors >= 2 minus existing edges") {
+    val pairs = run("q80_embedding_near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes
+      if a < b && !pairs((a, b))
+      common = adj(a).toSet.intersect(adj(b).toSet).size
+      if common >= 2
+    } yield ((a, b), common.toLong)).toMap
+    val actual = run("q183_link_prediction").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    actual shouldBe expected
+  }
+
+  test("q184: AUC equals a brute-force midrank computation and sits in [0,1]") {
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getDouble(4), r.getString(3) == "purchase"))
+    val nPos = ev.count(_._2).toLong
+    val nNeg = ev.length - nPos
+    // midrank model: rank positives among all scores, average over ties
+    val sorted = ev.map(_._1).sorted
+    val rankLo = sorted.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2).min + 1).toMap
+    val rankHi = sorted.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2).max + 1).toMap
+    val sumMid = ev.filter(_._2).map(e => (rankLo(e._1) + rankHi(e._1)) / 2.0).sum
+    val expected = (sumMid - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    val r = run("q184_auc").collect()(0)
+    r.getLong(0) shouldBe nPos
+    r.getLong(1) shouldBe nNeg
+    r.getDouble(2) shouldBe expected +- 1e-5
+    r.getDouble(2) should (be >= 0.0 and be <= 1.0)
+  }
+
   test("q179: no sampled negative is an actual positive; slots bounded") {
     val pos = graft.Tables.lineitem(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
