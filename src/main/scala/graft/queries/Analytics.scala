@@ -691,6 +691,38 @@ object Analytics extends QueryModule {
           .as("auc"))
   }
 
+  /** Calibration curve for the q184 score: per score-DECILE (equi-depth,
+    * exact distributed ranks — the q112 GlobalRank shape, never a
+    * single-partition row_number), the observed purchase rate next to
+    * the mean score. AUC says "ranks well"; this says WHERE the score
+    * over/under-predicts — together they are the standard model-eval
+    * pair. Mean score is decimal-exact (micro-scaled sums); the rate is
+    * an integer ratio emitted once per bin. */
+  val calibration: Q = Q(
+    """WITH r AS (SELECT value, event_type,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk,
+      |    COUNT(*) OVER () AS n
+      |  FROM events)
+      |SELECT CAST(FLOOR((rnk - 1) * 10 / n) AS INT) AS decile,
+      |  COUNT(*) AS n_rows,
+      |  ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / (1000000.0 * COUNT(*)), 6) AS mean_score,
+      |  ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+      |    / COUNT(*), 6) AS purchase_rate
+      |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    val ev = events(s, d).select("value", "event_type", "event_id")
+    val (ranked, n) = graft.operators.GlobalRank.withRowNumberAndTotal(
+      ev, Seq(col("value"), col("event_id")), "rnk", partitions = 32)
+    ranked
+      .groupBy(floor((col("rnk") - 1) * 10 / n).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(round(col("value") * 1000000).cast("long")).cast("double")
+          / (lit(1000000.0) * count(lit(1))), 6).as("mean_score"),
+        round(count(when(col("event_type") === "purchase", 1)).cast("double")
+          / count(lit(1)), 6).as("purchase_rate"))
+      .orderBy("decile")
+  }
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * measures — the feature-audit grid ("which measures are redundant")
     * — computed the scale-right way: ONE wide aggregate producing every
@@ -975,6 +1007,7 @@ object Analytics extends QueryModule {
     "q167_entity_clusters" -> entityClusters,
     "q176_corr_matrix"    -> corrMatrix,
     "q184_auc"            -> aucScore,
+    "q185_calibration"    -> calibration,
     "q172_higher_moments" -> higherMoments,
     "q173_chi_square"     -> chiSquare,
     "q174_ks_test"        -> ksTest,
