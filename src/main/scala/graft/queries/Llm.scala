@@ -2045,8 +2045,8 @@ object Llm extends QueryModule {
     * separates clustered near-dup mass from incidental pairs (degree
     * alone, q110, can't see it: a degree-2 node whose neighbors vanish
     * in peel 1 is not in the 2-core). Same unrolled-iteration pattern
-    * as q119's PageRank: each peel is one degree aggregate + one
-    * semi-join against the shrinking alive set, and the edge relation
+    * as q119's PageRank: each peel is one degree aggregate + two
+    * semi-joins against the shrinking alive set, and the edge relation
     * is materialized ONCE (the pagerank/CC checkpoint discipline) so
     * peels reread the materialization, not the cosine pair pipeline.
     * At 100 TB each peel shuffles only the surviving edge list —
@@ -2082,9 +2082,12 @@ object Llm extends QueryModule {
           .filter(col("d") >= 2).select(col("src").as("a"))
         // checkpoint per peel (CC's round discipline): the next peel's
         // degree aggregate reads this peel's survivors, not a growing
-        // chain of semi-joins re-evaluated from the base relation
-        e = e.join(broadcast(alive), col("src") === col("a"), "left_semi")
-          .join(broadcast(alive), col("dst") === col("a"), "left_semi")
+        // chain of semi-joins re-evaluated from the base relation.
+        // No broadcast hint on the alive set: early peels keep most
+        // nodes alive (alive ≈ V, far beyond broadcast size at scale) —
+        // AQE broadcasts it when it actually shrinks
+        e = e.join(alive, col("src") === col("a"), "left_semi")
+          .join(alive, col("dst") === col("a"), "left_semi")
           .localCheckpoint()
       }
       e.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("core_deg"))
