@@ -691,6 +691,87 @@ object Analytics extends QueryModule {
           .as("auc"))
   }
 
+  /** Exact WEIGHTED median (lower weighted median) of extended price
+    * weighted by quantity, per return flag — the holistic aggregate
+    * where every row's influence is its weight (a revenue-weighted
+    * "typical price" ignores how many units moved if unweighted). The
+    * selection is all-integer: centi-scaled prices order the partition,
+    * centi-scaled weights accumulate in a running sum, and the answer
+    * is the first value whose INCLUSIVE cumulative weight doubles to
+    * ≥ the total — no float comparison at the boundary. One window per
+    * bounded group (3 flags; same total-sort-within-group shape as
+    * q29/q32), one aggregate to pick the crossing row. */
+  val weightedMedian: Q = Q(
+    """WITH t AS (SELECT l_returnflag AS flag,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+      |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (SELECT flag, p, w,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY p, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY flag) AS tw
+      |  FROM t)
+      |SELECT flag, CAST(MIN(tw) AS BIGINT) AS total_weight,
+      |  ROUND(CAST(MIN(CASE WHEN 2 * cw >= tw THEN p END) AS DOUBLE) / 100.0, 2)
+      |    AS weighted_median
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    val t = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"),
+      round(col("l_quantity") * 100).cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wCum = Window.partitionBy("flag")
+      .orderBy("p", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("flag")
+    val c = t.select(col("flag"), col("p"), col("w"),
+      sum("w").over(wCum).as("cw"), sum("w").over(wAll).as("tw"))
+    c.groupBy("flag")
+      .agg(min("tw").as("total_weight"),
+        round(min(when(lit(2) * col("cw") >= col("tw"), col("p"))).cast("double")
+          / 100.0, 2).as("weighted_median"))
+      .orderBy("flag")
+  }
+
+  /** Per-source QUANTILE NORMALIZATION of document length — the
+    * batch-effect remover: each doc's length becomes its within-source
+    * percentile, making sources with different length distributions
+    * directly comparable (the preprocessing step before cross-source
+    * quality thresholds). percentile = (rank−1)/(n−1) under a total
+    * (length, doc_id) order — a rational of two integers, identical in
+    * both engines. Windows partition by source (bounded key set), and
+    * the output keeps (doc, source, raw, normalized) so downstream
+    * filters can mix raw and normalized gates. Top-level aggregate
+    * summarises per source so the graded row stays small. */
+  val quantileNorm: Q = Q(
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |q AS (SELECT source, doc_id, n_chars,
+      |    ROUND(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) AS pct
+      |  FROM r)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(ROUND(pct * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / (1000000.0 * COUNT(*)), 6) AS mean_pct,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  CAST(MIN(CASE WHEN pct >= 0.5 THEN n_chars END) AS BIGINT) AS median_chars
+      |FROM q GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val wRank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val wAll = Window.partitionBy("source")
+    val q = documents(s, d).select(col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(wRank).as("rnk"), count(lit(1)).over(wAll).as("n"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round((col("rnk") - 1).cast("double") / (col("n") - 1), 6).as("pct"))
+    q.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("pct") * 1000000).cast("long")).cast("double")
+          / (lit(1000000.0) * count(lit(1))), 6).as("mean_pct"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        min(when(col("pct") >= 0.5, col("n_chars"))).as("median_chars"))
+      .orderBy("source")
+  }
+
   /** Calibration curve for the q184 score: per score-DECILE (equi-depth,
     * exact distributed ranks — the q112 GlobalRank shape, never a
     * single-partition row_number), the observed purchase rate next to
@@ -1008,6 +1089,8 @@ object Analytics extends QueryModule {
     "q176_corr_matrix"    -> corrMatrix,
     "q184_auc"            -> aucScore,
     "q185_calibration"    -> calibration,
+    "q186_weighted_median"-> weightedMedian,
+    "q187_quantile_norm"  -> quantileNorm,
     "q172_higher_moments" -> higherMoments,
     "q173_chi_square"     -> chiSquare,
     "q174_ks_test"        -> ksTest,
