@@ -540,6 +540,11 @@ object Analytics extends QueryModule {
     * BEFORE multiplying. All five statistics are therefore exact and
     * order-independent; the closed-form division happens once per
     * group in DOUBLE with identical expression shape in both engines.
+    * Degenerate groups where every x is equal (a burst of ≥3 events in
+    * one epoch second) make the n·Σx²−(Σx)² denominator exactly 0 —
+    * NULL in Spark, NaN/±inf in DuckDB — so the HAVING excludes them
+    * with the EXACT integer predicate MIN(x) < MAX(x) (equivalent to
+    * variance > 0, no float-cancellation ambiguity) on BOTH sides.
     * At 100 TB this is a textbook map-side-combinable aggregate: five
     * partial sums per (user, partition), one exchange on user_id. */
   val groupedRegression: Q = {
@@ -552,9 +557,10 @@ object Analytics extends QueryModule {
          |s AS (SELECT user_id, COUNT(*) AS n,
          |    CAST(SUM(x) AS BIGINT) AS sx,
          |    CAST(SUM(y) AS BIGINT) AS sy,
-         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
          |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
-         |  FROM t GROUP BY user_id HAVING COUNT(*) >= 3)
+         |  FROM t GROUP BY user_id
+         |  HAVING COUNT(*) >= 3 AND MIN(x) < MAX(x))
          |SELECT user_id, CAST(n AS BIGINT) AS n,
          |  ROUND(((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
          |      - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1000000.0))
@@ -574,9 +580,10 @@ object Analytics extends QueryModule {
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
           sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
-        .filter(col("n") >= 3)
+          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"),
+          min(col("x")).as("mnx"), max(col("x")).as("mxx"))
+        .filter(col("n") >= 3 && col("mnx") < col("mxx"))
       val nD = col("n").cast("double")
       val sxD = col("sx").cast("double")
       val syD = col("sy").cast("double") / 1000000.0
@@ -653,7 +660,10 @@ object Analytics extends QueryModule {
     * division. Per distinct score: r_lo/r_hi from the EXCLUSIVE prefix
     * of value counts (doubled midrank = r_lo + r_hi, so no .5 ever
     * appears), U·2 = Σ_pos(r_lo + r_hi) − n_pos·(n_pos+1), AUC =
-    * U·2 / (2·n_pos·n_neg). The global cumulative ranking is the
+    * U·2 / (2·n_pos·n_neg). Σnp·(r_lo+r_hi) grows ~2·n_pos·n_total —
+    * past int64 well below target scale — so both the per-score product
+    * and the n_pos·(n_pos+1) correction are DECIMAL(19,0)-widened
+    * pre-multiply (q129 discipline). The global cumulative ranking is the
     * single-partition trap — the distinct-score relation can be
     * millions of rows — so the prefix comes from operators.PrefixSum
     * (range exchange, one Long per partition to the driver, parallel
@@ -671,10 +681,10 @@ object Analytics extends QueryModule {
       |agg AS (SELECT
       |    CAST(SUM(np) AS BIGINT) AS n_pos,
       |    CAST(SUM(n - np) AS BIGINT) AS n_neg,
-      |    CAST(SUM(np * (pfx + 1 + pfx + n)) AS BIGINT) AS sum_mid2
+      |    SUM(CAST(np AS DECIMAL(19,0)) * CAST(pfx + 1 + pfx + n AS DECIMAL(19,0))) AS sum_mid2
       |  FROM c)
       |SELECT n_pos, n_neg,
-      |  ROUND(CAST(sum_mid2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |  ROUND(CAST(sum_mid2 - CAST(n_pos AS DECIMAL(19,0)) * CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE)
       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
       |FROM agg""".stripMargin) { (s, d) =>
     val dv = events(s, d).groupBy(col("value").as("s"))
@@ -684,9 +694,11 @@ object Analytics extends QueryModule {
     val c = graft.operators.PrefixSum.withPrefixSum(
       dv, Seq(col("s")), "n", "pfx", partitions = 32)
     c.agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
-        sum(col("np") * (col("pfx") + 1 + col("pfx") + col("n"))).as("sum_mid2"))
+        sum(col("np").cast("decimal(19,0)")
+          * (col("pfx") + 1 + col("pfx") + col("n")).cast("decimal(19,0)")).as("sum_mid2"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("sum_mid2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+        round((col("sum_mid2") - col("n_pos").cast("decimal(19,0)")
+            * (col("n_pos") + 1).cast("decimal(19,0)")).cast("double")
           / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
           .as("auc"))
   }
@@ -739,7 +751,10 @@ object Analytics extends QueryModule {
     * directly comparable (the preprocessing step before cross-source
     * quality thresholds). percentile = (rank−1)/(n−1) under a total
     * (length, doc_id) order — a rational of two integers, identical in
-    * both engines. Windows partition by source (bounded key set), and
+    * both engines; the n=1 degenerate group is pinned to 0.0 by CASE
+    * on BOTH sides (otherwise 0/0 is NULL in Spark but NaN in DuckDB —
+    * an engine divergence, and the micro-scaled ROUND→BIGINT cast of
+    * NaN errors the oracle run). Windows partition by source (bounded key set), and
     * the output keeps (doc, source, raw, normalized) so downstream
     * filters can mix raw and normalized gates. Top-level aggregate
     * summarises per source so the graded row stays small. */
@@ -749,7 +764,8 @@ object Analytics extends QueryModule {
       |    COUNT(*) OVER (PARTITION BY source) AS n
       |  FROM documents),
       |q AS (SELECT source, doc_id, n_chars,
-      |    ROUND(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) AS pct
+      |    ROUND(CASE WHEN n = 1 THEN 0.0
+      |      ELSE CAST(rnk - 1 AS DOUBLE) / (n - 1) END, 6) AS pct
       |  FROM r)
       |SELECT source, COUNT(*) AS n_docs,
       |  ROUND(CAST(SUM(CAST(ROUND(pct * 1000000) AS BIGINT)) AS DOUBLE)
@@ -762,7 +778,8 @@ object Analytics extends QueryModule {
     val q = documents(s, d).select(col("source"), col("doc_id"), col("n_chars"),
         row_number().over(wRank).as("rnk"), count(lit(1)).over(wAll).as("n"))
       .select(col("source"), col("doc_id"), col("n_chars"),
-        round((col("rnk") - 1).cast("double") / (col("n") - 1), 6).as("pct"))
+        round(when(col("n") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") / (col("n") - 1)), 6).as("pct"))
     q.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(sum(round(col("pct") * 1000000).cast("long")).cast("double")
@@ -823,17 +840,23 @@ object Analytics extends QueryModule {
     val ms = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
       "d" -> "l_discount", "t" -> "l_tax")
     val prs = for (i <- ms.indices; j <- ms.indices if i < j) yield (ms(i), ms(j))
+    // zero-variance guard: a constant measure makes the sqrt denominator
+    // exactly 0 — NULL in Spark, NaN in DuckDB. MIN=MAX is the EXACT
+    // integer equivalent of variance=0 (no float-cancellation ambiguity),
+    // so both engines emit NULL for that cell identically.
     def sqlCorr(a: String, b: String): String =
-      s"""ROUND((CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
+      s"""CASE WHEN mn_$a = mx_$a OR mn_$b = mx_$b THEN CAST(NULL AS DOUBLE)
+         |  ELSE ROUND((CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
          |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
          |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_$a$a AS DOUBLE)
          |      - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
          |     * sqrt(CAST(n AS DOUBLE) * CAST(s_$b$b AS DOUBLE)
-         |      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)""".stripMargin
+         |      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6) END""".stripMargin
     Q(
       s"""WITH t AS (SELECT ${ms.map { case (k, c) =>
             s"CAST(ROUND($c * 100) AS BIGINT) AS $k" }.mkString(", ")} FROM lineitem),
          |s AS (SELECT COUNT(*) AS n,
+         |  ${ms.map { case (k, _) => s"MIN($k) AS mn_$k, MAX($k) AS mx_$k" }.mkString(", ")},
          |  ${ms.map { case (k, _) => s"CAST(SUM($k) AS BIGINT) AS s_$k" }.mkString(", ")},
          |  ${(ms.map { case (k, _) => (k, k) } ++ prs.map(p => (p._1._1, p._2._1)))
               .map { case (a, b) =>
@@ -848,6 +871,8 @@ object Analytics extends QueryModule {
       val t = lineitem(s, d).select(ms.map { case (k, c) =>
         round(col(c) * 100).cast("long").as(k) }: _*)
       val aggs =
+        ms.flatMap { case (k, _) =>
+          Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")) } ++
         ms.map { case (k, _) => sum(col(k)).as(s"s_$k") } ++
         (ms.map { case (k, _) => (k, k) } ++ prs.map(p => (p._1._1, p._2._1))).map {
           case (a, b) =>
@@ -866,7 +891,9 @@ object Analytics extends QueryModule {
       // unionAll of per-pair selects would re-run the wide aggregate
       // once per pair (no exchange to reuse between identical aggs)
       val one = wide.select(col("n") +: prs.map { case ((ka, _), (kb, _)) =>
-        round(corrOf(ka, kb), 6).as(s"c_$ka$kb") }: _*)
+        when(col(s"mn_$ka") === col(s"mx_$ka") || col(s"mn_$kb") === col(s"mx_$kb"),
+          lit(null).cast("double"))
+          .otherwise(round(corrOf(ka, kb), 6)).as(s"c_$ka$kb") }: _*)
       val stackArgs = prs.map { case ((ka, ca), (kb, cb)) =>
         s"'$ca', '$cb', c_$ka$kb" }.mkString(", ")
       one.select(col("n"),
@@ -883,7 +910,9 @@ object Analytics extends QueryModule {
     * builtins for skew/kurt use different bias corrections per engine —
     * unusable for an oracle — so both sides compute the SAME closed
     * form from the same exact sums. Milli-scaled BIGINT values keep
-    * every power sum exact: v² fits int64; the v³/v⁴ products are
+    * every power sum exact: v² fits int64 PER ROW, but its running sum
+    * grows ~n·1e12 (and Σv ~n·1e6) — past int64 well below target
+    * scale — so ALL four power sums accumulate in DECIMAL, products
     * widened to DECIMAL(19,0)×DECIMAL(19,0) BEFORE the multiply — 19
     * digits specifically, because DuckDB evaluates DECIMAL(≤18)
     * multiplies on the int64 fast path and range-errors at 1e18, while
@@ -895,8 +924,8 @@ object Analytics extends QueryModule {
     """WITH t AS (SELECT event_type,
       |    CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events),
       |s AS (SELECT event_type, COUNT(*) AS n,
-      |    CAST(SUM(v) AS BIGINT) AS s1,
-      |    CAST(SUM(v * v) AS BIGINT) AS s2,
+      |    SUM(CAST(v AS DECIMAL(19,0))) AS s1,
+      |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s2,
       |    SUM(CAST(v * v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s3,
       |    SUM(CAST(v * v AS DECIMAL(19,0)) * CAST(v * v AS DECIMAL(19,0))) AS s4
       |  FROM t GROUP BY event_type)
@@ -923,8 +952,8 @@ object Analytics extends QueryModule {
       round(col("value") * 1000).cast("long").as("v"))
     val st = t.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum("v").as("s1"),
-      sum(col("v") * col("v")).as("s2"),
+      sum(col("v").cast("decimal(19,0)")).as("s1"),
+      sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)")).as("s2"),
       sum((col("v") * col("v")).cast("decimal(19,0)") * col("v").cast("decimal(19,0)")).as("s3"),
       sum((col("v") * col("v")).cast("decimal(19,0)")
         * (col("v") * col("v")).cast("decimal(19,0)")).as("s4"))
@@ -1037,7 +1066,11 @@ object Analytics extends QueryModule {
     * prefix-sum identity G = (2·Σi·vᵢ − (n+1)·Σvᵢ) / (n·Σvᵢ). Values
     * are centi-scaled BIGINTs and the rank i is a per-group row_number
     * under a TOTAL order (value, then key), so the big sums are exact
-    * integers — the division at the end is the only float op. The
+    * integers — the division at the end is the only float op. Σi·v
+    * grows ~n²·v̄/2, past int64 well below target scale, so the i·v
+    * product is DECIMAL(19,0)-widened pre-multiply (the q129/q172
+    * discipline; Spark wraps int64 silently, DuckDB's HUGEINT→BIGINT
+    * cast would error — widening keeps both engines exact). The
     * per-priority window is a keyed partition (5 groups), each sorted
     * once; the identity needs no pairwise |vᵢ−vⱼ| expansion (the naive
     * O(n²) formulation). */
@@ -1049,7 +1082,7 @@ object Analytics extends QueryModule {
       |  FROM orders),
       |s AS (SELECT pri, COUNT(*) AS n,
       |    CAST(SUM(v) AS BIGINT) AS sv,
-      |    CAST(SUM(i * v) AS BIGINT) AS siv
+      |    SUM(CAST(i AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS siv
       |  FROM t GROUP BY pri)
       |SELECT pri, CAST(n AS BIGINT) AS n,
       |  ROUND((2.0 * CAST(siv AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
@@ -1061,7 +1094,8 @@ object Analytics extends QueryModule {
       .select(col("o_orderpriority").as("pri"), v.as("v"), col("o_orderkey"))
       .withColumn("i", row_number().over(w))
     val st = t.groupBy("pri").agg(count(lit(1)).as("n"),
-      sum("v").as("sv"), sum(col("i") * col("v")).as("siv"))
+      sum("v").as("sv"),
+      sum(col("i").cast("decimal(19,0)") * col("v").cast("decimal(19,0)")).as("siv"))
     st.select(col("pri"), col("n"),
         round((lit(2.0) * col("siv").cast("double")
           - (col("n").cast("double") + 1.0) * col("sv").cast("double"))
