@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE decode path is REAL: `ImageDecoder` decodes PNG/JPEG bytes
   * with `javax.imageio` (in the JDK — zero new dependencies) into actual
-  * pixel dimensions plus a luma histogram feature vector. Audio/video
-  * decode remains STUBBED (`StubDecoder`): no audio/video codec libraries
-  * exist in this container. Everything around the decoders — schema,
-  * batching, partition-local processing, deterministic feature output —
-  * is identical for both paths, so swapping the stub for an FFI codec
-  * changes no plumbing.
+  * pixel dimensions plus a luma histogram feature vector. The AUDIO
+  * decode path is REAL for WAV/PCM: `AudioDecoder` parses RIFF/WAVE
+  * bytes with `javax.sound.sampled` (also JDK-only) into sample rate,
+  * channel count, frame count, duration, RMS loudness and a normalized
+  * 8-bin amplitude histogram. Only VIDEO decode remains STUBBED
+  * (`StubDecoder`): no video codec libraries exist in this container.
+  * Everything around the decoders — schema, batching, partition-local
+  * processing, deterministic feature output — is identical for all three
+  * paths, so swapping the video stub for an FFI codec changes no
+  * plumbing.
   *
   * Scale design: `mapPartitions` keeps the decode zero-copy per executor
   * (no shuffle), media bytes never hit the driver, and feature extraction
@@ -41,11 +45,10 @@ object Multimodal {
       checksum: Long,            // stand-in for a perceptual hash
       feature: Array[Float])     // fixed-width feature vector (dim 8)
 
-  /** STUB (audio/video, and images whose bytes are not a decodable
-    * PNG/JPEG): a real implementation decodes payload → samples and runs
-    * feature extraction (mel-spectrogram, …). This deterministic fake
-    * preserves the interface: bounded memory, pure function of the
-    * bytes. */
+  /** STUB (video, plus images/audio whose bytes are not decodable
+    * PNG/JPEG/WAV): a real implementation decodes payload → frames and
+    * runs feature extraction. This deterministic fake preserves the
+    * interface: bounded memory, pure function of the bytes. */
   object StubDecoder {
     val FeatureDim = 8
     def decode(r: MediaRow): MediaFeatures = {
@@ -127,12 +130,103 @@ object Multimodal {
     }
   }
 
-  /** Per-row decode routing: images through the real `ImageDecoder`
-    * (stub fallback for undecodable bytes), audio/video through the
-    * stub. */
+  /** Full decoded-audio description — what [[AudioDecoder.describe]]
+    * extracts from real WAV bytes. `feature` is the normalized 8-bin
+    * amplitude histogram (bin b = fraction of samples with |amplitude|
+    * in [b/8, (b+1)/8)), which sums to 1 exactly like the image luma
+    * histogram — so the same in-query "histogram normalizes" certificate
+    * proves real samples were decoded. */
+  case class AudioFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,           // PCM frames per channel
+      duration_ms: Long,         // n_samples · 1000 / sample_rate, exact int
+      rms_milli: Long,           // round(RMS amplitude · 1000), RMS ∈ [0,1]
+      checksum: Long,            // over decoded sample VALUES, not file bytes
+      feature: Array[Float])
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-only — the same
+    * zero-dependency move that made image decode real): RIFF/WAVE bytes
+    * → 16-bit PCM samples → rate/channels/frames/duration plus RMS
+    * loudness and the normalized amplitude histogram. Bounded memory:
+    * one decoded clip per task at a time, same contract as the other
+    * decoders. Undecodable or non-PCM16 payloads return None and the
+    * caller quarantines to the stub — degrade, don't crash, the 100 TB
+    * ingest contract. */
+  object AudioDecoder {
+    val FeatureDim: Int = StubDecoder.FeatureDim
+
+    /** Magic sniff: RIFF....WAVE. */
+    def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def describe(r: MediaRow): Option[AudioFeatures] = {
+      if (!looksLikeWav(r.payload)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) None
+          else {
+            val pcm = in.readAllBytes()
+            val big = fmt.isBigEndian
+            val nSamp = pcm.length / 2 // 16-bit samples across all channels
+            val hist = new Array[Float](FeatureDim)
+            var crc = 1125899906842597L
+            var sumSq = 0.0
+            var i = 0
+            while (i < nSamp) {
+              val s: Int =
+                if (big) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort.toInt
+                else ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+              val a = math.abs(s / 32768.0)
+              hist(math.min((a * FeatureDim).toInt, FeatureDim - 1)) += 1f
+              sumSq += (s / 32768.0) * (s / 32768.0)
+              crc = crc * 31 + (s & 0xffff)
+              i += 1
+            }
+            if (nSamp == 0) None
+            else {
+              var b = 0
+              while (b < FeatureDim) { hist(b) /= nSamp.toFloat; b += 1 }
+              val frames = nSamp.toLong / fmt.getChannels
+              val rate = fmt.getSampleRate.toInt
+              Some(AudioFeatures(r.media_id, r.payload.length, rate,
+                fmt.getChannels, frames, frames * 1000L / rate,
+                math.round(math.sqrt(sumSq / nSamp) * 1000.0), crc, hist))
+            }
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** The [[MediaFeatures]]-shaped view, for the shared routing path. */
+    def decode(r: MediaRow): Option[MediaFeatures] =
+      describe(r).map(a =>
+        MediaFeatures(r.media_id, r.modality, r.payload.length, a.checksum, a.feature))
+  }
+
+  /** Per-row decode routing: images through the real `ImageDecoder`,
+    * audio through the real `AudioDecoder` (stub fallback for
+    * undecodable bytes on both), video through the stub. */
   def decodeRow(r: MediaRow): MediaFeatures =
     if (r.modality == "image") ImageDecoder.decode(r).getOrElse(StubDecoder.decode(r))
+    else if (r.modality == "audio") AudioDecoder.decode(r).getOrElse(StubDecoder.decode(r))
     else StubDecoder.decode(r)
+
+  /** Partition-local audio description over a media table — the typed
+    * 1→≤1 shape (rows that fail the decode are quarantined out, the
+    * per-row equivalent of a bad-records sink). */
+  def describeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(AudioDecoder.describe))
+  }
 
   /** The pipeline: partition-local decode in batches. Equivalent shape to
     * PySpark's mapInPandas(batch_fn) — here a typed mapPartitions with an
@@ -264,12 +358,49 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Number of PCM frames in [[syntheticWav]] for a given seed — a pure
+    * integer function shared with the q188 oracle, which recomputes the
+    * expected byte/frame counts from doc_id alone. */
+  def syntheticWavSamples(seed: Long): Int = (256 + math.floorMod(seed, 64)).toInt
+
+  /** Deterministic mono 16-bit PCM WAV: `syntheticWavSamples(seed)`
+    * frames from a 64-bit LCG, wrapped in a minimal 44-byte RIFF/WAVE
+    * header. A pure function of the seed — re-runs produce identical
+    * samples — so the decoded frame count, byte count and duration are
+    * all oracle-computable from doc_id. */
+  def syntheticWav(seed: Long, sampleRate: Int = 16000): Array[Byte] = {
+    val n = syntheticWavSamples(seed)
+    val data = new Array[Byte](n * 2)
+    var s = seed
+    var i = 0
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = (s >>> 48).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)     // byte rate
+      .putShort(2).putShort(16)                      // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
   /** Synthesizes a media table from the documents fixture — the test
     * harness for the plumbing above. IMAGE rows carry REAL PNG payloads
     * (deterministic 16×12 pixels seeded by doc_id, encoded with the JDK
     * PNG writer on the executor), so the q62 feature path decodes actual
-    * pixels; audio/video rows carry the document's text bytes as an
-    * opaque stand-in payload for the stub path. */
+    * pixels; AUDIO rows carry REAL WAV payloads (deterministic 16 kHz
+    * mono PCM seeded by doc_id) for the q188 audio path; video rows
+    * carry the document's text bytes as an opaque stand-in payload for
+    * the stub path. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
@@ -284,6 +415,8 @@ object Multimodal {
       .map { r =>
         if (r.modality == "image")
           r.copy(payload = syntheticPng(r.media_id), width = 16, height = 12)
+        else if (r.modality == "audio")
+          r.copy(payload = syntheticWav(r.media_id))
         else r
       }
   }

@@ -1080,33 +1080,73 @@ object Llm extends QueryModule {
 
   /** Multimodal feature-extraction pipeline — image rows decode REAL
     * PNG payloads via graft.llm.Multimodal.ImageDecoder (javax.imageio),
-    * audio/video rows take the documented stub path. The graded face:
-    * media_id and modality are pure functions of doc_id
-    * (oracle-checkable), `stub_bytes` re-derives the stub path's byte
-    * count from the raw text (oracle-checkable; NULL for images whose
-    * PNG payload length is engine-internal), and `feat_ok` certifies
-    * in-query that every image feature is a VALID normalized luma
-    * histogram (sums to 1 — only true if actual pixels were decoded;
-    * the stub's byte-fold features don't normalize) and every stub
-    * feature has the contract width. The oracle asserts feat_ok as
-    * literal TRUE. MultimodalSpec pins the pixel-level values. */
+    * audio rows decode REAL WAV payloads via Multimodal.AudioDecoder
+    * (javax.sound.sampled), video rows take the documented stub path.
+    * The graded face: media_id and modality are pure functions of doc_id
+    * (oracle-checkable), `payload_bytes` re-derives each non-image
+    * payload's byte count independently — audio from the WAV arithmetic
+    * 44 + 2·(256 + doc_id % 64) (the oracle proving the engine really
+    * carried that many bytes through decode), video from the raw text;
+    * NULL for images whose PNG encoder output length is engine-internal.
+    * `feat_ok` certifies in-query that every image AND audio feature is
+    * a VALID normalized histogram (sums to 1 — only true if actual
+    * pixels/samples were decoded; the stub's byte-fold features don't
+    * normalize) and every stub feature has the contract width. The
+    * oracle asserts feat_ok as literal TRUE. MultimodalSpec pins the
+    * pixel- and sample-level values; q188 grades the audio-specific
+    * fields. */
   val mediaFeatures: Q = Q(
     """SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
       |  CASE WHEN doc_id % 3 = 0 THEN NULL
-      |       ELSE octet_length(CAST(text AS BLOB)) END AS stub_bytes,
+      |       WHEN doc_id % 3 = 1 THEN 44 + 2 * (256 + doc_id % 64)
+      |       ELSE octet_length(CAST(text AS BLOB)) END AS payload_bytes,
       |  TRUE AS feat_ok
       |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
     graft.llm.Multimodal.extractFeatures(graft.llm.Multimodal.mediaFromDocuments(s, d))
       .toDF()
       .select(col("media_id"), col("modality"),
-        when(col("modality") =!= "image", col("n_bytes")).as("stub_bytes"),
-        when(col("modality") === "image",
+        when(col("modality") =!= "image", col("n_bytes")).as("payload_bytes"),
+        when(col("modality").isin("image", "audio"),
           abs(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")) - 1.0d)
             <= lit(1e-4))
           .otherwise(size(col("feature")) === graft.llm.Multimodal.StubDecoder.FeatureDim)
           .as("feat_ok"))
+      .orderBy("media_id")
+  }
+
+  /** REAL audio decode, graded: every audio row's WAV payload through
+    * graft.llm.Multimodal.AudioDecoder (javax.sound.sampled, JDK-only)
+    * with the decoded facts checked against arithmetic the oracle
+    * derives from doc_id alone — n_bytes (44-byte RIFF header + 2 bytes
+    * per PCM frame), sample_rate (the generator's 16 kHz), n_samples
+    * (256 + doc_id % 64) and the integer duration_ms — so a stubbed or
+    * short-circuited decode CANNOT match. `audio_ok` adds the
+    * sample-level certificate: mono, normalized amplitude histogram
+    * (sums to 1 ⇔ real samples were binned), nonzero RMS in (0,1), and
+    * a nonzero sample-value checksum. Scale shape: pure partition-local
+    * map (mapPartitions decode), no shuffle until the output sort —
+    * the same decode kernel shape as a 100 TB media ingest. */
+  val audioFeatures: Q = Q(
+    """SELECT doc_id AS media_id,
+      |  CAST(44 + 2 * (256 + doc_id % 64) AS BIGINT) AS n_bytes,
+      |  CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(256 + doc_id % 64 AS BIGINT) AS n_samples,
+      |  CAST((256 + doc_id % 64) * 1000 // 16000 AS BIGINT) AS duration_ms,
+      |  TRUE AS audio_ok
+      |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin) { (s, d) =>
+    graft.llm.Multimodal.describeAudio(
+        graft.llm.Multimodal.mediaFromDocuments(s, d).filter(_.modality == "audio"))
+      .toDF()
+      .select(col("media_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("duration_ms"),
+        (col("channels") === 1 &&
+          abs(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")) - 1.0d)
+            <= lit(1e-4) &&
+          col("rms_milli").between(1, 999) && col("checksum") =!= 0).as("audio_ok"))
       .orderBy("media_id")
   }
 
@@ -1956,6 +1996,7 @@ object Llm extends QueryModule {
     "q60_fingerprint"     -> fingerprint,
     "q61_binary_meta"     -> binaryMeta,
     "q62_media_features"  -> mediaFeatures,
+    "q188_audio_features" -> audioFeatures,
     "q78_dedup_groups"    -> dedupGroups,
     "q80_embedding_near_dup" -> embeddingNearDup,
     "q81_hash_split"      -> hashSplit,
@@ -2210,7 +2251,13 @@ object Llm extends QueryModule {
     * both engines — engine hash builtins (xxhash64 / DuckDB hash) never
     * match across engines, so hash-dependent OUTPUT must come from
     * arithmetic the oracle can replicate. Collisions are not a defect
-    * here; they are the method.
+    * here; they are the method. The per-character iteration is only
+    * portable for ASCII (Spark's split("") walks UTF-16 units, DuckDB's
+    * tok[i] walks code points — surrogate pairs diverge), so BOTH sides
+    * hash only ASCII tokens, enforced by the exact chars=bytes
+    * predicate length(tok) = octet_length/strlen(tok); non-ASCII
+    * tokens are excluded from the projection rather than silently
+    * hashed differently per engine.
     *
     * Scale: one explode → one (doc, dim) grouped aggregate, map-side
     * combinable, bounded fanout (≤16 dims/doc survive). Long form
@@ -2220,7 +2267,7 @@ object Llm extends QueryModule {
        |h AS (SELECT doc_id,
        |    CAST(COALESCE(list_sum(list_transform(range(length(tok)),
        |      i -> (i + 1) * ord(tok[i+1]))), 0) + 7919 * length(tok) AS BIGINT) AS hv
-       |  FROM tok)
+       |  FROM tok WHERE length(tok) = strlen(tok))
        |SELECT doc_id, CAST(hv % 16 AS BIGINT) AS dim,
        |  CAST(SUM(CASE WHEN hv % 32 >= 16 THEN -1 ELSE 1 END) AS BIGINT) AS w
        |FROM h GROUP BY doc_id, dim
@@ -2231,6 +2278,7 @@ object Llm extends QueryModule {
         i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
       lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))).as("hv")
     documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+      .filter(length(col("tok")) === octet_length(col("tok")))
       .select(col("doc_id"), hv)
       .groupBy(col("doc_id"), (col("hv") % 16).as("dim"))
       .agg(sum(when(col("hv") % 32 >= 16, -1L).otherwise(1L)).as("w"))
