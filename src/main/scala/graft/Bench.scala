@@ -1,6 +1,45 @@
 package graft
+import graft.queries.Q
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Time one pass over `queries` (min of `iters` runs each). A query
+    * whose build/count throws on ANY iteration reports the sentinel
+    * -1.0 — NOT its wall time — so a broken query reads as loudly
+    * broken in the JSON instead of as a suspiciously fast row (the
+    * correctness harness catches the breakage too; this keeps the
+    * bench artifact honest on its own). */
+  def timeQueries(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, Q)], iters: Int): Seq[(String, Double)] =
+    queries.map { case (name, qq) =>
+      var failed = false
+      val t = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        // conf-scoped so a query that flips spark.graft.* (q125) cannot
+        // change the plans or timings of the queries after it
+        try GraftConf.scoped(spark) { qq.build(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> (if (failed) -1.0 else t)
+    }
+
+  /** The one-line JSON contract the driver parses. Failed queries carry
+    * -1 in `queries` and are EXCLUDED from `value` (a wall-time total
+    * polluted by failure time would understate silently); `errors`
+    * makes the failure count a first-class field. */
+  def renderJson(results: Seq[(String, Double)], iters: Int, sfDir: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val nErr = results.count(_._2 < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$nErr,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,21 +89,8 @@ object Bench {
       case Some(ps) => QueryRegistry.all.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => QueryRegistry.all
     }
-    val results = selected.map { case (name, qq) =>
-      val t = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        // conf-scoped so a query that flips spark.graft.* (q125) cannot
-        // change the plans or timings of the queries after it
-        try GraftConf.scoped(spark) { qq.build(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> t
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}""")
+    val results = timeQueries(spark, sfDir, selected, iters)
+    println(renderJson(results, iters, sfDir))
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.Q
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Bench failure honesty: a query that throws must surface as the -1
+  * sentinel and an `errors` count in the JSON — never as a silently-timed
+  * "suspiciously fast" row — and must not poison the healthy queries'
+  * timings or the total. */
+class BenchSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val healthy = Q.noOracle((s, d) =>
+    Tables.nation(s, d).select("n_nationkey"))
+  private val brokenBuild = Q.noOracle((_, _) =>
+    throw new RuntimeException("deliberately malformed query"))
+  // builds fine, dies at action time — the harder case: the failure
+  // happens inside count(), after timing started
+  private val brokenAction = Q.noOracle((s, d) =>
+    Tables.nation(s, d).filter(
+      org.apache.spark.sql.functions.expr("assert_true(n_nationkey < 0) IS NULL")))
+
+  test("failed queries report -1, healthy queries report real time") {
+    val res = Bench.timeQueries(spark, sf,
+      Seq("ok" -> healthy, "bad_build" -> brokenBuild, "bad_action" -> brokenAction),
+      iters = 1).toMap
+    res("ok") should be >= 0.0
+    res("bad_build") shouldBe -1.0
+    res("bad_action") shouldBe -1.0
+  }
+
+  test("JSON excludes failures from the total and counts them in errors") {
+    val json = Bench.renderJson(
+      Seq("a" -> 1.5, "b" -> -1.0, "c" -> 2.0), iters = 2, sfDir = sf)
+    json should include(""""value":3.5""")
+    json should include(""""errors":1""")
+    json should include(""""b":-1.0""")
+    // the line must stay parseable by the driver's json.load
+    json.count(_ == '{') shouldBe json.count(_ == '}')
+    json should startWith("{")
+    json should endWith("}")
+  }
+
+  test("a failure on one iteration marks the query failed even if another succeeds") {
+    var calls = 0
+    val flaky = Q.noOracle { (s, d) =>
+      calls += 1
+      if (calls == 1) throw new RuntimeException("first-iteration failure")
+      Tables.nation(s, d).select("n_nationkey")
+    }
+    Bench.timeQueries(spark, sf, Seq("flaky" -> flaky), iters = 2)
+      .head._2 shouldBe -1.0
+  }
+}
