@@ -34,9 +34,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object PrefixSum {
 
   /** Appends `prefixName` = exclusive running sum of `weightCol` in
-    * (sortCols) total order. `weightCol` must be LongType (cast first). */
+    * (sortCols) total order. `weightCol` must be LongType (cast first).
+    *
+    * `reliable` mirrors [[GlobalRank.withRowNumberAndTotal]] exactly:
+    * `false` (default) truncates lineage with a LOCAL checkpoint — fast,
+    * but a lost executor later makes the returned frame UNRECOVERABLE
+    * (right for rank-consume-drop within one job wave); `true` persists
+    * WITHOUT truncating lineage, so a lost block recomputes from source
+    * — slower on loss, never fatal, right for long-lived prefixed frames
+    * on preemptible/spot executors. Recompute is deterministic for the
+    * same reasons as GlobalRank: the RangePartitioner keeps its sampled
+    * bounds, the contract-required total order fixes row order, and the
+    * stamping closure captures only the offsets array. */
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
-                    prefixName: String, partitions: Int): DataFrame = {
+                    prefixName: String, partitions: Int,
+                    reliable: Boolean = false): DataFrame = {
     require(partitions > 0, "partitions must be positive")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(partitions, sortCols: _*)
@@ -62,7 +74,10 @@ object PrefixSum {
         out
       }
     }
-    val stamped = stampedBase.localCheckpoint()
+    val stamped =
+      if (reliable)
+        stampedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else stampedBase.localCheckpoint()
     stamped.count() // force materialization while the sorted cache is live
     rdd.unpersist(blocking = false)
     val schema = StructType(sorted.schema.fields :+ StructField(prefixName, LongType, nullable = false))

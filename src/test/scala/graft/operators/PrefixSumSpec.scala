@@ -39,6 +39,20 @@ class PrefixSumSpec extends AnyFunSuite with Matchers {
     got.last.getLong(2) + got.last.getLong(1) shouldBe total
   }
 
+  test("reliable mode returns identical prefixes with recomputable lineage") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "n_chars")
+    val fast = PrefixSum.withPrefixSum(
+      docs, Seq(col("doc_id")), "n_chars", "prefix", partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rel = PrefixSum.withPrefixSum(
+      docs, Seq(col("doc_id")), "n_chars", "prefix", partitions = 8,
+      reliable = true)
+    rel.collect().map(r => (r.getLong(0), r.getLong(2))).toMap shouldBe fast
+    // the reliable frame survives a second traversal (persist, not a
+    // consumed one-shot) and is still exact
+    rel.agg(min("prefix")).collect().head.getLong(0) shouldBe 0L
+  }
+
   test("non-Long weight column is rejected up front") {
     val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
     an[IllegalArgumentException] should be thrownBy
