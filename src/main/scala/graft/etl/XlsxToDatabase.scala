@@ -119,8 +119,17 @@ object XlsxToDatabase {
           val rs = ps.executeQuery()
           rs.next() && rs.getLong(1) > 0
         }
+        // DISTINCT at merge time makes the upsert idempotent under
+        // DUPLICATE TASK ATTEMPTS, not just batch replays: a speculative
+        // or retried writer task commits its partition's rows into the
+        // staging table a second time (Spark's JDBC sink transacts per
+        // partition ATTEMPT — nothing dedups across attempts), and a
+        // plain INSERT…SELECT would forward those doubles into the
+        // target. Collapsing full-row duplicates is exactly the inverse
+        // of what attempt duplication produces (byte-identical rows);
+        // rows that differ in ANY column are preserved.
         if (!exists) {
-          st.execute(s"CREATE TABLE ${q(table)} AS SELECT * FROM ${q(staging)}")
+          st.execute(s"CREATE TABLE ${q(table)} AS SELECT DISTINCT * FROM ${q(staging)}")
         } else {
           // IS NOT DISTINCT FROM: NULL keys must match themselves, or
           // NULL-keyed rows re-insert on every run (idempotence breaks)
@@ -130,7 +139,7 @@ object XlsxToDatabase {
           conn.setAutoCommit(false)
           try {
             st.execute(s"DELETE FROM ${q(table)} t USING ${q(staging)} s WHERE $keyEq")
-            st.execute(s"INSERT INTO ${q(table)} ($cols) SELECT $cols FROM ${q(staging)}")
+            st.execute(s"INSERT INTO ${q(table)} ($cols) SELECT DISTINCT $cols FROM ${q(staging)}")
             conn.commit()
           } catch {
             case e: Throwable => conn.rollback(); throw e

@@ -50,6 +50,15 @@ import scala.jdk.CollectionConverters._
 object XlsxSink {
   val MaxRowsPerSheet: Int = 1048575 // sheet limit minus the header row
 
+  /** Test failpoint: invoked with each task's COMPLETED `.staged` file,
+    * right after the task-side commit rename. Local mode never runs the
+    * speculation scheduler, so the duplicate-attempt spec uses this to
+    * materialize exactly the state a completed speculative attempt
+    * leaves behind — a second byte-identical `.staged` file for the same
+    * partition under a different attempt id — and proves the driver
+    * commit promotes exactly one. Production never sets it. */
+  private[xlsx] var onTaskStaged: java.io.File => Unit = _ => ()
+
   /** Hidden litter older than this is assumed to belong to a dead job. */
   private val StaleAfterMs = 60L * 60 * 1000
 
@@ -133,6 +142,7 @@ object XlsxSink {
         // an attempt killed mid-write never produces a .staged file
         val done = new File(dir, s"$base.staged")
         require(staging.renameTo(done), s"cannot rename $staging to $done")
+        onTaskStaged(done)
       }
     }
 

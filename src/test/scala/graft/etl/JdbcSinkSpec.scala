@@ -144,6 +144,28 @@ class JdbcSinkSpec extends AnyFunSuite with Matchers {
       XlsxToDatabase.load(spark, v2, url, upsertKeys = Some(Seq("nope")))
   }
 
+  test("upsert survives DUPLICATE task attempts: doubled staging rows merge once") {
+    // a speculative or retried JDBC writer task commits its partition
+    // into the staging table a second time (Spark's JDBC sink transacts
+    // per partition ATTEMPT; local mode can't run real speculation, so
+    // the spec stages the identical rows twice — the exact state a
+    // duplicate attempt produces). The DISTINCT merge must collapse
+    // them: the target sees each row once, on create AND on merge.
+    val dir = Files.createTempDirectory("etl7")
+    val url = s"jdbc:duckdb:${dir.resolve("t.duckdb")}"
+    val spk = spark
+    import spk.implicits._
+    val v1 = Seq((1.0, "alice", 1.0), (2.0, "bob", 2.0)).toDF("id", "name", "score")
+    XlsxToDatabase.upsert(v1.union(v1), url, "people", Seq("id"))
+    def state() = XlsxToDatabase.readJdbc(spark, url, "people").orderBy("id").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSeq
+    state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 2.0))
+    // merge branch: doubled revision batch updates bob, inserts carol — once
+    val v2 = Seq((2.0, "bob", 20.0), (3.0, "carol", 3.0)).toDF("id", "name", "score")
+    XlsxToDatabase.upsert(v2.union(v2), url, "people", Seq("id"))
+    state() shouldBe Seq((1.0, "alice", 1.0), (2.0, "bob", 20.0), (3.0, "carol", 3.0))
+  }
+
   test("upsert treats NULL keys as matching themselves (idempotent re-runs)") {
     val dir = Files.createTempDirectory("etl6")
     val url = s"jdbc:duckdb:${dir.resolve("t.duckdb")}"

@@ -105,6 +105,32 @@ class XlsxSinkSpec extends AnyFunSuite with Matchers {
     fresh.delete()
   }
 
+  test("a completed DUPLICATE task attempt is discarded at commit: one file per partition") {
+    // local mode never starts the speculation scheduler, so the spec
+    // materializes exactly what a completed speculative attempt leaves:
+    // a second byte-identical .staged file for the same partition under
+    // a different attempt id, present when the driver commits
+    val dir = tmp()
+    XlsxSink.onTaskStaged = { staged =>
+      val forged = new java.io.File(staged.getParentFile,
+        staged.getName.replaceAll("-a\\d+\\.xlsx\\.staged$", "-a999999.xlsx.staged"))
+      java.nio.file.Files.copy(staged.toPath, forged.toPath)
+    }
+    try {
+      val df = (1 to 60).map(i => (i.toDouble, s"v$i")).toDF("k", "v").repartition(3)
+      df.write.format("xlsx").save(dir)
+    } finally XlsxSink.onTaskStaged = _ => ()
+    val files = new java.io.File(dir).listFiles()
+    // exactly one PUBLISHED workbook per partition; the duplicate
+    // attempts' outputs are deleted, and no hidden litter survives
+    files.count(_.getName.endsWith(".xlsx")) shouldBe 3
+    files.count(f => f.getName.endsWith(".staged") || f.getName.endsWith(".staging")) shouldBe 0
+    // and the published content is the full, unduplicated dataset
+    val back = spark.read.format("xlsx").load(dir)
+    back.count() shouldBe 60
+    back.select(sum(col("k").cast("long"))).collect()(0).getLong(0) shouldBe 1830L
+  }
+
   test("custom sheet option names the sheet in every part file") {
     val dir = tmp()
     Seq((1.0, "x")).toDF("k", "v").write.format("xlsx")
