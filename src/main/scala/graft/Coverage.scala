@@ -1,0 +1,163 @@
+package graft
+
+/** Single source of truth for the SURVEY.md §2 row → query-key mapping.
+  *
+  * SURVEY §8's coverage claims are generated FROM this object (see
+  * [[Coverage.render]] and CoverageSpec): the spec regenerates
+  * `COVERAGE.md` and fails on any drift, and every key referenced here is
+  * validated against [[QueryRegistry]] — so a renamed/removed query, or a
+  * row silently losing its evidence, breaks the build instead of leaving
+  * a stale document. Keys NOT mapped to a §2 row are listed automatically
+  * in the artifact's extension section; nothing in the registry can be
+  * omitted from the document.
+  */
+object Coverage {
+
+  /** One §2 row: id, short title, query keys proving it (empty for
+    * rows that are legitimately test-only, with the note saying why). */
+  final case class Row(id: String, title: String, keys: Seq[String], note: String = "")
+
+  val rows: Seq[Row] = Seq(
+    Row("S1", "xlsx DSv2 scan (ZIP+StAX, vectorized + streaming)", Seq("q68_xlsx_region", "q69_xlsx_nation")),
+    Row("S2", "multi-sheet / multi-file xlsx + sheet selection", Seq("q135_xlsx_multifile")),
+    Row("S3", "type inference / sanitization (1904+Lotus, numFmt, inlineStr)", Seq(),
+      "test-only by design: property/roundtrip/corner-case suites (XlsxPropertySpec, XlsxCornerCaseSpec)"),
+    Row("S4", "parquet scan", Seq("q01_pricing_summary")),
+    Row("S5", "CSV scan", Seq("q70_csv_roundtrip")),
+    Row("S6", "JDBC sink (xlsx→DuckDB ETL, upsert, continuous)", Seq("q72_jdbc_etl")),
+    Row("S7", "parquet sink (partitioned publish, compaction, schema evolution)",
+      Seq("q97_publish_corpus", "q127_compacted_read", "q150_schema_evolution")),
+    Row("S7b", "distributed xlsx sink (two-phase commit)", Seq("q87_xlsx_sink")),
+    Row("S8", "JSON-lines source/sink", Seq("q71_json_roundtrip")),
+
+    Row("P1", "projection / rename / compute", Seq("q02_project_compute")),
+    Row("P2-P3", "filters, IN/BETWEEN/LIKE/RLIKE", Seq("q03_filter_predicates")),
+    Row("P4-P5", "null predicates, CASE family", Seq("q04_conditional")),
+
+    Row("J1", "broadcast hash join", Seq("q05_join_broadcast")),
+    Row("J2", "sort-merge join", Seq("q06_join_sortmerge")),
+    Row("J3", "shuffled hash join", Seq("q07_join_shuffle_hash")),
+    Row("J4", "left/right/full outer join",
+      Seq("q08_join_left_outer", "q73_join_full_outer", "q74_join_right_outer")),
+    Row("J5", "left semi join", Seq("q09_join_semi")),
+    Row("J6", "left anti join", Seq("q10_join_anti")),
+    Row("J7", "cross join (bounded)", Seq("q11_join_cross")),
+    Row("J8", "theta / range join (banded + auto-banded rule)",
+      Seq("q36_range_join", "q125_range_join_auto")),
+    Row("J9", "as-of join", Seq("q37_asof_join", "q79_asof_generic")),
+    Row("J10", "interval overlap join", Seq("q38_interval_overlap")),
+    Row("J11", "multi-way star join", Seq("q39_star_join", "q01_pricing_summary")),
+
+    Row("A1-A2", "hash aggregate, partial+final", Seq("q01_pricing_summary", "q12_agg_global")),
+    Row("A3", "exact count distinct", Seq("q13_count_distinct")),
+    Row("A4", "approx_count_distinct (tolerance-gated)", Seq("q16_approx_distinct")),
+    Row("A5", "rollup / cube / grouping sets", Seq("q14_rollup", "q15_cube", "q77_grouping_sets")),
+    Row("A6", "pivot", Seq("q30_pivot")),
+    Row("A7", "collect_list/set (sorted)", Seq("q31_collect")),
+    Row("A8", "exact percentile", Seq("q32_percentile")),
+    Row("A9", "stddev/var/corr", Seq("q33_stats")),
+    Row("A10", "min_by/max_by", Seq("q34_minmax_by")),
+    Row("A11", "custom UDAF (typed Aggregator; salted variant)",
+      Seq("q35_weighted_avg", "q83_salted_agg")),
+
+    Row("W1", "ranking family", Seq("q24_rank_window")),
+    Row("W2", "lag/lead/first/last/nth", Seq("q25_lag_lead", "q75_first_last_window")),
+    Row("W3", "running aggregate", Seq("q26_running_sum")),
+    Row("W4", "sliding range frame", Seq("q27_range_frame")),
+    Row("W5", "top-k per group (+LATERAL decorrelated)",
+      Seq("q28_topk_per_group", "q123_lateral_topk")),
+    Row("W6", "cume_dist / percent_rank", Seq("q29_cume_dist")),
+
+    Row("O1-O2", "multi-key sort, global top-k", Seq("q17_topk")),
+    Row("O3", "union all/distinct", Seq("q18_union_all", "q19_union_distinct")),
+    Row("O4", "intersect/except (+ALL)",
+      Seq("q20_intersect", "q21_except", "q22_except_all", "q23_intersect_all")),
+
+    Row("F-string", "composite string functions", Seq("q40_string_funcs")),
+    Row("F-date", "composite date/time functions", Seq("q41_date_funcs")),
+    Row("F-math", "composite math functions", Seq("q42_math_funcs")),
+    Row("F-cond", "conditional family", Seq("q04_conditional")),
+    Row("F-array", "array / higher-order functions", Seq("q43_array_funcs")),
+    Row("F-map", "map functions (from_json→map)", Seq("q45_json_struct")),
+    Row("F-json", "json functions (+VARIANT)",
+      Seq("q44_json_agg", "q45_json_struct", "q124_variant_extract")),
+
+    Row("U1", "scalar UDF surface", Seq(),
+      "test-only by design: graded queries are deliberately UDF-free (codegen); sanitizer UDF covered by ScalarEdgeSpec/TypeInference"),
+    Row("U2", "typed UDAF", Seq("q35_weighted_avg")),
+    Row("U3", "generator/UDTF surface (explode; typed flatMap/mapPartitions)",
+      Seq("q52_token_freq", "q62_media_features")),
+    Row("U4", "custom Catalyst expressions + optimizer rule (codegen)",
+      Seq("q50_cosine_topk", "q51_cosine_topk_ivf", "q115_kmeans_update",
+        "q117_zorder_key", "q125_range_join_auto", "q133_bloom_decon")),
+
+    Row("ST1", "tumbling window", Seq("q63_tumbling_window")),
+    Row("ST2", "sliding window", Seq("q64_sliding_window")),
+    Row("ST3", "session window", Seq("q65_session_window")),
+    Row("ST4", "watermark + late data", Seq(),
+      "test-only by design: watermark semantics have no batch oracle (StreamingSpec proves drop/keep)"),
+    Row("ST5", "stateful dedup", Seq("q66_dedup_stream")),
+    Row("ST6", "stream-static join", Seq("q67_stream_static_join")),
+
+    Row("L1", "exact dedup + incremental-ingest ledger",
+      Seq("q46_dedup_exact", "q160_incremental_dedup")),
+    Row("L2", "Jaccard / containment near-dup pairs",
+      Seq("q47_near_dup_jaccard", "q158_containment_dup", "q182_threshold_bands")),
+    Row("L3", "MinHash LSH / SimHash banding",
+      Seq("q48_minhash_lsh", "q49_simhash", "q92_simhash_pairs")),
+    Row("L4", "brute-force cosine top-k", Seq("q50_cosine_topk")),
+    Row("L5", "ANN: IVF / LSH / persisted index + multi-probe",
+      Seq("q51_cosine_topk_ivf", "q95_lsh_ann", "q131_ann_index", "q132_multiprobe_ann")),
+    Row("L6", "tokenize / stopwords / token counting",
+      Seq("q52_token_freq", "q59_token_count")),
+    Row("L7", "TF-IDF", Seq("q53_tfidf")),
+    Row("L8", "n-gram generation", Seq("q54_ngram_freq", "q134_regex_tokens")),
+    Row("L9", "multimodal join", Seq("q55_multimodal_join")),
+    Row("L10", "length/lang profiling", Seq("q56_length_profile")),
+    Row("L11", "multimodal decode: image (real PNG/JPEG), audio (real WAV), video (stub)",
+      Seq("q61_binary_meta", "q62_media_features", "q188_audio_features"))
+  )
+
+  /** Keys in the registry not claimed by any §2 row — the beyond-survey
+    * extension surface, derived automatically so it can't go stale. */
+  def extensionKeys: Seq[String] = {
+    val mapped = rows.flatMap(_.keys).toSet
+    QueryRegistry.all.map(_._1).filterNot(mapped)
+  }
+
+  private def oracleMark(key: String): String =
+    QueryRegistry.all.find(_._1 == key) match {
+      case Some((_, q)) if q.oracle.isDefined => key
+      case Some(_) => s"$key (rows-only)"
+      case None => s"$key (MISSING)"
+    }
+
+  /** The generated artifact (COVERAGE.md). Deterministic: pure function
+    * of this object and the registry. */
+  def render: String = {
+    val sb = new StringBuilder
+    sb ++= "# COVERAGE — generated; do not edit\n\n"
+    sb ++= "Generated by `graft.Coverage.render` (regenerate via CoverageSpec or\n"
+    sb ++= "`sbt \"runMain graft.CoverageMain\"`). CoverageSpec FAILS if this file\n"
+    sb ++= "does not match the code, so these claims cannot drift from the registry.\n"
+    sb ++= "A key without a suffix has a full DuckDB oracle row; `(rows-only)` means\n"
+    sb ++= "the query is declared without an oracle (engine-specific output).\n\n"
+    sb ++= "## SURVEY §2 rows\n\n| Row | Operator | Queries |\n|---|---|---|\n"
+    rows.foreach { r =>
+      val ev = if (r.keys.nonEmpty) r.keys.map(oracleMark).mkString(", ") else s"_${r.note}_"
+      sb ++= s"| ${r.id} | ${r.title} | $ev |\n"
+    }
+    sb ++= s"\n## Extension queries beyond §2 (${extensionKeys.size})\n\n"
+    sb ++= extensionKeys.map(oracleMark).map("- " + _).mkString("", "\n", "\n")
+    sb.toString
+  }
+}
+
+/** Writes COVERAGE.md (same content CoverageSpec asserts). */
+object CoverageMain {
+  def main(args: Array[String]): Unit = {
+    val target = if (args.nonEmpty) args(0) else "COVERAGE.md"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(target), Coverage.render)
+    println(s"wrote $target")
+  }
+}
