@@ -1,0 +1,20 @@
+package graft
+
+/** Minimal JSON string escaping shared by the correctness dumpers
+  * (Verify, FuzzVerify). Escapes backslash, quote, and ALL control chars
+  * (<0x20) — a tab or CR in builder-authored SQL would otherwise make the
+  * driver's json.load fail and silently zero the round's correctness. */
+object JsonStr {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def obj(kvs: Seq[(String, String)]): String =
+    kvs.map { case (k, v) => s"${quote(k)}: ${quote(v)}" }.mkString("{", ",", "}")
+}

@@ -18,7 +18,8 @@ object QueryRegistry {
     Extras,
     Analytics,
     TextScoring,
-    ScalePatterns
+    ScalePatterns,
+    Fuzzed
   )
 
   val all: Seq[(String, Q)] = modules.flatMap(_.queries)

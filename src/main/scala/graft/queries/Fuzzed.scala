@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.FuzzVerify
+import graft.fuzz.QueryGen
+
+/** Graded slice of the differential-fuzz corpus (VERDICT r4 #2).
+  *
+  * The full campaign runs out-of-band (FuzzVerify + oracle_check.py;
+  * 1,250 cases across seeds {42, 7, 123, 999} × sf0.001 and seed 42 ×
+  * sf0.01 — all green, see FUZZ.md). These seven rows pin one generated
+  * case per grammar shape into the driver's own correctness gate: the
+  * Spark side executes the generated SQL text via `spark.sql`, and the
+  * SAME text is the DuckDB oracle — so the graded surface now includes
+  * machine-generated queries whose dialect portability is enforced by
+  * the generator's mitigation catalog (QueryGen M1–M15) rather than by
+  * a human author knowing the edges.
+  *
+  * Keys are stable; the SQL is a pure function of (seed=42, index), and
+  * the generator is frozen by FuzzSpec's determinism pin. Spark and the
+  * oracle always receive identical text, so a future grammar change
+  * cannot desynchronize the pair — it just re-pins both sides at once.
+  */
+object Fuzzed extends QueryModule {
+  private val corpus = QueryGen.cases(42L, 250).toVector
+
+  /** One representative index per shape (shape = index mod 7), chosen for
+    * non-trivial row counts at BOTH sf0.001 and sf0.01 so the graded rows
+    * certify values, not emptiness. */
+  private val picks = Seq(
+    "q189_fuzz_filter" -> 14,
+    "q190_fuzz_agg"    -> 64,
+    "q191_fuzz_join"   -> 79,
+    "q192_fuzz_setop"  -> 24,
+    "q193_fuzz_window" -> 109,
+    "q194_fuzz_scalar" -> 19,
+    "q195_fuzz_nested" -> 34)
+
+  override def queries: Seq[(String, Q)] = picks.map { case (key, i) =>
+    val sql = corpus(i).sql
+    key -> Q(sql) { (s, d) =>
+      FuzzVerify.registerViews(s, d)
+      s.sql(sql)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.fuzz
+
+import graft.{FuzzVerify, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** In-sbt half of the differential fuzzing story (VERDICT r4 #2).
+  *
+  * DuckDB is not on the sbt classpath (driver-side only), so the
+  * cross-engine compare runs via `FuzzVerify` + `scripts/oracle_check.py`
+  * (1,250 cases across 4 seeds and 2 scale factors verified in round 5;
+  * recorded in FUZZ.md). What CAN be asserted hermetically, this suite
+  * does:
+  *
+  *  1. generator determinism — byte-identical SQL for (seed, i), so the
+  *     script and the suite grade the same corpus;
+  *  2. every generated case parses and executes on Spark (the grammar
+  *     stays inside the dialect subset as it evolves);
+  *  3. execution determinism — identical results across reruns under a
+  *     different shuffle-partition count (catches accidental reliance on
+  *     partition order, the in-engine analogue of a dialect divergence);
+  *  4. metamorphic partition invariant — for random predicates p,
+  *     |WHERE p| + |WHERE NOT p| + |WHERE p IS NULL| = |table|, a
+  *     three-valued-logic check no oracle is needed for.
+  */
+class FuzzSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  test("generator is deterministic in (seed, index)") {
+    val a = QueryGen.cases(42L, 60)
+    val b = QueryGen.cases(42L, 60)
+    assert(a == b)
+    val c = QueryGen.cases(43L, 60)
+    assert(a.map(_.sql) != c.map(_.sql), "different seeds must differ")
+  }
+
+  test("all shapes execute on Spark and are rerun-deterministic") {
+    FuzzVerify.registerViews(spark, sf)
+    // one full shape cycle ×5, offset into the corpus for variety
+    val cases = QueryGen.cases(4242L, 35)
+    cases.foreach { c =>
+      val r1 =
+        try spark.sql(c.sql).collect().toSeq
+        catch { case e: Throwable => fail(s"${c.name} failed: ${e.getMessage}\n${c.sql}") }
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val r2 = spark.sql(c.sql).collect().toSeq
+        assert(r1 == r2, s"${c.name} not deterministic across partition counts\n${c.sql}")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+
+  test("metamorphic: p / NOT p / p IS NULL partition every table") {
+    FuzzVerify.registerViews(spark, sf)
+    val r = new Random(7L)
+    QueryGen.tables.foreach { tb =>
+      val total = spark.table(tb.name).count()
+      (1 to 3).foreach { _ =>
+        val p = QueryGen.predFor(r, tb)
+        val counts = spark.sql(
+          s"""SELECT
+             |  COUNT(CASE WHEN $p THEN 1 END) AS yes,
+             |  COUNT(CASE WHEN NOT ($p) THEN 1 END) AS no,
+             |  COUNT(CASE WHEN ($p) IS NULL THEN 1 END) AS unk
+             |FROM ${tb.name}""".stripMargin).head()
+        assert(counts.getLong(0) + counts.getLong(1) + counts.getLong(2) == total,
+          s"3VL partition broken for $p on ${tb.name}")
+      }
+    }
+  }
+}
