@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Synthesizes an sf1-scale `documents` fixture from sf0.1 for the
+  * heavy-tail self-bench (VERDICT r4 directive #8): flat-ish measured
+  * sf0.1→sf1 scaling turns the "survives 100×" design prose into data.
+  *
+  * Scaling strategy — replicate ×K with REPLICA-DISJOINT vocabulary:
+  * every space-delimited token in replica k>0 gets the suffix `rk`
+  * ("foo" → "foor3"), chosen because the corpus tokenizer is
+  * `split(lower(text), " ")` (Llm.scala:21) so a suffixed token remains
+  * ONE token distinct from every other replica's. Consequences:
+  *   - intra-replica near-dup/cluster structure is preserved exactly
+  *     (the transform is a vocabulary bijection per replica);
+  *   - cross-replica shingle/minhash/jaccard similarity is exactly zero,
+  *     so the scaled corpus behaves like K independent shards — which is
+  *     how a real 10× corpus grows (new content, similar internal
+  *     structure), NOT like a pathological everything-is-duplicate blowup
+  *     that replicating verbatim would produce.
+  * `doc_id` is remapped to `doc_id + k*(maxId+1)`; `n_chars` recomputed;
+  * `lang`/`source` kept (they are the bucketing keys, so bucket COUNT
+  * stays constant while bucket SIZE grows ×K — the conservative case for
+  * the bucketed pipelines).
+  *
+  * All other tables are symlinked from the source SF: the eval/static
+  * sides (decontamination sets, joins) staying fixed while the corpus
+  * grows is exactly the production shape.
+  *
+  * Usage: runMain graft.ScaleFixture <srcSfDir> <destDir> [replicas=10]
+  */
+object ScaleFixture {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get(dest))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      val link = Paths.get(dest, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet").toAbsolutePath)
+    }
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val reps = spark.range(replicas).select(col("id").cast("int").as("rep"))
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep").cast("long") * n).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("rep")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val total = spark.read.parquet(s"$dest/documents.parquet").count()
+    println(s"[scale-fixture] wrote $total docs (${replicas}x) to $dest")
+    spark.stop()
+  }
+}
