@@ -405,7 +405,136 @@ object QueryGen {
     }
   }
 
-  private val shapes: Seq[(String, Random => String)] = Seq(
+  // ---------------------------------------------------------------------
+  // v2 grammar extensions. The v1 generators above are FROZEN: the graded
+  // corpus slice (queries/Fuzzed.scala) pins SQL text by (seed, index)
+  // into the v1 shape cycle, so v1 expression generators must never change
+  // their RNG consumption. New function coverage therefore lives in
+  // wrapper generators and NEW shapes, appended after the v1 list.
+  // ---------------------------------------------------------------------
+
+  /** v2 string functions (LEFT/RIGHT/REVERSE/REPEAT/LPAD/RPAD), falling
+    * through to the v1 generator. All verified identical-dialect. */
+  private def strE2(r: Random, tb: Tbl, depth: Int, prefix: String = ""): String =
+    if (depth <= 0 || r.nextInt(3) == 0) strE(r, tb, depth, prefix)
+    else r.nextInt(6) match {
+      case 0 => s"LEFT(${strE2(r, tb, depth - 1, prefix)}, ${1 + r.nextInt(8)})"
+      case 1 => s"RIGHT(${strE2(r, tb, depth - 1, prefix)}, ${1 + r.nextInt(8)})"
+      case 2 => s"REVERSE(${strE2(r, tb, depth - 1, prefix)})"
+      case 3 => s"REPEAT(${strE(r, tb, 0, prefix)}, 2)"
+      case 4 => s"LPAD(${strE2(r, tb, depth - 1, prefix)}, ${4 + r.nextInt(10)}, '#')"
+      case _ => s"RPAD(${strE2(r, tb, depth - 1, prefix)}, ${4 + r.nextInt(10)}, '.')"
+    }
+
+  /** v2 integer functions: POSITION (standard `IN` syntax, common to both
+    * dialects) and ASCII (already used cross-engine by q171). */
+  private def longE2(r: Random, tb: Tbl, depth: Int, prefix: String = ""): String =
+    r.nextInt(4) match {
+      case 0 => s"POSITION('${"aeiorst".charAt(r.nextInt(7))}' IN ${strE2(r, tb, 1, prefix)})"
+      case 1 => s"ASCII(${strE2(r, tb, 1, prefix)})"
+      case _ => longE(r, tb, depth, prefix)
+    }
+
+  /** v2 predicates: DATE_TRUNC equality and v2-expression comparisons. */
+  private def predE2(r: Random, tb: Tbl, depth: Int, prefix: String = ""): String =
+    r.nextInt(4) match {
+      case 0 =>
+        val ts = tb.of(TTs)
+        if (ts.isEmpty) predE(r, tb, depth, prefix)
+        else {
+          val c = prefix + pick(r, ts).name
+          val (unit, lit) =
+            if (tb.name == "events") ("day", s"2024-01-${10 + r.nextInt(15)}")
+            else (pick(r, Seq("month", "year")), s"${1995 + r.nextInt(6)}-${f"${1 + r.nextInt(12)}%02d"}-01")
+          val u = if (unit == "year") s"${lit.take(4)}-01-01" else lit
+          s"DATE_TRUNC('$unit', $c) ${pick(r, Seq("=", "<", ">="))} TIMESTAMP '$u 00:00:00'"
+        }
+      case 1 => s"${longE2(r, tb, 1, prefix)} ${pick(r, Seq("<", ">=", "="))} ${1 + r.nextInt(20)}"
+      case _ => predE(r, tb, depth, prefix)
+    }
+
+  /** simple (non-null-injecting) group keys for ROLLUP/CUBE: the same
+    * expression text must be legal in both the SELECT and the grouping
+    * set list, and GROUPING() columns disambiguate rollup-nulls. */
+  private def simpleKeyE(r: Random, tb: Tbl): String =
+    r.nextInt(3) match {
+      case 0 =>
+        val sc = tb.of(TString)
+        val c = pick(r, sc).name
+        if (tb.enums.contains(c) || Seq("lang", "source", "event_type", "c_mktsegment", "p_brand", "o_orderpriority").contains(c)) c
+        else s"SUBSTR($c, 1, ${1 + r.nextInt(2)})"
+      case 1 =>
+        val ts = tb.of(TTs)
+        if (ts.isEmpty) s"(${pick(r, tb.of(TLong)).name} % ${2 + r.nextInt(7)})"
+        else s"${pick(r, Seq("YEAR", "MONTH"))}(${pick(r, ts).name})"
+      case _ => s"(${pick(r, tb.of(TLong)).name} % ${2 + r.nextInt(9)})"
+    }
+
+  private def shapeWindow2(r: Random): String = {
+    val tb = pick(r, tables)
+    val p = groupKeyE(r, tb)
+    val x = longE(r, tb, 1)
+    val o = pick(r, Seq(longE2(r, tb, 1), strE2(r, tb, 1)))
+    val win = s"PARTITION BY $p ORDER BY $o ASC NULLS LAST, ${tie(tb)}"
+    val outCols = tb.key ++ Seq("grp", "lg", "ld", "nt", "fv")
+    s"""SELECT * FROM (
+       |  SELECT ${tb.key.mkString(", ")}, $p AS grp,
+       |         LAG($x, 1, -1) OVER ($win) AS lg,
+       |         LEAD($x, ${1 + r.nextInt(2)}, -1) OVER ($win) AS ld,
+       |         NTILE(${2 + r.nextInt(5)}) OVER ($win) AS nt,
+       |         FIRST_VALUE($x) OVER ($win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+       |  FROM ${tb.name} WHERE ${predE2(r, tb, 1)}
+       |) w2
+       |ORDER BY ${outCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")} LIMIT 2000""".stripMargin
+  }
+
+  private def shapeExists(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, fks)
+    val neg = if (r.nextBoolean()) "NOT " else ""
+    s"""SELECT ${lt.key.mkString(", ")}, ${longE2(r, lt, 1)} AS v
+       |FROM ${lt.name} L
+       |WHERE ${neg}EXISTS (SELECT 1 FROM ${rt.name} R WHERE R.$rc = L.$lc AND ${predE2(r, rt, 1, "R.")})
+       |ORDER BY ${tie(lt, "L.")} LIMIT 2000""".stripMargin
+  }
+
+  private def shapeRollup(r: Random): String = {
+    val tb = pick(r, tables)
+    val k1 = simpleKeyE(r, tb)
+    var k2 = simpleKeyE(r, tb)
+    if (k2 == k1) k2 = s"(${pick(r, tb.of(TLong)).name} % 3)"
+    val op = pick(r, Seq("ROLLUP", "CUBE"))
+    // M16 (REAL divergence found by this fuzzer, round 5): over an input
+    // the WHERE empties out, the empty grouping set of ROLLUP/CUBE yields
+    // ONE grand-total row (COUNT=0) in DuckDB and PostgreSQL (ANSI), but
+    // ZERO rows in Spark. HAVING COUNT(*) > 0 equalizes the dialects:
+    // only that empty-input grand-total row can carry a zero count.
+    s"""SELECT $k1 AS g1, $k2 AS g2, GROUPING($k1) AS gr1, GROUPING($k2) AS gr2,
+       |       COUNT(*) AS cnt, CAST(SUM(${longE(r, tb, 1)}) AS BIGINT) AS s1
+       |FROM ${tb.name} WHERE ${predE2(r, tb, 1)}
+       |GROUP BY $op($k1, $k2)
+       |HAVING COUNT(*) > 0
+       |ORDER BY gr1 ASC NULLS LAST, gr2 ASC NULLS LAST, g1 ASC NULLS FIRST, g2 ASC NULLS FIRST""".stripMargin
+  }
+
+  private def shapeDistinct(r: Random): String = {
+    val tb = pick(r, tables)
+    val cols = Seq(s"${groupKeyE(r, tb)} AS d1", s"${longE2(r, tb, 1)} AS d2") ++
+      (if (r.nextBoolean()) Seq(s"${strE2(r, tb, 1)} AS d3") else Nil)
+    val ord = (1 to cols.size).map(i => s"$i ASC NULLS FIRST").mkString(", ")
+    s"""SELECT DISTINCT ${cols.mkString(", ")} FROM ${tb.name}
+       |WHERE ${predE2(r, tb, 1)}
+       |ORDER BY $ord LIMIT 2000""".stripMargin
+  }
+
+  private def shapeScalarSub(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, fks)
+    s"""SELECT ${rt.key.mkString(", ")},
+       |  (SELECT COUNT(*) FROM ${lt.name} L WHERE L.$lc = R.$rc AND ${predE2(r, lt, 1, "L.")}) AS n_match
+       |FROM ${rt.name} R
+       |ORDER BY ${tie(rt, "R.")} LIMIT 1000""".stripMargin
+  }
+
+  private val shapesV1: Seq[(String, Random => String)] = Seq(
     "filter" -> shapeFilterProject _,
     "agg" -> shapeAgg _,
     "join" -> shapeJoinAgg _,
@@ -414,14 +543,27 @@ object QueryGen {
     "scalar" -> shapeScalarGauntlet _,
     "nested" -> shapeNested _)
 
-  /** Standalone predicate generator for metamorphic tests. */
-  def predFor(r: Random, tb: Tbl): String = predE(r, tb, 2)
+  private val shapesV2: Seq[(String, Random => String)] = shapesV1 ++ Seq(
+    "window2" -> shapeWindow2 _,
+    "exists" -> shapeExists _,
+    "rollup" -> shapeRollup _,
+    "distinct" -> shapeDistinct _,
+    "scalarsub" -> shapeScalarSub _)
 
-  /** Deterministic: case i is a pure function of (seed, i). */
-  def cases(seed: Long, n: Int): Seq[FuzzCase] =
+  /** Standalone predicate generator for metamorphic tests. */
+  def predFor(r: Random, tb: Tbl): String = predE2(r, tb, 2)
+
+  private def casesFor(shapes: Seq[(String, Random => String)], seed: Long, n: Int): Seq[FuzzCase] =
     (0 until n).map { i =>
       val (shapeName, gen) = shapes(i % shapes.size)
       val r = new Random(seed * 1000003L + i)
       FuzzCase(f"fz$i%03d_$shapeName", gen(r))
     }
+
+  /** FROZEN v1 corpus — the graded q189–q195 picks index into this; its
+    * SQL must stay byte-stable across grammar growth. */
+  def casesV1(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV1, seed, n)
+
+  /** Current full grammar (campaign + FuzzSpec default). */
+  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV2, seed, n)
 }

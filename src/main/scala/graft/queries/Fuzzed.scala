@@ -21,7 +21,7 @@ import graft.fuzz.QueryGen
   * cannot desynchronize the pair — it just re-pins both sides at once.
   */
 object Fuzzed extends QueryModule {
-  private val corpus = QueryGen.cases(42L, 250).toVector
+  private val corpus = QueryGen.casesV1(42L, 250).toVector
 
   /** One representative index per shape (shape = index mod 7), chosen for
     * non-trivial row counts at BOTH sf0.001 and sf0.01 so the graded rows

@@ -37,8 +37,8 @@ class FuzzSpec extends AnyFunSuite {
 
   test("all shapes execute on Spark and are rerun-deterministic") {
     FuzzVerify.registerViews(spark, sf)
-    // one full shape cycle ×5, offset into the corpus for variety
-    val cases = QueryGen.cases(4242L, 35)
+    // three full cycles of the 12-shape v2 grammar
+    val cases = QueryGen.cases(4242L, 36)
     cases.foreach { c =>
       val r1 =
         try spark.sql(c.sql).collect().toSeq
