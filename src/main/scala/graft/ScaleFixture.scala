@@ -47,11 +47,34 @@ object ScaleFixture {
 
     Files.createDirectories(Paths.get(dest))
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "embeddings").foreach { t =>
+      "lineitem", "events").foreach { t =>
       val link = Paths.get(dest, s"$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet").toAbsolutePath)
     }
+
+    // embeddings ×K: replica k's vectors are cyclically dimension-shifted
+    // by k (norms and ALL intra-replica dot products preserved exactly —
+    // a rotation by permutation matrix; cross-replica cosines decorrelate
+    // to noise). Labels move to a per-replica space (label + k*1000):
+    // bucket COUNT grows with the corpus while bucket SIZE stays fixed,
+    // which is how label/cluster-bucketed ops are operated at scale (a
+    // richer label vocabulary / recluster with more centroids), keeping
+    // the in-bucket pair cost per partition constant.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val reps0 = spark.range(replicas).select(col("id").cast("int").as("rep"))
+    emb.crossJoin(broadcast(reps0))
+      .select(
+        (col("vec_id") + col("rep").cast("long") * maxVec).as("vec_id"),
+        concat(
+          slice(col("embedding"), pmod(col("rep"), size(col("embedding"))) + 1,
+            size(col("embedding")) - pmod(col("rep"), size(col("embedding")))),
+          slice(col("embedding"), lit(1),
+            pmod(col("rep"), size(col("embedding"))))).as("embedding"),
+        (col("label") + col("rep") * 1000).as("label"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val n = docs.agg(max("doc_id")).head().getLong(0) + 1
