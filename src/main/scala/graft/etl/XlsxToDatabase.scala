@@ -58,11 +58,11 @@ object XlsxToDatabase {
     chosen.map { sheet =>
       val df = readSheet(spark, xlsxPath, sheet)
       val table = sanitizeTableName(sheet)
-      upsertKeys match {
-        case Some(keys) => upsert(df, jdbcUrl, table, keys, connectionProps)
-        case None => df.write.mode(mode).jdbc(jdbcUrl, table, connectionProps)
+      val loaded = upsertKeys match {
+        case Some(keys) => upsert(df, jdbcUrl, table, keys, connectionProps); df.count()
+        case None => DuckDbBulkLoad.write(df, jdbcUrl, table, mode, connectionProps)
       }
-      LoadedTable(sheet, table, df.count())
+      LoadedTable(sheet, table, loaded)
     }
   }
 
@@ -106,7 +106,7 @@ object XlsxToDatabase {
     try {
       val st = conn.createStatement()
       try {
-        df.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, connectionProps)
+        DuckDbBulkLoad.write(df, jdbcUrl, staging, SaveMode.Overwrite, connectionProps)
         interruptAfterStage()
         val exists = {
           // base tables in the CURRENT schema only: a same-named view or a

@@ -473,6 +473,8 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
   }
   private var headerSkipped = !o.headerRow
   private var toSkip = o.skipRows
+  /** col → cell scratch buffer, reused across rows (see nextValues). */
+  private val scratch = new Array[XlsxParser.CellValue](fullSchema.length)
 
   protected def nextValues(): Array[Any] = {
     // pushed limit: stop decoding the stream once this partition has
@@ -486,12 +488,24 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
         else if (!headerSkipped) headerSkipped = true
         else {
           val vals = new Array[Any](requiredIdx.length)
-          val m = row.cells.toMap
+          // sparse scatter into a reusable scratch array instead of
+          // row.cells.toMap: the per-row Map (boxed keys, hashing, one
+          // allocation per cell) was the scan's dominant cost — ~4× the
+          // StAX parse itself — and its garbage serialized multi-core
+          // scans on GC. Cells are cleared sparsely after projection.
+          val cells = row.cells
+          var j = 0
+          while (j < cells.length) {
+            val c = cells(j)._1
+            if (c < scratch.length) scratch(c) = cells(j)._2
+            j += 1
+          }
           var i = 0
           while (i < requiredIdx.length) {
             val col = requiredIdx(i)
             val dt = fullSchema.fields(col).dataType
-            val cv = m.getOrElse(col, XlsxParser.XBlank)
+            val cv0 = scratch(col)
+            val cv = if (cv0 == null) XlsxParser.XBlank else cv0
             vals(i) = TypeInference.convert(cv, dt, wb.date1904) match {
               case s: String => UTF8String.fromString(s)
               case null if o.failFast && cv != XlsxParser.XBlank =>
@@ -501,6 +515,13 @@ private[xlsx] abstract class XlsxReaderBase(path: String, fullSchema: StructType
               case other => other
             }
             i += 1
+          }
+          // sparse clear (touch only the cells this row populated)
+          j = 0
+          while (j < cells.length) {
+            val c = cells(j)._1
+            if (c < scratch.length) scratch(c) = null
+            j += 1
           }
           if (applicable.isEmpty ||
               applicable.forall(XlsxFilterEval.eval(_, name => vals(fieldPos(name))))) {

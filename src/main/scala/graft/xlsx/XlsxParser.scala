@@ -42,13 +42,20 @@ object XlsxParser {
     * row. */
   case class Row(rowIndex: Int, cells: Array[(Int, CellValue)], hasAnyCell: Boolean)
 
-  private val factory = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    f
-  }
+  /** One factory PER THREAD: `XMLInputFactory` implementations are not
+    * specified thread-safe for concurrent `createXMLStreamReader` (the
+    * JDK's SJSXP serializes/reuses internal reader state), and a scan
+    * schedules one task per workbook — a shared factory made 32-thread
+    * directory scans contend on reader creation. */
+  private val factories: ThreadLocal[XMLInputFactory] =
+    ThreadLocal.withInitial { () =>
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+      f
+    }
+  private def factory: XMLInputFactory = factories.get()
 
   /** "B3" → 0-based column 1. */
   def colOf(ref: String): Int = {
