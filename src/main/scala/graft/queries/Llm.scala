@@ -1761,14 +1761,33 @@ object Llm extends QueryModule {
     // one pass — the HOF composite it replaces is interpreted and
     // bit-identical; see L2MicroSpec)
     graft.functions.L2Micro.register(s)
-    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cand"))
+    // argmin via min() over ONE encoded decimal key — NOT a row_number
+    // window and NOT min(struct). The window shape shuffled the whole
+    // n×k fan-out partitioned by vec_id (at the ×1000 self-bench,
+    // 2M vectors × 10k learned centroids = 2×10^10 rows through one
+    // exchange — it filled the disk before failing); min(struct) has the
+    // right semantics but a struct buffer forces SortAggregate, whose
+    // partition-local sort spills the same fan-out. min(DECIMAL) is
+    // HashAggregate-able, and every candidate row for a vec_id is born
+    // in the partition holding the vector (centroids are the broadcast
+    // side), so PARTIAL aggregation collapses k candidates to one
+    // running key map-side — only n rows ever shuffle.
+    //
+    // Encoding exactness: l2_micro sums integer-micro squared deltas, so
+    // its double value is an exact integer ≤ 64·(4·10^6)² ≈ 10^15 < 2^53
+    // for the unit-ish embedding domain; key = dist·2^31 + cand is then
+    // a lossless order-embedding of the oracle's (dist, cand) tie order
+    // into DECIMAL(38,0) (any int cand < 2^31 fits).
+    val M = 2147483648L // 2^31
     embeddings(s, d)
       .crossJoin(broadcast(cent.select(col("label").as("cand"), col("cvec"))))
-      .select(col("vec_id"), col("label").as("true_label"), col("cand"),
-        expr("l2_micro(embedding, cvec)").as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("true_label"), col("cand").as("assigned"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        (expr("l2_micro(embedding, cvec)").cast("long").cast("decimal(38,0)") * lit(M)
+          + col("cand")).as("key"))
+      .groupBy("vec_id", "true_label")
+      .agg(min(col("key")).as("k"))
+      .select(col("vec_id"), col("true_label"),
+        (col("k") % M).cast("int").as("assigned"))
   }
 
   val centroidAssign: Q = Q(
