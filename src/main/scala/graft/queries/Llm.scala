@@ -1756,38 +1756,35 @@ object Llm extends QueryModule {
       .agg((sum("e").cast("double") / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cvec"))
-    // the k-distance fan-out runs inside whole-stage codegen via the
-    // fused l2_micro expression (micro-scaling + in-order (e−c)² fold in
-    // one pass — the HOF composite it replaces is interpreted and
-    // bit-identical; see L2MicroSpec)
-    graft.functions.L2Micro.register(s)
-    // argmin via min() over ONE encoded decimal key — NOT a row_number
-    // window and NOT min(struct). The window shape shuffled the whole
-    // n×k fan-out partitioned by vec_id (at the ×1000 self-bench,
-    // 2M vectors × 10k learned centroids = 2×10^10 rows through one
-    // exchange — it filled the disk before failing); min(struct) has the
-    // right semantics but a struct buffer forces SortAggregate, whose
-    // partition-local sort spills the same fan-out. min(DECIMAL) is
-    // HashAggregate-able, and every candidate row for a vec_id is born
-    // in the partition holding the vector (centroids are the broadcast
-    // side), so PARTIAL aggregation collapses k candidates to one
-    // running key map-side — only n rows ever shuffle.
-    //
-    // Encoding exactness: l2_micro sums integer-micro squared deltas, so
-    // its double value is an exact integer ≤ 64·(4·10^6)² ≈ 10^15 < 2^53
-    // for the unit-ish embedding domain; key = dist·2^31 + cand is then
-    // a lossless order-embedding of the oracle's (dist, cand) tie order
-    // into DECIMAL(38,0) (any int cand < 2^31 fits).
-    val M = 2147483648L // 2^31
+    // Fused argmin -- NOT a per-candidate row fan-out. Three shapes were
+    // measured at the x1000 self-bench (2M vectors x 10k learned
+    // centroids) before landing here:
+    //  1. crossJoin + row_number window partitioned by vec_id: shuffles
+    //     all n*k = 2e10 candidate rows through one exchange -- filled
+    //     the disk with spill and FAILED;
+    //  2. crossJoin + hash-aggregated argmin (min over a decimal
+    //     (dist, cand) order-embedding): correct and stable (partial agg
+    //     collapses candidates map-side, only n rows shuffle), but still
+    //     materializes n*k rows through the whole-stage pipeline --
+    //     per-row machinery dominates the 64 multiply-adds inside
+    //     (q99 714 s at x1000);
+    //  3. this: ALL centroids ride one broadcast row as an
+    //     array<struct<cand,cvec>>, and graft.functions.ArgminL2Micro
+    //     runs the k*d loop inside ONE codegen expression per vector --
+    //     n rows total, embedding micros pre-rounded once, per-candidate
+    //     early exit against the best-so-far.
+    // Tie order (dist, then cand) is explicit in the expression, so the
+    // collect_list's nondeterministic order is irrelevant; arithmetic is
+    // element-for-element identical to l2_micro (ArgminL2MicroSpec pins
+    // parity against the fan-out shape), keeping the selected candidate
+    // bit-parity with the oracle's ORDER BY dist, cand rn=1.
+    graft.functions.ArgminL2Micro.register(s)
+    val candsArr = cent.agg(
+      collect_list(struct(col("label").cast("int").as("cand"), col("cvec"))).as("cands"))
     embeddings(s, d)
-      .crossJoin(broadcast(cent.select(col("label").as("cand"), col("cvec"))))
+      .crossJoin(broadcast(candsArr))
       .select(col("vec_id"), col("label").as("true_label"),
-        (expr("l2_micro(embedding, cvec)").cast("long").cast("decimal(38,0)") * lit(M)
-          + col("cand")).as("key"))
-      .groupBy("vec_id", "true_label")
-      .agg(min(col("key")).as("k"))
-      .select(col("vec_id"), col("true_label"),
-        (col("k") % M).cast("int").as("assigned"))
+        expr("argmin_l2_micro(embedding, cands)").as("assigned"))
   }
 
   val centroidAssign: Q = Q(
