@@ -52,6 +52,41 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("metamorphic: semi + anti partition the left side; intersect + except partition distinct") {
+    FuzzVerify.registerViews(spark, sf)
+    val r = new Random(99L)
+    // |L semi R| + |L anti R| = |L| for ANY join condition and ANY right
+    // multiplicity (no uniqueness assumption — M15 taught us not to make one)
+    Seq(("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey")).foreach {
+      case (lt, lc, rt, rc) =>
+        val total = spark.table(lt).count()
+        val rp = QueryGen.predFor(r, QueryGen.tables.find(_.name == rt).get)
+        val semi = spark.sql(
+          s"SELECT COUNT(*) c FROM $lt L LEFT SEMI JOIN (SELECT * FROM $rt WHERE $rp) R ON L.$lc = R.$rc")
+          .head().getLong(0)
+        val anti = spark.sql(
+          s"SELECT COUNT(*) c FROM $lt L LEFT ANTI JOIN (SELECT * FROM $rt WHERE $rp) R ON L.$lc = R.$rc")
+          .head().getLong(0)
+        assert(semi + anti == total, s"semi/anti partition broken for $lt vs $rt WHERE $rp")
+    }
+    // |A ∩ B| + |A \ B| = |distinct A|  and  |A UNION ALL B| = |A| + |B|
+    QueryGen.tables.take(4).foreach { tb =>
+      val pa = QueryGen.predFor(r, tb)
+      val pb = QueryGen.predFor(r, tb)
+      val proj = s"SELECT ${tb.key.mkString(", ")} FROM ${tb.name}"
+      def cnt(q: String): Long = spark.sql(s"SELECT COUNT(*) c FROM ($q) t").head().getLong(0)
+      val distinctA = cnt(s"SELECT DISTINCT * FROM ($proj WHERE $pa) x")
+      val inter = cnt(s"($proj WHERE $pa) INTERSECT ($proj WHERE $pb)")
+      val excep = cnt(s"($proj WHERE $pa) EXCEPT ($proj WHERE $pb)")
+      assert(inter + excep == distinctA,
+        s"intersect/except partition broken on ${tb.name}: $pa vs $pb")
+      val a = cnt(s"$proj WHERE $pa"); val b = cnt(s"$proj WHERE $pb")
+      val uall = cnt(s"($proj WHERE $pa) UNION ALL ($proj WHERE $pb)")
+      assert(uall == a + b, s"union-all count broken on ${tb.name}")
+    }
+  }
+
   test("metamorphic: p / NOT p / p IS NULL partition every table") {
     FuzzVerify.registerViews(spark, sf)
     val r = new Random(7L)
