@@ -40,15 +40,54 @@ object DuckDbBulkLoad {
     * JDBC sink for non-DuckDB URLs. Returns the number of rows loaded —
     * counted from the staging parquet's FOOTER METADATA (milliseconds),
     * so callers that report row counts (XlsxToDatabase.load) don't pay
-    * a second full source scan for it. */
+    * a second full source scan for it.
+    *
+    * `stagingParent`, when set, hosts the staging directory instead of
+    * the global java.io.tmpdir — lets tests assert cleanup on a private
+    * directory instead of a racy census of the shared tmpdir. */
   def write(df: DataFrame, jdbcUrl: String, table: String, mode: SaveMode,
-            props: Properties = new Properties()): Long = {
+            props: Properties = new Properties(),
+            stagingParent: Option[Path] = None): Long = {
     if (!supports(jdbcUrl)) {
+      // Mirror the DuckDB path's semantics so LoadedTable counts are
+      // consistent across dialects: Ignore over an existing table is a
+      // 0-row no-op (Spark's sink already skips the write; counting df
+      // here would both re-scan the source and report rows that were
+      // never loaded). For modes that do write, count the delta on the
+      // TARGET table (two set-based COUNTs over JDBC) rather than
+      // re-scanning df — for xlsx sources a second full scan re-parses
+      // the workbook.
+      val before = jdbcCount(jdbcUrl, table, props) // None = table absent
+      if (mode == SaveMode.Ignore && before.isDefined) return 0L
       df.write.mode(mode).jdbc(jdbcUrl, table, props)
-      return df.count()
-    }
+      val after = jdbcCount(jdbcUrl, table, props).getOrElse(0L)
+      mode match {
+        case SaveMode.Append => after - before.getOrElse(0L)
+        case _ => after // Overwrite/ErrorIfExists/first-write Ignore load the whole table
+      }
+    } else writeDuckDb(df, jdbcUrl, table, mode, props, stagingParent)
+  }
+
+  /** COUNT(*) on `table` via JDBC; None when the table doesn't exist
+    * (probe query fails). */
+  private def jdbcCount(jdbcUrl: String, table: String, props: Properties): Option[Long] = {
+    val conn = DriverManager.getConnection(jdbcUrl, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${qid(table)}")
+        rs.next(); Some(rs.getLong(1))
+      } catch { case _: java.sql.SQLException => None }
+    } finally conn.close()
+  }
+
+  private def writeDuckDb(df: DataFrame, jdbcUrl: String, table: String, mode: SaveMode,
+                          props: Properties, stagingParent: Option[Path]): Long = {
     DuckDbDialect.registered
-    val dir: Path = Files.createTempDirectory("graft_duckload_")
+    val dir: Path = stagingParent match {
+      case Some(p) => Files.createTempDirectory(p, "graft_duckload_")
+      case None => Files.createTempDirectory("graft_duckload_")
+    }
     try {
       df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       val pat = qstr(s"$dir/*.parquet")
@@ -73,8 +112,15 @@ object DuckDbBulkLoad {
             st.execute(s"CREATE OR REPLACE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
             stagedRows
           case SaveMode.Append =>
-            if (exists) st.execute(s"INSERT INTO ${qid(table)} SELECT * FROM read_parquet($pat)")
-            else st.execute(s"CREATE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
+            if (exists) {
+              // Insert BY NAME, not position: an existing table whose
+              // column order differs from the DataFrame's would silently
+              // mismap type-compatible columns under `INSERT ... SELECT *`
+              // (Spark's JDBC sink names its columns; so must we).
+              val cols = df.schema.fieldNames.map(qid).mkString(", ")
+              st.execute(
+                s"INSERT INTO ${qid(table)} ($cols) SELECT $cols FROM read_parquet($pat)")
+            } else st.execute(s"CREATE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
             stagedRows
           case SaveMode.ErrorIfExists =>
             if (exists) throw new IllegalStateException(

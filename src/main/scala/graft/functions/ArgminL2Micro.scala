@@ -56,25 +56,44 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
 
   /** Candidate-side decode cache. The candidate array arrives from one
     * broadcast row; accessors hand out a FRESH UnsafeArrayData wrapper
-    * per call, but every wrapper points at the SAME backing bytes — so
-    * the cache is keyed on (baseObject, baseOffset) for Unsafe arrays
-    * (bytes are immutable once written) and on object identity
-    * otherwise. A key miss just re-decodes: still correct, merely the
-    * un-memoized cost. One instance per task/codegen object —
-    * single-threaded by construction, transient for the ser path. */
+    * per call, but every wrapper points at the SAME backing bytes.
+    * (base, offset) alone is NOT a safe key: Spark reuses UnsafeRow
+    * backing buffers (shuffle-read UnsafeRowSerializer, sort iterators),
+    * so the same base+offset can later hold DIFFERENT candidate bytes.
+    * The key therefore also includes numElements, sizeInBytes, and a
+    * first/middle/last-word content fingerprint of the backing bytes —
+    * O(1) to check, and a buffer-reuse rewrite that survives every
+    * field is in practice a byte-identical candidate array (for which
+    * the cached decode is correct anyway). Non-Unsafe arrays key on
+    * object identity + numElements. A key miss just re-decodes: still
+    * correct, merely the un-memoized cost. One instance per task/codegen
+    * object — single-threaded by construction, transient for ser. */
   @transient private var cachedBase: AnyRef = _
   @transient private var cachedOff: Long = _
+  @transient private var cachedK: Int = -1
+  @transient private var cachedSize: Long = -1L
+  @transient private var cachedHead: Long = _
+  @transient private var cachedMid: Long = _
+  @transient private var cachedTail: Long = _
   @transient private var cachedIds: Array[Int] = _
   @transient private var cachedVecs: Array[Array[Double]] = _
 
   private def decode(cands: ArrayData): Unit = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-    val (base: AnyRef, off: Long) = cands match {
-      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset)
-      case other => (other, 0L)
-    }
-    if ((base eq cachedBase) && off == cachedOff && cachedIds != null) return
+    import org.apache.spark.unsafe.Platform
     val k = cands.numElements()
+    val (base: AnyRef, off: Long, size: Long, head: Long, mid: Long, tail: Long) = cands match {
+      case u: UnsafeArrayData =>
+        val b = u.getBaseObject; val o = u.getBaseOffset; val sz = u.getSizeInBytes.toLong
+        // sizeInBytes >= 8 always (numElements header word); middle word
+        // 8-aligned within the region
+        (b, o, sz, Platform.getLong(b, o),
+          Platform.getLong(b, o + (sz / 16) * 8), Platform.getLong(b, o + sz - 8))
+      case other => (other, 0L, -1L, 0L, 0L, 0L)
+    }
+    if ((base eq cachedBase) && off == cachedOff && k == cachedK &&
+        size == cachedSize && head == cachedHead && mid == cachedMid &&
+        tail == cachedTail && cachedIds != null) return
     val ids = new Array[Int](k)
     val vecs = new Array[Array[Double]](k)
     var j = 0
@@ -85,6 +104,7 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
       j += 1
     }
     cachedIds = ids; cachedVecs = vecs; cachedBase = base; cachedOff = off
+    cachedK = k; cachedSize = size; cachedHead = head; cachedMid = mid; cachedTail = tail
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -127,13 +147,21 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      // identity-keyed decode cache + reusable micro buffer as codegen
-      // object state (one per task — single-threaded): the candidate
-      // broadcast row's ArrayData is the same object for every stream
-      // row, so the struct/array accessor cost is paid once and the hot
-      // loop runs on primitive arrays.
+      // fingerprint-keyed decode cache + reusable micro buffer as
+      // codegen object state (one per task — single-threaded): the
+      // candidate broadcast row's backing bytes are the same for every
+      // stream row, so the struct/array accessor cost is paid once and
+      // the hot loop runs on primitive arrays. Key = (base, offset,
+      // numElements, sizeInBytes, first word, last word) — base+offset
+      // alone is unsafe because Spark reuses UnsafeRow buffers (see
+      // interpreted decode's comment).
       val cachedBase = ctx.addMutableState("Object", "argminCachedBase")
       val cachedOff = ctx.addMutableState("long", "argminCachedOff")
+      val cachedK = ctx.addMutableState("int", "argminCachedK", v => s"$v = -1;")
+      val cachedSize = ctx.addMutableState("long", "argminCachedSize", v => s"$v = -1L;")
+      val cachedHead = ctx.addMutableState("long", "argminCachedHead")
+      val cachedMid = ctx.addMutableState("long", "argminCachedMid")
+      val cachedTail = ctx.addMutableState("long", "argminCachedTail")
       val ids = ctx.addMutableState("int[]", "argminIds")
       val vecs = ctx.addMutableState("double[][]", "argminVecs")
       val exBuf = ctx.addMutableState("double[]", "argminEx")
@@ -161,11 +189,23 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
          |} else {
          |  Object $base = $b;
          |  long $off = 0L;
+         |  long ${base}Size = -1L;
+         |  long ${base}Head = 0L;
+         |  long ${base}Mid = 0L;
+         |  long ${base}Tail = 0L;
          |  if ($b instanceof org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) {
-         |    $base = ((org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) $b).getBaseObject();
-         |    $off = ((org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) $b).getBaseOffset();
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData ${base}U =
+         |      (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) $b;
+         |    $base = ${base}U.getBaseObject();
+         |    $off = ${base}U.getBaseOffset();
+         |    ${base}Size = (long) ${base}U.getSizeInBytes();
+         |    ${base}Head = org.apache.spark.unsafe.Platform.getLong($base, $off);
+         |    ${base}Mid = org.apache.spark.unsafe.Platform.getLong($base, $off + (${base}Size / 16L) * 8L);
+         |    ${base}Tail = org.apache.spark.unsafe.Platform.getLong($base, $off + ${base}Size - 8);
          |  }
-         |  if ($base != $cachedBase || $off != $cachedOff || $ids == null) {
+         |  if ($base != $cachedBase || $off != $cachedOff || $k != $cachedK ||
+         |      ${base}Size != $cachedSize || ${base}Head != $cachedHead ||
+         |      ${base}Mid != $cachedMid || ${base}Tail != $cachedTail || $ids == null) {
          |    $ids = new int[$k];
          |    $vecs = new double[$k][];
          |    for (int $j = 0; $j < $k; $j++) {
@@ -175,6 +215,11 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
          |    }
          |    $cachedBase = $base;
          |    $cachedOff = $off;
+         |    $cachedK = $k;
+         |    $cachedSize = ${base}Size;
+         |    $cachedHead = ${base}Head;
+         |    $cachedMid = ${base}Mid;
+         |    $cachedTail = ${base}Tail;
          |  }
          |  int $n = $a.numElements();
          |  if ($exBuf == null || $exBuf.length < $n) $exBuf = new double[$n];

@@ -1781,10 +1781,16 @@ object Llm extends QueryModule {
     graft.functions.ArgminL2Micro.register(s)
     val candsArr = cent.agg(
       collect_list(struct(col("label").cast("int").as("cand"), col("cvec"))).as("cands"))
+    // assigned IS NULL only on degenerate inputs (zero centroids, or a
+    // NULL embedding — out of contract for the fixture tables): filter
+    // them so the empty-centroid case matches the oracle's zero rows
+    // instead of emitting one NULL-assigned row per vector. (The old
+    // fan-out shape and the DuckDB oracle both yield no row for them.)
     embeddings(s, d)
       .crossJoin(broadcast(candsArr))
       .select(col("vec_id"), col("label").as("true_label"),
         expr("argmin_l2_micro(embedding, cands)").as("assigned"))
+      .filter(col("assigned").isNotNull)
   }
 
   val centroidAssign: Q = Q(

@@ -43,6 +43,27 @@ class BenchSpec extends AnyFunSuite with Matchers {
     json should endWith("}")
   }
 
+  test("compact line fits the driver's 2000-char tail window at full registry size") {
+    // simulate the full registry with realistic key lengths
+    val results = (1 to 250).map(i => f"q${i}%03d_some_longish_query_name" -> (i * 0.013))
+    val json = Bench.renderCompactJson(results, iters = 2, sfDir = sf)
+    json.length should be < 1800 // leaves room for sbt's trailing [success] line
+    json should startWith("{")
+    json should endWith("}")
+    json.count(_ == '{') shouldBe json.count(_ == '}')
+    json should include(""""queries_total":250""")
+    json should include(""""metric":"total"""")
+  }
+
+  test("compact line always includes failures even when they are not slowest") {
+    val results = Seq("slow" -> 9.0, "bad" -> -1.0) ++
+      (1 to 60).map(i => s"q$i" -> (1.0 + i * 0.01))
+    val json = Bench.renderCompactJson(results, iters = 1, sfDir = sf, keep = 5)
+    json should include(""""bad":-1.0""")
+    json should include(""""errors":1""")
+    json should include(""""slow":9.0""")
+  }
+
   test("a failure on one iteration marks the query failed even if another succeeds") {
     var calls = 0
     val flaky = Q.noOracle { (s, d) =>

@@ -78,15 +78,28 @@ class DuckDbBulkLoadSpec extends AnyFunSuite with Matchers {
 
   test("staging directory is cleaned up on success and on failure") {
     val url = freshUrl()
-    val before = countStaging()
-    DuckDbBulkLoad.write(df(2), url, "t", SaveMode.Overwrite)
+    // a private staging parent: asserting on it (instead of a census of
+    // the shared java.io.tmpdir) can't race with other tests/processes
+    val parent = Files.createTempDirectory("bulk_staging_probe")
+    DuckDbBulkLoad.write(df(2), url, "t", SaveMode.Overwrite, stagingParent = Some(parent))
     an[IllegalStateException] should be thrownBy
-      DuckDbBulkLoad.write(df(1), url, "t", SaveMode.ErrorIfExists)
-    countStaging() shouldBe before
+      DuckDbBulkLoad.write(df(1), url, "t", SaveMode.ErrorIfExists, stagingParent = Some(parent))
+    parent.toFile.listFiles() shouldBe empty
   }
 
-  private def countStaging(): Int = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    tmp.listFiles().count(_.getName.startsWith("graft_duckload_"))
+  test("append maps columns BY NAME when the table's column order differs") {
+    val url = freshUrl()
+    // existing table declares (s, id, flag) — different order than the df
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().execute(
+      """CREATE TABLE t (s VARCHAR, id BIGINT, flag BOOLEAN)""")
+    finally c.close()
+    DuckDbBulkLoad.write(df(2), url, "t", SaveMode.Append) shouldBe 2L
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT s, id FROM t ORDER BY id")
+      rs.next(); rs.getString(1) shouldBe "v1"; rs.getLong(2) shouldBe 1L
+      rs.next(); rs.getString(1) shouldBe "v2"; rs.getLong(2) shouldBe 2L
+    } finally c2.close()
   }
 }

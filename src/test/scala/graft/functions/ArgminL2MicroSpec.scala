@@ -89,4 +89,54 @@ class ArgminL2MicroSpec extends AnyFunSuite with Matchers {
       .select(expr("argmin_l2_micro(embedding, cands)")).head().getInt(0)
     r shouldBe 2
   }
+
+  test("decode cache survives UnsafeRow buffer reuse (same base+offset, new bytes)") {
+    // Spark reuses UnsafeRow backing buffers (shuffle-read serializer,
+    // sort iterators): the same (baseObject, baseOffset) can later hold
+    // a DIFFERENT candidate array. Simulate exactly that: evaluate with
+    // one candidate set, overwrite the backing bytes in place with a
+    // second same-shape set, evaluate again through the SAME wrapper —
+    // the content fingerprint must force a re-decode, not serve the
+    // stale argmin.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.Platform
+
+    val candType = ArrayType(StructType(Seq(
+      StructField("cand", IntegerType), StructField("cvec", ArrayType(DoubleType)))))
+    val embType = ArrayType(FloatType)
+    def candsInternal(cents: Seq[(Int, Seq[Double])]) =
+      new GenericArrayData(cents.map { case (c, vv) =>
+        InternalRow(c, new GenericArrayData(vv.toArray))
+      }.toArray)
+
+    val proj = UnsafeProjection.create(Array[DataType](candType))
+    // set A: cand 1 at the embedding, cand 2 far away → argmin 1
+    // set B (same shape): cand 1 far away, cand 2 at the embedding → argmin 2
+    val emb = Seq(0.5f, 0.5f)
+    val at = Seq(500000.0, 500000.0); val far = Seq(-500000.0, -500000.0)
+    val rowA = proj(InternalRow(candsInternal(Seq(1 -> at, 2 -> far)))).copy()
+    val rowB = proj(InternalRow(candsInternal(Seq(1 -> far, 2 -> at)))).copy()
+    val arrA = rowA.getArray(0)
+    val arrB = rowB.getArray(0)
+    arrA.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+      .getSizeInBytes shouldBe
+      arrB.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+        .getSizeInBytes
+
+    val exprUnderTest = ArgminL2Micro(
+      BoundReference(0, embType, nullable = true),
+      BoundReference(1, candType, nullable = true))
+    val embArr = new GenericArrayData(emb.toArray)
+    exprUnderTest.eval(InternalRow(embArr, arrA)) shouldBe 1
+
+    // overwrite A's backing region in place with B's bytes
+    val uA = arrA.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+    val uB = arrB.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+    Platform.copyMemory(uB.getBaseObject, uB.getBaseOffset,
+      uA.getBaseObject, uA.getBaseOffset, uA.getSizeInBytes.toLong)
+    exprUnderTest.eval(InternalRow(embArr, arrA)) shouldBe 2
+  }
 }
