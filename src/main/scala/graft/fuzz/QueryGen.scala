@@ -534,6 +534,115 @@ object QueryGen {
        |ORDER BY ${tie(rt, "R.")} LIMIT 1000""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // v3 grammar extensions (round 6). Same freeze discipline: v1/v2
+  // generators keep their RNG consumption; new composition shapes are
+  // appended so existing (seed, index) corpora stay byte-stable for the
+  // frozen casesV1 slice, while campaigns pick up the wider grammar.
+  // ---------------------------------------------------------------------
+
+  /** v3: three-table FK chain (lineitem→orders→customer — the only 2-hop
+    * path in the fixture graph) with aggregates drawn from all three
+    * sides. Hunts multi-join planning edges: join reorder under
+    * mixed-side predicates, COUNT(DISTINCT) over a fan-out, decimal
+    * sums through two joins. */
+  private def shapeMultiJoin(r: Random): String = {
+    val keys = Seq(s"${groupKeyE(r, customer, "c.")} AS g1") ++
+      (if (r.nextBoolean()) Seq(s"${groupKeyE(r, orders, "o.")} AS g2") else Nil)
+    val nk = keys.size
+    val aggs = Seq(
+      "COUNT(*) AS cnt",
+      s"CAST(SUM(${longE(r, lineitem, 1, "l.")}) AS BIGINT) AS a1", // M1
+      s"CAST(SUM(CAST(${dblE(r, orders, 1, "o.")} AS DECIMAL(18,4))) AS DOUBLE) AS a2", // M2
+      s"COUNT(DISTINCT ${longE(r, orders, 0, "o.")}) AS a3")
+    s"""SELECT ${(keys ++ aggs).mkString(", ")}
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE ${predE2(r, lineitem, 1, "l.")} AND ${predE(r, customer, 0, "c.")}
+       |GROUP BY ${(1 to nk).mkString(", ")}
+       |${orderBy(r, (1 to nk).map(_.toString))}""".stripMargin
+  }
+
+  /** v3: conditional aggregation — aggregates whose inputs are CASE arms
+    * (the pivot-by-hand idiom). Exercises NULL-arm aggregation (COUNT/
+    * MAX skip the ELSE-less NULL arm) and 3VL predicates INSIDE the
+    * aggregate, composed with the M1/M2 mitigations outside it. */
+  private def shapeCaseAgg(r: Random): String = {
+    val tb = pick(r, tables)
+    val p1 = predE2(r, tb, 1)
+    val p2 = predE(r, tb, 1)
+    val key = groupKeyE(r, tb)
+    s"""SELECT $key AS g1,
+       |  COUNT(*) AS cnt,
+       |  CAST(SUM(CASE WHEN $p1 THEN ${longE(r, tb, 1)} ELSE 0 END) AS BIGINT) AS a1,
+       |  COUNT(CASE WHEN $p2 THEN 1 END) AS a2,
+       |  CAST(SUM(CASE WHEN $p1 THEN CAST(${dblE(r, tb, 1)} AS DECIMAL(18,4))
+       |            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS a3,
+       |  MAX(CASE WHEN $p2 THEN ${strE2(r, tb, 1)} END) AS a4
+       |FROM ${tb.name}
+       |GROUP BY 1 ORDER BY g1 ASC NULLS FIRST""".stripMargin
+  }
+
+  /** v3: window over a many-to-one FK join — partition key from the PK
+    * side, frame order + tiebreak from the fact side. Right-side attrs
+    * are a function of the join key (PK side), so the M15 full-left-
+    * column tiebreak stays total up to fully identical output rows. */
+  private def shapeJoinWindow(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, fks)
+    val p = groupKeyE(r, rt, "r.")
+    val o = longE(r, lt, 1, "l.")
+    val win = s"PARTITION BY $p ORDER BY $o ASC NULLS LAST, ${tie(lt, "l.")}"
+    val k = 3 + r.nextInt(5)
+    val outCols = lt.key ++ Seq("grp", "rn", "run")
+    s"""SELECT * FROM (
+       |  SELECT ${lt.key.map(c => s"l.$c").mkString(", ")}, $p AS grp,
+       |         ROW_NUMBER() OVER ($win) AS rn,
+       |         CAST(SUM(CAST(${dblE(r, lt, 0, "l.")} AS DECIMAL(18,4)))
+       |              OVER ($win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
+       |  FROM ${lt.name} l JOIN ${rt.name} r ON l.$lc = r.$rc
+       |  WHERE ${predE2(r, lt, 1, "l.")}
+       |) jw WHERE rn <= $k
+       |ORDER BY ${outCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")} LIMIT 2000""".stripMargin
+  }
+
+  /** v3: RANGE value frames. Peer-inclusive by definition — the frame is
+    * determined by the ORDER value, not row position, so duplicate order
+    * values CANNOT diverge between engines (the one window family where
+    * M15's tiebreak is unnecessary; the order key is a raw non-null
+    * fixture column to keep NULL-peer-group semantics out of play). */
+  private def shapeRangeFrame(r: Random): String = {
+    val tb = pick(r, tables)
+    val p = groupKeyE(r, tb)
+    val oc = pick(r, tb.of(TLong)).name
+    val w = 100 + r.nextInt(5000)
+    val win = s"PARTITION BY $p ORDER BY $oc ASC"
+    s"""SELECT ${tb.key.mkString(", ")}, $p AS grp, $oc AS ov,
+       |  COUNT(*) OVER ($win RANGE BETWEEN $w PRECEDING AND CURRENT ROW) AS cw,
+       |  CAST(SUM(CAST(${dblE(r, tb, 0)} AS DECIMAL(18,4)))
+       |       OVER ($win RANGE BETWEEN $w PRECEDING AND $w FOLLOWING) AS DOUBLE) AS sw
+       |FROM ${tb.name} WHERE ${predE2(r, tb, 1)}
+       |ORDER BY ${tie(tb)}, grp ASC NULLS FIRST LIMIT 2000""".stripMargin
+  }
+
+  /** v3: aggregate over a UNION ALL of schema-aligned projections from
+    * two different tables (customer ∪ supplier) — the multi-source
+    * consolidation shape; exercises type unification across branches
+    * before grouping. */
+  private def shapeUnionAgg(r: Random): String = {
+    val k = 2 + r.nextInt(9)
+    s"""SELECT g1, src, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS s1,
+       |  CAST(SUM(CAST(dv AS DECIMAL(18,4))) AS DOUBLE) AS s2
+       |FROM (
+       |  SELECT (c_nationkey % $k) AS g1, 'c' AS src, c_custkey AS v, c_acctbal AS dv
+       |  FROM customer WHERE ${predE(r, customer, 1)}
+       |  UNION ALL
+       |  SELECT (s_nationkey % $k) AS g1, 's' AS src, s_suppkey AS v, s_acctbal AS dv
+       |  FROM supplier WHERE ${predE(r, supplier, 1)}
+       |) u
+       |GROUP BY 1, 2 ORDER BY g1 ASC NULLS FIRST, src ASC NULLS FIRST""".stripMargin
+  }
+
   private val shapesV1: Seq[(String, Random => String)] = Seq(
     "filter" -> shapeFilterProject _,
     "agg" -> shapeAgg _,
@@ -550,6 +659,16 @@ object QueryGen {
     "distinct" -> shapeDistinct _,
     "scalarsub" -> shapeScalarSub _)
 
+  private val shapesV3: Seq[(String, Random => String)] = shapesV2 ++ Seq(
+    "multijoin" -> shapeMultiJoin _,
+    "caseagg" -> shapeCaseAgg _,
+    "joinwindow" -> shapeJoinWindow _,
+    "rangeframe" -> shapeRangeFrame _,
+    "unionagg" -> shapeUnionAgg _)
+
+  /** Number of shapes in the current grammar (one full cycle). */
+  def nShapes: Int = shapesV3.size
+
   /** Standalone predicate generator for metamorphic tests. */
   def predFor(r: Random, tb: Tbl): String = predE2(r, tb, 2)
 
@@ -564,6 +683,13 @@ object QueryGen {
     * SQL must stay byte-stable across grammar growth. */
   def casesV1(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV1, seed, n)
 
+  /** FROZEN v2 corpus — kept addressable so recorded v2 campaign seeds
+    * (FUZZ.md round 5) remain reproducible byte-for-byte. */
+  def casesV2(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV2, seed, n)
+
+  /** FROZEN v3 corpus — the graded q196–q200 picks index into this. */
+  def casesV3(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV3, seed, n)
+
   /** Current full grammar (campaign + FuzzSpec default). */
-  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV2, seed, n)
+  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesV3(seed, n)
 }

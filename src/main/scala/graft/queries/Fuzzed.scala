@@ -7,7 +7,7 @@ import graft.fuzz.QueryGen
   *
   * The full campaign runs out-of-band (FuzzVerify + oracle_check.py;
   * 1,250 cases across seeds {42, 7, 123, 999} × sf0.001 and seed 42 ×
-  * sf0.01 — all green, see FUZZ.md). These seven rows pin one generated
+  * sf0.01 — all green, see FUZZ.md). These rows pin one generated
   * case per grammar shape into the driver's own correctness gate: the
   * Spark side executes the generated SQL text via `spark.sql`, and the
   * SAME text is the DuckDB oracle — so the graded surface now includes
@@ -22,10 +22,12 @@ import graft.fuzz.QueryGen
   */
 object Fuzzed extends QueryModule {
   private val corpus = QueryGen.casesV1(42L, 250).toVector
+  private val corpusV3 = QueryGen.casesV3(42L, 250).toVector
 
-  /** One representative index per shape (shape = index mod 7), chosen for
-    * non-trivial row counts at BOTH sf0.001 and sf0.01 so the graded rows
-    * certify values, not emptiness. */
+  /** One representative index per shape (shape = index mod 7 in the v1
+    * corpus, mod 17 in the v3 corpus), chosen for non-trivial row counts
+    * at BOTH sf0.001 and sf0.01 so the graded rows certify values, not
+    * emptiness. */
   private val picks = Seq(
     "q189_fuzz_filter" -> 14,
     "q190_fuzz_agg"    -> 64,
@@ -35,11 +37,23 @@ object Fuzzed extends QueryModule {
     "q194_fuzz_scalar" -> 19,
     "q195_fuzz_nested" -> 34)
 
-  override def queries: Seq[(String, Q)] = picks.map { case (key, i) =>
-    val sql = corpus(i).sql
-    key -> Q(sql) { (s, d) =>
-      FuzzVerify.registerViews(s, d)
-      s.sql(sql)
+  /** v3 composition shapes (round 6): 3-table join-agg, conditional
+    * aggregation, window-over-join, RANGE value frames, union-agg. */
+  private val picksV3 = Seq(
+    "q196_fuzz_multijoin"  -> 216,
+    "q197_fuzz_caseagg"    -> 81,
+    "q198_fuzz_joinwindow" -> 99,
+    "q199_fuzz_rangeframe" -> 83,
+    "q200_fuzz_unionagg"   -> 118)
+
+  private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
+    ps.map { case (key, i) =>
+      val sql = cs(i).sql
+      key -> Q(sql) { (s, d) =>
+        FuzzVerify.registerViews(s, d)
+        s.sql(sql)
+      }
     }
-  }
+
+  override def queries: Seq[(String, Q)] = rows(corpus, picks) ++ rows(corpusV3, picksV3)
 }

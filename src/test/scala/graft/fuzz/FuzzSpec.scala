@@ -37,8 +37,8 @@ class FuzzSpec extends AnyFunSuite {
 
   test("all shapes execute on Spark and are rerun-deterministic") {
     FuzzVerify.registerViews(spark, sf)
-    // three full cycles of the 12-shape v2 grammar
-    val cases = QueryGen.cases(4242L, 36)
+    // two full cycles of the current grammar (17 shapes in v3)
+    val cases = QueryGen.cases(4242L, 2 * QueryGen.nShapes)
     cases.foreach { c =>
       val r1 =
         try spark.sql(c.sql).collect().toSeq
