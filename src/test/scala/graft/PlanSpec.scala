@@ -155,6 +155,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
     viaIndex shouldBe inMemory
   }
 
+  test("q201: the IVF probe path is broadcast-only — no shuffle join on the vector side") {
+    // the per-vector path must be: scan embeddings → 3 fused argmin
+    // exprs → 2 broadcast joins on cell id. A SortMergeJoin or shuffle
+    // exchange on the 2M-row (at ×1000) vector relation would be the
+    // n×k regression this operator exists to avoid.
+    val df = SparkEntry.queries("q201_ivf_assign")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    p should include("argmin_pair_l2_micro")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // warehouse dir is a temp dir configured at session creation (static conf)
     import org.apache.spark.sql.functions.col
