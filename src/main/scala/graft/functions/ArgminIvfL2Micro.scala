@@ -181,6 +181,77 @@ object Argmin2L2Micro {
       "argmin2_l2_micro", exprs => Argmin2L2Micro(exprs(0), exprs(1)), "built-in")
 }
 
+/** TOP-2 candidates by (micro-L2 dist, cand) in ONE scan —
+  * `argmin_top2_l2_micro(emb, cands) → struct<c1:int, c2:int>` where
+  * c1 ≡ argmin_l2_micro and c2 ≡ argmin2_l2_micro (c2 null when fewer
+  * than 2 candidates; whole struct null when none). The IVF probe's
+  * coarse stage needs both: one fused pass halves its dominant cost at
+  * high cell counts vs calling the two single-result expressions.
+  * See [[MicroArgmin]] for arithmetic/caching. */
+case class ArgminTop2L2Micro(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import MicroArgmin._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("c1", IntegerType, nullable = false),
+    StructField("c2", IntegerType, nullable = true)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), r) if isCandType(r) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"argmin_top2_l2_micro expects (array<float>, ${candType.sql}), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  @transient private lazy val cache = new CandDecodeCache
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cands = b.asInstanceOf[ArrayData]
+    val k = cands.numElements()
+    if (k == 0) return null
+    val (ids, vecs) = cache.get(cands)
+    val ex = microRound(a.asInstanceOf[ArrayData])
+    val n = ex.length
+    var bd = Double.PositiveInfinity; var bc = Int.MaxValue; var bFound = false
+    var sd = Double.PositiveInfinity; var sc = Int.MaxValue; var sFound = false
+    var j = 0
+    while (j < k) {
+      val c = ids(j)
+      val cv = vecs(j)
+      val nn = math.min(n, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < nn && acc <= sd) {
+        val d = ex(i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (i == nn) {
+        if (acc < bd || (acc == bd && c < bc)) {
+          sd = bd; sc = bc; sFound = bFound
+          bd = acc; bc = c; bFound = true
+        } else if (acc < sd || (acc == sd && c < sc)) {
+          sd = acc; sc = c; sFound = true
+        }
+      }
+      j += 1
+    }
+    if (!bFound) return null
+    InternalRow(bc, if (sFound) sc else null)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminTop2L2Micro =
+    copy(left = l, right = r)
+  override def prettyName: String = "argmin_top2_l2_micro"
+}
+
+object ArgminTop2L2Micro {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_top2_l2_micro", exprs => ArgminTop2L2Micro(exprs(0), exprs(1)), "built-in")
+}
+
 /** Argmin over the UNION of two candidate arrays (second may be null =
   * empty) — one scan, shared bound, no per-row concat. See
   * [[MicroArgmin]]. */

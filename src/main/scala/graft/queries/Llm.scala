@@ -1905,11 +1905,12 @@ object Llm extends QueryModule {
     * IVF this variant is fully oracle-checkable; its approximation
     * ERROR is itself measured by q202 against the exact assignment.
     * Scale shape: coarse pick + cell membership are k-row relations
-    * (broadcast); the per-vector path is three fused argmin expressions
-    * and two broadcast joins on cell id — n rows, no shuffle beyond the
-    * final consumer aggregate. Measured ×1000 (2M×10k): 26.5 s vs the
-    * brute 140.5 s — 5.3× end-to-end (the shared centroid build is
-    * ~constant; the scan itself is ~11×). */
+    * (broadcast); the per-vector path is TWO fused expressions (top-2
+    * coarse scan + union-member argmin) and two broadcast joins on cell
+    * id — n rows, no shuffle beyond the final consumer aggregate.
+    * Measured ×1000 (2M×10k, BASELINE.md operating curve): default
+    * 23.3 s vs brute 140.5 s (6×); perfect-recall setting 61.2 s
+    * (2.3× with bit-exact parity to the brute assignment). */
   private def ivfAssignments(s: SparkSession, d: String): DataFrame = {
     graft.functions.ArgminL2Micro.register(s)
     val cent = centroidsDf(s, d)
@@ -1951,10 +1952,10 @@ object Llm extends QueryModule {
     val coarseArr = coarse.agg(
       collect_list(struct(col("clabel").as("cand"), col("cwec").as("cvec"))).as("coarse_cands"))
     // MULTI-PROBE (nprobe=2): cell1/cell2 = best and second-best coarse
-    // cell, each a fused one-pass scan over the SAME broadcast array
-    // (Argmin2L2Micro tracks top-2 in one loop — no per-row
-    // `filter(coarse_cands, ...)` HOF, which materialized a fresh
-    // √k-struct copy per probe row). One probe alone leaves boundary
+    // cell from ONE fused top-2 scan over the broadcast array
+    // (ArgminTop2L2Micro — no per-row `filter(coarse_cands, ...)` HOF,
+    // which materialized a fresh √k-struct copy per probe row, and no
+    // second coarse pass). One probe alone leaves boundary
     // vectors in the wrong cell (~0.6 recall on the fixture); the
     // second probe is the standard IVF recovery and the oracle mirrors
     // it with rnv <= 2. The final argmin scans the UNION of both cells'
@@ -1963,15 +1964,16 @@ object Llm extends QueryModule {
     // once per task through the N-way fingerprint cache. First measured
     // shape (HOF filter + concat, 1-entry cache): 42.2 s at ×1000 —
     // allocation-bound, not compute-bound.
-    graft.functions.Argmin2L2Micro.register(s)
+    graft.functions.ArgminTop2L2Micro.register(s)
     graft.functions.ArgminPairL2Micro.register(s)
     val m1 = cellMembers.select(col("cell").as("cell1"), col("cands").as("cands1"))
     val m2 = cellMembers.select(col("cell").as("cell2"), col("cands").as("cands2"))
     embeddings(s, d)
       .crossJoin(broadcast(coarseArr))
       .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
-        expr("argmin_l2_micro(embedding, coarse_cands)").as("cell1"),
-        expr("argmin2_l2_micro(embedding, coarse_cands)").as("cell2"))
+        expr("argmin_top2_l2_micro(embedding, coarse_cands)").as("t2"))
+      .select(col("vec_id"), col("true_label"), col("embedding"),
+        col("t2.c1").as("cell1"), col("t2.c2").as("cell2"))
       .join(broadcast(m1), Seq("cell1"))
       // left: the 2nd cell can be absent (k so small there is only one
       // coarse cell) or memberless (duplicate coarse centroids) — then

@@ -59,6 +59,33 @@ class ArgminIvfL2MicroSpec extends AnyFunSuite with Matchers {
     got shouldBe ref
   }
 
+  test("argmin_top2 == (argmin, argmin2) in one pass, incl. the <2-candidate edge") {
+    registerAll()
+    ArgminTop2L2Micro.register(spark)
+    val rnd = new scala.util.Random(17)
+    val dims = 16
+    val vecs = (1 to 150).map(i => (i.toLong, Seq.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val cents = (0 until 9).map(c =>
+      (c, Seq.fill(dims)((rnd.nextDouble() * 2 - 1) * 1000000.0)))
+    val v = vecs.toDF("vec_id", "embedding").crossJoin(broadcast(candsDf(cents)))
+    val got = v.select(col("vec_id"),
+      expr("argmin_top2_l2_micro(embedding, cands)").as("t"))
+      .select(col("vec_id"), col("t.c1"), col("t.c2"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val ref = v.select(col("vec_id"),
+      expr("argmin_l2_micro(embedding, cands)").as("a"),
+      expr("argmin2_l2_micro(embedding, cands)").as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    got shouldBe ref
+    // one candidate → c1 set, c2 null
+    val one = Seq((1L, Seq(0.5f))).toDF("vec_id", "embedding")
+      .crossJoin(broadcast(candsDf(Seq(7 -> Seq(500000.0)))))
+      .select(expr("argmin_top2_l2_micro(embedding, cands)").as("t"))
+      .select(col("t.c1"), col("t.c2")).head()
+    one.getInt(0) shouldBe 7
+    one.isNullAt(1) shouldBe true
+  }
+
   test("argmin_pair treats a NULL second array as empty, not as unknown") {
     registerAll()
     val v = Seq((1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
