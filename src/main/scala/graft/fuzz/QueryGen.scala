@@ -659,6 +659,52 @@ object QueryGen {
     "distinct" -> shapeDistinct _,
     "scalarsub" -> shapeScalarSub _)
 
+  // ---------------------------------------------------------------------
+  // v4 grammar extensions (round 6, second batch): standard-SQL surfaces
+  // both engines parse identically but hand-written queries underuse.
+  // ---------------------------------------------------------------------
+
+  /** v4: FILTER-clause aggregates (`agg(x) FILTER (WHERE p)`) — the ANSI
+    * form of conditional aggregation (v3's caseagg covers the CASE-arm
+    * form; the two must agree with each other and with DuckDB). */
+  private def shapeFilterAgg(r: Random): String = {
+    val tb = pick(r, tables)
+    val p1 = predE2(r, tb, 1)
+    val p2 = predE(r, tb, 1)
+    val key = groupKeyE(r, tb)
+    s"""SELECT $key AS g1,
+       |  COUNT(*) AS cnt,
+       |  COUNT(*) FILTER (WHERE $p1) AS f1,
+       |  CAST(SUM(${longE(r, tb, 1)}) FILTER (WHERE $p2) AS BIGINT) AS f2,
+       |  CAST(SUM(CAST(${dblE(r, tb, 1)} AS DECIMAL(18,4))) FILTER (WHERE $p1) AS DOUBLE) AS f3,
+       |  MIN(${strE2(r, tb, 1)}) FILTER (WHERE $p2) AS f4
+       |FROM ${tb.name}
+       |GROUP BY 1 ORDER BY g1 ASC NULLS FIRST""".stripMargin
+  }
+
+  /** v4: INTERVAL arithmetic in predicates and window-style bucketing —
+    * literal-anchored `TIMESTAMP ± INTERVAL n unit` bounds (engines
+    * agree on literal interval arithmetic; column-derived intervals and
+    * month-end semantics stay excluded like M10's dow). */
+  private def shapeIntervalArith(r: Random): String = {
+    val tb = if (r.nextBoolean()) events else Seq(lineitem, orders)(r.nextInt(2))
+    val tsCol = tb.of(TTs).head.name
+    val (anchor, spanUnit) =
+      if (tb.name == "events") (s"2024-01-${10 + r.nextInt(10)} 00:00:00", "HOUR")
+      else (s"${1995 + r.nextInt(5)}-${f"${1 + r.nextInt(12)}%02d"}-01 00:00:00", "DAY")
+    val span = 1 + r.nextInt(if (spanUnit == "HOUR") 72 else 45)
+    val key = groupKeyE(r, tb)
+    s"""SELECT $key AS g1, COUNT(*) AS cnt,
+       |  CAST(MIN(EXTRACT(DAY FROM $tsCol)) AS BIGINT) AS d1,
+       |  CAST(MAX(EXTRACT(HOUR FROM $tsCol)) AS BIGINT) AS h1,
+       |  CAST(SUM(${longE(r, tb, 1)}) AS BIGINT) AS s1
+       |FROM ${tb.name}
+       |WHERE $tsCol >= TIMESTAMP '$anchor'
+       |  AND $tsCol < TIMESTAMP '$anchor' + INTERVAL $span $spanUnit
+       |  AND ${predE(r, tb, 1)}
+       |GROUP BY 1 ORDER BY g1 ASC NULLS FIRST""".stripMargin
+  }
+
   private val shapesV3: Seq[(String, Random => String)] = shapesV2 ++ Seq(
     "multijoin" -> shapeMultiJoin _,
     "caseagg" -> shapeCaseAgg _,
@@ -666,8 +712,12 @@ object QueryGen {
     "rangeframe" -> shapeRangeFrame _,
     "unionagg" -> shapeUnionAgg _)
 
+  private val shapesV4: Seq[(String, Random => String)] = shapesV3 ++ Seq(
+    "filteragg" -> shapeFilterAgg _,
+    "intervalarith" -> shapeIntervalArith _)
+
   /** Number of shapes in the current grammar (one full cycle). */
-  def nShapes: Int = shapesV3.size
+  def nShapes: Int = shapesV4.size
 
   /** Standalone predicate generator for metamorphic tests. */
   def predFor(r: Random, tb: Tbl): String = predE2(r, tb, 2)
@@ -690,6 +740,9 @@ object QueryGen {
   /** FROZEN v3 corpus — the graded q196–q200 picks index into this. */
   def casesV3(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV3, seed, n)
 
+  /** FROZEN v4 corpus — graded picks from the v4 shapes index into this. */
+  def casesV4(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV4, seed, n)
+
   /** Current full grammar (campaign + FuzzSpec default). */
-  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesV3(seed, n)
+  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesV4(seed, n)
 }

@@ -23,6 +23,7 @@ import graft.fuzz.QueryGen
 object Fuzzed extends QueryModule {
   private val corpus = QueryGen.casesV1(42L, 250).toVector
   private val corpusV3 = QueryGen.casesV3(42L, 250).toVector
+  private val corpusV4 = QueryGen.casesV4(42L, 250).toVector
 
   /** One representative index per shape (shape = index mod 7 in the v1
     * corpus, mod 17 in the v3 corpus), chosen for non-trivial row counts
@@ -46,6 +47,12 @@ object Fuzzed extends QueryModule {
     "q199_fuzz_rangeframe" -> 83,
     "q200_fuzz_unionagg"   -> 118)
 
+  /** v4 shapes (round 6, second batch): ANSI FILTER-clause aggregates
+    * and literal-anchored INTERVAL arithmetic. */
+  private val picksV4 = Seq(
+    "q203_fuzz_filteragg"     -> 112,
+    "q204_fuzz_intervalarith" -> 189)
+
   private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
     ps.map { case (key, i) =>
       val sql = cs(i).sql
@@ -55,5 +62,6 @@ object Fuzzed extends QueryModule {
       }
     }
 
-  override def queries: Seq[(String, Q)] = rows(corpus, picks) ++ rows(corpusV3, picksV3)
+  override def queries: Seq[(String, Q)] =
+    rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4)
 }
