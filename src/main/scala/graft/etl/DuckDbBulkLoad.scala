@@ -107,10 +107,27 @@ object DuckDbBulkLoad {
           val rs = ps.executeQuery()
           rs.next() && rs.getLong(1) > 0
         }
+        // CHECKPOINT before the connection closes: a small write (CTAS of
+        // a few rows) otherwise lives ONLY in the .wal — under the
+        // auto-checkpoint threshold, close does not fold it in — and a
+        // later opener (e.g. Spark's JDBC read, which connects with its
+        // own Properties and thus its own duckdb instance cache key) can
+        // race WAL replay and silently drop the table. Observed: a
+        // two-sheet load where the second sheet's table vanished when the
+        // first was read back. Checkpointing makes the on-disk file the
+        // complete truth before any other opener arrives.
+        // Best-effort like upsert's (XlsxToDatabase.scala:160): CHECKPOINT
+        // can legitimately fail while another live transaction holds the
+        // WAL; then we merely fall back to (racy but usually fine) replay.
+        def loaded(rows: Long): Long = {
+          try st.execute("CHECKPOINT")
+          catch { case _: java.sql.SQLException => () }
+          rows
+        }
         mode match {
           case SaveMode.Overwrite =>
             st.execute(s"CREATE OR REPLACE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
-            stagedRows
+            loaded(stagedRows)
           case SaveMode.Append =>
             if (exists) {
               // Insert BY NAME, not position: an existing table whose
@@ -121,17 +138,17 @@ object DuckDbBulkLoad {
               st.execute(
                 s"INSERT INTO ${qid(table)} ($cols) SELECT $cols FROM read_parquet($pat)")
             } else st.execute(s"CREATE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
-            stagedRows
+            loaded(stagedRows)
           case SaveMode.ErrorIfExists =>
             if (exists) throw new IllegalStateException(
               s"table $table already exists (SaveMode.ErrorIfExists)")
             st.execute(s"CREATE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
-            stagedRows
+            loaded(stagedRows)
           case SaveMode.Ignore =>
             if (exists) 0L
             else {
               st.execute(s"CREATE TABLE ${qid(table)} AS SELECT * FROM read_parquet($pat)")
-              stagedRows
+              loaded(stagedRows)
             }
         }
       } finally conn.close()

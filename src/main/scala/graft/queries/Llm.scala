@@ -1239,6 +1239,53 @@ object Llm extends QueryModule {
     }
   }
 
+  /** CHUNK-LEVEL DEDUP over q137's sliding windows — the RAG-prep move
+    * AFTER chunking: identical chunk texts across the corpus collapse
+    * to one stored/embedded copy (survivor = smallest (doc_id,
+    * chunk_id) per chunk hash), and each document reports how much of
+    * it survives. Scale shape: one explode (doc → chunks), md5 of the
+    * chunk text as an 8+8-byte shuffle key, survivor election as a
+    * window partitioned BY HASH (bounded by duplicate-group size —
+    * never a corpus-wide partition), then a per-doc aggregate. At
+    * 100 TB this is exactly the chunk-store dedup before embedding:
+    * hash-partitioned, no pairwise anything. Same C/S as q137 so the
+    * two rows describe the same chunk universe. */
+  val chunkDedup: Q = {
+    val C = 40
+    val S = 30
+    Q(
+      s"""WITH ws AS (SELECT doc_id, $sqlWords AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |ch AS (
+         |  SELECT doc_id, unnest(range(((len(w) - 1) // $S) + 1)) AS chunk_id, w
+         |  FROM ws WHERE len(w) >= 1),
+         |hs AS (
+         |  SELECT doc_id, chunk_id,
+         |    md5(array_to_string(w[chunk_id * $S + 1 : least(chunk_id * $S + $C, len(w))], ' ')) AS h
+         |  FROM ch),
+         |rk AS (
+         |  SELECT doc_id, h,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+         |  FROM hs)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), words.as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(0L, cast((size(w) - 1) div $S as long))")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          md5(expr(s"concat_ws(' ', slice(w, cast(chunk_id * $S + 1 as int), $C))")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id", "chunk_id")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** REPEATED-PASSAGE MINING — substring-level duplication signal, the
     * step between document-level dedup (L1) and near-dup (L2): find
     * 13-word spans that occur in ≥2 DISTINCT documents (boilerplate,
@@ -2263,7 +2310,8 @@ object Llm extends QueryModule {
     "q182_threshold_bands"-> thresholdBands,
     "q183_link_prediction"-> linkPrediction,
     "q201_ivf_assign"     -> ivfAssign,
-    "q202_ivf_recall"     -> ivfRecall
+    "q202_ivf_recall"     -> ivfRecall,
+    "q205_chunk_dedup"    -> chunkDedup
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:

@@ -105,4 +105,30 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("metamorphic: FILTER-clause aggregates partition like their CASE-arm twins") {
+    // the v4 filteragg shape's semantics, pinned hermetically: for any
+    // predicate p, COUNT(*) FILTER over {p, NOT p, p IS NULL} partitions
+    // the table, and SUM FILTER (WHERE p) == SUM(CASE WHEN p ...)
+    FuzzVerify.registerViews(spark, sf)
+    val r = new Random(13L)
+    QueryGen.tables.take(4).foreach { tb =>
+      val total = spark.table(tb.name).count()
+      val p = QueryGen.predFor(r, tb)
+      val key = tb.key.head
+      val row = spark.sql(
+        s"""SELECT
+           |  COUNT(*) FILTER (WHERE $p) AS yes,
+           |  COUNT(*) FILTER (WHERE NOT ($p)) AS no,
+           |  COUNT(*) FILTER (WHERE ($p) IS NULL) AS unk,
+           |  CAST(SUM($key) FILTER (WHERE $p) AS BIGINT) AS fsum,
+           |  CAST(SUM(CASE WHEN $p THEN $key END) AS BIGINT) AS csum
+           |FROM ${tb.name}""".stripMargin).head()
+      assert(row.getLong(0) + row.getLong(1) + row.getLong(2) == total,
+        s"FILTER 3VL partition broken for $p on ${tb.name}")
+      assert((row.isNullAt(3) && row.isNullAt(4)) ||
+          row.getLong(3) == row.getLong(4),
+        s"FILTER vs CASE-arm sum mismatch for $p on ${tb.name}")
+    }
+  }
 }
