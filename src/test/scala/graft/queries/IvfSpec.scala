@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.{GraftConf, SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The `spark.graft.ivf.step` operating knob (q201/q202), exercised
+  * through the SESSION-CONF path the env var mirrors. */
+class IvfSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def recallRow(step: Option[String]) = GraftConf.scoped(spark) {
+    step.foreach(spark.conf.set("spark.graft.ivf.step", _))
+    SparkEntry.queries("q202_ivf_recall")(spark, sf).head()
+  }
+
+  test("step=1 makes the IVF assignment EXACT (recall 1.0) — every centroid its own cell") {
+    // with all-distinct centroids each seed's cell contains (at least)
+    // itself, and the vector's nearest coarse seed IS its nearest
+    // centroid (same fused arithmetic), so probing that cell cannot
+    // miss: recall is 1.0 by construction, not by luck
+    val r = recallRow(Some("1"))
+    r.getAs[Double]("recall") shouldBe 1.0
+    r.getAs[Double]("geo_recall") shouldBe 1.0
+  }
+
+  test("default step trades recall for work (strictly below 1.0 on this fixture) and the conf scopes away") {
+    val d = recallRow(None)
+    d.getAs[Double]("recall") should be < 1.0
+    d.getAs[Double]("recall") should be > 0.5
+    // conf did not leak from the previous test (GraftConf.scoped)
+    spark.conf.getOption("spark.graft.ivf.step") shouldBe None
+  }
+}
