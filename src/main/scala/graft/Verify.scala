@@ -14,6 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Grading-consistency guard (round-6 advisory): the IVF operating
+    // knobs (spark.graft.ivf.* conf / SPARK_GRAFT_IVF_* env) change the
+    // Spark-side q201/q202/q206/q207 assignments while their oracle SQL
+    // is pinned to the default setting — a knob that is live while this
+    // harness grades would mismatch BY CONSTRUCTION, not by bug. The
+    // env path is process-global (GraftConf.scoped can't revert it), so
+    // refuse to grade under it; stray session confs are simply cleared.
+    val liveKnobs = sys.env.keys.filter(_.startsWith("SPARK_GRAFT_IVF"))
+    require(liveKnobs.isEmpty,
+      s"refusing to grade with IVF knob env set: ${liveKnobs.mkString(", ")} " +
+        "(oracle SQL is pinned to the default operating point)")
+    spark.conf.getAll.keys.filter(_.startsWith("spark.graft.")).foreach(spark.conf.unset)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name-prefix filter for local iteration
     // (e.g. SPARK_GRAFT_VERIFY_ONLY=q154); the driver runs unfiltered.

@@ -57,25 +57,34 @@ object DuckDbBulkLoad {
       // TARGET table (two set-based COUNTs over JDBC) rather than
       // re-scanning df — for xlsx sources a second full scan re-parses
       // the workbook.
-      val before = jdbcCount(jdbcUrl, table, props) // None = table absent
+      val before = jdbcCount(jdbcUrl, table, props) // None = table absent (or probe failed)
       if (mode == SaveMode.Ignore && before.isDefined) return 0L
       df.write.mode(mode).jdbc(jdbcUrl, table, props)
-      val after = jdbcCount(jdbcUrl, table, props).getOrElse(0L)
-      mode match {
-        case SaveMode.Append => after - before.getOrElse(0L)
-        case _ => after // Overwrite/ErrorIfExists/first-write Ignore load the whole table
+      // Post-write probe failure (permissions, exotic dialect) must not
+      // report 0 rows for a write that succeeded: fall back to counting
+      // the source DataFrame — a second scan, but only on the degraded
+      // path. Append's before/after delta is best-effort under
+      // concurrent writers (same caveat as any count-delta accounting).
+      jdbcCount(jdbcUrl, table, props) match {
+        case Some(after) if mode == SaveMode.Append => after - before.getOrElse(0L)
+        case Some(after) => after // Overwrite/ErrorIfExists/first-write Ignore load the whole table
+        case None => df.count()
       }
     } else writeDuckDb(df, jdbcUrl, table, mode, props, stagingParent)
   }
 
   /** COUNT(*) on `table` via JDBC; None when the table doesn't exist
-    * (probe query fails). */
+    * (probe query fails). Identifier quoting comes from the URL's
+    * registered JdbcDialect — ANSI double quotes would make the probe
+    * fail unconditionally on backtick dialects (MySQL), turning every
+    * Append/Overwrite count into the degraded fallback path. */
   private def jdbcCount(jdbcUrl: String, table: String, props: Properties): Option[Long] = {
+    val quoted = org.apache.spark.sql.jdbc.JdbcDialects.get(jdbcUrl).quoteIdentifier(table)
     val conn = DriverManager.getConnection(jdbcUrl, props)
     try {
       val st = conn.createStatement()
       try {
-        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${qid(table)}")
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $quoted")
         rs.next(); Some(rs.getLong(1))
       } catch { case _: java.sql.SQLException => None }
     } finally conn.close()

@@ -57,6 +57,7 @@ private[functions] object MicroArgmin {
     private val heads = new Array[Long](Slots)
     private val mids = new Array[Long](Slots)
     private val tails = new Array[Long](Slots)
+    private val words = new Array[Array[Long]](Slots)
     private val ids = new Array[Array[Int]](Slots)
     private val vecs = new Array[Array[Array[Double]]](Slots)
 
@@ -73,9 +74,14 @@ private[functions] object MicroArgmin {
           case other => (other, 0L, -1L, 0L, 0L, 0L)
         }
       val slot = ((off ^ size ^ head ^ tail ^ k.toLong) & (Slots - 1)).toInt
+      // fingerprint hit → verify the FULL region against the decode-time
+      // snapshot (MicroRegion): a buffer-reuse rewrite that preserves the
+      // 3 sampled words can no longer serve a stale decode. Non-Unsafe
+      // arrays (size == -1) key on object identity as before.
       if ((bases(slot) eq base) && offs(slot) == off && ks(slot) == k &&
           sizes(slot) == size && heads(slot) == head && mids(slot) == mid &&
-          tails(slot) == tail && ids(slot) != null)
+          tails(slot) == tail && ids(slot) != null &&
+          (size < 0 || MicroRegion.sameWords(base, off, size, words(slot))))
         return (ids(slot), vecs(slot))
       val is = new Array[Int](k)
       val vs = new Array[Array[Double]](k)
@@ -88,6 +94,7 @@ private[functions] object MicroArgmin {
       }
       bases(slot) = base; offs(slot) = off; ks(slot) = k; sizes(slot) = size
       heads(slot) = head; mids(slot) = mid; tails(slot) = tail
+      words(slot) = if (size >= 0) MicroRegion.snapshot(base, off, size) else null
       ids(slot) = is; vecs(slot) = vs
       (is, vs)
     }

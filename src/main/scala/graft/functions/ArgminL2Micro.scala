@@ -75,6 +75,7 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
   @transient private var cachedHead: Long = _
   @transient private var cachedMid: Long = _
   @transient private var cachedTail: Long = _
+  @transient private var cachedWords: Array[Long] = _
   @transient private var cachedIds: Array[Int] = _
   @transient private var cachedVecs: Array[Array[Double]] = _
 
@@ -91,9 +92,13 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
           Platform.getLong(b, o + (sz / 16) * 8), Platform.getLong(b, o + sz - 8))
       case other => (other, 0L, -1L, 0L, 0L, 0L)
     }
+    // fingerprint hit → verify the FULL region against the decode-time
+    // snapshot (MicroRegion): closes the theoretical stale-decode window
+    // under buffer reuse that coincides on the 3 sampled words.
     if ((base eq cachedBase) && off == cachedOff && k == cachedK &&
         size == cachedSize && head == cachedHead && mid == cachedMid &&
-        tail == cachedTail && cachedIds != null) return
+        tail == cachedTail && cachedIds != null &&
+        (size < 0 || MicroRegion.sameWords(base, off, size, cachedWords))) return
     val ids = new Array[Int](k)
     val vecs = new Array[Array[Double]](k)
     var j = 0
@@ -105,6 +110,7 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
     }
     cachedIds = ids; cachedVecs = vecs; cachedBase = base; cachedOff = off
     cachedK = k; cachedSize = size; cachedHead = head; cachedMid = mid; cachedTail = tail
+    cachedWords = if (size >= 0) MicroRegion.snapshot(base, off, size) else null
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -162,6 +168,7 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
       val cachedHead = ctx.addMutableState("long", "argminCachedHead")
       val cachedMid = ctx.addMutableState("long", "argminCachedMid")
       val cachedTail = ctx.addMutableState("long", "argminCachedTail")
+      val cachedWords = ctx.addMutableState("long[]", "argminCachedWords")
       val ids = ctx.addMutableState("int[]", "argminIds")
       val vecs = ctx.addMutableState("double[][]", "argminVecs")
       val exBuf = ctx.addMutableState("double[]", "argminEx")
@@ -205,7 +212,9 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
          |  }
          |  if ($base != $cachedBase || $off != $cachedOff || $k != $cachedK ||
          |      ${base}Size != $cachedSize || ${base}Head != $cachedHead ||
-         |      ${base}Mid != $cachedMid || ${base}Tail != $cachedTail || $ids == null) {
+         |      ${base}Mid != $cachedMid || ${base}Tail != $cachedTail || $ids == null ||
+         |      (${base}Size >= 0 && !graft.functions.MicroRegion.sameWords(
+         |        $base, $off, ${base}Size, $cachedWords))) {
          |    $ids = new int[$k];
          |    $vecs = new double[$k][];
          |    for (int $j = 0; $j < $k; $j++) {
@@ -220,6 +229,8 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
          |    $cachedHead = ${base}Head;
          |    $cachedMid = ${base}Mid;
          |    $cachedTail = ${base}Tail;
+         |    $cachedWords = (${base}Size >= 0)
+         |      ? graft.functions.MicroRegion.snapshot($base, $off, ${base}Size) : null;
          |  }
          |  int $n = $a.numElements();
          |  if ($exBuf == null || $exBuf.length < $n) $exBuf = new double[$n];
