@@ -115,11 +115,19 @@ object Bench {
     }
     val results = timeQueries(spark, sfDir, selected, iters)
     val full = renderJson(results, iters, sfDir)
-    // full map: printed first (for logs) and persisted for BASELINE.md
+    // full map: printed first (for logs) and persisted for BASELINE.md.
+    // SPARK_GRAFT_BENCH_TAG (e.g. "r7_close") additionally writes a
+    // round-stamped bench_full_<tag>.json so per-close full maps survive
+    // in git instead of each run overwriting the last (round-6 verdict).
     println(full)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => } // cwd may be read-only under the driver
+    val outs = "bench_full.json" +:
+      sys.env.get("SPARK_GRAFT_BENCH_TAG").filter(_.matches("[A-Za-z0-9._-]+"))
+        .map(t => s"bench_full_$t.json").toSeq
+    outs.foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => } // cwd may be read-only under the driver
+    }
     // LAST line = the compact contract line that fits the driver's
     // 2000-char tail window (see renderCompactJson)
     println(renderCompactJson(results, iters, sfDir))

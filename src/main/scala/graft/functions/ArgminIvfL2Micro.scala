@@ -333,3 +333,152 @@ object ArgminPairL2Micro {
       "argmin_pair_l2_micro",
       exprs => ArgminPairL2Micro(exprs(0), exprs(1), exprs(2)), "built-in")
 }
+
+/** TOP-N candidates by (micro-L2 dist, cand) in one scan —
+  * `argmin_topn_l2_micro(emb, cands, n) → array<int>` (best-first, up to
+  * n entries; empty candidates → null). Generalizes [[ArgminTop2L2Micro]]
+  * for the `spark.graft.ivf.nprobe` operating knob: the probe stage
+  * explodes the returned cells and unions their members downstream. The
+  * early-exit bound is the CURRENT n-th best once the heap is full —
+  * same monotone-partial-sum argument as top-2. n is a foldable literal
+  * (the knob), small by construction; a simple insertion array beats a
+  * heap at these sizes. See [[MicroArgmin]] for arithmetic/caching. */
+case class ArgminTopNL2Micro(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  import MicroArgmin._
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), r, IntegerType) if isCandType(r) =>
+        if (third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("argmin_topn_l2_micro: n must be foldable")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"argmin_topn_l2_micro expects (array<float>, ${candType.sql}, int), " +
+          s"got (${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    }
+
+  @transient private lazy val cache = new CandDecodeCache
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val cands = b.asInstanceOf[ArrayData]
+    val k = cands.numElements()
+    val n = c.asInstanceOf[Int]
+    if (k == 0 || n <= 0) return null
+    val (ids, vecs) = cache.get(cands)
+    val ex = microRound(a.asInstanceOf[ArrayData])
+    val dims = ex.length
+    val cap = math.min(n, k)
+    val topD = new Array[Double](cap)
+    val topC = new Array[Int](cap)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val cand = ids(j)
+      val cv = vecs(j)
+      val nn = math.min(dims, cv.length)
+      val bound = if (filled < cap) Double.PositiveInfinity else topD(cap - 1)
+      var acc = 0.0
+      var i = 0
+      while (i < nn && acc <= bound) {
+        val d = ex(i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (i == nn) {
+        // insertion position under (dist, cand); skip if it falls off
+        var p = filled
+        while (p > 0 && (topD(p - 1) > acc || (topD(p - 1) == acc && topC(p - 1) > cand))) p -= 1
+        if (p < cap) {
+          val last = math.min(filled, cap - 1)
+          var q = last
+          while (q > p) { topD(q) = topD(q - 1); topC(q) = topC(q - 1); q -= 1 }
+          topD(p) = acc; topC(p) = cand
+          if (filled < cap) filled += 1
+        }
+      }
+      j += 1
+    }
+    if (filled == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, filled))
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ArgminTopNL2Micro =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "argmin_topn_l2_micro"
+}
+
+object ArgminTopNL2Micro {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_topn_l2_micro",
+      exprs => ArgminTopNL2Micro(exprs(0), exprs(1), exprs(2)), "built-in")
+}
+
+/** Argmin WITH its distance —
+  * `argmin_struct_l2_micro(emb, cands) → struct<dist:double, cand:int>`
+  * (null on empty candidates). The general-nprobe probe path computes a
+  * per-(vector, probed-cell) best and reduces across cells with
+  * `min(struct(dist, cand))` — that aggregate needs the distance, which
+  * [[ArgminL2Micro]] discards. Arithmetic identical to the family (see
+  * [[MicroArgmin]]). */
+case class ArgminStructL2Micro(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import MicroArgmin._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("cand", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), r) if isCandType(r) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"argmin_struct_l2_micro expects (array<float>, ${candType.sql}), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  @transient private lazy val cache = new CandDecodeCache
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cands = b.asInstanceOf[ArrayData]
+    val k = cands.numElements()
+    if (k == 0) return null
+    val (ids, vecs) = cache.get(cands)
+    val ex = microRound(a.asInstanceOf[ArrayData])
+    val n = ex.length
+    var bd = Double.PositiveInfinity; var bc = Int.MaxValue; var found = false
+    var j = 0
+    while (j < k) {
+      val c = ids(j)
+      val cv = vecs(j)
+      val nn = math.min(n, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < nn && acc <= bd) {
+        val d = ex(i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (i == nn && (acc < bd || (acc == bd && c < bc))) {
+        bd = acc; bc = c; found = true
+      }
+      j += 1
+    }
+    if (found) InternalRow(bd, bc) else null
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminStructL2Micro =
+    copy(left = l, right = r)
+  override def prettyName: String = "argmin_struct_l2_micro"
+}
+
+object ArgminStructL2Micro {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_struct_l2_micro", exprs => ArgminStructL2Micro(exprs(0), exprs(1)), "built-in")
+}

@@ -128,12 +128,16 @@ object Llm extends QueryModule {
   /** The intersection-counting prefix (postings → df cap → per-doc
     * counts → pair intersections) shared by the Jaccard CTEs below and
     * q158's containment query. */
-  private def sqlInterCtesFrom(src: String): String =
+  /** As [[sqlInterCtesFrom]] but over an arbitrary (doc_id, lang, w)
+    * words-relation — lets the SAME intersection CTEs run at chunk
+    * granularity (q208), where the "documents" are chunk windows with a
+    * composite id. */
+  private def sqlInterCtesFromWords(srcWords: String): String =
     s"""sh0 AS (
        |  SELECT DISTINCT doc_id, lang, s FROM (
        |    SELECT doc_id, lang, unnest(sq) AS s FROM (
        |      SELECT doc_id, lang, $sqlShingles3 AS sq
-       |      FROM (SELECT doc_id, lang, $sqlWords AS w FROM $src)
+       |      FROM $srcWords
        |      WHERE len(w) >= 3))),
        |hot AS (SELECT lang, s FROM sh0 GROUP BY lang, s HAVING COUNT(*) > $shingleDfCap),
        |sh AS (SELECT * FROM sh0 WHERE NOT EXISTS (
@@ -144,15 +148,21 @@ object Llm extends QueryModule {
        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
-  private def sqlPairCtesFrom(src: String): String =
-    s"""${sqlInterCtesFrom(src)},
+  private def sqlInterCtesFrom(src: String): String =
+    sqlInterCtesFromWords(s"(SELECT doc_id, lang, $sqlWords AS w FROM $src)")
+
+  private def sqlPairCtesFromWords(srcWords: String, tau: String): String =
+    s"""${sqlInterCtesFromWords(srcWords)},
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |    ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
        |  FROM inter
        |  JOIN cnt ca ON doc_a = ca.doc_id
        |  JOIN cnt cb ON doc_b = cb.doc_id
-       |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.03)""".stripMargin
+       |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $tau)""".stripMargin
+
+  private def sqlPairCtesFrom(src: String): String =
+    sqlPairCtesFromWords(s"(SELECT doc_id, lang, $sqlWords AS w FROM $src)", "0.03")
 
   private def sqlPairCtes: String = sqlPairCtesFrom("documents")
 
@@ -172,7 +182,12 @@ object Llm extends QueryModule {
     * (doc_a, doc_b, i, ca, cb). The shared prefix of Jaccard (q47/q78/
     * q120) and containment (q158) — one posting-list shuffle, in-place
     * pair generation, never a self-join. */
-  private def intersectionsOf(docs: DataFrame): DataFrame = {
+  private def intersectionsOf(docs: DataFrame): DataFrame =
+    intersectionsOfWords(docs.select(col("doc_id"), col("lang"), words.as("wds")))
+
+  /** As [[intersectionsOf]] but over a pre-split (doc_id, lang, wds)
+    * relation — the chunk-granularity entry point (q208). */
+  private def intersectionsOfWords(rel: DataFrame): DataFrame = {
     // array_distinct already dedupes within a doc and docs are unique, so
     // (doc_id, s) is distinct by construction — no extra shuffle needed.
     // Shingles travel as xxhash64 of the word-array slice, not as the
@@ -182,8 +197,7 @@ object Llm extends QueryModule {
     // shuffle payload drops to 8 bytes/shingle, and no shingle string is
     // ever materialized. The DuckDB oracle keeps literal string shingles
     // — matching output is exactly the collision-freeness check.
-    val sh0 = docs
-      .select(col("doc_id"), col("lang"), words.as("wds"))
+    val sh0 = rel
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("s"))
@@ -207,10 +221,13 @@ object Llm extends QueryModule {
         col("ca.c").as("ca"), col("cb.c").as("cb"))
   }
 
-  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  private def jaccardPairsOf(docs: DataFrame): DataFrame =
+    jaccardPairsOfWords(docs.select(col("doc_id"), col("lang"), words.as("wds")), 0.03)
+
+  private def jaccardPairsOfWords(rel: DataFrame, tau: Double): DataFrame = {
     val jac = col("i").cast("double") / (col("ca") + col("cb") - col("i"))
-    intersectionsOf(docs)
-      .filter(jac >= 0.03)
+    intersectionsOfWords(rel)
+      .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
@@ -1286,6 +1303,53 @@ object Llm extends QueryModule {
     }
   }
 
+  /** CHUNK-LEVEL NEAR-DUP — the companion q205 (exact chunk dedup)
+    * cannot be: a one-word edit defeats byte-identity, so RAG-prep
+    * stacks also run near-dup AT CHUNK GRANULARITY. This is q47's exact
+    * machinery — word 3-shingles, df-capped posting lists, in-array
+    * i<j pair generation, one 8-byte-hash shuffle — applied to q205's
+    * chunk windows (C=40 words, stride S=30): each chunk becomes a
+    * "document" with composite id doc_id·10⁶ + chunk_id (chunk counts
+    * are ≤ len/S, far below 10⁶; ids stay well inside BIGINT at any
+    * plausible corpus). Pairs at Jaccard ≥ 0.5 — high enough that the
+    * C−S = 10-word overlap of ADJACENT same-doc chunks (~0.12) never
+    * fires; exact duplicates surface at 1.0.
+    * Scale shape: inherits q47's measured profile (the ×1000 decade's
+    * exponent ≈ 1.0 family) with ~len/S× more rows but S× smaller
+    * shingle sets per row — same posting-list bound, no new shuffle
+    * kind. */
+  val chunkNearDup: Q = {
+    val C = 40
+    val S = 30
+    val tau = "0.5"
+    val chunkWordsSql =
+      s"""(SELECT doc_id * 1000000 + chunk_id AS doc_id, lang,
+         |        w[chunk_id * $S + 1 : least(chunk_id * $S + $C, len(w))] AS w
+         |       FROM (SELECT doc_id, lang, unnest(range(((len(w) - 1) // $S) + 1)) AS chunk_id, w
+         |             FROM ws WHERE len(w) >= 1))""".stripMargin
+    Q(
+      s"""WITH ws AS (SELECT doc_id, lang, $sqlWords AS w FROM documents
+         |            WHERE text IS NOT NULL),
+         |${sqlPairCtesFromWords(chunkWordsSql, tau)}
+         |SELECT CAST(doc_a // 1000000 AS BIGINT) AS a_doc, CAST(doc_a % 1000000 AS BIGINT) AS a_chunk,
+         |  CAST(doc_b // 1000000 AS BIGINT) AS b_doc, CAST(doc_b % 1000000 AS BIGINT) AS b_chunk, jaccard
+         |FROM pairs ORDER BY a_doc, a_chunk, b_doc, b_chunk""".stripMargin) { (s, d) =>
+      val ch = documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), words.as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("lang"), col("w"),
+          explode(expr(s"sequence(0L, cast((size(w) - 1) div $S as long))")).as("chunk_id"))
+        .select((col("doc_id") * 1000000L + col("chunk_id")).as("doc_id"), col("lang"),
+          expr(s"slice(w, cast(chunk_id * $S + 1 as int), $C)").as("wds"))
+      jaccardPairsOfWords(ch, tau.toDouble)
+        .selectExpr("cast(doc_a div 1000000 as bigint) as a_doc",
+          "cast(doc_a % 1000000 as bigint) as a_chunk",
+          "cast(doc_b div 1000000 as bigint) as b_doc",
+          "cast(doc_b % 1000000 as bigint) as b_chunk", "jaccard")
+        .orderBy("a_doc", "a_chunk", "b_doc", "b_chunk")
+    }
+  }
+
   /** REPEATED-PASSAGE MINING — substring-level duplication signal, the
     * step between document-level dedup (L1) and near-dup (L2): find
     * 13-word spans that occur in ≥2 DISTINCT documents (boilerplate,
@@ -1904,13 +1968,18 @@ object Llm extends QueryModule {
     * (multi-probe, rnv <= 2), (3) the final argmin runs over the probed
     * cells' members only. Every argmin tie-breaks (dist ASC, label
     * ASC), mirroring the fused expressions. */
-  private val sqlIvfTail =
+  private val sqlIvfCoarseDefault =
     """ck AS (SELECT COUNT(*) AS k FROM cent),
       |cr AS (SELECT label, cvec, ROW_NUMBER() OVER (ORDER BY label) AS rnr FROM cent),
       |coarse AS (
       |  SELECT label AS clabel, cvec AS cwec FROM cr, ck
-      |  WHERE (rnr - 1) % CAST(CEIL(SQRT(k)) AS BIGINT) = 0),
-      |cellasg AS (
+      |  WHERE (rnr - 1) % CAST(CEIL(SQRT(k)) AS BIGINT) = 0)""".stripMargin
+
+  /** Probe-stage CTEs shared by the rank-picked (q201/q202) and
+    * k-means-trained (q206/q207) coarse quantizers — expects a `coarse`
+    * CTE (clabel, cwec) upstream. */
+  private val sqlIvfProbeTail =
+    """cellasg AS (
       |  SELECT label, clabel,
       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist ASC, clabel ASC) AS rnc
       |  FROM (
@@ -1941,6 +2010,53 @@ object Llm extends QueryModule {
       |    JOIN cellof m ON m.cell = w.clabel
       |    JOIN cent c ON c.label = m.label) ti)""".stripMargin
 
+  private val sqlIvfTail = sqlIvfCoarseDefault + ",\n" + sqlIvfProbeTail
+
+  /** K-MEANS-TRAINED coarse quantizer CTEs (q206/q207): quantize the
+    * centroids to integer micros (qc — every subsequent training sum
+    * and squared distance is then integer-valued in double, hence EXACT
+    * and summation-order-independent on both engines), seed c =
+    * ceil(k/ceil(√k)) centers by HASH rank (md5 order — immune to the
+    * label-stride aliasing that blinds the rank-based pick on replica
+    * fixtures), then three unrolled Lloyd iterations: assign each
+    * centroid to its nearest seed ((dist, sid) ties), re-center each
+    * cell on the micro-rounded member mean. Rounding uses the explicit
+    * floor(x+0.5)/ceil(x-0.5) form because means CAN land on exact .5
+    * (SUM/COUNT rationals) where engine ROUND conventions might differ.
+    * Ends in a `coarse` CTE with the probe tail's (clabel, cwec) shape. */
+  private val sqlKmeansCoarse: String = {
+    def lloydIterSql(n: Int): String =
+      s"""a$n AS (
+         |  SELECT sid, qvec,
+         |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist ASC, sid ASC) AS rn
+         |  FROM (
+         |    SELECT q.label, s.sid, q.qvec,
+         |      list_sum(list_transform(range(64), i ->
+         |        (q.qvec[i+1] - s.svec[i+1]) * (q.qvec[i+1] - s.svec[i+1]))) AS dist
+         |    FROM qc q CROSS JOIN s${n - 1} s) t$n),
+         |s$n AS (
+         |  SELECT sid, list(m ORDER BY i) AS svec FROM (
+         |    SELECT a.sid, t.i,
+         |      CAST(CASE WHEN SUM(a.qvec[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.qvec[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.qvec[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT sid, qvec FROM a$n WHERE rn = 1) a, range(64) t(i)
+         |    GROUP BY a.sid, t.i) g$n
+         |  GROUP BY sid)""".stripMargin
+    """qc AS (
+      |  SELECT label, list_transform(cvec, x ->
+      |    CAST(CASE WHEN x >= 0 THEN FLOOR(x + 0.5) ELSE CEIL(x - 0.5) END AS DOUBLE)) AS qvec
+      |  FROM cent),
+      |ck AS (SELECT COUNT(*) AS k FROM qc),
+      |sr AS (SELECT label, qvec,
+      |  ROW_NUMBER() OVER (ORDER BY md5(CAST(label AS VARCHAR)), label) AS rnr FROM qc),
+      |s0 AS (
+      |  SELECT label AS sid, qvec AS svec FROM sr, ck
+      |  WHERE (rnr - 1) % CAST(CEIL(SQRT(k)) AS BIGINT) = 0),""".stripMargin + "\n" +
+      lloydIterSql(1) + ",\n" + lloydIterSql(2) + ",\n" + lloydIterSql(3) + ",\n" +
+      "coarse AS (SELECT sid AS clabel, svec AS cwec FROM s3)"
+  }
+
   /** IVF-PRUNED nearest-centroid assignment (vec_id, true_label,
     * assigned) — the documented "next rung" above the brute-force
     * argmin (BASELINE.md ×1000 addendum). The brute scan folds all k
@@ -1959,7 +2075,6 @@ object Llm extends QueryModule {
     * 23.3 s vs brute 140.5 s (6×); perfect-recall setting 61.2 s
     * (2.3× with bit-exact parity to the brute assignment). */
   private def ivfAssignments(s: SparkSession, d: String): DataFrame = {
-    graft.functions.ArgminL2Micro.register(s)
     val cent = centroidsDf(s, d)
     val centK = cent.agg(count(lit(1)).as("k"))
     // single-partition window over k centroid rows — bounded by k, the
@@ -1975,7 +2090,8 @@ object Llm extends QueryModule {
     // √k=100 cells → 12.5% recall (q202 catches exactly this); stepping
     // to the cluster granularity (step=10 → one coarse per replica)
     // restores it. The certificate is the gate that tells an operator
-    // when to densify.
+    // when to densify — and the k-means-trained quantizer (q206) is the
+    // variant that needs no such hand-tuning.
     val step: Column = s.conf.getOption("spark.graft.ivf.step")
       .orElse(sys.env.get("SPARK_GRAFT_IVF_STEP")) // self-bench entry point
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 1)
@@ -1984,6 +2100,78 @@ object Llm extends QueryModule {
     val coarse = ranked
       .filter((col("rnr") - 1) % step === 0)
       .select(col("label").cast("int").as("clabel"), col("cvec").as("cwec"))
+    ivfProbe(s, d, cent, coarse)
+  }
+
+  /** K-MEANS-TRAINED coarse centers (clabel, cwec) — Spark face of
+    * [[sqlKmeansCoarse]]. The rank-based pick is data-independent and
+    * therefore geometry-blind (12.5% recall on the ×1000 decorrelated
+    * fixture, certified by q202); this trains the same number of coarse
+    * centers (c = ceil(k/ceil(√k))) with three deterministic Lloyd
+    * iterations over the CENTROIDS (k rows — all training happens on a
+    * k-row relation, never on the n-row vector table):
+    *  - quantize centroids to integer micros, so every training sum and
+    *    squared distance is integer-valued in double → EXACT, with no
+    *    summation-order dependence on either engine;
+    *  - seed by md5-hash rank, immune to the label-stride aliasing that
+    *    traps any fixed-stride pick on replicated fixtures;
+    *  - each iteration: nearest-seed assignment ((dist, sid) ties) and
+    *    micro-rounded member-mean re-centering (explicit ±0.5 floor/ceil
+    *    rounding — means CAN land on exact .5 where ROUND conventions
+    *    could diverge).
+    * Scale shape: every stage is k- or c-row bounded (the assignment
+    * fan-out is k×c ≈ k^1.5 rows, 1M at the ×1000 fixture's k=10k);
+    * iteration count is FIXED (3), so the oracle unrolls it as CTEs and
+    * the whole quantizer stays a graded row. */
+  private def trainedCoarseDf(s: SparkSession, cent: DataFrame): DataFrame = {
+    val microRound: Column => Column = v =>
+      when(v >= 0, floor(v + 0.5d)).otherwise(ceil(v - 0.5d)).cast("double")
+    val qc = cent.select(col("label"),
+      expr("transform(cvec, x -> cast(case when x >= 0D then floor(x + 0.5D) " +
+        "else ceil(x - 0.5D) end as double))").as("qvec"))
+    val k = qc.agg(count(lit(1)).as("k"))
+    // single-partition window over k rows — bounded, as in the rank pick
+    val seeds0 = qc
+      .withColumn("rnr", row_number().over(
+        Window.orderBy(md5(col("label").cast("string")), col("label"))))
+      .crossJoin(broadcast(k))
+      .filter((col("rnr") - 1) % ceil(sqrt(col("k"))).cast("long") === 0)
+      .select(col("label").as("sid"), col("qvec").as("svec"))
+    def lloydIter(seeds: DataFrame): DataFrame = {
+      val asg = qc.crossJoin(broadcast(seeds))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(qvec, svec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+        // (dist, sid) is unique per label group (sid distinct), so the
+        // trailing qvec never participates in the min order — it just
+        // rides along to avoid a re-join
+        .groupBy(col("label"))
+        .agg(min(struct(col("dist"), col("sid"), col("qvec"))).as("m"))
+        .select(col("m.sid").as("sid"), col("m.qvec").as("qvec"))
+      asg.select(col("sid"), posexplode(col("qvec")).as(Seq("i", "q")))
+        .groupBy("sid", "i")
+        .agg(microRound(sum("q") / count(lit(1))).as("m"))
+        .groupBy("sid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("svec"))
+    }
+    val s3 = lloydIter(lloydIter(lloydIter(seeds0)))
+    s3.select(col("sid").cast("int").as("clabel"), col("svec").as("cwec"))
+  }
+
+  private def trainedIvfAssignments(s: SparkSession, d: String): DataFrame = {
+    val cent = centroidsDf(s, d)
+    ivfProbe(s, d, cent, trainedCoarseDf(s, cent))
+  }
+
+  /** Probe stage shared by the rank-picked (q201/q202) and trained
+    * (q206/q207) quantizers: assign each centroid to its nearest coarse
+    * cell, then each vector probes its nprobe nearest coarse cells and
+    * argmins over their members — Spark face of [[sqlIvfProbeTail]].
+    * `spark.graft.ivf.nprobe` (default 2, the graded/oracle setting)
+    * widens or narrows the probe; non-default values take the general
+    * explode-and-reduce shape (see below) and are spec-gated (IvfSpec),
+    * not oracle-gated — the Verify harness refuses live knobs. */
+  private def ivfProbe(s: SparkSession, d: String, cent: DataFrame, coarse: DataFrame): DataFrame = {
+    graft.functions.ArgminL2Micro.register(s)
     // centroid → its coarse cell: k×√k fan-out (bounded), double
     // arithmetic mirrored by the oracle's list_sum/list_transform;
     // struct-min = (dist ASC, clabel ASC) argmin
@@ -2013,6 +2201,31 @@ object Llm extends QueryModule {
     // allocation-bound, not compute-bound.
     graft.functions.ArgminTop2L2Micro.register(s)
     graft.functions.ArgminPairL2Micro.register(s)
+    val nprobe: Int = s.conf.getOption("spark.graft.ivf.nprobe")
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_NPROBE")) // self-bench entry point
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
+      .getOrElse(2)
+    if (nprobe != 2) {
+      // GENERAL nprobe shape: one fused top-N coarse scan → explode the
+      // ≤nprobe probed cells → broadcast-join each cell's members → one
+      // fused per-(vector, cell) argmin WITH distance → reduce across
+      // cells with min(struct(dist, cand)). Costs one n·nprobe-row
+      // aggregate the nprobe=2 pair shape avoids — the knob path trades
+      // that shuffle for probe width.
+      graft.functions.ArgminTopNL2Micro.register(s)
+      graft.functions.ArgminStructL2Micro.register(s)
+      return embeddings(s, d)
+        .crossJoin(broadcast(coarseArr))
+        .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
+          explode(expr(s"argmin_topn_l2_micro(embedding, coarse_cands, $nprobe)")).as("cell"))
+        .join(broadcast(cellMembers), Seq("cell"))
+        .select(col("vec_id"), col("true_label"),
+          expr("argmin_struct_l2_micro(embedding, cands)").as("bs"))
+        .filter(col("bs").isNotNull)
+        .groupBy(col("vec_id"), col("true_label"))
+        .agg(min(struct(col("bs.dist"), col("bs.cand"))).as("m"))
+        .select(col("vec_id"), col("true_label"), col("m.cand").as("assigned"))
+    }
     val m1 = cellMembers.select(col("cell").as("cell1"), col("cands").as("cands1"))
     val m2 = cellMembers.select(col("cell").as("cell2"), col("cands").as("cands2"))
     embeddings(s, d)
@@ -2057,20 +2270,23 @@ object Llm extends QueryModule {
     *    rate of the quantizer.
     * Both assignments are deterministic, so the certificate itself is a
     * full oracle row. */
-  val ivfRecall: Q = Q(
-    s"""WITH $sqlAssignCtes,
-       |$sqlIvfTail
-       |SELECT COUNT(*) AS n_vecs,
-       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
-       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
-       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
-       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
-       |JOIN (SELECT vec_id, cand, dist FROM ivfasg WHERE rni = 1) i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+  /** The certificate's oracle SELECT (shared by q202 and q207). */
+  private val sqlRecallSelect =
+    """SELECT COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+      |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+      |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+      |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+      |JOIN (SELECT vec_id, cand, dist FROM ivfasg WHERE rni = 1) i ON b.vec_id = i.vec_id""".stripMargin
+
+  /** Spark side of the certificate: agreement of `ivf` (vec_id,
+    * assigned) with the exact assignment, by label and by distance. */
+  private def recallCertificate(s: SparkSession, d: String, ivfDf: DataFrame): DataFrame = {
     graft.functions.L2Micro.register(s)
     val cent = centroidsDf(s, d)
     val exact = centroidAssignments(s, d).select(col("vec_id"), col("assigned").as("e_cand"))
-    val ivf = ivfAssignments(s, d).select(col("vec_id"), col("assigned").as("i_cand"))
+    val ivf = ivfDf.select(col("vec_id"), col("assigned").as("i_cand"))
     // distances recomputed through the SAME fused arithmetic the oracle
     // uses (L2Micro ≡ the CTEs' list_sum formulation, parity pinned) —
     // two broadcast joins against the k-row centroid relation
@@ -2090,6 +2306,44 @@ object Llm extends QueryModule {
         sum(when(col("d_e") === col("d_i"), 1L).otherwise(0L)).as("n_geo_agree"),
         (sum(when(col("d_e") === col("d_i"), 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("geo_recall"))
+  }
+
+  val ivfRecall: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |$sqlIvfTail
+       |$sqlRecallSelect""".stripMargin) { (s, d) =>
+    recallCertificate(s, d, ivfAssignments(s, d))
+  }
+
+  /** TRAINED-QUANTIZER IVF assignment — q201 with the k-means coarse
+    * pick of [[trainedCoarseDf]] instead of the geometry-blind rank
+    * stride. Same probe stage, same determinism, same oracle shape;
+    * the training cost is three k×c-row bounded stages amortized over
+    * the n-row assignment scan. The point (round-6 verdict #1): default
+    * recall that survives decorrelated corpora WITHOUT hand-tuning
+    * `spark.graft.ivf.step` — certified by q207. */
+  val ivfKmeansAssign: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlKmeansCoarse,
+       |$sqlIvfProbeTail
+       |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+       |FROM ivfasg WHERE rni = 1
+       |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    trainedIvfAssignments(s, d)
+      .groupBy(col("true_label").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** Recall certificate for the trained quantizer (q206), mirroring
+    * q202 — label recall AND tie-robust distance recall vs the exact
+    * assignment, itself a full oracle row. */
+  val ivfKmeansRecall: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |$sqlKmeansCoarse,
+       |$sqlIvfProbeTail
+       |$sqlRecallSelect""".stripMargin) { (s, d) =>
+    recallCertificate(s, d, trainedIvfAssignments(s, d))
   }
 
   /** Text normalization — the cleaning pass upstream of every dedup /
@@ -2311,7 +2565,10 @@ object Llm extends QueryModule {
     "q183_link_prediction"-> linkPrediction,
     "q201_ivf_assign"     -> ivfAssign,
     "q202_ivf_recall"     -> ivfRecall,
-    "q205_chunk_dedup"    -> chunkDedup
+    "q206_ivf_kmeans_assign" -> ivfKmeansAssign,
+    "q207_ivf_kmeans_recall" -> ivfKmeansRecall,
+    "q205_chunk_dedup"    -> chunkDedup,
+    "q208_chunk_near_dup" -> chunkNearDup
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:

@@ -32,4 +32,30 @@ class IvfSpec extends AnyFunSuite with Matchers {
     // conf did not leak from the previous test (GraftConf.scoped)
     spark.conf.getOption("spark.graft.ivf.step") shouldBe None
   }
+
+  private def kmeansRecallRow(confs: (String, String)*) = GraftConf.scoped(spark) {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    SparkEntry.queries("q207_ivf_kmeans_recall")(spark, sf).head()
+  }
+
+  test("trained (k-means) coarse quantizer beats the rank pick at defaults — no knob needed") {
+    val trained = kmeansRecallRow()
+    val rank = recallRow(None)
+    trained.getAs[Double]("recall") should be > rank.getAs[Double]("recall")
+    trained.getAs[Double]("recall") should be > 0.9
+  }
+
+  test("nprobe knob: probing ALL coarse cells makes either quantizer exact; nprobe=1 narrows") {
+    // #cells = ceil(k/ceil(sqrt(k))) ≤ k; nprobe ≥ #cells ⇒ the probed
+    // union is every member list ⇒ argmin over all k centroids ⇒ exact
+    // by construction (same fused arithmetic as the brute path)
+    val allCells = kmeansRecallRow("spark.graft.ivf.nprobe" -> "1000")
+    allCells.getAs[Double]("recall") shouldBe 1.0
+    allCells.getAs[Double]("geo_recall") shouldBe 1.0
+    val one = kmeansRecallRow("spark.graft.ivf.nprobe" -> "1")
+    val two = kmeansRecallRow()
+    one.getAs[Double]("recall") should be <= two.getAs[Double]("recall")
+    // conf scoped away (GraftConf.scoped)
+    spark.conf.getOption("spark.graft.ivf.nprobe") shouldBe None
+  }
 }
