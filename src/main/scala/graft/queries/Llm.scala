@@ -2076,6 +2076,13 @@ object Llm extends QueryModule {
     * (2.3× with bit-exact parity to the brute assignment). */
   private def ivfAssignments(s: SparkSession, d: String): DataFrame = {
     val cent = centroidsDf(s, d)
+    ivfProbe(s, d, cent, defaultCoarseDf(s, cent))
+  }
+
+  /** The rank-based default coarse pick (clabel, cwec) used by q201/
+    * q202/q209 — every ceil(√k)-th centroid by label rank, with the
+    * `spark.graft.ivf.step` density knob. */
+  private def defaultCoarseDf(s: SparkSession, cent: DataFrame): DataFrame = {
     val centK = cent.agg(count(lit(1)).as("k"))
     // single-partition window over k centroid rows — bounded by k, the
     // same relation the exact path broadcasts whole
@@ -2097,10 +2104,9 @@ object Llm extends QueryModule {
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 1)
       .map(lit(_).cast("long"))
       .getOrElse(ceil(sqrt(col("k"))).cast("long"))
-    val coarse = ranked
+    ranked
       .filter((col("rnr") - 1) % step === 0)
       .select(col("label").cast("int").as("clabel"), col("cvec").as("cwec"))
-    ivfProbe(s, d, cent, coarse)
   }
 
   /** K-MEANS-TRAINED coarse centers (clabel, cwec) — Spark face of
@@ -2170,17 +2176,21 @@ object Llm extends QueryModule {
     * widens or narrows the probe; non-default values take the general
     * explode-and-reduce shape (see below) and are spec-gated (IvfSpec),
     * not oracle-gated — the Verify harness refuses live knobs. */
-  private def ivfProbe(s: SparkSession, d: String, cent: DataFrame, coarse: DataFrame): DataFrame = {
-    graft.functions.ArgminL2Micro.register(s)
-    // centroid → its coarse cell: k×√k fan-out (bounded), double
-    // arithmetic mirrored by the oracle's list_sum/list_transform;
-    // struct-min = (dist ASC, clabel ASC) argmin
-    val cellOf = cent.crossJoin(broadcast(coarse))
+  /** centroid → its coarse cell: k×√k fan-out (bounded), double
+    * arithmetic mirrored by the oracle's list_sum/list_transform;
+    * struct-min = (dist ASC, clabel ASC) argmin. Shared by the inline
+    * probe and the persisted index (q209). */
+  private def cellOfDf(cent: DataFrame, coarse: DataFrame): DataFrame =
+    cent.crossJoin(broadcast(coarse))
       .withColumn("dist", expr(
         "aggregate(zip_with(cvec, cwec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
       .groupBy(col("label"))
       .agg(min(struct(col("dist"), col("clabel"))).as("m"))
       .select(col("label"), col("m.clabel").as("cell"))
+
+  private def ivfProbe(s: SparkSession, d: String, cent: DataFrame, coarse: DataFrame): DataFrame = {
+    graft.functions.ArgminL2Micro.register(s)
+    val cellOf = cellOfDf(cent, coarse)
     val cellMembers = cent.join(cellOf, "label")
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("label").cast("int").as("cand"), col("cvec"))).as("cands"))
@@ -2344,6 +2354,67 @@ object Llm extends QueryModule {
        |$sqlIvfProbeTail
        |$sqlRecallSelect""".stripMargin) { (s, d) =>
     recallCertificate(s, d, trainedIvfAssignments(s, d))
+  }
+
+  /** once-per-JVM staging for the persisted IVF index (q209) — same
+    * discipline as Sources: Bench's warm-up builds stage the export so
+    * timed runs measure the probe, Verify stages fresh per JVM. */
+  private val ivfIndexStaged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** PERSISTED IVF index — the publish-once form of q201 (the S12/q131
+    * pattern applied to the IVF cell assignment): centroids are written
+    * ONCE partitioned by their coarse CELL (hive layout, sorted by label
+    * within), and a probe batch reads back only the cell directories it
+    * probes. Because `cell` is the PARTITION column and the probe side
+    * arrives through a broadcast join, Spark injects dynamic partition
+    * pruning into the index scan (PlanSpec pins the
+    * `dynamicpruningexpression` on `cell`) — at 100 TB a probe touches
+    * ~2/√k of the index directories, never the rest, and the index
+    * amortizes across probe batches instead of being recomputed per
+    * query. The probe itself: one fused top-2 coarse scan per vector
+    * (same as q201), explode to ≤2 probed cells, join the pruned index,
+    * per-row `l2_micro` distance, then a (dist, cand)-struct min — the
+    * same arithmetic and tie order as q201's fused path, so the oracle
+    * is q201's own CTEs restricted to the probe batch: the persisted
+    * path must serve byte-identical assignments. */
+  val ivfIndex: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlIvfTail
+       |SELECT vec_id, true_label, cand AS assigned
+       |FROM ivfasg WHERE rni = 1 AND vec_id < 200
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    graft.functions.ArgminTop2L2Micro.register(s)
+    val cent = centroidsDf(s, d)
+    val coarse = defaultCoarseDf(s, cent)
+    val sf = d.replaceAll("[^a-z0-9.]", "_")
+    val dir = s"/tmp/graft_llm/$sf/ivf_index"
+    if (ivfIndexStaged.add(dir)) {
+      cent.join(cellOfDf(cent, coarse), "label")
+        .select(col("label").cast("int").as("label"), col("cvec"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions("label")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    val idx = s.read.parquet(dir)
+    val coarseArr = coarse.agg(
+      collect_list(struct(col("clabel").as("cand"), col("cwec").as("cvec"))).as("coarse_cands"))
+    val probes = embeddings(s, d).filter(col("vec_id") < 200)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
+        expr("argmin_top2_l2_micro(embedding, coarse_cands)").as("t2"))
+      // c2 is null when only one coarse cell exists; a memberless probed
+      // cell simply contributes no index rows — both match the oracle's
+      // union-of-members semantics
+      .select(col("vec_id"), col("true_label"), col("embedding"),
+        explode(array_distinct(expr("filter(array(t2.c1, t2.c2), x -> x IS NOT NULL)"))).as("pcell"))
+    idx.join(broadcast(probes), col("cell") === col("pcell"))
+      .select(col("vec_id"), col("true_label"),
+        struct(expr("l2_micro(embedding, cvec)").as("dist"),
+          col("label").as("cand")).as("dc"))
+      .groupBy("vec_id", "true_label")
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("true_label"), col("m.cand").as("assigned"))
+      .orderBy("vec_id")
   }
 
   /** Text normalization — the cleaning pass upstream of every dedup /
@@ -2568,7 +2639,8 @@ object Llm extends QueryModule {
     "q206_ivf_kmeans_assign" -> ivfKmeansAssign,
     "q207_ivf_kmeans_recall" -> ivfKmeansRecall,
     "q205_chunk_dedup"    -> chunkDedup,
-    "q208_chunk_near_dup" -> chunkNearDup
+    "q208_chunk_near_dup" -> chunkNearDup,
+    "q209_ivf_index"      -> ivfIndex
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:

@@ -168,6 +168,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("argmin_pair_l2_micro")
   }
 
+  test("q209: the persisted IVF index probe is pruned to the probed cells") {
+    // the index is published partitioned by coarse cell; the probe join
+    // must inject a runtime dynamicpruning subquery into the index scan
+    // so a probe batch reads only its ~2/√k cell directories
+    val df = SparkEntry.queries("q209_ivf_index")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    p should include regex "PartitionFilters: \\[.*dynamicpruning.*cell.*\\]"
+    p should not include "SortMergeJoin" // probe side joins by broadcast only
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // warehouse dir is a temp dir configured at session creation (static conf)
     import org.apache.spark.sql.functions.col
