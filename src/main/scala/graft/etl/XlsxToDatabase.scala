@@ -88,7 +88,36 @@ object XlsxToDatabase {
   private[graft] var interruptAfterStage: () => Unit = () => ()
 
   def upsert(df: DataFrame, jdbcUrl: String, table: String, keys: Seq[String],
-             connectionProps: Properties = new Properties()): Unit = {
+             connectionProps: Properties = new Properties()): Unit =
+    try upsertOnce(df, jdbcUrl, table, keys, connectionProps)
+    catch {
+      // Observed under load (flaky, ~1/500 suite runs): Spark's JDBC
+      // staging writer and this merge connection key DIFFERENT duckdb
+      // instances onto one file (instance cache keys on Properties); a
+      // best-effort CHECKPOINT racing the other instance's teardown can
+      // hit an already-removed .wal and FATALLY invalidate its instance
+      // — every later statement fails with "database has been
+      // invalidated". The poisoned instance unloads once its last
+      // connection closes (ours are closed by the time we're here) and
+      // a fresh open recovers the file cleanly, so for this
+      // key-idempotent merge the correct response is retry ONCE against
+      // a fresh instance, not failure.
+      case e: java.sql.SQLException if invalidatedInstance(e) =>
+        upsertOnce(df, jdbcUrl, table, keys, connectionProps)
+    }
+
+  private def invalidatedInstance(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.getMessage != null && c.getMessage.contains("database has been invalidated"))
+        return true
+      c = c.getCause
+    }
+    false
+  }
+
+  private def upsertOnce(df: DataFrame, jdbcUrl: String, table: String, keys: Seq[String],
+             connectionProps: Properties): Unit = {
     DuckDbDialect.registered
     require(keys.nonEmpty, "upsert requires at least one key column")
     val missing = keys.filterNot(df.columns.contains)

@@ -705,6 +705,72 @@ object QueryGen {
        |GROUP BY 1 ORDER BY g1 ASC NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // v5 grammar extensions (round 7): LATERAL + EXISTS composition and
+  // bounded ROWS frames — the two surfaces the round-6 review called out
+  // as under-fuzzed. Same freeze discipline as v2→v4.
+  // ---------------------------------------------------------------------
+
+  /** v5: correlated LATERAL top-k — per PK-side row, the k best fact
+    * rows by a generated expression (the decorrelate-to-WindowGroupLimit
+    * shape q123 pins by hand, here with machine-generated expressions).
+    * The lateral subquery's ORDER BY carries the M15 full tiebreak so
+    * the k-cut is total; the outer ORDER BY covers every output column
+    * so ties exist only between fully identical output rows. */
+  private def shapeLateral(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, fks)
+    val k = 1 + r.nextInt(4)
+    s"""SELECT ${rt.key.map(c => s"R.$c").mkString(", ")}, X.v1, X.v2
+       |FROM ${rt.name} R, LATERAL (
+       |  SELECT ${longE(r, lt, 1, "L0.")} AS v1, ${strE2(r, lt, 1, "L0.")} AS v2
+       |  FROM ${lt.name} L0
+       |  WHERE L0.$lc = R.$rc AND ${predE2(r, lt, 1, "L0.")}
+       |  ORDER BY v1 ASC NULLS LAST, v2 ASC NULLS LAST, ${tie(lt, "L0.")} LIMIT $k
+       |) X
+       |ORDER BY ${rt.key.map(c => s"R.$c ASC NULLS FIRST").mkString(", ")},
+       |  v1 ASC NULLS LAST, v2 ASC NULLS LAST LIMIT 2000""".stripMargin
+  }
+
+  /** v5: bounded ROWS frames (j PRECEDING .. k FOLLOWING) — position-
+    * based frames where duplicate order keys WOULD diverge, so the
+    * window ORDER BY carries the M15 full tiebreak (frame contents are
+    * then engine-independent up to interchangeable identical rows) and
+    * the outer ORDER BY covers every output column (the window2
+    * discipline: a LIMIT cut can only fall between identical rows). */
+  private def shapeBoundedFrame(r: Random): String = {
+    val tb = pick(r, tables)
+    val p = groupKeyE(r, tb)
+    val j = r.nextInt(4); val f = 1 + r.nextInt(4)
+    val win = s"PARTITION BY $p ORDER BY ${longE(r, tb, 1)} ASC NULLS LAST, ${tie(tb)}"
+    val outCols = tb.key ++ Seq("grp", "cw", "sw", "mw")
+    s"""SELECT * FROM (
+       |  SELECT ${tb.key.mkString(", ")}, $p AS grp,
+       |    COUNT(*) OVER ($win ROWS BETWEEN $j PRECEDING AND $f FOLLOWING) AS cw,
+       |    CAST(SUM(${longE(r, tb, 1)}) OVER ($win ROWS BETWEEN $j PRECEDING AND CURRENT ROW) AS BIGINT) AS sw,
+       |    MAX(${strE2(r, tb, 1)}) OVER ($win ROWS BETWEEN CURRENT ROW AND $f FOLLOWING) AS mw
+       |  FROM ${tb.name} WHERE ${predE2(r, tb, 1)}
+       |) bf
+       |ORDER BY ${outCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")} LIMIT 2000""".stripMargin
+  }
+
+  /** v5: EXISTS composed with aggregation — a correlated (NOT) EXISTS
+    * semi-filter under a GROUP BY + HAVING, so the anti/semi join result
+    * feeds an aggregate instead of a bare projection (v2's exists shape
+    * covers the projection form). */
+  private def shapeExistsAgg(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, fks)
+    val neg = if (r.nextBoolean()) "NOT " else ""
+    s"""SELECT ${groupKeyE(r, lt, "L.")} AS g1, COUNT(*) AS cnt,
+       |  CAST(SUM(${longE(r, lt, 1, "L.")}) AS BIGINT) AS s1,
+       |  CAST(SUM(CAST(${dblE(r, lt, 1, "L.")} AS DECIMAL(18,4))) AS DOUBLE) AS s2
+       |FROM ${lt.name} L
+       |WHERE ${neg}EXISTS (SELECT 1 FROM ${rt.name} R WHERE R.$rc = L.$lc AND ${predE2(r, rt, 1, "R.")})
+       |  AND ${predE(r, lt, 1, "L.")}
+       |GROUP BY 1
+       |HAVING COUNT(*) > ${r.nextInt(3)}
+       |ORDER BY g1 ASC NULLS FIRST""".stripMargin
+  }
+
   private val shapesV3: Seq[(String, Random => String)] = shapesV2 ++ Seq(
     "multijoin" -> shapeMultiJoin _,
     "caseagg" -> shapeCaseAgg _,
@@ -716,8 +782,13 @@ object QueryGen {
     "filteragg" -> shapeFilterAgg _,
     "intervalarith" -> shapeIntervalArith _)
 
+  private val shapesV5: Seq[(String, Random => String)] = shapesV4 ++ Seq(
+    "lateral" -> shapeLateral _,
+    "boundedframe" -> shapeBoundedFrame _,
+    "existsagg" -> shapeExistsAgg _)
+
   /** Number of shapes in the current grammar (one full cycle). */
-  def nShapes: Int = shapesV4.size
+  def nShapes: Int = shapesV5.size
 
   /** Standalone predicate generator for metamorphic tests. */
   def predFor(r: Random, tb: Tbl): String = predE2(r, tb, 2)
@@ -743,6 +814,9 @@ object QueryGen {
   /** FROZEN v4 corpus — graded picks from the v4 shapes index into this. */
   def casesV4(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV4, seed, n)
 
+  /** FROZEN v5 corpus — graded picks from the v5 shapes index into this. */
+  def casesV5(seed: Long, n: Int): Seq[FuzzCase] = casesFor(shapesV5, seed, n)
+
   /** Current full grammar (campaign + FuzzSpec default). */
-  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesV4(seed, n)
+  def cases(seed: Long, n: Int): Seq[FuzzCase] = casesV5(seed, n)
 }

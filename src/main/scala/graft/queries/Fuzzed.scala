@@ -53,6 +53,15 @@ object Fuzzed extends QueryModule {
     "q203_fuzz_filteragg"     -> 112,
     "q204_fuzz_intervalarith" -> 189)
 
+  private val corpusV5 = QueryGen.casesV5(42L, 250).toVector
+
+  /** v5 shapes (round 7): correlated LATERAL top-k, bounded ROWS
+    * frames, EXISTS-under-aggregation. */
+  private val picksV5 = Seq(
+    "q210_fuzz_lateral"      -> 19,
+    "q211_fuzz_boundedframe" -> 130,
+    "q212_fuzz_existsagg"    -> 219)
+
   private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
     ps.map { case (key, i) =>
       val sql = cs(i).sql
@@ -63,5 +72,6 @@ object Fuzzed extends QueryModule {
     }
 
   override def queries: Seq[(String, Q)] =
-    rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4)
+    rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4) ++
+      rows(corpusV5, picksV5)
 }
