@@ -29,13 +29,27 @@ import java.nio.file.{Files, Paths}
   * sides (decontamination sets, joins) staying fixed while the corpus
   * grows is exactly the production shape.
   *
-  * Usage: runMain graft.ScaleFixture <srcSfDir> <destDir> [replicas=10]
+  * Usage: runMain graft.ScaleFixture <srcSfDir> <destDir> [replicas=10] [extraTables]
+  *
+  * `extraTables` (comma-separated, subset of `part,lineitem`) also
+  * replicates those relational tables instead of symlinking them, for
+  * the decade rows whose input is NOT the document/embedding corpus:
+  *   - part ×K: p_partkey remapped to a per-replica key space and
+  *     p_brand suffixed per replica, so the (p_brand, p_size) BLOCK
+  *     COUNT grows ×K while block SIZE stays constant — exactly how
+  *     blocked record linkage is scaled in production (the blocking
+  *     key is chosen to bound the quadratic term, q101/q167).
+  *   - lineitem ×K: l_orderkey remapped per replica, measures kept
+  *     verbatim (sufficient-statistic aggregates like q176 see the
+  *     identical distribution at ×K the rows).
   */
 object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dest = args(1)
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val extra = if (args.length > 3) args(3).split(",").map(_.trim).toSet
+                else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,11 +61,53 @@ object ScaleFixture {
 
     Files.createDirectories(Paths.get(dest))
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem", "events").filterNot(extra).foreach { t =>
       val link = Paths.get(dest, s"$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(src, s"$t.parquet").toAbsolutePath)
     }
+    // replicated extras replace any symlink from an earlier docs-only
+    // run — delete the LINK first or the write would chase it into the
+    // read-only source tree
+    extra.foreach { t =>
+      val link = Paths.get(dest, s"$t.parquet")
+      if (Files.isSymbolicLink(link)) Files.delete(link)
+    }
+
+    if (extra("part")) {
+      val part = spark.read.parquet(s"$src/part.parquet")
+      val maxPk = part.agg(max("p_partkey")).head().getLong(0) + 1
+      val reps = spark.range(replicas).select(col("id").cast("int").as("rep"))
+      part.crossJoin(broadcast(reps))
+        .withColumn("p_partkey", col("p_partkey") + col("rep").cast("long") * maxPk)
+        .withColumn("p_brand",
+          when(col("rep") === 0, col("p_brand"))
+            .otherwise(concat(col("p_brand"), lit("#r"), col("rep"))))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dest/part.parquet")
+    }
+
+    if (extra("lineitem")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val maxOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
+      val reps = spark.range(replicas).select(col("id").cast("int").as("rep"))
+      li.crossJoin(broadcast(reps))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep").cast("long") * maxOk)
+        .drop("rep")
+        .repartition(cpus.toInt * 2)
+        .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+    }
+
+    // idempotent upgrade: an existing corpus (real directory, not
+    // symlink) is kept as-is so `extraTables` can be added to a fixture
+    // without regenerating the ×1000 documents/embeddings; delete the
+    // dir to force regeneration
+    val corpusExists = Files.isDirectory(Paths.get(dest, "documents.parquet")) &&
+      !Files.isSymbolicLink(Paths.get(dest, "documents.parquet"))
+    if (corpusExists) {
+      println(s"[scale-fixture] corpus already present in $dest — keeping it")
+    } else {
 
     // embeddings ×K: replica k's vectors are cyclically dimension-shifted
     // by k (norms and ALL intra-replica dot products preserved exactly —
@@ -89,6 +145,7 @@ object ScaleFixture {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    }
 
     val total = spark.read.parquet(s"$dest/documents.parquet").count()
     println(s"[scale-fixture] wrote $total docs (${replicas}x) to $dest")

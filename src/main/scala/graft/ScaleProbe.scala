@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   * its oracle SQL is pinned to defaults). This probe is measurement,
   * not grading: knobs are honored, nothing is compared.
   *
-  * Usage: runMain graft.ScaleProbe <name[,name...]> <sfDir> [maxRows=20] [passes=1]
+  * Usage: runMain graft.ScaleProbe <name[,name...]> <sfDir> [maxRows=20] [passes=1] [k=v,...]
+  *
+  * The optional 5th argument sets session confs (e.g.
+  * `spark.graft.ivf.nprobe=4`) for the duration of the probe — the
+  * in-shell equivalent of the SPARK_GRAFT_* env knobs, which a warm
+  * sbt shell cannot vary per run.
   *
   * With passes > 1 each query is run that many times and the MIN wall
   * time is reported (the BASELINE.md min-of-2 methodology for the
@@ -23,6 +28,11 @@ object ScaleProbe {
     val sfDir = args(1)
     val maxRows = if (args.length > 2) args(2).toInt else 20
     val passes = if (args.length > 3) args(3).toInt else 1
+    val confs = if (args.length > 4)
+      args(4).split(",").map(_.trim).filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toSeq
+    else Seq.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,6 +49,7 @@ object ScaleProbe {
       for (_ <- 1 to passes) {
         val t0 = System.nanoTime()
         rows = GraftConf.scoped(spark) {
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
           val df = q.build(spark, sfDir)
           df.limit(maxRows).collect().map(_.toString)
         }

@@ -49,6 +49,19 @@ object ConnectedComponents {
     * default every one of these joins to sort-merge). */
   private val BroadcastRows = 1000000L
 
+  /** Above this many pointer-map rows the relabel joins fall back to
+    * sort-merge: a shuffled-hash build holds one partition of the map
+    * PER CONCURRENT TASK in execution memory, so its safe ceiling is
+    * (heap × fraction) / concurrency — NOT a constant. Measured at the
+    * ×1000 entity-resolution decade (19.6M-node / 78.7M-directed-edge
+    * fuzzy graph): 32 concurrent ~600k-row builds exhausted the 8g
+    * probe JVM ("not enough memory to build hash map"), while
+    * sort-merge spills and finishes. Between the two bounds
+    * shuffle-hash wins (no sort, bounded build); above, spillability
+    * beats the sort savings — the same policy AQE applies when stats
+    * exist, pinned here because checkpointed RDDs have none. */
+  private val ShuffleHashRows = 8000000L
+
   /** Once the contracted graph has at most this many (directed) edges it
     * is finished in ONE executor task by a plain union-find instead of
     * paying several more scheduler rounds — each distributed round costs
@@ -112,7 +125,9 @@ object ConnectedComponents {
     // BroadcastRows; larger maps shuffle-hash (checkpointed RDDs carry
     // no stats, so Spark would otherwise sort-merge all of these).
     def sized(map: DataFrame, mapRows: Long): DataFrame =
-      if (mapRows <= BroadcastRows) broadcast(map) else map.hint("shuffle_hash")
+      if (mapRows <= BroadcastRows) broadcast(map)
+      else if (mapRows <= ShuffleHashRows) map.hint("shuffle_hash")
+      else map.hint("merge") // spillable — see ShuffleHashRows
 
     // compose labels with a pointer map (src → t), checkpoint the new
     // generation, free the old. Shared by both loop branches so their

@@ -201,10 +201,23 @@ object Llm extends QueryModule {
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("s"))
-    // postings per (lang, shingle); sorted for deterministic a<b pairs
-    val capped = sh0.groupBy("lang", "s")
+    // postings per (lang, shingle); sorted for deterministic a<b pairs.
+    // The df cap is applied BEFORE any posting list materializes: df
+    // rides a window count over the one (lang, s) exchange (WindowExec
+    // buffers per-key groups in a spillable row array — a hot shingle
+    // costs disk, never heap), and only the ≤cap survivors reach
+    // collect_list, so every aggregation buffer is bounded by cap.
+    // Collecting first and filtering after held each hot shingle's FULL
+    // posting list in the aggregation hash map — measured OOM at the
+    // ×1000 chunk decade (50M overlapping chunks), and the same hazard
+    // exists for any 100 TB doc corpus where a boilerplate shingle
+    // spans millions of docs. The window's hash partitioning is
+    // preserved into the groupBy (no second exchange).
+    val capped = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "s")))
+      .filter(col("df") <= shingleDfCap)
+      .groupBy("lang", "s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= shingleDfCap)
     val cnt = capped.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = capped

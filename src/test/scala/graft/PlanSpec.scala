@@ -230,9 +230,14 @@ class PlanSpec extends AnyFunSuite with Matchers {
 
   test("q47: pairs come from capped posting lists — no self-join of the shingle relation") {
     val p = plan("q47_near_dup_jaccard")
-    // the df cap is a size filter on the grouped posting lists...
-    p should include regex "size\\(ds.*\\) <= 100"
-    // ...and the only joins left are the two small count lookups
+    // the df cap rides a window COUNT over the one (lang, shingle)
+    // exchange and filters BEFORE any posting list materializes (the
+    // round-7 ×1000 OOM fix: a hot shingle spills in WindowExec's row
+    // array instead of growing the aggregation hash map)...
+    p should include("Window")
+    p should include regex "df#\\d+L? <= 100"
+    // ...collect_list only ever sees ≤cap survivors, and the only
+    // joins left are the two small count lookups
     p should not include "SortMergeJoin"
     p should not include "ShuffledHashJoin"
   }

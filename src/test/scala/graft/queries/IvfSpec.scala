@@ -58,4 +58,27 @@ class IvfSpec extends AnyFunSuite with Matchers {
     // conf scoped away (GraftConf.scoped)
     spark.conf.getOption("spark.graft.ivf.nprobe") shouldBe None
   }
+
+  test("duplicate-collapsed corpus flips to per-distinct-vector seeding — exact with no knobs") {
+    // 100 labels whose centroid VECTORS collapse to 4 distinct
+    // directions (25 labels each): nd = 4 ≤ 0.75·k, so the trained
+    // coarse pick seeds one cell per DISTINCT quantized vector instead
+    // of √k md5-rank cells, cells align with directions exactly (Lloyd
+    // fixed point), and the 2-cell probe cannot miss — the ×1000
+    // replica-decade failure mode (640 directions under 10k labels,
+    // 0.176 recall before this branch) reproduced at unit scale.
+    import spark.implicits._
+    val dims = 8
+    val dirs = Array.tabulate(4, dims)((d, i) => if (i % 4 == d) 1.0f else 0.1f * d)
+    val rows = (0 until 100).map { lbl =>
+      (lbl.toLong, dirs(lbl % 4).toSeq, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_collapse").toString
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = GraftConf.scoped(spark) {
+      SparkEntry.queries("q207_ivf_kmeans_recall")(spark, dir).head()
+    }
+    r.getAs[Double]("recall") shouldBe 1.0
+    r.getAs[Double]("geo_recall") shouldBe 1.0
+  }
 }
