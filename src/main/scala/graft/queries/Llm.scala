@@ -2428,10 +2428,18 @@ object Llm extends QueryModule {
        |SELECT vec_id, true_label, cand AS assigned
        |FROM ivfasg WHERE rni = 1 AND vec_id < 200
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    persistedIvfIndexQuery(s, d, "ivf_index", defaultCoarseDf)
+  }
+
+  /** Shared build-once-probe-pruned body of q209 (rank coarse) and q213
+    * (trained coarse) — ONE definition of publish layout and probe
+    * arithmetic, so the two graded rows differ only in the quantizer. */
+  private def persistedIvfIndexQuery(s: SparkSession, d: String, sub: String,
+      coarseOf: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     graft.functions.L2Micro.register(s)
     graft.functions.ArgminTop2L2Micro.register(s)
     val sf = d.replaceAll("[^a-z0-9.]", "_")
-    val dir = s"/tmp/graft_llm/$sf/ivf_index"
+    val dir = s"/tmp/graft_llm/$sf/$sub"
     if (ivfIndexStaged.add(dir)) {
       // publish BOTH halves of the index: the cell-partitioned centroid
       // members AND the coarse centers. The probe below reads both from
@@ -2441,7 +2449,7 @@ object Llm extends QueryModule {
       // it centroid recompute), which is exactly what an index exists
       // to amortize away.
       val cent = centroidsDf(s, d)
-      val coarse = defaultCoarseDf(s, cent)
+      val coarse = coarseOf(s, cent)
       cent.join(cellOfDf(cent, coarse), "label")
         .select(col("label").cast("int").as("label"), col("cvec"), col("cell"))
         .repartition(col("cell")).sortWithinPartitions("label")
@@ -2468,6 +2476,25 @@ object Llm extends QueryModule {
       .agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("true_label"), col("m.cand").as("assigned"))
       .orderBy("vec_id")
+  }
+
+  /** PERSISTED TRAINED-QUANTIZER IVF INDEX — the composition a
+    * production vector store actually deploys: train the collapse-aware
+    * k-means coarse quantizer ONCE (q206's machinery), publish the
+    * cell-partitioned members + coarse centers, and serve every probe
+    * batch off the pruned index (q209's DPP shape — the scan touches
+    * only the ≤2 probed cell directories). Oracle: q206's own training
+    * and probe CTEs restricted to the probe batch, so the graded
+    * contract is byte-identical assignments between the persisted path
+    * and the inline trained path. */
+  val ivfIndexTrained: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlKmeansCoarse,
+       |$sqlIvfProbeTail
+       |SELECT vec_id, true_label, cand AS assigned
+       |FROM ivfasg WHERE rni = 1 AND vec_id < 200
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    persistedIvfIndexQuery(s, d, "ivf_index_km", trainedCoarseDf)
   }
 
   /** Text normalization — the cleaning pass upstream of every dedup /
@@ -2693,7 +2720,8 @@ object Llm extends QueryModule {
     "q207_ivf_kmeans_recall" -> ivfKmeansRecall,
     "q205_chunk_dedup"    -> chunkDedup,
     "q208_chunk_near_dup" -> chunkNearDup,
-    "q209_ivf_index"      -> ivfIndex
+    "q209_ivf_index"      -> ivfIndex,
+    "q213_ivf_index_trained" -> ivfIndexTrained
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:

@@ -176,6 +176,12 @@ class PlanSpec extends AnyFunSuite with Matchers {
     val p = df.queryExecution.executedPlan.toString
     p should include regex "PartitionFilters: \\[.*dynamicpruning.*cell.*\\]"
     p should not include "SortMergeJoin" // probe side joins by broadcast only
+    // the trained-quantizer index (q213) shares the publish/probe body —
+    // same DPP contract
+    val pt = SparkEntry.queries("q213_ivf_index_trained")(spark, sf)
+      .queryExecution.executedPlan.toString
+    pt should include regex "PartitionFilters: \\[.*dynamicpruning.*cell.*\\]"
+    pt should not include "SortMergeJoin"
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
