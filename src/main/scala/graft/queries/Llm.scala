@@ -2497,6 +2497,123 @@ object Llm extends QueryModule {
     persistedIvfIndexQuery(s, d, "ivf_index_km", trainedCoarseDf)
   }
 
+  /** SQ8 EMBEDDING COMPRESSION — scalar int8 quantization with a
+    * per-vector scale, the FAISS-SQ8-class storage format for ANN
+    * stacks: a 64-dim float32 embedding (256 B) becomes 64 signed
+    * bytes + one integer scale (~72 B), a ~3.5× cut in storage AND
+    * shuffle payload for every downstream embedding op. All arithmetic
+    * is INTEGER so both engines agree bit-for-bit:
+    *   - em  = round(float·1e6) micros (the repo-wide exact bridge);
+    *   - s   = max(1, ceil(max|em| / 127)) via (mx+126) div 127 —
+    *     integer ceiling, so q = round(em/s) lands in [−127, 127] with
+    *     no clamp (Sq8Spec pins it);
+    *   - q   = half-away-from-zero integer rounding, (2x+s) div (2s)
+    *     on the non-negative arm and its mirror on the negative one —
+    *     both dividends are non-negative BY CONSTRUCTION, which is
+    *     what makes Spark's truncating `div` and DuckDB's flooring
+    *     `//` agree;
+    *   - deq = q·s — the reconstructed micro-integer vector, living in
+    *     the SAME domain the exact/IVF assignment family consumes.
+    * Scale shape: quantization is a per-row map (no shuffle); the
+    * assignment below argmins over the k-row broadcast centroid array
+    * with an in-expression fold (n rows scanned, no fan-out); the only
+    * shuffles are the centroid aggregate and the output groupBy. */
+  private[queries] def sq8Quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("label").as("true_label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as long))").as("em"))
+      .withColumn("s8",
+        expr("greatest(1L, (aggregate(em, 0L, (a, x) -> greatest(a, abs(x))) + 126L) div 127L)"))
+      .withColumn("q8", expr(
+        "transform(em, x -> cast(CASE WHEN x >= 0 THEN (2*x + s8) div (2*s8) " +
+          "ELSE -((-2*x + s8) div (2*s8)) END as int))"))
+      .withColumn("deq", expr("transform(q8, q -> cast(q * s8 as double))"))
+
+  /** (vec_id, true_label, assigned) under SQ8-dequantized vectors vs
+    * full-precision centroids — the in-expression argmin keeps the
+    * (dist ASC, cand ASC) total order explicitly, so the broadcast
+    * array's nondeterministic order is irrelevant. */
+  private def sq8Assignments(s: SparkSession, d: String): DataFrame = {
+    val cent = centroidsDf(s, d)
+    val centArr = cent.agg(collect_list(struct(col("label").cast("int").as("cand"),
+      col("cvec"))).as("cands"))
+    sq8Quantized(s, d)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("true_label"), expr(
+        """aggregate(cands,
+          |  named_struct('dist', cast('Infinity' as double), 'cand', -1),
+          |  (acc, c) -> CASE WHEN aggregate(zip_with(deq, c.cvec, (a, b) -> (a - b) * (a - b)),
+          |                     0D, (x, y) -> x + y) < acc.dist
+          |                  OR (aggregate(zip_with(deq, c.cvec, (a, b) -> (a - b) * (a - b)),
+          |                     0D, (x, y) -> x + y) = acc.dist AND c.cand < acc.cand)
+          |              THEN named_struct('dist', aggregate(zip_with(deq, c.cvec, (a, b) -> (a - b) * (a - b)),
+          |                     0D, (x, y) -> x + y), 'cand', c.cand)
+          |              ELSE acc END).cand""".stripMargin).as("assigned"))
+  }
+
+  private val sqlSq8Ctes =
+    """em8 AS (
+      |  SELECT vec_id, label AS true_label,
+      |    list_transform(range(64), i ->
+      |      CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS em
+      |  FROM embeddings),
+      |sc8 AS (
+      |  SELECT vec_id, true_label, em,
+      |    GREATEST(1, (list_max(list_transform(em, x -> ABS(x))) + 126) // 127) AS s
+      |  FROM em8),
+      |dq8 AS (
+      |  SELECT vec_id, true_label,
+      |    list_transform(em, x -> CAST((CASE WHEN x >= 0 THEN (2*x + s) // (2*s)
+      |      ELSE -((-2*x + s) // (2*s)) END) * s AS DOUBLE)) AS dv
+      |  FROM sc8),
+      |a8 AS (
+      |  SELECT d.vec_id, d.true_label, c.label AS cand,
+      |    list_sum(list_transform(range(64), i ->
+      |      (d.dv[i+1] - c.cvec[i+1]) * (d.dv[i+1] - c.cvec[i+1]))) AS dist
+      |  FROM dq8 d CROSS JOIN cent c),
+      |r8 AS (
+      |  SELECT vec_id, true_label, cand,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+      |  FROM a8)""".stripMargin
+
+  val sq8Assign: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlSq8Ctes
+       |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+       |FROM r8 WHERE rn = 1
+       |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    sq8Assignments(s, d)
+      .groupBy(col("true_label").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** SQ8 recall certificate — same graded contract as the IVF
+    * certificates (q202/q207): label recall AND tie-robust distance
+    * recall of the compressed assignment vs the exact one, with both
+    * distances recomputed at FULL precision (quantization error shifts
+    * the argmin; the certificate quantifies exactly how often, and the
+    * geo column credits picks that land at the identical full-precision
+    * distance). The recall VALUE is itself the graded quantity — both
+    * engines must derive the same number from the same quantization
+    * arithmetic. */
+  val sq8Recall: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |$sqlSq8Ctes,
+       |i8 AS (
+       |  SELECT r.vec_id, r.cand, a.dist
+       |  FROM r8 r JOIN asg a ON a.vec_id = r.vec_id AND a.cand = r.cand
+       |  WHERE r.rn = 1)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+       |JOIN i8 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+    recallCertificate(s, d, sq8Assignments(s, d))
+  }
+
   /** Text normalization — the cleaning pass upstream of every dedup /
     * quality operator: case-fold, strip zero-width characters, collapse
     * whitespace runs (space/tab/CR/LF) to single spaces, trim. The
@@ -2721,7 +2838,9 @@ object Llm extends QueryModule {
     "q205_chunk_dedup"    -> chunkDedup,
     "q208_chunk_near_dup" -> chunkNearDup,
     "q209_ivf_index"      -> ivfIndex,
-    "q213_ivf_index_trained" -> ivfIndexTrained
+    "q213_ivf_index_trained" -> ivfIndexTrained,
+    "q214_sq8_assign"     -> sq8Assign,
+    "q215_sq8_recall"     -> sq8Recall
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
