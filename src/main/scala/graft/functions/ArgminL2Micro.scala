@@ -43,13 +43,22 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
     StructField("cand", IntegerType), StructField("cvec", ArrayType(DoubleType)))))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _),
+    case (ArrayType(FloatType | DoubleType, _),
           ArrayType(StructType(Array(StructField(_, IntegerType, _, _),
                                      StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"argmin_l2_micro expects (array<float>, ${candType.sql}), " +
+      s"argmin_l2_micro expects (array<float> | array<double>, ${candType.sql}), " +
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  /** array<float> embeddings are raw and get the ×1e6 micro rounding;
+    * array<double> embeddings are PRE-SCALED micro vectors (the SQ8/PQ
+    * dequantized domain — already integer-valued) and are consumed
+    * as-is. The distance arithmetic downstream is identical. */
+  @transient private lazy val embPreScaled: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def nullable: Boolean = true
@@ -124,8 +133,11 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
     val ex = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val m = emb.getFloat(i).toDouble * 1000000.0
-      ex(i) = if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)
+      if (embPreScaled) ex(i) = emb.getDouble(i)
+      else {
+        val m = emb.getFloat(i).toDouble * 1000000.0
+        ex(i) = if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)
+      }
       i += 1
     }
     var bestD = Double.PositiveInfinity
@@ -235,8 +247,10 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
          |  int $n = $a.numElements();
          |  if ($exBuf == null || $exBuf.length < $n) $exBuf = new double[$n];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $m = ((double) $a.getFloat($i)) * 1000000.0;
-         |    $exBuf[$i] = ($m >= 0) ? java.lang.Math.floor($m + 0.5) : java.lang.Math.ceil($m - 0.5);
+         |    ${if (embPreScaled) s"$exBuf[$i] = $a.getDouble($i);"
+            else
+              s"""double $m = ((double) $a.getFloat($i)) * 1000000.0;
+                 |    $exBuf[$i] = ($m >= 0) ? java.lang.Math.floor($m + 0.5) : java.lang.Math.ceil($m - 0.5);""".stripMargin}
          |  }
          |  double $bestD = Double.POSITIVE_INFINITY;
          |  int $bestC = Integer.MAX_VALUE;

@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused PRODUCT-QUANTIZATION encoder, the per-row hot path of the PQ
+  * rows (q216/q217 in queries/Llm.scala).
+  *
+  * `pq_encode_micro(em: array<double>, cbs: array<struct<j:int,
+  * code:int, cw:array<double>>>) → struct<codes: array<int>,
+  * dv: array<double>>`
+  *
+  * `em` is a PRE-SCALED micro vector (integer-valued doubles — the
+  * repo-wide exact bridge); `cbs` is the flattened per-subspace
+  * codebook riding ONE broadcast row. For each subspace j (ascending),
+  * the expression argmins the subvector `em[off_j .. off_j+d_j)`
+  * against that subspace's codewords — micro-L2 distance, ties toward
+  * the smaller code, element-for-element the arithmetic of the
+  * oracle's `ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist
+  * ASC, code ASC)` — and emits the selected code ids plus the
+  * concatenated reconstruction `dv` (the picked codewords, in
+  * subspace order).
+  *
+  * Why an expression: the HOF/`filter`+`aggregate` formulation
+  * allocates per candidate per row; at 8 subspaces × 256 codewords
+  * that is ~2k lambda frames per vector and was the allocation-bound
+  * shape of the ×100 self-bench. Here the codebook decodes ONCE into
+  * primitive arrays (fingerprint-keyed cache — same discipline as
+  * [[ArgminL2Micro]], full-region verify on hit), and the per-row loop
+  * is 8·256·8 multiply-adds with early exit against the subspace's
+  * best-so-far.
+  *
+  * Subspace layout is derived from the codebook itself: offsets are
+  * the prefix sums of each present subspace's codeword length (in
+  * ascending j), so non-uniform splits work unchanged. Null inputs or
+  * an empty codebook → null; a subspace whose codewords were all
+  * dropped by training never occurs (every training point assigns
+  * somewhere), but a missing j would simply be skipped with its
+  * offset advanced by zero. Interpreted ([[CodegenFallback]]): the
+  * k·d loop on primitive arrays dominates; fallback costs one boxed
+  * call per row.
+  */
+case class PqEncodeMicro(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType)),
+    StructField("dv", ArrayType(DoubleType))))
+
+  private val cbType = ArrayType(StructType(Seq(
+    StructField("j", IntegerType), StructField("code", IntegerType),
+    StructField("cw", ArrayType(DoubleType)))))
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(StructType(Array(StructField(_, IntegerType, _, _),
+                                     StructField(_, IntegerType, _, _),
+                                     StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_micro expects (array<double>, ${cbType.sql}), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullable: Boolean = true
+
+  // Decoded codebook, grouped by ascending subspace j:
+  //   subJ(s)     — the subspace's j value (ascending)
+  //   subDim(s)   — its codeword length d_j
+  //   subCodes(s) — code ids, scan order
+  //   subVecs(s)  — codewords, scan order
+  // Single-slot fingerprint cache (the codebook rides one broadcast
+  // row, identical bytes every stream row); full-region verify on hit.
+  @transient private var cachedBase: AnyRef = _
+  @transient private var cachedOff: Long = _
+  @transient private var cachedK: Int = -1
+  @transient private var cachedSize: Long = -1L
+  @transient private var cachedHead: Long = _
+  @transient private var cachedMid: Long = _
+  @transient private var cachedTail: Long = _
+  @transient private var cachedWords: Array[Long] = _
+  @transient private var subJ: Array[Int] = _
+  @transient private var subDim: Array[Int] = _
+  @transient private var subCodes: Array[Array[Int]] = _
+  @transient private var subVecs: Array[Array[Array[Double]]] = _
+  @transient private var exBuf: Array[Double] = _
+
+  private def decode(cbs: ArrayData): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.unsafe.Platform
+    val k = cbs.numElements()
+    val (base: AnyRef, off: Long, size: Long, head: Long, mid: Long, tail: Long) = cbs match {
+      case u: UnsafeArrayData =>
+        val b = u.getBaseObject; val o = u.getBaseOffset; val sz = u.getSizeInBytes.toLong
+        (b, o, sz, Platform.getLong(b, o),
+          Platform.getLong(b, o + (sz / 16) * 8), Platform.getLong(b, o + sz - 8))
+      case other => (other, 0L, -1L, 0L, 0L, 0L)
+    }
+    if ((base eq cachedBase) && off == cachedOff && k == cachedK &&
+        size == cachedSize && head == cachedHead && mid == cachedMid &&
+        tail == cachedTail && subJ != null &&
+        (size < 0 || MicroRegion.sameWords(base, off, size, cachedWords))) return
+    val js = new Array[Int](k)
+    val cs = new Array[Int](k)
+    val ws = new Array[Array[Double]](k)
+    var x = 0
+    while (x < k) {
+      val s = cbs.getStruct(x, 3)
+      js(x) = s.getInt(0); cs(x) = s.getInt(1); ws(x) = s.getArray(2).toDoubleArray()
+      x += 1
+    }
+    val distinctJ = js.distinct.sorted
+    val m = distinctJ.length
+    val sj = new Array[Int](m)
+    val sd = new Array[Int](m)
+    val sc = new Array[Array[Int]](m)
+    val sv = new Array[Array[Array[Double]]](m)
+    var g = 0
+    while (g < m) {
+      val jv = distinctJ(g)
+      var cnt = 0
+      var x2 = 0
+      while (x2 < k) { if (js(x2) == jv) cnt += 1; x2 += 1 }
+      val ci = new Array[Int](cnt)
+      val vi = new Array[Array[Double]](cnt)
+      var p = 0; x2 = 0
+      while (x2 < k) {
+        if (js(x2) == jv) { ci(p) = cs(x2); vi(p) = ws(x2); p += 1 }
+        x2 += 1
+      }
+      sj(g) = jv; sd(g) = if (cnt > 0) vi(0).length else 0; sc(g) = ci; sv(g) = vi
+      g += 1
+    }
+    subJ = sj; subDim = sd; subCodes = sc; subVecs = sv
+    cachedBase = base; cachedOff = off; cachedK = k; cachedSize = size
+    cachedHead = head; cachedMid = mid; cachedTail = tail
+    cachedWords = if (size >= 0) MicroRegion.snapshot(base, off, size) else null
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val cbs = b.asInstanceOf[ArrayData]
+    if (cbs.numElements() == 0) return null
+    decode(cbs)
+    val m = subJ.length
+    val n = emb.numElements()
+    if (exBuf == null || exBuf.length < n) exBuf = new Array[Double](n)
+    val ex = exBuf
+    var i = 0
+    while (i < n) { ex(i) = emb.getDouble(i); i += 1 }
+    val codes = new Array[Any](m)
+    var dvLen = 0
+    var g = 0
+    while (g < m) { dvLen += subDim(g); g += 1 }
+    val dv = new Array[Any](dvLen)
+    var offIdx = 0
+    g = 0
+    while (g < m) {
+      val d = subDim(g)
+      val cands = subVecs(g)
+      val ids = subCodes(g)
+      val kk = cands.length
+      var bestD = Double.PositiveInfinity
+      var bestC = Int.MaxValue
+      var bestV: Array[Double] = null
+      var j2 = 0
+      while (j2 < kk) {
+        val cv = cands(j2)
+        var acc = 0.0
+        var i2 = 0
+        val lim = math.min(d, n - offIdx)
+        while (i2 < lim && acc <= bestD) {
+          val dd = ex(offIdx + i2) - cv(i2)
+          acc += dd * dd
+          i2 += 1
+        }
+        if (i2 == lim && (acc < bestD || (acc == bestD && ids(j2) < bestC))) {
+          bestD = acc; bestC = ids(j2); bestV = cv
+        }
+        j2 += 1
+      }
+      codes(g) = bestC
+      var i3 = 0
+      while (i3 < d) { dv(offIdx + i3) = bestV(i3); i3 += 1 }
+      offIdx += d
+      g += 1
+    }
+    InternalRow(new GenericArrayData(codes), new GenericArrayData(dv))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_encode_micro"
+}
+
+object PqEncodeMicro {
+  /** Idempotently registers `pq_encode_micro(em, cbs)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode_micro", exprs => PqEncodeMicro(exprs(0), exprs(1)), "built-in")
+}

@@ -2529,27 +2529,33 @@ object Llm extends QueryModule {
           "ELSE -((-2*x + s8) div (2*s8)) END as int))"))
       .withColumn("deq", expr("transform(q8, q -> cast(q * s8 as double))"))
 
-  /** (vec_id, true_label, assigned) under SQ8-dequantized vectors vs
-    * full-precision centroids — the in-expression argmin keeps the
-    * (dist ASC, cand ASC) total order explicitly, so the broadcast
-    * array's nondeterministic order is irrelevant. */
-  private def sq8Assignments(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, true_label, assigned) under approximated vectors (column
+    * `dv`, PRE-SCALED micro domain) vs full-precision centroids.
+    * Shared by the SQ8 (q214) and PQ (q216) compressed-assignment rows.
+    * Runs the fused [[graft.functions.ArgminL2Micro]] codegen argmin
+    * (its array<double> arm consumes the micro vector as-is — no
+    * re-rounding), NOT a HOF fold: the first HOF-composed shape
+    * measured 107.6 s at the ×100 self-bench (200k×1000, allocation-
+    * bound — the same lesson as q99's three measured shapes) and was
+    * replaced; n rows, k·d inside one expression, no shuffle before
+    * the consumer aggregate. Tie order (dist ASC, cand ASC) is explicit
+    * in the expression, so the broadcast array's nondeterministic
+    * order is irrelevant. */
+  private def dequantAssignments(s: SparkSession, d: String, recon: DataFrame): DataFrame = {
+    graft.functions.ArgminL2Micro.register(s)
     val cent = centroidsDf(s, d)
     val centArr = cent.agg(collect_list(struct(col("label").cast("int").as("cand"),
       col("cvec"))).as("cands"))
-    sq8Quantized(s, d)
+    recon
       .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("true_label"), expr(
-        """aggregate(cands,
-          |  named_struct('dist', cast('Infinity' as double), 'cand', -1),
-          |  (acc, c) -> CASE WHEN aggregate(zip_with(deq, c.cvec, (a, b) -> (a - b) * (a - b)),
-          |                     0D, (x, y) -> x + y) < acc.dist
-          |                  OR (aggregate(zip_with(deq, c.cvec, (a, b) -> (a - b) * (a - b)),
-          |                     0D, (x, y) -> x + y) = acc.dist AND c.cand < acc.cand)
-          |              THEN named_struct('dist', aggregate(zip_with(deq, c.cvec, (a, b) -> (a - b) * (a - b)),
-          |                     0D, (x, y) -> x + y), 'cand', c.cand)
-          |              ELSE acc END).cand""".stripMargin).as("assigned"))
+      .select(col("vec_id"), col("true_label"),
+        expr("argmin_l2_micro(dv, cands)").as("assigned"))
+      .filter(col("assigned").isNotNull)
   }
+
+  private def sq8Assignments(s: SparkSession, d: String): DataFrame =
+    dequantAssignments(s, d,
+      sq8Quantized(s, d).select(col("vec_id"), col("true_label"), col("deq").as("dv")))
 
   private val sqlSq8Ctes =
     """em8 AS (
@@ -2612,6 +2618,194 @@ object Llm extends QueryModule {
        |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
        |JOIN i8 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
     recallCertificate(s, d, sq8Assignments(s, d))
+  }
+
+  /** PRODUCT QUANTIZATION (PQ) — the compression rung above SQ8
+    * (q214): the 64-dim micro vector splits into M=8 subspaces of 8
+    * dims; each subspace gets a 256-codeword codebook (the standard
+    * FAISS PQ8x8 configuration) TRAINED with the
+    * same deterministic fixed-iteration Lloyd machinery as the q206
+    * coarse quantizer; a vector then stores 8 one-byte code ids (8 B —
+    * ~8 B + a shared ≤128-row codebook) instead of 256 B of floats, a
+    * ~32× cut in index storage and shuffle payload. Everything stays
+    * oracle-graded because every training sum and squared distance is
+    * integer-valued in double (the micro bridge), seeding is md5-rank
+    * deterministic, and ties break (dist ASC, code ASC):
+    *   - training set: the top-2048 vectors in (md5(vec_id), vec_id)
+    *     order — a distributed TakeOrderedAndProject, NOT a global
+    *     window over n rows; the T-row rank window after the cap is
+    *     bounded by the cap, the same discipline as the k-row windows;
+    *   - seeds: every ceil(T/256)-th ranked vector's subvectors (code =
+    *     stripe index 0..255), per subspace;
+    *   - two unrolled Lloyd iterations per subspace (assign to nearest
+    *     codeword, re-center on the micro-rounded member mean — the
+    *     explicit ±0.5 floor/ceil form, as means CAN land on exact .5);
+    *   - encode: per vector per subspace, in-EXPRESSION argmin over the
+    *     ≤16 broadcast codewords (8×16×8 multiply-adds per row, n rows,
+    *     no fan-out); reconstruction concatenates the picked codewords,
+    *     landing in the same micro domain the assignment family
+    *     consumes.
+    * Scale shape: training is T×8-row bounded (cap 2048); the codebook
+    * rides ONE broadcast row; encode/reconstruct/assign are per-row
+    * maps; the only shuffles are the centroid aggregate, the bounded
+    * training aggregates, and the output groupBy. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    graft.functions.PqEncodeMicro.register(s)
+    val microRound: Column => Column = v =>
+      when(v >= 0, floor(v + 0.5d)).otherwise(ceil(v - 0.5d)).cast("double")
+    val ord = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val samp = embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .orderBy(ord: _*).limit(2048)
+    // rank window AFTER the 2048-row cap — bounded, single exchange
+    val ranked = samp.withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
+    val step = ranked.agg(ceil(count(lit(1)).cast("double") / 256d).cast("long").as("step"))
+    val seeds0 = ranked.crossJoin(broadcast(step))
+      .filter((col("rnr") - 1) % col("step") === 0)
+      .select(expr("cast((rnr - 1) div step as int)").as("code"),
+        posexplode(expr("transform(sequence(0, 7), j -> slice(em, j * 8 + 1, 8))")).as(Seq("j", "cw")))
+      .select(col("j"), col("code"), col("cw"))
+    // Each Lloyd iteration ENCODES the T training vectors through the
+    // same fused expression the final encoding uses (pq_encode_micro —
+    // one broadcast codebook decode, primitive hot loop), then
+    // re-centers each (j, code) cell on the micro-rounded member mean.
+    def lloydIter(cb: DataFrame): DataFrame = {
+      val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+      ranked.crossJoin(broadcast(cbArr))
+        .select(col("em"),
+          posexplode(expr("pq_encode_micro(em, cbs).codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(expr("slice(em, j * 8 + 1, 8)")).as(Seq("i", "q")))
+        .groupBy("j", "code", "i")
+        .agg(microRound(sum("q") / count(lit(1))).as("m"))
+        .groupBy("j", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("cw"))
+    }
+    lloydIter(lloydIter(seeds0))
+  }
+
+  /** (vec_id, true_label, codes: array<int>[8], dv: array<double>[64])
+    * — the 8-code PQ encoding of every vector plus its reconstruction,
+    * via ONE [[graft.functions.PqEncodeMicro]] call per row against the
+    * broadcast codebook. */
+  private[queries] def pqQuantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.PqEncodeMicro.register(s)
+    val cb = pqCodebook(s, d)
+    val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    embeddings(s, d)
+      .select(col("vec_id"), col("label").as("true_label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .crossJoin(broadcast(cbArr))
+      .withColumn("enc", expr("pq_encode_micro(em, cbs)"))
+      .select(col("vec_id"), col("true_label"),
+        col("enc.codes").as("codes"), col("em"), col("enc.dv").as("dv"))
+  }
+
+  private[queries] def pqCodebookForTest(s: SparkSession, d: String): DataFrame =
+    pqCodebook(s, d)
+
+  private def pqAssignments(s: SparkSession, d: String): DataFrame =
+    dequantAssignments(s, d,
+      pqQuantized(s, d).select(col("vec_id"), col("true_label"), col("dv")))
+
+  /** PQ training + encode CTEs (oracle face of [[pqCodebook]] /
+    * [[pqQuantized]]): ends in `prc` (vec_id, true_label, dv) and the
+    * assignment pair pa9/pr9 against `cent`. */
+  private val sqlPqCtes: String = {
+    def lloydIterSql(n: Int): String =
+      s"""pa$n AS (
+         |  SELECT j, vec_id, sv, code,
+         |    ROW_NUMBER() OVER (PARTITION BY j, vec_id ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT p.j, p.vec_id, p.sv, c.code,
+         |      list_sum(list_transform(range(8), i ->
+         |        (p.sv[i+1] - c.cw[i+1]) * (p.sv[i+1] - c.cw[i+1]))) AS dist
+         |    FROM pts p JOIN pcb${n - 1} c ON c.j = p.j) t$n),
+         |pcb$n AS (
+         |  SELECT j, code, list(m ORDER BY i) AS cw FROM (
+         |    SELECT a.j, a.code, t.i,
+         |      CAST(CASE WHEN SUM(a.sv[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.sv[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.sv[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT j, code, sv FROM pa$n WHERE rn = 1) a, range(8) t(i)
+         |    GROUP BY a.j, a.code, t.i) g$n
+         |  GROUP BY j, code)""".stripMargin
+    """pq0 AS (
+      |  SELECT vec_id, label AS true_label,
+      |    list_transform(range(64), i ->
+      |      CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS DOUBLE)) AS em
+      |  FROM embeddings),
+      |ptr AS (
+      |  SELECT vec_id, em,
+      |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnr
+      |  FROM (SELECT vec_id, em FROM pq0
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) ts),
+      |pts AS (
+      |  SELECT vec_id, rnr, j, list_transform(range(8), i -> em[j*8+i+1]) AS sv
+      |  FROM ptr, range(8) t(j)),
+      |ptc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 256) AS BIGINT) AS step FROM ptr),
+      |pcb0 AS (
+      |  SELECT j, CAST((rnr - 1) // step AS INTEGER) AS code, sv AS cw
+      |  FROM pts, ptc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
+      lloydIterSql(1) + ",\n" + lloydIterSql(2) + ",\n" +
+      """pen AS (
+        |  SELECT vec_id, true_label, j, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, v.true_label, c.j, c.code,
+        |      list_sum(list_transform(range(8), i ->
+        |        (v.em[c.j*8+i+1] - c.cw[i+1]) * (v.em[c.j*8+i+1] - c.cw[i+1]))) AS dist
+        |    FROM pq0 v CROSS JOIN pcb2 c) te),
+        |prc AS (
+        |  SELECT e.vec_id, e.true_label, flatten(list(c.cw ORDER BY e.j)) AS dv
+        |  FROM (SELECT vec_id, true_label, j, code FROM pen WHERE rn = 1) e
+        |  JOIN pcb2 c ON c.j = e.j AND c.code = e.code
+        |  GROUP BY e.vec_id, e.true_label),
+        |pa9 AS (
+        |  SELECT d.vec_id, d.true_label, c.label AS cand,
+        |    list_sum(list_transform(range(64), i ->
+        |      (d.dv[i+1] - c.cvec[i+1]) * (d.dv[i+1] - c.cvec[i+1]))) AS dist
+        |  FROM prc d CROSS JOIN cent c),
+        |pr9 AS (
+        |  SELECT vec_id, true_label, cand, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+        |  FROM pa9)""".stripMargin
+  }
+
+  val pqAssign: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes
+       |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+       |FROM pr9 WHERE rn = 1
+       |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    pqAssignments(s, d)
+      .groupBy(col("true_label").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** PQ recall certificate — the q215 contract for the PQ encoding:
+    * label recall and tie-robust geo recall of the PQ-reconstructed
+    * assignment vs the exact one, distances recomputed at full
+    * precision. The recall value itself is the graded quantity: both
+    * engines must train, encode, reconstruct, and assign identically
+    * to agree on it. */
+  val pqRecall: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |$sqlPqCtes,
+       |i9 AS (
+       |  SELECT r.vec_id, r.cand, a.dist
+       |  FROM pr9 r JOIN asg a ON a.vec_id = r.vec_id AND a.cand = r.cand
+       |  WHERE r.rn = 1)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+       |JOIN i9 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+    recallCertificate(s, d, pqAssignments(s, d))
   }
 
   /** Text normalization — the cleaning pass upstream of every dedup /
@@ -2840,7 +3034,9 @@ object Llm extends QueryModule {
     "q209_ivf_index"      -> ivfIndex,
     "q213_ivf_index_trained" -> ivfIndexTrained,
     "q214_sq8_assign"     -> sq8Assign,
-    "q215_sq8_recall"     -> sq8Recall
+    "q215_sq8_recall"     -> sq8Recall,
+    "q216_pq_assign"      -> pqAssign,
+    "q217_pq_recall"      -> pqRecall
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
