@@ -57,14 +57,24 @@ case class PqEncodeMicro(left: Expression, right: Expression)
     StructField("cw", ArrayType(DoubleType)))))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _),
+    case (ArrayType(DoubleType | FloatType, _),
           ArrayType(StructType(Array(StructField(_, IntegerType, _, _),
                                      StructField(_, IntegerType, _, _),
                                      StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode_micro expects (array<double>, ${cbType.sql}), " +
+      s"pq_encode_micro expects (array<double> | array<float>, ${cbType.sql}), " +
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  /** array<double> embeddings are PRE-SCALED micro vectors consumed
+    * as-is; array<float> embeddings are raw and get the repo's ±0.5
+    * micro rounding here — same arithmetic as [[Sq8QuantizeMicro]] /
+    * [[ArgminL2Micro]]'s float arm — saving the caller a per-row HOF
+    * materialization of the micro array. */
+  @transient private lazy val embPreScaled: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def nullable: Boolean = true
@@ -152,7 +162,15 @@ case class PqEncodeMicro(left: Expression, right: Expression)
     if (exBuf == null || exBuf.length < n) exBuf = new Array[Double](n)
     val ex = exBuf
     var i = 0
-    while (i < n) { ex(i) = emb.getDouble(i); i += 1 }
+    if (embPreScaled) {
+      while (i < n) { ex(i) = emb.getDouble(i); i += 1 }
+    } else {
+      while (i < n) {
+        val m = emb.getFloat(i).toDouble * 1000000.0
+        ex(i) = if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)
+        i += 1
+      }
+    }
     val codes = new Array[Any](m)
     var dvLen = 0
     var g = 0

@@ -2518,16 +2518,19 @@ object Llm extends QueryModule {
     * assignment below argmins over the k-row broadcast centroid array
     * with an in-expression fold (n rows scanned, no fan-out); the only
     * shuffles are the centroid aggregate and the output groupBy. */
-  private[queries] def sq8Quantized(s: SparkSession, d: String): DataFrame =
+  private[queries] def sq8Quantized(s: SparkSession, d: String): DataFrame = {
+    // One fused primitive pass per row (graft.functions.Sq8QuantizeMicro)
+    // instead of four chained HOF transforms — the HOF shape's per-row
+    // allocations measured ~3× the entire argmin at the ×1000
+    // self-bench (586 s vs the 140 s-class fused path; BASELINE.md).
+    graft.functions.Sq8QuantizeMicro.register(s)
     embeddings(s, d)
       .select(col("vec_id"), col("label").as("true_label"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as long))").as("em"))
-      .withColumn("s8",
-        expr("greatest(1L, (aggregate(em, 0L, (a, x) -> greatest(a, abs(x))) + 126L) div 127L)"))
-      .withColumn("q8", expr(
-        "transform(em, x -> cast(CASE WHEN x >= 0 THEN (2*x + s8) div (2*s8) " +
-          "ELSE -((-2*x + s8) div (2*s8)) END as int))"))
-      .withColumn("deq", expr("transform(q8, q -> cast(q * s8 as double))"))
+        expr("sq8_quantize_micro(embedding)").as("z"))
+      .select(col("vec_id"), col("true_label"),
+        col("z.em").as("em"), col("z.s8").as("s8"),
+        col("z.q8").as("q8"), col("z.deq").as("deq"))
+  }
 
   /** (vec_id, true_label, assigned) under approximated vectors (column
     * `dv`, PRE-SCALED micro domain) vs full-precision centroids.
@@ -2649,8 +2652,23 @@ object Llm extends QueryModule {
     * rides ONE broadcast row; encode/reconstruct/assign are per-row
     * maps; the only shuffles are the centroid aggregate, the bounded
     * training aggregates, and the output groupBy. */
+  /** Subspace count — the PQ operating knob (`spark.graft.pq.m`,
+    * default 8 = the graded/oracle setting; any divisor of 64).
+    * Bytes-per-vector = m, so m trades compression for recall: the
+    * decorrelated ×10 fixture measures 0.34 (m=8) → markedly higher at
+    * m=16/32 (PqSpec gates monotonicity; BASELINE.md records the
+    * curve). Verify clears all spark.graft.* confs before grading, so
+    * a live knob can never mismatch the pinned oracle SQL. */
+  private def pqM(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pq.m")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(v => v >= 1 && v <= 64 && 64 % v == 0)
+      .getOrElse(8)
+
   private def pqCodebook(s: SparkSession, d: String): DataFrame = {
     graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dsub = 64 / m
     val microRound: Column => Column = v =>
       when(v >= 0, floor(v + 0.5d)).otherwise(ceil(v - 0.5d)).cast("double")
     val ord = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -2664,7 +2682,8 @@ object Llm extends QueryModule {
     val seeds0 = ranked.crossJoin(broadcast(step))
       .filter((col("rnr") - 1) % col("step") === 0)
       .select(expr("cast((rnr - 1) div step as int)").as("code"),
-        posexplode(expr("transform(sequence(0, 7), j -> slice(em, j * 8 + 1, 8))")).as(Seq("j", "cw")))
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> slice(em, j * $dsub + 1, $dsub))")).as(Seq("j", "cw")))
       .select(col("j"), col("code"), col("cw"))
     // Each Lloyd iteration ENCODES the T training vectors through the
     // same fused expression the final encoding uses (pq_encode_micro —
@@ -2676,7 +2695,7 @@ object Llm extends QueryModule {
         .select(col("em"),
           posexplode(expr("pq_encode_micro(em, cbs).codes")).as(Seq("j", "code")))
         .select(col("j"), col("code"),
-          posexplode(expr("slice(em, j * 8 + 1, 8)")).as(Seq("i", "q")))
+          posexplode(expr(s"slice(em, j * $dsub + 1, $dsub)")).as(Seq("i", "q")))
         .groupBy("j", "code", "i")
         .agg(microRound(sum("q") / count(lit(1))).as("m"))
         .groupBy("j", "code")
@@ -2693,11 +2712,15 @@ object Llm extends QueryModule {
     graft.functions.PqEncodeMicro.register(s)
     val cb = pqCodebook(s, d)
     val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    // encode feeds the RAW float column (pq_encode_micro's float arm
+    // micro-rounds in-loop); `em` is only materialized for callers
+    // that reference it (PqSpec) — column pruning drops its HOF from
+    // the q216/q217 plans.
     embeddings(s, d)
-      .select(col("vec_id"), col("label").as("true_label"),
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
       .crossJoin(broadcast(cbArr))
-      .withColumn("enc", expr("pq_encode_micro(em, cbs)"))
+      .withColumn("enc", expr("pq_encode_micro(embedding, cbs)"))
       .select(col("vec_id"), col("true_label"),
         col("enc.codes").as("codes"), col("em"), col("enc.dv").as("dv"))
   }

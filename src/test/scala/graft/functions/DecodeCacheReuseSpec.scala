@@ -80,6 +80,50 @@ class DecodeCacheReuseSpec extends AnyFunSuite with Matchers {
     vecs2(0).max shouldBe 9.0e8
   }
 
+  private val cbType = ArrayType(StructType(Seq(
+    StructField("j", IntegerType), StructField("code", IntegerType),
+    StructField("cw", cvecType))))
+
+  private def cbRow(entries: Seq[(Int, Int, Seq[Double])]): InternalRow =
+    InternalRow(new GenericArrayData(entries.map { case (j, c, v) =>
+      InternalRow(j, c, new GenericArrayData(v.toArray))
+    }.toArray))
+
+  test("PqEncodeMicro follows the LIVE bytes of a reused codebook buffer") {
+    // 2 subspaces × 2 codewords of 2 dims; query = zeros. v1 picks code
+    // 0 in both subspaces; v2 perturbs one interior double of (j=0,
+    // code=0) to flip subspace 0's pick while preserving the 3-word
+    // head/mid/tail fingerprint — only the full-region compare makes
+    // the second eval see the new bytes.
+    val base = Seq(
+      (0, 0, Seq(1000.0, 1000.0)), (0, 1, Seq(500000.0, 500000.0)),
+      (1, 0, Seq(1000.0, 1000.0)), (1, 1, Seq(500000.0, 500000.0)))
+    val proj = UnsafeProjection.create(Array[DataType](cbType))
+    def words3(u: UnsafeArrayData): (Long, Long, Long) = {
+      val b = u.getBaseObject; val o = u.getBaseOffset; val sz = u.getSizeInBytes.toLong
+      (Platform.getLong(b, o),
+        Platform.getLong(b, o + (sz / 16) * 8),
+        Platform.getLong(b, o + sz - 8))
+    }
+    val w1 = words3(proj(cbRow(base)).getArray(0).asInstanceOf[UnsafeArrayData])
+    val perturbed = (0 until 2).iterator.map { d =>
+      val v2 = base.updated(0, (0, 0, Seq.tabulate(2)(i => if (i == d) 9.0e8 else 1000.0)))
+      (v2, words3(proj(cbRow(v2)).getArray(0).asInstanceOf[UnsafeArrayData]))
+    }.collectFirst { case (v2, w2) if w2 == w1 => v2 }
+      .getOrElse(fail("no fingerprint-colliding perturbation found — layout changed?"))
+    val ex = PqEncodeMicro(BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, cbType, nullable = true))
+    val emb: ArrayData = new GenericArrayData(Array.fill(4)(0.0))
+    def codesOf(r: Any): Seq[Int] = {
+      val row = r.asInstanceOf[InternalRow]
+      row.getArray(0).toIntArray().toSeq
+    }
+    val arr1 = proj(cbRow(base)).getArray(0)
+    codesOf(ex.eval(InternalRow(emb, arr1))) shouldBe Seq(0, 0)
+    val arr2 = proj(cbRow(perturbed)).getArray(0) // same buffer, new bytes
+    codesOf(ex.eval(InternalRow(emb, arr2))) shouldBe Seq(1, 0)
+  }
+
   test("ArgminL2Micro follows the LIVE bytes of a reused buffer, not a stale decode") {
     val (v1, v2) = collidingPair()
     val proj = UnsafeProjection.create(Array[DataType](candType))

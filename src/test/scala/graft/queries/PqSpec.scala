@@ -79,6 +79,23 @@ class PqSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("geo_recall") should be >= r.getAs[Double]("recall")
   }
 
+  test("spark.graft.pq.m knob: more subspaces -> higher recall, m=64 near-lossless") {
+    // m bytes/vector trades compression for recall. The knob only
+    // changes the Spark plan (Verify clears spark.graft.* before
+    // grading, so the pinned m=8 oracle is never mismatched).
+    def recallAt(m: Int): Double = GraftConf.scoped(spark) {
+      spark.conf.set("spark.graft.pq.m", m.toString)
+      SparkEntry.queries("q217_pq_recall")(spark, sf).head().getAs[Double]("recall")
+    }
+    val r8 = recallAt(8)
+    val r16 = recallAt(16)
+    val r64 = recallAt(64)
+    info(s"pq recall by m: 8=$r8 16=$r16 64=$r64")
+    r16 should be >= r8
+    r64 should be >= r16
+    r64 should be > 0.9
+  }
+
   test("codebook: at most 8×256 entries, 8-dim integer-micro codewords, deterministic rerun") {
     val cb = Llm.pqCodebookForTest(spark, sf).cache()
     cb.count() should be <= (8L * 256L)
