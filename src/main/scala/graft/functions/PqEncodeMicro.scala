@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Fused PRODUCT-QUANTIZATION encoder, the per-row hot path of the PQ
@@ -101,7 +102,6 @@ case class PqEncodeMicro(left: Expression, right: Expression)
   @transient private var exBuf: Array[Double] = _
 
   private def decode(cbs: ArrayData): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
     import org.apache.spark.unsafe.Platform
     val k = cbs.numElements()
     val (base: AnyRef, off: Long, size: Long, head: Long, mid: Long, tail: Long) = cbs match {
@@ -171,11 +171,11 @@ case class PqEncodeMicro(left: Expression, right: Expression)
         i += 1
       }
     }
-    val codes = new Array[Any](m)
+    val codes = new Array[Int](m)
     var dvLen = 0
     var g = 0
     while (g < m) { dvLen += subDim(g); g += 1 }
-    val dv = new Array[Any](dvLen)
+    val dv = new Array[Double](dvLen)
     var offIdx = 0
     g = 0
     while (g < m) {
@@ -208,7 +208,11 @@ case class PqEncodeMicro(left: Expression, right: Expression)
       offIdx += d
       g += 1
     }
-    InternalRow(new GenericArrayData(codes), new GenericArrayData(dv))
+    // UnsafeArrayData, not GenericArrayData: boxing codes+dv per row is
+    // pure GC drag at the ×1000 self-bench, and the unsafe layout lets
+    // the downstream argmin/ADC read primitives.
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(codes),
+      UnsafeArrayData.fromPrimitiveArray(dv))
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

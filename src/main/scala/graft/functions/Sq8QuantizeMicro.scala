@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Fused SQ8 scalar quantizer, the per-row hot path of q214/q215
@@ -66,8 +65,8 @@ case class Sq8QuantizeMicro(child: Expression)
       i += 1
     }
     val s = math.max(1L, (mx + 126L) / 127L)
-    val q = new Array[Any](n)
-    val dv = new Array[Any](n)
+    val q = new Array[Int](n)
+    val dv = new Array[Double](n)
     i = 0
     while (i < n) {
       val x = em(i)
@@ -76,11 +75,12 @@ case class Sq8QuantizeMicro(child: Expression)
       dv(i) = (qi * s).toDouble
       i += 1
     }
-    val emBoxed = new Array[Any](n)
-    i = 0
-    while (i < n) { emBoxed(i) = em(i); i += 1 }
-    InternalRow(new GenericArrayData(emBoxed), s,
-      new GenericArrayData(q), new GenericArrayData(dv))
+    // UnsafeArrayData, not GenericArrayData: boxing 3×64 elements per
+    // row measured as pure GC drag on the ×1000 self-bench, and the
+    // unsafe layout lets the downstream argmin read primitives.
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(em), s,
+      UnsafeArrayData.fromPrimitiveArray(q), UnsafeArrayData.fromPrimitiveArray(dv))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2831,6 +2831,126 @@ object Llm extends QueryModule {
     recallCertificate(s, d, pqAssignments(s, d))
   }
 
+  /** The ADC query set: the first 10 vectors in the corpus's md5-rank
+    * order (the SAME deterministic order the PQ training sample uses,
+    * so the oracle reuses its `ptr` CTE with `rnr <= 10`), each with
+    * its exact micro vector. 10 rows — always broadcastable. */
+  private[queries] def adcQueries(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("qid"), col("em"))
+
+  /** (qid, rnk, vec_id, dist): the PQ-ADC top-10 per query — the
+    * search-time payoff of the q216 codes. The query stays full
+    * precision; per (query, subspace, code) partial distances are
+    * precomputed ONCE on the ≤(10 × m×256)-row LUT relation (bounded,
+    * one broadcast row), and the corpus scan reads 8 one-byte codes
+    * per vector + m table lookups per (vector, query) — never the
+    * 256 B float vector. Top-k per query is the W5 shape: the
+    * row_number ≤ k filter trips WindowGroupLimit, so each map task
+    * forwards only its local top-k per query and the final window sees
+    * tasks×k rows, not n. At ×1000 the scanned payload drops 32×
+    * alongside the compute cut — the property that makes PQ indexes
+    * the 100 TB ANN format. */
+  private[queries] def adcTopkDf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.PqAdcMicro.register(s)
+    val dsub = 64 / pqM(s)
+    val qs = adcQueries(s, d)
+    val luts = pqCodebook(s, d).crossJoin(broadcast(qs))
+      .select(col("qid"), col("j"), col("code"),
+        expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+    val qluts = luts.agg(collect_list(struct(
+      col("qid"), col("j"), col("code"), col("d"))).as("qluts"))
+    pqQuantized(s, d).select(col("vec_id"), col("codes"))
+      .crossJoin(broadcast(qluts))
+      .select(col("vec_id"), explode(expr("pq_adc_micro(codes, qluts)")).as("qd"))
+      .select(col("qd.qid").as("qid"), col("vec_id"), col("qd.dist").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Shared oracle CTEs for the ADC rows: queries, LUT, ADC distances
+    * and the ADC top-10 (`atop`). Distances are exact micro integers
+    * on both sides (per-subspace partials < 2⁴⁵, totals < 2⁵³), so the
+    * BIGINT-summed oracle and the expression's sequential double
+    * accumulation are bit-equal. */
+  private val sqlAdcCtes: String =
+    """qsel AS (SELECT vec_id AS qid, em FROM ptr WHERE rnr <= 10),
+      |alut AS (
+      |  SELECT q.qid, c.j, c.code,
+      |    list_sum(list_transform(range(8), i ->
+      |      (q.em[c.j*8+i+1] - c.cw[i+1]) * (q.em[c.j*8+i+1] - c.cw[i+1]))) AS d
+      |  FROM qsel q CROSS JOIN pcb2 c),
+      |adist AS (
+      |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
+      |  FROM (SELECT vec_id, j, code FROM pen WHERE rn = 1) e
+      |  JOIN alut l ON l.j = e.j AND l.code = e.code
+      |  GROUP BY l.qid, e.vec_id),
+      |atop AS (
+      |  SELECT qid, vec_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+      |  FROM adist)""".stripMargin
+
+  /** PQ-ADC top-k similarity search (graded end to end: training,
+    * encoding, LUT build, distance, and ranking must all agree). */
+  val adcTopk: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes
+       |SELECT qid, rnk, vec_id, dist FROM atop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    adcTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** ADC recall@10 certificate — the q215/q217 contract for SEARCH:
+    * the ADC top-10 per query vs the exact full-precision top-10
+    * (both tie-broken dist ASC, vec_id ASC), matched on membership.
+    * The recall VALUE is the graded quantity. The exact arm is the
+    * honest baseline the 32×-smaller scan is measured against. */
+  val adcRecall: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM atop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    val exact = embeddings(s, d)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    adcTopkDf(s, d).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
   /** Text normalization — the cleaning pass upstream of every dedup /
     * quality operator: case-fold, strip zero-width characters, collapse
     * whitespace runs (space/tab/CR/LF) to single spaces, trim. The
@@ -3059,7 +3179,9 @@ object Llm extends QueryModule {
     "q214_sq8_assign"     -> sq8Assign,
     "q215_sq8_recall"     -> sq8Recall,
     "q216_pq_assign"      -> pqAssign,
-    "q217_pq_recall"      -> pqRecall
+    "q217_pq_recall"      -> pqRecall,
+    "q218_adc_topk"       -> adcTopk,
+    "q219_adc_recall"     -> adcRecall
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
