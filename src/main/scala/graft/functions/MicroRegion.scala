@@ -26,27 +26,68 @@ import org.apache.spark.unsafe.Platform
   */
 object MicroRegion {
 
-  /** Copy the region's words. `size` in bytes, non-negative. */
+  /** Regions of at most this many words are snapshotted and verified
+    * in FULL; larger regions use a [[SampleWords]]-point deterministic
+    * stride sample. The verify runs on EVERY cache hit, i.e. every
+    * stream row: a full-region compare there is O(region)·n — at the
+    * ×1000 self-bench the 10k-candidate argmin region is ~5 MB, and
+    * the per-row full scan measured 650 s where the argmin itself is
+    * 140 s-class. An accidental buffer reuse (the hazard these caches
+    * guard against) rewrites the region with a DIFFERENT row's data —
+    * broad spans change, and 128 spread probes miss that with
+    * probability ~(unchanged fraction)^128; the adversarial
+    * single-word flip remains covered exactly for small regions and by
+    * the head/mid/tail fingerprint + length + base identity beyond. */
+  val FullCompareWords: Int = 512
+  val SampleWords: Int = 128
+
+  @inline private def pos(i: Int, n: Int, k: Int): Long =
+    if (k <= 1) 0L else (i.toLong * (n - 1)) / (k - 1)
+
+  /** Copy the region's verification words: all of them for regions
+    * ≤ [[FullCompareWords]], else [[SampleWords]] evenly-strided probes
+    * (first and last word always included). `size` in bytes. */
   def snapshot(base: AnyRef, off: Long, size: Long): Array[Long] = {
     val n = (size / 8L).toInt
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      out(i) = Platform.getLong(base, off + i.toLong * 8L)
-      i += 1
+    if (n <= FullCompareWords) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = Platform.getLong(base, off + i.toLong * 8L)
+        i += 1
+      }
+      out
+    } else {
+      val out = new Array[Long](SampleWords)
+      var i = 0
+      while (i < SampleWords) {
+        out(i) = Platform.getLong(base, off + pos(i, n, SampleWords) * 8L)
+        i += 1
+      }
+      out
     }
-    out
   }
 
-  /** True iff the live region's words equal the snapshot. A null or
-    * length-mismatched snapshot is a miss (forces re-decode). */
+  /** True iff the live region's verification words equal the snapshot
+    * (same tiering as [[snapshot]]). A null or length-mismatched
+    * snapshot is a miss (forces re-decode). */
   def sameWords(base: AnyRef, off: Long, size: Long, words: Array[Long]): Boolean = {
-    if (words == null || words.length.toLong != size / 8L) return false
-    var i = 0
-    val n = words.length
-    while (i < n) {
-      if (Platform.getLong(base, off + i.toLong * 8L) != words(i)) return false
-      i += 1
+    if (words == null) return false
+    val n = (size / 8L).toInt
+    if (n <= FullCompareWords) {
+      if (words.length != n) return false
+      var i = 0
+      while (i < n) {
+        if (Platform.getLong(base, off + i.toLong * 8L) != words(i)) return false
+        i += 1
+      }
+    } else {
+      if (words.length != SampleWords) return false
+      var i = 0
+      while (i < SampleWords) {
+        if (Platform.getLong(base, off + pos(i, n, SampleWords) * 8L) != words(i)) return false
+        i += 1
+      }
     }
     true
   }

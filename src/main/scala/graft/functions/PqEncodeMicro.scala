@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   * that is ~2k lambda frames per vector and was the allocation-bound
   * shape of the ×100 self-bench. Here the codebook decodes ONCE into
   * primitive arrays (fingerprint-keyed cache — same discipline as
-  * [[ArgminL2Micro]], full-region verify on hit), and the per-row loop
+  * [[ArgminL2Micro]], tiered [[MicroRegion]] verify on hit), and the per-row loop
   * is 8·256·8 multiply-adds with early exit against the subspace's
   * best-so-far.
   *
@@ -86,7 +86,7 @@ case class PqEncodeMicro(left: Expression, right: Expression)
   //   subCodes(s) — code ids, scan order
   //   subVecs(s)  — codewords, scan order
   // Single-slot fingerprint cache (the codebook rides one broadcast
-  // row, identical bytes every stream row); full-region verify on hit.
+  // row, identical bytes every stream row); tiered MicroRegion verify on hit.
   @transient private var cachedBase: AnyRef = _
   @transient private var cachedOff: Long = _
   @transient private var cachedK: Int = -1

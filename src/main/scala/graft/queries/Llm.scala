@@ -2676,8 +2676,14 @@ object Llm extends QueryModule {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
       .orderBy(ord: _*).limit(2048)
-    // rank window AFTER the 2048-row cap — bounded, single exchange
+    // rank window AFTER the 2048-row cap — bounded, single exchange.
+    // localCheckpoint: the training sample feeds seeds0 AND both Lloyd
+    // iterations; without it each consumer re-runs the full corpus
+    // TakeOrdered (plus its n-row micro HOF), and the nested Lloyd DAG
+    // multiplies those scans — measured as the dominant ×100 cost of
+    // the whole PQ family. ≤2048 rows — always safe to pin.
     val ranked = samp.withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
+      .localCheckpoint()
     val step = ranked.agg(ceil(count(lit(1)).cast("double") / 256d).cast("long").as("step"))
     val seeds0 = ranked.crossJoin(broadcast(step))
       .filter((col("rnr") - 1) % col("step") === 0)
@@ -2700,6 +2706,11 @@ object Llm extends QueryModule {
         .agg(microRound(sum("q") / count(lit(1))).as("m"))
         .groupBy("j", "code")
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("cw"))
+        // ≤2048 rows; pinning each iteration keeps the nested-Lloyd DAG
+        // from re-executing the previous iteration per consumer (each
+        // codebook feeds a broadcast AND the next iteration's encode —
+        // and q218 consumes the final book twice: LUT build + encode).
+        .localCheckpoint()
     }
     lloydIter(lloydIter(seeds0))
   }
@@ -2847,7 +2858,7 @@ object Llm extends QueryModule {
     * search-time payoff of the q216 codes. The query stays full
     * precision; per (query, subspace, code) partial distances are
     * precomputed ONCE on the ≤(10 × m×256)-row LUT relation (bounded,
-    * one broadcast row), and the corpus scan reads 8 one-byte codes
+    * one dense broadcast array per query), and the corpus scan reads 8 one-byte codes
     * per vector + m table lookups per (vector, query) — never the
     * 256 B float vector. Top-k per query is the W5 shape: the
     * row_number ≤ k filter trips WindowGroupLimit, so each map task
@@ -2857,18 +2868,31 @@ object Llm extends QueryModule {
     * the 100 TB ANN format. */
   private[queries] def adcTopkDf(s: SparkSession, d: String): DataFrame = {
     graft.functions.PqAdcMicro.register(s)
-    val dsub = 64 / pqM(s)
+    val m = pqM(s)
+    val dsub = 64 / m
     val qs = adcQueries(s, d)
-    val luts = pqCodebook(s, d).crossJoin(broadcast(qs))
-      .select(col("qid"), col("j"), col("code"),
+    // Per-(query, subspace, code) exact partials on the bounded
+    // (10 × m×256)-row relation, then ONE dense array per query
+    // (position j·256+code; codes the trainer never emitted stay +∞
+    // and are never referenced by an encoded vector).
+    val lutRows = pqCodebook(s, d).crossJoin(broadcast(qs))
+      .select(col("qid"), expr("j * 256 + code").as("pos"),
         expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
-    val qluts = luts.agg(collect_list(struct(
-      col("qid"), col("j"), col("code"), col("d"))).as("qluts"))
+      .groupBy("qid")
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
+      .select(col("qid"), expr(
+        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+    // Fan-out = broadcast nested-loop join of the 10 LUT rows over the
+    // codes scan (codegen'd), distance = a scalar codegen expression —
+    // the whole 10n-row stage stays inside one WholeStageCodegen span.
+    // (The first cut exploded a multi-query struct array from a
+    // CodegenFallback expression; Generate over a fallback child forced
+    // the stage interpreted, ~2× the entire encode at ×100.)
     pqQuantized(s, d).select(col("vec_id"), col("codes"))
-      .crossJoin(broadcast(qluts))
-      .select(col("vec_id"), explode(expr("pq_adc_micro(codes, qluts)")).as("qd"))
-      .select(col("qd.qid").as("qid"), col("vec_id"), col("qd.dist").as("dist"))
+      .crossJoin(broadcast(lutRows))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
       .filter(col("rnk") <= 10)

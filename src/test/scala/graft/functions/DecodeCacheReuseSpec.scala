@@ -16,7 +16,7 @@ import org.scalatest.matchers.should.Matchers
   * fingerprint is probabilistic — this spec CONSTRUCTS the collision the
   * advisory hypothesized (a rewrite that preserves all three sampled
   * words but changes an interior centroid) and asserts the round-7
-  * full-region compare (MicroRegion.sameWords) forces a re-decode, so
+  * verify compare (MicroRegion.sameWords — full for regions this small) forces a re-decode, so
   * the argmin follows the LIVE bytes, never a stale decode. */
 class DecodeCacheReuseSpec extends AnyFunSuite with Matchers {
 
@@ -76,7 +76,7 @@ class DecodeCacheReuseSpec extends AnyFunSuite with Matchers {
       arr2.getSizeInBytes shouldBe arr1.getSizeInBytes
     }
     val (_, vecs2) = cache.get(arr2)
-    // without the full-region compare this served the stale v1 decode
+    // without the MicroRegion verify this served the stale v1 decode
     vecs2(0).max shouldBe 9.0e8
   }
 
@@ -93,7 +93,7 @@ class DecodeCacheReuseSpec extends AnyFunSuite with Matchers {
     // 2 subspaces × 2 codewords of 2 dims; query = zeros. v1 picks code
     // 0 in both subspaces; v2 perturbs one interior double of (j=0,
     // code=0) to flip subspace 0's pick while preserving the 3-word
-    // head/mid/tail fingerprint — only the full-region compare makes
+    // head/mid/tail fingerprint — only the MicroRegion verify makes
     // the second eval see the new bytes.
     val base = Seq(
       (0, 0, Seq(1000.0, 1000.0)), (0, 1, Seq(500000.0, 500000.0)),
