@@ -2719,9 +2719,14 @@ object Llm extends QueryModule {
     * — the 8-code PQ encoding of every vector plus its reconstruction,
     * via ONE [[graft.functions.PqEncodeMicro]] call per row against the
     * broadcast codebook. */
-  private[queries] def pqQuantized(s: SparkSession, d: String): DataFrame = {
+  private[queries] def pqQuantized(s: SparkSession, d: String): DataFrame =
+    pqQuantizedWith(s, d, pqCodebook(s, d))
+
+  /** [[pqQuantized]] against an already-built codebook — q218/q219
+    * build the book once and feed BOTH the LUT arm and the encode arm
+    * (training twice was a measured ×10 constant). */
+  private def pqQuantizedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
     graft.functions.PqEncodeMicro.register(s)
-    val cb = pqCodebook(s, d)
     val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
     // encode feeds the RAW float column (pq_encode_micro's float arm
     // micro-rounds in-loop); `em` is only materialized for callers
@@ -2871,11 +2876,12 @@ object Llm extends QueryModule {
     val m = pqM(s)
     val dsub = 64 / m
     val qs = adcQueries(s, d)
+    val cb = pqCodebook(s, d)
     // Per-(query, subspace, code) exact partials on the bounded
     // (10 × m×256)-row relation, then ONE dense array per query
     // (position j·256+code; codes the trainer never emitted stay +∞
     // and are never referenced by an encoded vector).
-    val lutRows = pqCodebook(s, d).crossJoin(broadcast(qs))
+    val lutRows = cb.crossJoin(broadcast(qs))
       .select(col("qid"), expr("j * 256 + code").as("pos"),
         expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
@@ -2889,7 +2895,7 @@ object Llm extends QueryModule {
     // (The first cut exploded a multi-query struct array from a
     // CodegenFallback expression; Generate over a fallback child forced
     // the stage interpreted, ~2× the entire encode at ×100.)
-    pqQuantized(s, d).select(col("vec_id"), col("codes"))
+    pqQuantizedWith(s, d, cb).select(col("vec_id"), col("codes"))
       .crossJoin(broadcast(lutRows))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
