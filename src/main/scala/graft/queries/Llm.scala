@@ -1915,18 +1915,22 @@ object Llm extends QueryModule {
     // parity against the fan-out shape), keeping the selected candidate
     // bit-parity with the oracle's ORDER BY dist, cand rn=1.
     graft.functions.ArgminL2Micro.register(s)
+    // assigned IS NULL only on degenerate inputs (zero centroids, or a
+    // NULL embedding — out of contract for the fixture tables). Guard
+    // them UPSTREAM — a NULL-embedding filter pushed to the scan and a
+    // zero-row broadcast side — so the empty-centroid case matches the
+    // oracle's zero rows without a post-argmin IS NOT NULL filter:
+    // predicate pushdown would clone the argmin into the Filter node
+    // and run the whole k·d loop TWICE per row (measured 2× on the
+    // ×1000 self-bench across the entire assignment family).
     val candsArr = cent.agg(
       collect_list(struct(col("label").cast("int").as("cand"), col("cvec"))).as("cands"))
-    // assigned IS NULL only on degenerate inputs (zero centroids, or a
-    // NULL embedding — out of contract for the fixture tables): filter
-    // them so the empty-centroid case matches the oracle's zero rows
-    // instead of emitting one NULL-assigned row per vector. (The old
-    // fan-out shape and the DuckDB oracle both yield no row for them.)
+      .filter(size(col("cands")) > 0)
     embeddings(s, d)
+      .filter(col("embedding").isNotNull)
       .crossJoin(broadcast(candsArr))
       .select(col("vec_id"), col("label").as("true_label"),
         expr("argmin_l2_micro(embedding, cands)").as("assigned"))
-      .filter(col("assigned").isNotNull)
   }
 
   val centroidAssign: Q = Q(
@@ -2296,7 +2300,11 @@ object Llm extends QueryModule {
       .join(broadcast(m2), Seq("cell2"), "left")
       .select(col("vec_id"), col("true_label"),
         expr("argmin_pair_l2_micro(embedding, cands1, cands2)").as("assigned"))
-      .filter(col("assigned").isNotNull)
+    // no post-argmin IS NOT NULL filter: pushdown clones the argmin
+    // into the Filter (2× the k·d loop per row). assigned is non-null
+    // by construction here — a NULL embedding (or empty coarse set)
+    // nulls t2 and the row drops at the cell1 inner join, and cands1
+    // comes from that inner join on non-empty member lists.
   }
 
   val ivfAssign: Q = Q(
@@ -2525,6 +2533,7 @@ object Llm extends QueryModule {
     // self-bench (586 s vs the 140 s-class fused path; BASELINE.md).
     graft.functions.Sq8QuantizeMicro.register(s)
     embeddings(s, d)
+      .filter(col("embedding").isNotNull) // dv non-null for the argmin
       .select(col("vec_id"), col("label").as("true_label"),
         expr("sq8_quantize_micro(embedding)").as("z"))
       .select(col("vec_id"), col("true_label"),
@@ -2547,13 +2556,18 @@ object Llm extends QueryModule {
   private def dequantAssignments(s: SparkSession, d: String, recon: DataFrame): DataFrame = {
     graft.functions.ArgminL2Micro.register(s)
     val cent = centroidsDf(s, d)
+    // degenerate inputs are guarded UPSTREAM (NULL embeddings filtered
+    // at the producers' scans; a zero-centroid corpus makes the
+    // broadcast side zero ROWS) instead of a post-argmin IS NOT NULL
+    // filter — pushdown clones the argmin into the Filter node and
+    // runs the whole k·d loop twice per row (measured 2× at ×1000).
     val centArr = cent.agg(collect_list(struct(col("label").cast("int").as("cand"),
       col("cvec"))).as("cands"))
+      .filter(size(col("cands")) > 0)
     recon
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("true_label"),
         expr("argmin_l2_micro(dv, cands)").as("assigned"))
-      .filter(col("assigned").isNotNull)
   }
 
   private def sq8Assignments(s: SparkSession, d: String): DataFrame =
@@ -2733,6 +2747,7 @@ object Llm extends QueryModule {
     // that reference it (PqSpec) — column pruning drops its HOF from
     // the q216/q217 plans.
     embeddings(s, d)
+      .filter(col("embedding").isNotNull) // dv non-null for the argmin
       .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
       .crossJoin(broadcast(cbArr))
