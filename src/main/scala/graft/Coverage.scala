@@ -116,9 +116,9 @@ object Coverage {
     Row("L10", "length/lang profiling", Seq("q56_length_profile")),
     Row("L11", "multimodal decode: image (real PNG/JPEG), audio (real WAV), video (stub)",
       Seq("q61_binary_meta", "q62_media_features", "q188_audio_features")),
-    Row("L12", "embedding compression: SQ8 scalar + PQ8x8 product quantization, recall-certified; PQ-ADC top-k search",
+    Row("L12", "embedding compression: SQ8 scalar + PQ8x8 product quantization, recall-certified; PQ-ADC top-k search; IVFADC cell-pruned search",
       Seq("q214_sq8_assign", "q215_sq8_recall", "q216_pq_assign", "q217_pq_recall",
-        "q218_adc_topk", "q219_adc_recall"))
+        "q218_adc_topk", "q219_adc_recall", "q220_ivfadc_topk", "q221_ivfadc_recall"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

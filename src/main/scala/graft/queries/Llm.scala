@@ -2679,9 +2679,16 @@ object Llm extends QueryModule {
       .filter(v => v >= 1 && v <= 64 && 64 % v == 0)
       .getOrElse(8)
 
-  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    codebookGen(s, d, pqM(s), 256)
+
+  /** Generalized deterministic quantizer trainer: `m` subspaces of
+    * 64/m dims, up to `nCodes` codewords each, trained on the md5-rank
+    * 2048-row sample with 2 unrolled Lloyd iterations. m=pqM/256 is
+    * the PQ book; m=1/16 is the IVFADC coarse-cell book (one subspace
+    * = the whole vector, 16 cells). */
+  private def codebookGen(s: SparkSession, d: String, m: Int, nCodes: Int): DataFrame = {
     graft.functions.PqEncodeMicro.register(s)
-    val m = pqM(s)
     val dsub = 64 / m
     val microRound: Column => Column = v =>
       when(v >= 0, floor(v + 0.5d)).otherwise(ceil(v - 0.5d)).cast("double")
@@ -2698,7 +2705,7 @@ object Llm extends QueryModule {
     // the whole PQ family. ≤2048 rows — always safe to pin.
     val ranked = samp.withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
       .localCheckpoint()
-    val step = ranked.agg(ceil(count(lit(1)).cast("double") / 256d).cast("long").as("step"))
+    val step = ranked.agg(ceil(count(lit(1)).cast("double") / nCodes.toDouble).cast("long").as("step"))
     val seeds0 = ranked.crossJoin(broadcast(step))
       .filter((col("rnr") - 1) % col("step") === 0)
       .select(expr("cast((rnr - 1) div step as int)").as("code"),
@@ -2996,6 +3003,211 @@ object Llm extends QueryModule {
         (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
   }
 
+  /** IVFADC — the standard disk-scale ANN architecture (coarse
+    * inverted cells over the CORPUS + ADC over PQ codes), composed
+    * from existing machinery:
+    *  - coarse book = [[codebookGen]] with ONE subspace of all 64 dims
+    *    and 16 codewords, so corpus cell assignment IS
+    *    `pq_encode_micro(embedding, coarse).codes[0]` — one extra
+    *    broadcast + one fused argmin in the SAME scan that encodes the
+    *    PQ codes (no join between the two);
+    *  - each query probes its 2 nearest cells (a 10×16-row relational
+    *    rank — no expression needed);
+    *  - the ADC scan joins `cell = probed cell` (broadcast hash join
+    *    on the ≤20-row probe×LUT relation), so each query reads only
+    *    its probed cells' members — the scan shrinks to ~nprobe/16 of
+    *    the corpus INSTEAD of fanning every vector out to every query.
+    * Ranked output may legitimately hold <k rows for a query whose
+    * probed cells are small; the certificate (q221) grades both the
+    * recall@10 and the scanned fraction, the two axes of the
+    * recall/cost trade. */
+  private def ivfadcParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.PqAdcMicro.register(s)
+    val m = pqM(s)
+    val dsub = 64 / m
+    val qs = adcQueries(s, d)
+    val cb = pqCodebook(s, d)
+    val coarse = codebookGen(s, d, 1, 16)
+    val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
+    // one corpus scan: PQ codes + coarse cell, two broadcast books
+    val enc = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
+        expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
+    // per-query probe list: 2 nearest coarse cells (ties → smaller code)
+    val probe = qs.crossJoin(coarse)
+      .select(col("qid"), col("code").as("pcell"),
+        expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("pcell"))
+    val lutRows = cb.crossJoin(broadcast(qs))
+      .select(col("qid"), expr("j * 256 + code").as("pos"),
+        expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+      .groupBy("qid")
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
+      .select(col("qid"), expr(
+        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+    (enc, probe, lutRows)
+  }
+
+  /** (qid, vec_id) pairs the pruning admits — IvfadcSpec anti-joins
+    * q220's results against this to prove no leak past the cell join. */
+  private[queries] def ivfadcMembershipForTest(s: SparkSession, d: String): DataFrame = {
+    val (enc, probe, _) = ivfadcParts(s, d)
+    enc.join(broadcast(probe), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"))
+  }
+
+  private[queries] def ivfadcTopkDf(s: SparkSession, d: String): DataFrame = {
+    val (enc, probe, lutRows) = ivfadcParts(s, d)
+    val probeLut = probe.join(lutRows, "qid") // ≤20 rows, each with one LUT
+    enc
+      .join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Coarse training + cell/probe CTEs shared by q220/q221. Reuses
+    * ptr/pq0/pen/qsel/alut from [[sqlPqCtes]]/[[sqlAdcCtes]]; the
+    * coarse Lloyd mirrors the PQ book at (1 subspace, 16 codes). */
+  private val sqlIvfadcCtes: String = {
+    def coarseLloydSql(n: Int): String =
+      s"""cpa$n AS (
+         |  SELECT em, code, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT p.vec_id, p.em, c.code,
+         |      list_sum(list_transform(range(64), i ->
+         |        (p.em[i+1] - c.cw[i+1]) * (p.em[i+1] - c.cw[i+1]))) AS dist
+         |    FROM ptr p CROSS JOIN ccb${n - 1} c) t$n),
+         |ccb$n AS (
+         |  SELECT code, list(m ORDER BY i) AS cw FROM (
+         |    SELECT a.code, t.i,
+         |      CAST(CASE WHEN SUM(a.em[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.em[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.em[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT em, code FROM cpa$n WHERE rn = 1) a, range(64) t(i)
+         |    GROUP BY a.code, t.i) g$n
+         |  GROUP BY code)""".stripMargin
+    """ctc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 16) AS BIGINT) AS step FROM ptr),
+      |ccb0 AS (
+      |  SELECT CAST((rnr - 1) // step AS INTEGER) AS code, em AS cw
+      |  FROM ptr, ctc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
+      coarseLloydSql(1) + ",\n" + coarseLloydSql(2) + ",\n" +
+      """cellv AS (
+        |  SELECT vec_id, code AS cell FROM (
+        |    SELECT vec_id, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, code ASC) AS rn
+        |    FROM (
+        |      SELECT v.vec_id, c.code,
+        |        list_sum(list_transform(range(64), i ->
+        |          (v.em[i+1] - c.cw[i+1]) * (v.em[i+1] - c.cw[i+1]))) AS dist
+        |      FROM pq0 v CROSS JOIN ccb2 c) t) r WHERE rn = 1),
+        |cqp AS (
+        |  SELECT qid, code AS pcell FROM (
+        |    SELECT qid, code,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, code ASC) AS rn
+        |    FROM (
+        |      SELECT q.qid, c.code,
+        |        list_sum(list_transform(range(64), i ->
+        |          (q.em[i+1] - c.cw[i+1]) * (q.em[i+1] - c.cw[i+1]))) AS dist
+        |      FROM qsel q CROSS JOIN ccb2 c) t) r WHERE rn <= 2),
+        |vdist AS (
+        |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
+        |  FROM (SELECT vec_id, j, code FROM pen WHERE rn = 1) e
+        |  JOIN cellv cv ON cv.vec_id = e.vec_id
+        |  JOIN cqp p ON p.pcell = cv.cell
+        |  JOIN alut l ON l.qid = p.qid AND l.j = e.j AND l.code = e.code
+        |  GROUP BY l.qid, e.vec_id),
+        |vtop AS (
+        |  SELECT qid, vec_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+        |  FROM vdist)""".stripMargin
+  }
+
+  /** IVFADC top-k: coarse-cell-pruned ADC search, graded end to end
+    * (coarse training, cell assignment, probe pick, LUT, ranking). */
+  val ivfadcTopk: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    ivfadcTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVFADC certificate: recall@10 vs the exact full-precision top-10
+    * AND the scanned fraction (probed members / (queries × corpus)) —
+    * the two axes of the recall/cost trade, both graded values. */
+  val ivfadcRecall: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (t.n_queries * 10) AS recall,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM (SELECT qid, vec_id FROM vtop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |CROSS JOIN scn s CROSS JOIN tot t
+       |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    val exact = embeddings(s, d)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val (enc, probe, _) = ivfadcParts(s, d)
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    ivfadcTopkDf(s, d).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(scn))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
   /** Text normalization — the cleaning pass upstream of every dedup /
     * quality operator: case-fold, strip zero-width characters, collapse
     * whitespace runs (space/tab/CR/LF) to single spaces, trim. The
@@ -3226,7 +3438,9 @@ object Llm extends QueryModule {
     "q216_pq_assign"      -> pqAssign,
     "q217_pq_recall"      -> pqRecall,
     "q218_adc_topk"       -> adcTopk,
-    "q219_adc_recall"     -> adcRecall
+    "q219_adc_recall"     -> adcRecall,
+    "q220_ivfadc_topk"    -> ivfadcTopk,
+    "q221_ivfadc_recall"  -> ivfadcRecall
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
