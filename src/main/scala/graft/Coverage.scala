@@ -118,7 +118,8 @@ object Coverage {
       Seq("q61_binary_meta", "q62_media_features", "q188_audio_features")),
     Row("L12", "embedding compression: SQ8 scalar + PQ8x8 product quantization, recall-certified; PQ-ADC top-k search; IVFADC cell-pruned search",
       Seq("q214_sq8_assign", "q215_sq8_recall", "q216_pq_assign", "q217_pq_recall",
-        "q218_adc_topk", "q219_adc_recall", "q220_ivfadc_topk", "q221_ivfadc_recall"))
+        "q218_adc_topk", "q219_adc_recall", "q220_ivfadc_topk", "q221_ivfadc_recall",
+        "q222_ivfadc_index"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

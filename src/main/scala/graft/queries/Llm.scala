@@ -3038,7 +3038,17 @@ object Llm extends QueryModule {
       .select(col("vec_id"),
         expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
         expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
-    // per-query probe list: 2 nearest coarse cells (ties → smaller code)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, cb, coarse, m)
+    (enc, probe, lutRows)
+  }
+
+  /** Per-query probe list (2 nearest coarse cells, ties → smaller
+    * code) and dense per-query LUT arrays — shared by the inline
+    * (q220/q221) and persisted (q222) IVFADC paths, which must serve
+    * byte-identical rankings. */
+  private def ivfadcProbeAndLut(qs: DataFrame, cb: DataFrame, coarse: DataFrame,
+      m: Int): (DataFrame, DataFrame) = {
+    val dsub = 64 / m
     val probe = qs.crossJoin(coarse)
       .select(col("qid"), col("code").as("pcell"),
         expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
@@ -3054,7 +3064,7 @@ object Llm extends QueryModule {
       .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
       .select(col("qid"), expr(
         s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
-    (enc, probe, lutRows)
+    (probe, lutRows)
   }
 
   /** (qid, vec_id) pairs the pruning admits — IvfadcSpec anti-joins
@@ -3206,6 +3216,54 @@ object Llm extends QueryModule {
         (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
         col("n_scanned"),
         (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
+  /** PERSISTED IVFADC INDEX — the deployable form of q220 (the
+    * q209/q213 publish-once pattern applied to the compressed corpus):
+    * the 8-byte PQ codes are written ONCE partitioned by coarse CELL
+    * (hive layout, sorted by vec_id within) together with both books;
+    * a probe batch reads back only the ≤2 cell directories each query
+    * probes — `cell` is the PARTITION column and the probe side
+    * arrives through a broadcast join, so Spark injects dynamic
+    * partition pruning into the index scan (IvfadcSpec pins the
+    * `dynamicpruning` filter). This is where the IVFADC scan cut
+    * becomes PHYSICAL: the inline q220 re-encodes every vector per
+    * run, but a 100 TB corpus publishes ~8 B/vector of codes once and
+    * every probe batch touches nprobe/16 of the directories. Graded
+    * contract: byte-identical rankings to q220 (the oracle IS q220's
+    * SQL). */
+  val ivfadcIndex: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    val m = pqM(s)
+    val sfKey = d.replaceAll("[^a-z0-9.]", "_")
+    val dir = s"/tmp/graft_llm/$sfKey/ivfadc_index_m$m"
+    if (ivfIndexStaged.add(dir)) {
+      val (enc, _, _) = ivfadcParts(s, d)
+      enc.repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      pqCodebook(s, d).coalesce(1).write.mode("overwrite").parquet(s"$dir/book")
+      codebookGen(s, d, 1, 16).coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    }
+    val idx = s.read.parquet(s"$dir/codes")
+    val book = s.read.parquet(s"$dir/book")
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val qs = adcQueries(s, d)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m)
+    val probeLut = probe.join(lutRows, "qid")
+    idx.join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
   }
 
   /** Text normalization — the cleaning pass upstream of every dedup /
@@ -3440,7 +3498,8 @@ object Llm extends QueryModule {
     "q218_adc_topk"       -> adcTopk,
     "q219_adc_recall"     -> adcRecall,
     "q220_ivfadc_topk"    -> ivfadcTopk,
-    "q221_ivfadc_recall"  -> ivfadcRecall
+    "q221_ivfadc_recall"  -> ivfadcRecall,
+    "q222_ivfadc_index"   -> ivfadcIndex
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:

@@ -40,6 +40,17 @@ class IvfadcSpec extends AnyFunSuite with Matchers {
     a.toSeq shouldBe b.toSeq
   }
 
+  test("persisted index (q222): byte-identical rankings to the inline path, DPP on cell") {
+    val inline = SparkEntry.queries("q220_ivfadc_topk")(spark, sf).collect().map(_.toString).sorted
+    val idxDf = SparkEntry.queries("q222_ivfadc_index")(spark, sf)
+    val persisted = idxDf.collect().map(_.toString).sorted
+    persisted.toSeq shouldBe inline.toSeq
+    // the probe scan must read only the probed cell partitions: the
+    // partition-column join injects dynamic partition pruning
+    val plan = idxDf.queryExecution.executedPlan.toString
+    plan.toLowerCase should include("dynamicpruning")
+  }
+
   test("certificate: recall and scan_frac in range, scan genuinely pruned") {
     val r = SparkEntry.queries("q221_ivfadc_recall")(spark, sf).head()
     r.getAs[Long]("n_queries") shouldBe 10L
