@@ -3038,7 +3038,7 @@ object Llm extends QueryModule {
       .select(col("vec_id"),
         expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
         expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, cb, coarse, m)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, cb, coarse, m, ivfadcNprobe(s))
     (enc, probe, lutRows)
   }
 
@@ -3046,15 +3046,26 @@ object Llm extends QueryModule {
     * code) and dense per-query LUT arrays — shared by the inline
     * (q220/q221) and persisted (q222) IVFADC paths, which must serve
     * byte-identical rankings. */
+  /** IVFADC probe width (`spark.graft.ivfadc.nprobe`, default 2 = the
+    * graded/oracle setting; 1..16). nprobe=16 probes every cell, i.e.
+    * exactly the full-scan ADC ranking (IvfadcSpec pins the equality);
+    * Verify clears spark.graft.* confs before grading, so a live knob
+    * can never mismatch the pinned oracle SQL. */
+  private def ivfadcNprobe(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivfadc.nprobe")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(v => v >= 1 && v <= 16)
+      .getOrElse(2)
+
   private def ivfadcProbeAndLut(qs: DataFrame, cb: DataFrame, coarse: DataFrame,
-      m: Int): (DataFrame, DataFrame) = {
+      m: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val dsub = 64 / m
     val probe = qs.crossJoin(coarse)
       .select(col("qid"), col("code").as("pcell"),
         expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("pcell"))
     val lutRows = cb.crossJoin(broadcast(qs))
       .select(col("qid"), expr("j * 256 + code").as("pos"),
@@ -3254,7 +3265,7 @@ object Llm extends QueryModule {
     val book = s.read.parquet(s"$dir/book")
     val coarse = s.read.parquet(s"$dir/coarse")
     val qs = adcQueries(s, d)
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
     val probeLut = probe.join(lutRows, "qid")
     idx.join(broadcast(probeLut), col("cell") === col("pcell"))
       .select(col("qid"), col("vec_id"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SparkEntry, TestSpark}
+import graft.{GraftConf, SparkEntry, TestSpark}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -49,6 +49,25 @@ class IvfadcSpec extends AnyFunSuite with Matchers {
     // partition-column join injects dynamic partition pruning
     val plan = idxDf.queryExecution.executedPlan.toString
     plan.toLowerCase should include("dynamicpruning")
+  }
+
+  test("spark.graft.ivfadc.nprobe knob: monotone recall; nprobe=16 equals full-scan ADC") {
+    def at(n: Int): (Double, Double) = GraftConf.scoped(spark) {
+      spark.conf.set("spark.graft.ivfadc.nprobe", n.toString)
+      val r = SparkEntry.queries("q221_ivfadc_recall")(spark, sf).head()
+      (r.getAs[Double]("recall"), r.getAs[Double]("scan_frac"))
+    }
+    val (r1, f1) = at(1)
+    val (r2, f2) = at(2)
+    val (r16, f16) = at(16)
+    info(s"nprobe curve: 1=($r1, $f1) 2=($r2, $f2) 16=($r16, $f16)")
+    r1 should be <= r2
+    r2 should be <= r16
+    f1 should be < f2
+    f16 shouldBe 1.0 // every cell probed = the whole corpus scanned
+    // probing every cell IS the full-scan ADC ranking
+    val full = SparkEntry.queries("q219_adc_recall")(spark, sf).head().getAs[Double]("recall")
+    r16 shouldBe full
   }
 
   test("certificate: recall and scan_frac in range, scan genuinely pruned") {
