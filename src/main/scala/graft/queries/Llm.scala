@@ -2280,7 +2280,11 @@ object Llm extends QueryModule {
         .join(broadcast(cellMembers), Seq("cell"))
         .select(col("vec_id"), col("true_label"),
           expr("argmin_struct_l2_micro(embedding, cands)").as("bs"))
-        .filter(col("bs").isNotNull)
+        // no IS NOT NULL post-filter (pushdown would clone the fused
+        // argmin into the Filter — 2× the k·d loop): bs is non-null by
+        // construction here — a NULL embedding yields a null probe
+        // array whose explode emits no row, and cands comes from the
+        // inner cellMembers join (collect_list groups are non-empty)
         .groupBy(col("vec_id"), col("true_label"))
         .agg(min(struct(col("bs.dist"), col("bs.cand"))).as("m"))
         .select(col("vec_id"), col("true_label"), col("m.cand").as("assigned"))
