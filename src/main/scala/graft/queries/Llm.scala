@@ -3090,8 +3090,14 @@ object Llm extends QueryModule {
       .select(col("qid"), col("vec_id"))
   }
 
-  private[queries] def ivfadcTopkDf(s: SparkSession, d: String): DataFrame = {
-    val (enc, probe, lutRows) = ivfadcParts(s, d)
+  private[queries] def ivfadcTopkDf(s: SparkSession, d: String): DataFrame =
+    ivfadcTopkFrom(ivfadcParts(s, d))
+
+  /** Top-k over already-built parts — q221 builds the parts ONCE and
+    * feeds both its scan-count arm and the ranking (training twice was
+    * a measured sf0.1 constant). */
+  private def ivfadcTopkFrom(parts: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (enc, probe, lutRows) = parts
     val probeLut = probe.join(lutRows, "qid") // ≤20 rows, each with one LUT
     enc
       .join(broadcast(probeLut), col("cell") === col("pcell"))
@@ -3215,14 +3221,15 @@ object Llm extends QueryModule {
         Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
       .filter(col("rnk") <= 10)
       .select("qid", "vec_id")
-    val (enc, probe, _) = ivfadcParts(s, d)
+    val parts = ivfadcParts(s, d)
+    val (enc, probe, _) = parts
     val scn = enc.select(col("cell"))
       .join(broadcast(probe), col("cell") === col("pcell"))
       .agg(count(lit(1)).as("n_scanned"))
     val tot = qs.agg(count(lit(1)).as("n_queries"))
       .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
         .agg(count(lit(1)).as("n_corpus")))
-    ivfadcTopkDf(s, d).select("qid", "vec_id")
+    ivfadcTopkFrom(parts).select("qid", "vec_id")
       .join(exact, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("n_matched"))
       .crossJoin(broadcast(tot))
