@@ -74,10 +74,12 @@ private[functions] object MicroArgmin {
           case other => (other, 0L, -1L, 0L, 0L, 0L)
         }
       val slot = ((off ^ size ^ head ^ tail ^ k.toLong) & (Slots - 1)).toInt
-      // fingerprint hit → verify the FULL region against the decode-time
-      // snapshot (MicroRegion): a buffer-reuse rewrite that preserves the
-      // 3 sampled words can no longer serve a stale decode. Non-Unsafe
-      // arrays (size == -1) key on object identity as before.
+      // fingerprint hit → verify the region against the decode-time
+      // snapshot (MicroRegion): deterministic full compare ≤512 words;
+      // beyond that, strided probes per hit + a periodic full checksum
+      // bound stale-decode survival to FullEvery−1 rows (the sampled
+      // tier's honest residual — see MicroRegion). Non-Unsafe arrays
+      // (size == -1) key on object identity as before.
       if ((bases(slot) eq base) && offs(slot) == off && ks(slot) == k &&
           sizes(slot) == size && heads(slot) == head && mids(slot) == mid &&
           tails(slot) == tail && ids(slot) != null &&

@@ -101,9 +101,13 @@ case class ArgminL2Micro(left: Expression, right: Expression) extends BinaryExpr
           Platform.getLong(b, o + (sz / 16) * 8), Platform.getLong(b, o + sz - 8))
       case other => (other, 0L, -1L, 0L, 0L, 0L)
     }
-    // fingerprint hit → verify the FULL region against the decode-time
-    // snapshot (MicroRegion): closes the theoretical stale-decode window
-    // under buffer reuse that coincides on the 3 sampled words.
+    // fingerprint hit → verify the region against the decode-time
+    // snapshot (MicroRegion): deterministic full compare ≤512 words;
+    // beyond that, 128 strided probes per hit + a full checksum every
+    // FullEvery hits — a stale decode under buffer reuse is caught
+    // immediately for small regions and within ≤FullEvery−1 rows for
+    // large ones (the documented probabilistic residual of the sampled
+    // tier; see MicroRegion's class doc for the knobs and cost model).
     if ((base eq cachedBase) && off == cachedOff && k == cachedK &&
         size == cachedSize && head == cachedHead && mid == cachedMid &&
         tail == cachedTail && cachedIds != null &&

@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
   * the entire PQ encode at the ×100 self-bench. A dense per-query
   * array needs NO decode and NO cache-verify: `doGenCode` reads the
   * live broadcast bytes directly, m primitive reads per (vector,
-  * query). Out-of-range positions (codes the trainer never emitted
-  * can't occur, but a short LUT could) contribute +∞, surfacing a
-  * malformed table as an un-rankable distance instead of silence.
+  * query). Out-of-range CODES and positions contribute +∞, surfacing
+  * malformed input as an un-rankable distance instead of silence: the
+  * in-contract code domain is 0..255, but q222 feeds this expression
+  * codes deserialized from an on-disk parquet index and the function
+  * is registered session-wide, so a negative or ≥256 code must not
+  * drive an unchecked array read (a negative position would read
+  * before the LUT base; ≥256 would read the next subspace's slot —
+  * both plausible-but-wrong distances, worse than a loud +∞).
   */
 case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -54,8 +59,10 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var j = 0
     while (j < m) {
-      val pos = j * 256 + codes.getInt(j)
-      acc += (if (pos < w) lut.getDouble(pos) else Double.PositiveInfinity)
+      val c = codes.getInt(j)
+      val pos = j * 256 + c
+      acc += (if (c >= 0 && c < 256 && pos < w) lut.getDouble(pos)
+              else Double.PositiveInfinity)
       j += 1
     }
     acc
@@ -67,14 +74,17 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
       val m = ctx.freshName("m")
       val w = ctx.freshName("w")
       val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
       val pos = ctx.freshName("pos")
       s"""
          |int $m = $a.numElements();
          |int $w = $b.numElements();
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  int $pos = $j * 256 + $a.getInt($j);
-         |  $acc += ($pos < $w) ? $b.getDouble($pos) : Double.POSITIVE_INFINITY;
+         |  int $c = $a.getInt($j);
+         |  int $pos = $j * 256 + $c;
+         |  $acc += ($c >= 0 && $c < 256 && $pos < $w)
+         |    ? $b.getDouble($pos) : Double.POSITIVE_INFINITY;
          |}
          |${ev.value} = $acc;
        """.stripMargin
