@@ -2694,24 +2694,40 @@ object Llm extends QueryModule {
     * 2048-row sample with 2 unrolled Lloyd iterations. m=pqM/256 is
     * the PQ book; m=1/16 is the IVFADC coarse-cell book (one subspace
     * = the whole vector, 16 cells). */
-  private def codebookGen(s: SparkSession, d: String, m: Int, nCodes: Int): DataFrame = {
+  /** md5-ranked 2048-row training sample (vec_id, em, rnr) over `src`
+    * embeddings (micro domain), localCheckpointed — the shared training
+    * population for every trained book. The rank window runs AFTER the
+    * 2048-row cap (a distributed TakeOrderedAndProject, never a global
+    * window over n rows); localCheckpoint because the sample feeds
+    * seeds AND both Lloyd iterations of each book trained on it —
+    * without it every consumer re-runs the corpus TakeOrdered (plus
+    * its n-row micro HOF), measured as the dominant ×100 cost of the
+    * whole PQ family. ≤2048 rows — always safe to pin. */
+  private def rankedSampleOf(src: DataFrame): DataFrame = {
+    val ord = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    src
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .orderBy(ord: _*).limit(2048)
+      .withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
+      .localCheckpoint()
+  }
+
+  private def rankedSample(s: SparkSession, d: String): DataFrame =
+    rankedSampleOf(embeddings(s, d))
+
+  private def codebookGen(s: SparkSession, d: String, m: Int, nCodes: Int): DataFrame =
+    codebookGenOn(s, rankedSample(s, d), m, nCodes)
+
+  /** [[codebookGen]] on an explicit (vec_id, em, rnr) training relation
+    * — the residual book (q223) trains on the ranked sample's COARSE
+    * RESIDUALS and the ingest books (q227) on the base split's sample,
+    * all through this one trainer. */
+  private def codebookGenOn(s: SparkSession, ranked: DataFrame, m: Int, nCodes: Int): DataFrame = {
     graft.functions.PqEncodeMicro.register(s)
     val dsub = 64 / m
     val microRound: Column => Column = v =>
       when(v >= 0, floor(v + 0.5d)).otherwise(ceil(v - 0.5d)).cast("double")
-    val ord = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    val samp = embeddings(s, d)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
-      .orderBy(ord: _*).limit(2048)
-    // rank window AFTER the 2048-row cap — bounded, single exchange.
-    // localCheckpoint: the training sample feeds seeds0 AND both Lloyd
-    // iterations; without it each consumer re-runs the full corpus
-    // TakeOrdered (plus its n-row micro HOF), and the nested Lloyd DAG
-    // multiplies those scans — measured as the dominant ×100 cost of
-    // the whole PQ family. ≤2048 rows — always safe to pin.
-    val ranked = samp.withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
-      .localCheckpoint()
     val step = ranked.agg(ceil(count(lit(1)).cast("double") / nCodes.toDouble).cast("long").as("step"))
     val seeds0 = ranked.crossJoin(broadcast(step))
       .filter((col("rnr") - 1) % col("step") === 0)
@@ -2900,7 +2916,10 @@ object Llm extends QueryModule {
     * tasks×k rows, not n. At ×1000 the scanned payload drops 32×
     * alongside the compute cut — the property that makes PQ indexes
     * the 100 TB ANN format. */
-  private[queries] def adcTopkDf(s: SparkSession, d: String): DataFrame = {
+  private[queries] def adcTopkDf(s: SparkSession, d: String): DataFrame =
+    adcTopkDfK(s, d, 10)
+
+  private def adcTopkDfK(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.PqAdcMicro.register(s)
     val m = pqM(s)
     val dsub = 64 / m
@@ -2930,7 +2949,7 @@ object Llm extends QueryModule {
         expr("pq_adc_micro(codes, lut)").as("dist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
   }
 
   /** Shared oracle CTEs for the ADC rows: queries, LUT, ADC distances
@@ -3300,6 +3319,436 @@ object Llm extends QueryModule {
       .orderBy("qid", "rnk")
   }
 
+  /** RESIDUAL IVFADC (q223/q224) — the canonical FAISS IVFADC encoding
+    * the raw-code path (q220) approximates: PQ-encode the RESIDUAL
+    * `x − coarse_centroid(cell(x))` instead of the raw vector. Raw
+    * codes waste the whole codebook budget re-describing the coarse
+    * position the cell id already carries; residuals shrink the encoded
+    * domain to the within-cell spread, so the same 8 B/vector describe
+    * far finer structure — this is why production PQ recall survives at
+    * 8 B. The round-7 certificates put the raw floor at recall@10 0.43
+    * (sf0.001) / 0.24 (×100) at nprobe=2; q224 grades the lift.
+    * Composition (everything stays the integer-micro bridge, so both
+    * engines agree bit-for-bit):
+    *  - the PQ book TRAINS on the ranked sample's residuals w.r.t. the
+    *    coarse book (a book trained on raw vectors would have its
+    *    codewords in the wrong domain);
+    *  - the corpus scan computes cell, residual, and residual codes in
+    *    ONE pass — coarse book, 16-row cell→centroid join, and residual
+    *    book are all broadcast;
+    *  - search shifts each query per probed cell
+    *    (`‖q − (c + r̂)‖² = ‖(q − c) − r̂‖²`), so the LUT becomes
+    *    per-(query, CELL) — still a ≤(nprobe·queries)-row broadcast
+    *    relation, just keyed one level finer than q220's per-query LUT.
+    * Scale shape identical to q220: n-row scan reads m bytes of codes,
+    * probe join prunes to nprobe/16 of the corpus, distance is the same
+    * codegen'd pq_adc_micro, top-k trips WindowGroupLimit. */
+  private[queries] def ivfadcResidualParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dsub = 64 / m
+    val qs = adcQueries(s, d)
+    val ranked = rankedSample(s, d)
+    val coarse = codebookGenOn(s, ranked, 1, 16)
+    val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
+    val coarseSel = coarse.select(col("code").as("cell"), col("cw").as("ccw"))
+    // residual book: residuals of the SAME ranked sample w.r.t. the
+    // coarse book (cell via the same fused argmin the corpus uses; the
+    // oracle reuses cellv — ptr's vec_ids are a subset of pq0's)
+    val resSample = ranked.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("rnr"), col("em"),
+        expr("pq_encode_micro(em, ccbs).codes[0]").as("cell"))
+      .join(broadcast(coarseSel), "cell")
+      .select(col("vec_id"), col("rnr"),
+        expr("zip_with(em, ccw, (a, b) -> a - b)").as("em"))
+      .localCheckpoint() // ≤2048 rows; feeds seeds + both Lloyd iterations
+    val book = codebookGenOn(s, resSample, m, 256)
+    val cbArr = book.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    // one corpus scan: coarse cell + residual + residual PQ codes
+    val enc = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"),
+        expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
+      .join(broadcast(coarseSel), "cell")
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("cell"),
+        expr("pq_encode_micro(zip_with(em, ccw, (a, b) -> a - b), cbs).codes").as("codes"))
+    val nprobe = ivfadcNprobe(s)
+    val probe = qs.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("code").as("pcell"),
+        expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("pcell"))
+    // per-(query, cell) SHIFTED LUT: ‖(q − c_cell)_subⱼ − rcwⱼ,code‖²
+    val shifted = probe.join(broadcast(qs), "qid")
+      .join(broadcast(coarseSel), col("pcell") === col("cell"))
+      .select(col("qid"), col("pcell"),
+        expr("zip_with(em, ccw, (a, b) -> a - b)").as("sq"))
+    val lutRows = shifted.crossJoin(book) // ≤(nprobe·10) × m·256 rows, bounded
+      .select(col("qid"), col("pcell"), expr("j * 256 + code").as("pos"),
+        expr(s"aggregate(zip_with(slice(sq, j * $dsub + 1, $dsub), cw, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+      .groupBy("qid", "pcell")
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
+      .select(col("qid"), col("pcell"), expr(
+        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+    (enc, probe, lutRows)
+  }
+
+  private[queries] def ivfadcResidualTopkDf(s: SparkSession, d: String): DataFrame =
+    ivfadcResidualTopkFrom(ivfadcResidualParts(s, d))
+
+  private def ivfadcResidualTopkFrom(parts: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    ivfadcResidualTopkFromK(parts, 10)
+
+  private def ivfadcResidualTopkFromK(parts: (DataFrame, DataFrame, DataFrame), k: Int): DataFrame = {
+    val (enc, _, lutRows) = parts
+    // the LUT relation is already per-(qid, pcell) — it IS the probe
+    enc.join(broadcast(lutRows), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Residual training + encode + shifted-LUT CTEs (oracle face of
+    * [[ivfadcResidualParts]]): reuses ptr/pq0/qsel (PQ family) and
+    * ccb2/cellv/cqp (coarse family); ends in `rtop`. */
+  private val sqlResidualCtes: String = {
+    def resLloydSql(n: Int): String =
+      s"""rpa$n AS (
+         |  SELECT j, vec_id, sv, code,
+         |    ROW_NUMBER() OVER (PARTITION BY j, vec_id ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT p.j, p.vec_id, p.sv, c.code,
+         |      list_sum(list_transform(range(8), i ->
+         |        (p.sv[i+1] - c.cw[i+1]) * (p.sv[i+1] - c.cw[i+1]))) AS dist
+         |    FROM rpts p JOIN rcb${n - 1} c ON c.j = p.j) rt$n),
+         |rcb$n AS (
+         |  SELECT j, code, list(m ORDER BY i) AS cw FROM (
+         |    SELECT a.j, a.code, t.i,
+         |      CAST(CASE WHEN SUM(a.sv[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.sv[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.sv[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT j, code, sv FROM rpa$n WHERE rn = 1) a, range(8) t(i)
+         |    GROUP BY a.j, a.code, t.i) rg$n
+         |  GROUP BY j, code)""".stripMargin
+    """rres AS (
+      |  SELECT p.vec_id, p.rnr,
+      |    list_transform(range(64), i -> p.em[i+1] - c.cw[i+1]) AS em
+      |  FROM ptr p JOIN cellv cv ON cv.vec_id = p.vec_id
+      |  JOIN ccb2 c ON c.code = cv.cell),
+      |rpts AS (
+      |  SELECT vec_id, rnr, j, list_transform(range(8), i -> em[j*8+i+1]) AS sv
+      |  FROM rres, range(8) t(j)),
+      |rtc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 256) AS BIGINT) AS step FROM rres),
+      |rcb0 AS (
+      |  SELECT j, CAST((rnr - 1) // step AS INTEGER) AS code, sv AS cw
+      |  FROM rpts, rtc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
+      resLloydSql(1) + ",\n" + resLloydSql(2) + ",\n" +
+      """rcv AS (
+        |  SELECT v.vec_id, cv.cell,
+        |    list_transform(range(64), i -> v.em[i+1] - c.cw[i+1]) AS em
+        |  FROM pq0 v JOIN cellv cv ON cv.vec_id = v.vec_id
+        |  JOIN ccb2 c ON c.code = cv.cell),
+        |ren AS (
+        |  SELECT vec_id, cell, j, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, v.cell, c.j, c.code,
+        |      list_sum(list_transform(range(8), i ->
+        |        (v.em[c.j*8+i+1] - c.cw[i+1]) * (v.em[c.j*8+i+1] - c.cw[i+1]))) AS dist
+        |    FROM rcv v CROSS JOIN rcb2 c) rte),
+        |rsq AS (
+        |  SELECT p.qid, p.pcell,
+        |    list_transform(range(64), i -> q.em[i+1] - c.cw[i+1]) AS em
+        |  FROM cqp p JOIN qsel q ON q.qid = p.qid
+        |  JOIN ccb2 c ON c.code = p.pcell),
+        |rlut AS (
+        |  SELECT s.qid, s.pcell, c.j, c.code,
+        |    list_sum(list_transform(range(8), i ->
+        |      (s.em[c.j*8+i+1] - c.cw[i+1]) * (s.em[c.j*8+i+1] - c.cw[i+1]))) AS d
+        |  FROM rsq s CROSS JOIN rcb2 c),
+        |rdist AS (
+        |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
+        |  FROM (SELECT vec_id, cell, j, code FROM ren WHERE rn = 1) e
+        |  JOIN rlut l ON l.pcell = e.cell AND l.j = e.j AND l.code = e.code
+        |  GROUP BY l.qid, e.vec_id),
+        |rtop AS (
+        |  SELECT qid, vec_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+        |  FROM rdist)""".stripMargin
+  }
+
+  /** Residual IVFADC top-k: graded end to end — coarse training, cell
+    * assignment, residual-book training, residual encode, per-cell
+    * shifted LUTs, ranking. */
+  val ivfadcResidualTopk: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes
+       |SELECT qid, rnk, vec_id, dist FROM rtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    ivfadcResidualTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Residual IVFADC certificate: recall@10 vs the exact top-10 AND
+    * the scanned fraction. The scan set is IDENTICAL to q221's (same
+    * coarse book, same probes), so any recall delta over q221 is pure
+    * encoding quality — the graded claim of the residual path. */
+  val ivfadcResidualRecall: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (t.n_queries * 10) AS recall,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM (SELECT qid, vec_id FROM rtop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |CROSS JOIN scn s CROSS JOIN tot t
+       |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm (NULLS FIRST vs LAST trap)
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val parts = ivfadcResidualParts(s, d)
+    val (enc, probe, _) = parts
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    ivfadcResidualTopkFrom(parts).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(scn))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
+  /** TWO-STAGE SEARCH (q225/q226): ADC top-(k·α) shortlist →
+    * full-precision re-rank → top-k — the configuration every
+    * production PQ system actually serves. The shortlist is bounded
+    * (α·k·queries = 1000 rows here), so the re-rank join touches
+    * negligible data: the corpus scan is still the 32×-smaller ADC
+    * scan; only shortlist members have their float vectors re-read.
+    * Round-7 measured the ADC code floor at recall 0.56 (sf0.001
+    * full-scan); re-ranking recovers every in-shortlist miss, and the
+    * q226 certificate grades the recovered value. Monotone by
+    * construction: any exact-top-10 member in the shortlist re-ranks
+    * into the final top-10 (at most 9 items can beat it), so rerank
+    * recall ≥ ADC recall, always. */
+  /** (qid, rnk, vec_id, dist): exact re-rank of the ADC top-100
+    * shortlist. The corpus joins the BROADCAST 1000-row shortlist —
+    * at 100 TB this reads back only the shortlisted vectors' floats
+    * (row-group pruned in a real layout), never the corpus. */
+  private[queries] def adcRerankTopkDf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    val shortlist = adcTopkDfK(s, d, 100).select(col("qid"), col("vec_id"))
+    embeddings(s, d).filter(col("embedding").isNotNull)
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Re-rank CTEs over an ADC shortlist relation `src` (qid, vec_id):
+    * exact micro distances + final ranking. */
+  private def sqlRerankCtes(src: String): String =
+    s"""rrk AS (
+       |  SELECT a.qid, a.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM ($src) a
+       |  JOIN pq0 v ON v.vec_id = a.vec_id
+       |  JOIN qsel q ON q.qid = a.qid),
+       |rrt AS (
+       |  SELECT qid, vec_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM rrk)""".stripMargin
+
+  val adcRerankTopk: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |${sqlRerankCtes("SELECT qid, vec_id FROM atop WHERE rnk <= 100")}
+       |SELECT qid, rnk, vec_id, dist FROM rrt WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    adcRerankTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Two-stage recall certificate: recall@10 of (ADC top-100 → exact
+    * re-rank → top-10) vs the exact top-10 — the graded proof that the
+    * re-rank stage recovers the compressed-code losses (≥ the q219
+    * raw-ADC recall by construction; == 1.0 whenever the true top-10
+    * survives into the 10×-wider shortlist). */
+  val adcRerankRecall: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |${sqlRerankCtes("SELECT qid, vec_id FROM atop WHERE rnk <= 100")},
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    adcRerankTopkDf(s, d).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
+  /** RESIDUAL IVFADC + RE-RANK (q227) — the full production serving
+    * stack: coarse pruning (nprobe/16 of the corpus scanned) →
+    * residual-PQ ADC shortlist (top-100 within probed cells) → exact
+    * re-rank → top-10. At this operating point recall equals the
+    * COARSE MEMBERSHIP CEILING (every in-probed-cell true neighbor is
+    * recovered: the shortlist is 10× the final k and the re-rank is
+    * exact), so the certificate cleanly splits the two loss sources —
+    * pruning (scan_frac's twin) vs encoding (eliminated). Measured at
+    * sf0.001: raw-ADC floor 0.43 → re-ranked 0.51 = the nprobe=2
+    * ceiling, at an UNCHANGED 12.3% scan fraction. */
+  val ivfadcRerankRecall: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes,
+       |${sqlRerankCtes("SELECT qid, vec_id FROM rtop WHERE rnk <= 100")},
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (t.n_queries * 10) AS recall,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |CROSS JOIN scn s CROSS JOIN tot t
+       |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val parts = ivfadcResidualParts(s, d)
+    val (enc, probe, _) = parts
+    val short = ivfadcResidualTopkFromK(parts, 100).select(col("qid"), col("vec_id"))
+    val reranked = embeddings(s, d).filter(col("embedding").isNotNull)
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    reranked
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(scn))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
   /** Text normalization — the cleaning pass upstream of every dedup /
     * quality operator: case-fold, strip zero-width characters, collapse
     * whitespace runs (space/tab/CR/LF) to single spaces, trim. The
@@ -3533,7 +3982,12 @@ object Llm extends QueryModule {
     "q219_adc_recall"     -> adcRecall,
     "q220_ivfadc_topk"    -> ivfadcTopk,
     "q221_ivfadc_recall"  -> ivfadcRecall,
-    "q222_ivfadc_index"   -> ivfadcIndex
+    "q222_ivfadc_index"   -> ivfadcIndex,
+    "q223_ivfadc_residual_topk"   -> ivfadcResidualTopk,
+    "q224_ivfadc_residual_recall" -> ivfadcResidualRecall,
+    "q225_adc_rerank_topk"        -> adcRerankTopk,
+    "q226_adc_rerank_recall"      -> adcRerankRecall,
+    "q227_ivfadc_rerank_recall"   -> ivfadcRerankRecall
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
