@@ -122,7 +122,9 @@ object Coverage {
         "q222_ivfadc_index")),
     Row("L13", "residual IVFADC encoding + two-stage exact re-rank (production serving stack: recall recovered to the pruning ceiling at unchanged scan fraction)",
       Seq("q223_ivfadc_residual_topk", "q224_ivfadc_residual_recall",
-        "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall"))
+        "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall")),
+    Row("L14", "incremental index maintenance: frozen-book daily batch ingest into the published IVFADC index (two-phase crash-safe cell append)",
+      Seq("q228_ivfadc_ingest"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

@@ -2796,7 +2796,13 @@ object Llm extends QueryModule {
   /** PQ training + encode CTEs (oracle face of [[pqCodebook]] /
     * [[pqQuantized]]): ends in `prc` (vec_id, true_label, dv) and the
     * assignment pair pa9/pr9 against `cent`. */
-  private val sqlPqCtes: String = {
+  private val sqlPqCtes: String = sqlPqCtesFilter("")
+
+  /** [[sqlPqCtes]] with an optional WHERE predicate restricting the
+    * TRAINING/QUERY population (ptr and everything derived from it —
+    * books, coarse cells, qsel) while the encoded corpus (pq0) stays
+    * the full table — the frozen-book ingest regime of q228. */
+  private def sqlPqCtesFilter(trainWhere: String): String = {
     def lloydIterSql(n: Int): String =
       s"""pa$n AS (
          |  SELECT j, vec_id, sv, code,
@@ -2823,7 +2829,7 @@ object Llm extends QueryModule {
       |ptr AS (
       |  SELECT vec_id, em,
       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnr
-      |  FROM (SELECT vec_id, em FROM pq0
+      |  FROM (SELECT vec_id, em FROM pq0""".stripMargin + trainWhere + """
       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) ts),
       |pts AS (
       |  SELECT vec_id, rnr, j, list_transform(range(8), i -> em[j*8+i+1]) AS sv
@@ -2897,7 +2903,10 @@ object Llm extends QueryModule {
     * so the oracle reuses its `ptr` CTE with `rnr <= 10`), each with
     * its exact micro vector. 10 rows — always broadcastable. */
   private[queries] def adcQueries(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+    adcQueriesOf(embeddings(s, d))
+
+  private def adcQueriesOf(src: DataFrame): DataFrame =
+    src
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -3749,6 +3758,87 @@ object Llm extends QueryModule {
         (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
   }
 
+  /** Encode `src` embeddings against FROZEN (book, coarse) relations —
+    * the shared shape of the q228 day-0 publish, its daily batch, and a
+    * full republish (IngestSpec proves batch-maintained ≡ republished).
+    * Same one-pass scan as [[ivfadcParts]]' enc: two broadcast books,
+    * no joins, n rows. */
+  private[queries] def ivfadcEncodeWith(src: DataFrame, book: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    val cbArr = book.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
+    src.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
+        expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
+  }
+
+  private[queries] def ivfadcIngestDir(s: SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^a-z0-9.]", "_")
+    s"/tmp/graft_llm/$sfKey/ivfadc_ingest_m${pqM(s)}"
+  }
+
+  /** INCREMENTAL IVFADC INDEX INGEST (q228) — daily maintenance of the
+    * q222 published-index pattern, the flow every production vector
+    * store runs: books are trained ONCE on the day-0 (base) corpus and
+    * FROZEN; day 0 publishes the base split's codes cell-partitioned;
+    * day 1's injected batch (here the `vec_id % 10 = 0` split) is
+    * encoded with the frozen books and two-phase-appended into exactly
+    * its cells ([[graft.operators.IndexIngest]] — staged hidden,
+    * committed by atomic per-file rename, crash-replayable). Probes are
+    * UNCHANGED: dynamic partition pruning over cell directories, frozen
+    * books from disk. The graded contract: the maintained index serves
+    * rankings byte-identical to a frozen-book FULL pipeline over the
+    * whole corpus (the oracle is exactly q220's SQL with the training/
+    * query population restricted to the base split), and IngestSpec
+    * additionally proves byte-parity with a full republish plus the
+    * crash-between-stage-and-commit invariants. O(batch) maintenance,
+    * O(nprobe/16) probes — the 100 TB serving economics. */
+  val ivfadcIngest: Q = Q(
+    s"""WITH $sqlCentCtes,
+       |${sqlPqCtesFilter(" WHERE vec_id % 10 <> 0")},
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dir = ivfadcIngestDir(s, d)
+    val baseAll = embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
+    if (ivfIndexStaged.add(dir)) {
+      val ranked = rankedSampleOf(baseAll)
+      codebookGenOn(s, ranked, m, 256).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      codebookGenOn(s, ranked, 1, 16).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/coarse")
+      val book = s.read.parquet(s"$dir/book")
+      val coarse = s.read.parquet(s"$dir/coarse")
+      ivfadcEncodeWith(baseAll, book, coarse)
+        .repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      val batch = embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      graft.operators.IndexIngest.appendBatch(s,
+        ivfadcEncodeWith(batch, book, coarse), s"$dir/codes", "day1")
+    }
+    val idx = s.read.parquet(s"$dir/codes")
+    val book = s.read.parquet(s"$dir/book")
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val qs = adcQueriesOf(baseAll)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
+    val probeLut = probe.join(lutRows, "qid")
+    idx.join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
   /** Text normalization — the cleaning pass upstream of every dedup /
     * quality operator: case-fold, strip zero-width characters, collapse
     * whitespace runs (space/tab/CR/LF) to single spaces, trim. The
@@ -3987,7 +4077,8 @@ object Llm extends QueryModule {
     "q224_ivfadc_residual_recall" -> ivfadcResidualRecall,
     "q225_adc_rerank_topk"        -> adcRerankTopk,
     "q226_adc_rerank_recall"      -> adcRerankRecall,
-    "q227_ivfadc_rerank_recall"   -> ivfadcRerankRecall
+    "q227_ivfadc_rerank_recall"   -> ivfadcRerankRecall,
+    "q228_ivfadc_ingest"          -> ivfadcIngest
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:
