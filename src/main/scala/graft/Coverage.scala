@@ -119,7 +119,7 @@ object Coverage {
     Row("L12", "embedding compression: SQ8 scalar + PQ8x8 product quantization, recall-certified; PQ-ADC top-k search; IVFADC cell-pruned search",
       Seq("q214_sq8_assign", "q215_sq8_recall", "q216_pq_assign", "q217_pq_recall",
         "q218_adc_topk", "q219_adc_recall", "q220_ivfadc_topk", "q221_ivfadc_recall",
-        "q222_ivfadc_index")),
+        "q222_ivfadc_index", "q229_pq16_recall")),
     Row("L13", "residual IVFADC encoding + two-stage exact re-rank (production serving stack: recall recovered to the pruning ceiling at unchanged scan fraction)",
       Seq("q223_ivfadc_residual_topk", "q224_ivfadc_residual_recall",
         "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall")),

@@ -2793,6 +2793,13 @@ object Llm extends QueryModule {
     dequantAssignments(s, d,
       pqQuantized(s, d).select(col("vec_id"), col("true_label"), col("dv")))
 
+  /** [[pqAssignments]] at an EXPLICIT m (knob-independent) — q229
+    * grades m=16 as a second fixed operating point. */
+  private def pqAssignmentsM(s: SparkSession, d: String, m: Int): DataFrame =
+    dequantAssignments(s, d,
+      pqQuantizedWith(s, d, codebookGen(s, d, m, 256))
+        .select(col("vec_id"), col("true_label"), col("dv")))
+
   /** PQ training + encode CTEs (oracle face of [[pqCodebook]] /
     * [[pqQuantized]]): ends in `prc` (vec_id, true_label, dv) and the
     * assignment pair pa9/pr9 against `cent`. */
@@ -2802,14 +2809,21 @@ object Llm extends QueryModule {
     * TRAINING/QUERY population (ptr and everything derived from it —
     * books, coarse cells, qsel) while the encoded corpus (pq0) stays
     * the full table — the frozen-book ingest regime of q228. */
-  private def sqlPqCtesFilter(trainWhere: String): String = {
+  private def sqlPqCtesFilter(trainWhere: String): String =
+    sqlPqCtesGen(8, trainWhere)
+
+  /** Fully parameterized PQ chain: `m` subspaces of 64/m dims (q216's
+    * graded point is m=8; q229 grades m=16 — bytes-per-vector = m, the
+    * compression/recall knob). */
+  private def sqlPqCtesGen(m: Int, trainWhere: String): String = {
+    val dsub = 64 / m
     def lloydIterSql(n: Int): String =
       s"""pa$n AS (
          |  SELECT j, vec_id, sv, code,
          |    ROW_NUMBER() OVER (PARTITION BY j, vec_id ORDER BY dist ASC, code ASC) AS rn
          |  FROM (
          |    SELECT p.j, p.vec_id, p.sv, c.code,
-         |      list_sum(list_transform(range(8), i ->
+         |      list_sum(list_transform(range($dsub), i ->
          |        (p.sv[i+1] - c.cw[i+1]) * (p.sv[i+1] - c.cw[i+1]))) AS dist
          |    FROM pts p JOIN pcb${n - 1} c ON c.j = p.j) t$n),
          |pcb$n AS (
@@ -2818,7 +2832,7 @@ object Llm extends QueryModule {
          |      CAST(CASE WHEN SUM(a.sv[t.i+1]) / COUNT(*) >= 0
          |        THEN FLOOR(SUM(a.sv[t.i+1]) / COUNT(*) + 0.5)
          |        ELSE CEIL(SUM(a.sv[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
-         |    FROM (SELECT j, code, sv FROM pa$n WHERE rn = 1) a, range(8) t(i)
+         |    FROM (SELECT j, code, sv FROM pa$n WHERE rn = 1) a, range($dsub) t(i)
          |    GROUP BY a.j, a.code, t.i) g$n
          |  GROUP BY j, code)""".stripMargin
     """pq0 AS (
@@ -2829,23 +2843,23 @@ object Llm extends QueryModule {
       |ptr AS (
       |  SELECT vec_id, em,
       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnr
-      |  FROM (SELECT vec_id, em FROM pq0""".stripMargin + trainWhere + """
+      |  FROM (SELECT vec_id, em FROM pq0""".stripMargin + trainWhere + s"""
       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) ts),
       |pts AS (
-      |  SELECT vec_id, rnr, j, list_transform(range(8), i -> em[j*8+i+1]) AS sv
-      |  FROM ptr, range(8) t(j)),
+      |  SELECT vec_id, rnr, j, list_transform(range($dsub), i -> em[j*$dsub+i+1]) AS sv
+      |  FROM ptr, range($m) t(j)),
       |ptc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 256) AS BIGINT) AS step FROM ptr),
       |pcb0 AS (
       |  SELECT j, CAST((rnr - 1) // step AS INTEGER) AS code, sv AS cw
       |  FROM pts, ptc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
       lloydIterSql(1) + ",\n" + lloydIterSql(2) + ",\n" +
-      """pen AS (
+      s"""pen AS (
         |  SELECT vec_id, true_label, j, code,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
         |  FROM (
         |    SELECT v.vec_id, v.true_label, c.j, c.code,
-        |      list_sum(list_transform(range(8), i ->
-        |        (v.em[c.j*8+i+1] - c.cw[i+1]) * (v.em[c.j*8+i+1] - c.cw[i+1]))) AS dist
+        |      list_sum(list_transform(range($dsub), i ->
+        |        (v.em[c.j*$dsub+i+1] - c.cw[i+1]) * (v.em[c.j*$dsub+i+1] - c.cw[i+1]))) AS dist
         |    FROM pq0 v CROSS JOIN pcb2 c) te),
         |prc AS (
         |  SELECT e.vec_id, e.true_label, flatten(list(c.cw ORDER BY e.j)) AS dv
@@ -2896,6 +2910,33 @@ object Llm extends QueryModule {
        |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
        |JOIN i9 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
     recallCertificate(s, d, pqAssignments(s, d))
+  }
+
+  /** PQ m=16 recall certificate (q229) — the SECOND graded operating
+    * point on the bytes/recall curve (the round-7 advisory's m-sweep
+    * hardening): 16 subspaces of 4 dims, 16 B/vector, same trainer and
+    * encode machinery, knob-free (both engines pin m=16 structurally).
+    * On this near-isotropic fixture no rotation can help PQ (an
+    * OPQ-style variance-balancing permutation is a no-op when every
+    * coordinate already carries equal variance — measured: label
+    * variance ratio ~0.98), so BYTES are the honest recall lever, and
+    * this row certifies exactly what doubling them buys over the q217
+    * m=8 floor. */
+  val pq16Recall: Q = Q(
+    s"""WITH $sqlAssignCtes,
+       |${sqlPqCtesGen(16, "")},
+       |i9 AS (
+       |  SELECT r.vec_id, r.cand, a.dist
+       |  FROM pr9 r JOIN asg a ON a.vec_id = r.vec_id AND a.cand = r.cand
+       |  WHERE r.rn = 1)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+       |JOIN i9 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+    recallCertificate(s, d, pqAssignmentsM(s, d, 16))
   }
 
   /** The ADC query set: the first 10 vectors in the corpus's md5-rank
@@ -4078,7 +4119,8 @@ object Llm extends QueryModule {
     "q225_adc_rerank_topk"        -> adcRerankTopk,
     "q226_adc_rerank_recall"      -> adcRerankRecall,
     "q227_ivfadc_rerank_recall"   -> ivfadcRerankRecall,
-    "q228_ivfadc_ingest"          -> ivfadcIngest
+    "q228_ivfadc_ingest"          -> ivfadcIngest,
+    "q229_pq16_recall"            -> pq16Recall
   )
 
   /** Link prediction by COMMON NEIGHBORS over the q80 similarity graph:

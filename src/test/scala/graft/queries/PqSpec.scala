@@ -96,6 +96,24 @@ class PqSpec extends AnyFunSuite with Matchers {
     r64 should be > 0.9
   }
 
+  test("q229 graded m=16 point: knob-free, equals the knob path, dominates m=8") {
+    // q229 pins m=16 STRUCTURALLY (no conf), so the graded row can't
+    // drift from the knob-driven curve above
+    val g16 = GraftConf.scoped(spark) {
+      SparkEntry.queries("q229_pq16_recall")(spark, sf).head().getAs[Double]("recall")
+    }
+    val k16 = GraftConf.scoped(spark) {
+      spark.conf.set("spark.graft.pq.m", "16")
+      SparkEntry.queries("q217_pq_recall")(spark, sf).head().getAs[Double]("recall")
+    }
+    val g8 = GraftConf.scoped(spark) {
+      SparkEntry.queries("q217_pq_recall")(spark, sf).head().getAs[Double]("recall")
+    }
+    info(s"graded m=16 recall = $g16 (knob path $k16, m=8 floor $g8)")
+    g16 shouldBe k16
+    g16 should be >= g8
+  }
+
   test("codebook: at most 8×256 entries, 8-dim integer-micro codewords, deterministic rerun") {
     val cb = Llm.pqCodebookForTest(spark, sf).cache()
     cb.count() should be <= (8L * 256L)
