@@ -62,6 +62,20 @@ object Fuzzed extends QueryModule {
     "q211_fuzz_boundedframe" -> 130,
     "q212_fuzz_existsagg"    -> 219)
 
+  private val corpusV6 = graft.fuzz.AnnGen.casesV6(42L, 300).toVector
+
+  /** v6 ANN shapes (round 8): self-contained vector micro-corpora,
+    * Spark/DuckDB DIALECT-PAIR cases (array HOF spellings are disjoint,
+    * so unlike v1–v5 the two engines each get their own text generated
+    * from the same parameters — the ann_assign Spark side runs the
+    * fused argmin_l2_micro codegen expression against DuckDB's
+    * relational argmin). Campaign: 300 cases seed 42, all green
+    * (FUZZ.md). */
+  private val picksV6 = Seq(
+    "q230_fuzz_ann_topk"   -> 252,
+    "q231_fuzz_ann_assign" -> 286,
+    "q232_fuzz_ann_sq8"    -> 299)
+
   private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
     ps.map { case (key, i) =>
       val sql = cs(i).sql
@@ -71,7 +85,16 @@ object Fuzzed extends QueryModule {
       }
     }
 
+  private def annRows(cs: Vector[graft.fuzz.AnnGen.AnnCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
+    ps.map { case (key, i) =>
+      val c = cs(i)
+      key -> Q(c.duckSql) { (s, _) =>
+        graft.functions.ArgminL2Micro.register(s)
+        s.sql(c.sparkSql)
+      }
+    }
+
   override def queries: Seq[(String, Q)] =
     rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4) ++
-      rows(corpusV5, picksV5)
+      rows(corpusV5, picksV5) ++ annRows(corpusV6, picksV6)
 }
