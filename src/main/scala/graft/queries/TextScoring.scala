@@ -20,6 +20,9 @@ object TextScoring extends QueryModule {
 
   private def words: Column = split(lower(col("text")), " ")
   private val sqlWords = "string_split(lower(text), ' ')"
+  /** The corpus-wide stop list (one definition: [[Llm.stopWords]]). */
+  private def sqlStopList: String =
+    Llm.stopWords.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** One explode + (doc, tok) aggregate — the shared shuffle every score
     * below derives from (ReuseExchange collapses repeated use). */
@@ -551,6 +554,100 @@ object TextScoring extends QueryModule {
       .orderBy("lang")
   }
 
+  /** DSIR-style data selection (importance resampling over hashed
+    * n-gram features — the published method behind most "select
+    * pretraining data that looks like the target domain" pipelines):
+    * fit two bag-of-hashed-unigram distributions — the TARGET (here:
+    * docs passing the q120/q170 quality gate, the corpus's own
+    * high-quality slice) and the RAW corpus — Laplace-smoothed over
+    * B=64 buckets of the q171 portable ASCII hash, then score every
+    * document by its summed per-token log-likelihood ratio
+    * Σ ln(p_target(b)/p_raw(b)) and keep the top-100 by weight.
+    *
+    * Determinism: the per-bucket log-ratio is rounded to integer
+    * MICRO-units (×10⁶, the repo's micro bridge) on the ≤64-row bucket
+    * relation (the ln-portability rule — libm ln is not
+    * correctly-rounded, so transcendentals are rounded once on a tiny
+    * relation, never per data row), and per-doc weights accumulate
+    * those micro longs with a plain integer SUM — exact,
+    * order-independent, and ~10× cheaper per row than a DECIMAL
+    * accumulator on the hot 2M-row aggregate. One float op total: the
+    * final ÷10⁶, identical IEEE division in both engines. Selection
+    * ties break on doc_id, so the top-100 is total-ordered.
+    *
+    * Scale shape (the reason DSIR, not a quality classifier, is what
+    * runs at 100 TB): two passes over one (doc,token)-exploded scan —
+    * pass 1 is a 64-group histogram (map-side combinable, the shuffle
+    * carries ≤64×tasks rows), pass 2 re-joins the BROADCAST 64-row
+    * ratio table and folds per-doc (map-side combinable on doc_id);
+    * selection is TakeOrderedAndProject (tasks×100 rows to the driver).
+    * No model training, no all-pairs, nothing driver-side. The two
+    * corpus scans are the canonical fit-then-score structure. */
+  val dsirSelect: Q = Q(
+    s"""WITH d0 AS (SELECT doc_id, text,
+       |    (n_chars BETWEEN 100 AND 500 AND
+       |     CAST(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains($sqlStopList, t))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')) >= 0.05) AS tgt
+       |  FROM documents),
+       |t0 AS (SELECT doc_id, tgt, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM d0),
+       |tok AS (SELECT doc_id, tgt,
+       |    CAST(COALESCE(list_sum(list_transform(range(length(tok)),
+       |      i -> (i + 1) * ord(tok[i+1]))), 0) + 7919 * length(tok) AS BIGINT)
+       |      % 64 AS b
+       |  FROM t0 WHERE length(tok) = strlen(tok)),
+       |bs AS (SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (WHERE tgt) AS ct
+       |  FROM tok GROUP BY b),
+       |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bs),
+       |lp AS (SELECT b,
+       |    CAST(ROUND((ln((ct + 1.0) / (tt + 64)) - ln((cr + 1.0) / (tr + 64)))
+       |      * 1000000) AS BIGINT) AS lpr_micro
+       |  FROM bs CROSS JOIN tot),
+       |w AS (SELECT tok.doc_id,
+       |    CAST(SUM(lpr_micro) AS DOUBLE) / 1000000 AS weight
+       |  FROM tok JOIN lp USING (b) GROUP BY tok.doc_id)
+       |SELECT doc_id, weight FROM w
+       |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    val ch = split(col("tok"), "")
+    val hv = aggregate(
+      transform(sequence(lit(1), length(col("tok"))),
+        i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
+      lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))
+    val tgt = col("n_chars").between(100, 500) &&
+      (size(filter(words, t => t.isInCollection(Llm.stopWords))).cast("double") /
+        size(words)) >= 0.05
+    // Featurize ONCE (fit-then-score both read it): the per-char hash is
+    // the expensive projection, and it feeds the bucket histogram AND the
+    // scoring join. The materialized relation is 3 small columns — a
+    // column-pruned shadow of the corpus, the canonical DSIR layout.
+    // tgt gets its OWN projection BELOW the explode: aliased in the same
+    // select as explode(...), ExtractGenerator would hoist it above the
+    // Generate and re-evaluate the stopword scan per TOKEN row (40×
+    // redundant work, measured 3.5 s of this query's first cut at sf0.1).
+    val tok = documents(s, d)
+      .select(col("doc_id"), tgt.as("tgt"), col("text"))
+      .select(col("doc_id"), col("tgt"), explode(words).as("tok"))
+      .filter(length(col("tok")) === octet_length(col("tok")))
+      .select(col("doc_id"), col("tgt"), (hv % 64).as("b"))
+      .localCheckpoint()
+    val bs = tok.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("tgt"), 1)).as("ct"))
+      .localCheckpoint() // ≤64 rows; feeds the totals AND the ratio table
+    val tot = bs.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lp = bs.crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        (log((col("ct") + 1.0) / (col("tt") + 64)) -
+          log((col("cr") + 1.0) / (col("tr") + 64))) * 1000000, 0)
+        .cast("long").as("lpr_micro"))
+    tok.join(broadcast(lp), "b")
+      .groupBy("doc_id")
+      .agg((sum("lpr_micro").cast("double") / 1000000).as("weight"))
+      .orderBy(desc("weight"), asc("doc_id"))
+      .limit(100)
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q100_bm25"             -> bm25,
     "q105_unigram_lm"       -> unigramLm,
@@ -563,6 +660,7 @@ object TextScoring extends QueryModule {
     "q154_bigram_perplexity"-> bigramPerplexity,
     "q156_ngram_diversity"  -> ngramDiversity,
     "q161_boolean_retrieval"-> booleanRetrieval,
-    "q169_vocab_coverage"   -> vocabCoverage
+    "q169_vocab_coverage"   -> vocabCoverage,
+    "q233_dsir_select"      -> dsirSelect
   )
 }
