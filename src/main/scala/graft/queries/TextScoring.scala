@@ -617,10 +617,14 @@ object TextScoring extends QueryModule {
     val tgt = col("n_chars").between(100, 500) &&
       (size(filter(words, t => t.isInCollection(Llm.stopWords))).cast("double") /
         size(words)) >= 0.05
-    // Featurize ONCE (fit-then-score both read it): the per-char hash is
-    // the expensive projection, and it feeds the bucket histogram AND the
-    // scoring join. The materialized relation is 3 small columns — a
-    // column-pruned shadow of the corpus, the canonical DSIR layout.
+    // Fit-then-score = two corpus scans, NOT a materialized token
+    // relation: localCheckpointing the O(n)-row featurized relation
+    // OOM'd the ×1000 decade probe (execution memory starved by 2G
+    // cached rows) — only the BOUNDED relation below (64 bucket rows)
+    // is checkpointed, per the repo rule that localCheckpoint is for
+    // broadcast-sized subtrees. Recomputing the hash scan is the same
+    // trade a 100 TB run makes: re-reading pruned parquet beats
+    // materializing a corpus-sized intermediate.
     // tgt gets its OWN projection BELOW the explode: aliased in the same
     // select as explode(...), ExtractGenerator would hoist it above the
     // Generate and re-evaluate the stopword scan per TOKEN row (40×
@@ -630,7 +634,6 @@ object TextScoring extends QueryModule {
       .select(col("doc_id"), col("tgt"), explode(words).as("tok"))
       .filter(length(col("tok")) === octet_length(col("tok")))
       .select(col("doc_id"), col("tgt"), (hv % 64).as("b"))
-      .localCheckpoint()
     val bs = tok.groupBy("b").agg(
       count(lit(1)).as("cr"),
       count(when(col("tgt"), 1)).as("ct"))
