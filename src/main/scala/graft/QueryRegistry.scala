@@ -13,6 +13,7 @@ object QueryRegistry {
     AdvancedJoins,
     Scalars,
     Llm,
+    VectorQuant,
     StreamingBatch,
     Sources,
     Extras,

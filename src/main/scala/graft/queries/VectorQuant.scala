@@ -1,0 +1,1410 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding compression and compressed-domain ANN search (SURVEY.md §2
+  * L12–L14): SQ8 scalar quantization, PQ product quantization (m=8 and
+  * m=16 operating points), ADC top-k search, IVFADC cell-pruned search,
+  * residual encoding, two-stage exact re-rank, the persisted IVFADC
+  * index, and incremental index ingest — split out of [[Llm]] at the
+  * quantization-family boundary for reviewability (round 8; zero
+  * behavior change, query keys stable).
+  *
+  * Shares the IVF coarse-quantizer machinery with [[Llm]]
+  * (Llm.sqlCentCtes / Llm.sqlAssignCtes / Llm.centroidsDf /
+  * Llm.recallCertificate / Llm.ivfIndexStaged); everything else —
+  * codebook training, encode scans, LUT builds, certificates — lives
+  * here.
+  */
+object VectorQuant extends QueryModule {
+
+  /** SQ8 EMBEDDING COMPRESSION — scalar int8 quantization with a
+    * per-vector scale, the FAISS-SQ8-class storage format for ANN
+    * stacks: a 64-dim float32 embedding (256 B) becomes 64 signed
+    * bytes + one integer scale (~72 B), a ~3.5× cut in storage AND
+    * shuffle payload for every downstream embedding op. All arithmetic
+    * is INTEGER so both engines agree bit-for-bit:
+    *   - em  = round(float·1e6) micros (the repo-wide exact bridge);
+    *   - s   = max(1, ceil(max|em| / 127)) via (mx+126) div 127 —
+    *     integer ceiling, so q = round(em/s) lands in [−127, 127] with
+    *     no clamp (Sq8Spec pins it);
+    *   - q   = half-away-from-zero integer rounding, (2x+s) div (2s)
+    *     on the non-negative arm and its mirror on the negative one —
+    *     both dividends are non-negative BY CONSTRUCTION, which is
+    *     what makes Spark's truncating `div` and DuckDB's flooring
+    *     `//` agree;
+    *   - deq = q·s — the reconstructed micro-integer vector, living in
+    *     the SAME domain the exact/IVF assignment family consumes.
+    * Scale shape: quantization is a per-row map (no shuffle); the
+    * assignment below argmins over the k-row broadcast centroid array
+    * with an in-expression fold (n rows scanned, no fan-out); the only
+    * shuffles are the centroid aggregate and the output groupBy. */
+  private[queries] def sq8Quantized(s: SparkSession, d: String): DataFrame = {
+    // One fused primitive pass per row (graft.functions.Sq8QuantizeMicro)
+    // instead of four chained HOF transforms — the HOF shape's per-row
+    // allocations measured ~3× the entire argmin at the ×1000
+    // self-bench (586 s vs the 140 s-class fused path; BASELINE.md).
+    graft.functions.Sq8QuantizeMicro.register(s)
+    embeddings(s, d)
+      .filter(col("embedding").isNotNull) // dv non-null for the argmin
+      .select(col("vec_id"), col("label").as("true_label"),
+        expr("sq8_quantize_micro(embedding)").as("z"))
+      .select(col("vec_id"), col("true_label"),
+        col("z.em").as("em"), col("z.s8").as("s8"),
+        col("z.q8").as("q8"), col("z.deq").as("deq"))
+  }
+
+  /** (vec_id, true_label, assigned) under approximated vectors (column
+    * `dv`, PRE-SCALED micro domain) vs full-precision centroids.
+    * Shared by the SQ8 (q214) and PQ (q216) compressed-assignment rows.
+    * Runs the fused [[graft.functions.ArgminL2Micro]] codegen argmin
+    * (its array<double> arm consumes the micro vector as-is — no
+    * re-rounding), NOT a HOF fold: the first HOF-composed shape
+    * measured 107.6 s at the ×100 self-bench (200k×1000, allocation-
+    * bound — the same lesson as q99's three measured shapes) and was
+    * replaced; n rows, k·d inside one expression, no shuffle before
+    * the consumer aggregate. Tie order (dist ASC, cand ASC) is explicit
+    * in the expression, so the broadcast array's nondeterministic
+    * order is irrelevant. */
+  private def dequantAssignments(s: SparkSession, d: String, recon: DataFrame): DataFrame = {
+    graft.functions.ArgminL2Micro.register(s)
+    val cent = Llm.centroidsDf(s, d)
+    // degenerate inputs are guarded UPSTREAM (NULL embeddings filtered
+    // at the producers' scans; a zero-centroid corpus makes the
+    // broadcast side zero ROWS) instead of a post-argmin IS NOT NULL
+    // filter — pushdown clones the argmin into the Filter node and
+    // runs the whole k·d loop twice per row (measured 2× at ×1000).
+    val centArr = cent.agg(collect_list(struct(col("label").cast("int").as("cand"),
+      col("cvec"))).as("cands"))
+      .filter(size(col("cands")) > 0)
+    recon
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("true_label"),
+        expr("argmin_l2_micro(dv, cands)").as("assigned"))
+  }
+
+  private def sq8Assignments(s: SparkSession, d: String): DataFrame =
+    dequantAssignments(s, d,
+      sq8Quantized(s, d).select(col("vec_id"), col("true_label"), col("deq").as("dv")))
+
+  private val sqlSq8Ctes =
+    """em8 AS (
+      |  SELECT vec_id, label AS true_label,
+      |    list_transform(range(64), i ->
+      |      CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS em
+      |  FROM embeddings),
+      |sc8 AS (
+      |  SELECT vec_id, true_label, em,
+      |    GREATEST(1, (list_max(list_transform(em, x -> ABS(x))) + 126) // 127) AS s
+      |  FROM em8),
+      |dq8 AS (
+      |  SELECT vec_id, true_label,
+      |    list_transform(em, x -> CAST((CASE WHEN x >= 0 THEN (2*x + s) // (2*s)
+      |      ELSE -((-2*x + s) // (2*s)) END) * s AS DOUBLE)) AS dv
+      |  FROM sc8),
+      |a8 AS (
+      |  SELECT d.vec_id, d.true_label, c.label AS cand,
+      |    list_sum(list_transform(range(64), i ->
+      |      (d.dv[i+1] - c.cvec[i+1]) * (d.dv[i+1] - c.cvec[i+1]))) AS dist
+      |  FROM dq8 d CROSS JOIN cent c),
+      |r8 AS (
+      |  SELECT vec_id, true_label, cand,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+      |  FROM a8)""".stripMargin
+
+  val sq8Assign: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlSq8Ctes
+       |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+       |FROM r8 WHERE rn = 1
+       |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    sq8Assignments(s, d)
+      .groupBy(col("true_label").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** SQ8 recall certificate — same graded contract as the IVF
+    * certificates (q202/q207): label recall AND tie-robust distance
+    * recall of the compressed assignment vs the exact one, with both
+    * distances recomputed at FULL precision (quantization error shifts
+    * the argmin; the certificate quantifies exactly how often, and the
+    * geo column credits picks that land at the identical full-precision
+    * distance). The recall VALUE is itself the graded quantity — both
+    * engines must derive the same number from the same quantization
+    * arithmetic. */
+  val sq8Recall: Q = Q(
+    s"""WITH ${Llm.sqlAssignCtes},
+       |$sqlSq8Ctes,
+       |i8 AS (
+       |  SELECT r.vec_id, r.cand, a.dist
+       |  FROM r8 r JOIN asg a ON a.vec_id = r.vec_id AND a.cand = r.cand
+       |  WHERE r.rn = 1)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+       |JOIN i8 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+    Llm.recallCertificate(s, d, sq8Assignments(s, d))
+  }
+
+  /** PRODUCT QUANTIZATION (PQ) — the compression rung above SQ8
+    * (q214): the 64-dim micro vector splits into M=8 subspaces of 8
+    * dims; each subspace gets a 256-codeword codebook (the standard
+    * FAISS PQ8x8 configuration) TRAINED with the
+    * same deterministic fixed-iteration Lloyd machinery as the q206
+    * coarse quantizer; a vector then stores 8 one-byte code ids (8 B —
+    * ~8 B + a shared ≤128-row codebook) instead of 256 B of floats, a
+    * ~32× cut in index storage and shuffle payload. Everything stays
+    * oracle-graded because every training sum and squared distance is
+    * integer-valued in double (the micro bridge), seeding is md5-rank
+    * deterministic, and ties break (dist ASC, code ASC):
+    *   - training set: the top-2048 vectors in (md5(vec_id), vec_id)
+    *     order — a distributed TakeOrderedAndProject, NOT a global
+    *     window over n rows; the T-row rank window after the cap is
+    *     bounded by the cap, the same discipline as the k-row windows;
+    *   - seeds: every ceil(T/256)-th ranked vector's subvectors (code =
+    *     stripe index 0..255), per subspace;
+    *   - two unrolled Lloyd iterations per subspace (assign to nearest
+    *     codeword, re-center on the micro-rounded member mean — the
+    *     explicit ±0.5 floor/ceil form, as means CAN land on exact .5);
+    *   - encode: per vector per subspace, in-EXPRESSION argmin over the
+    *     ≤16 broadcast codewords (8×16×8 multiply-adds per row, n rows,
+    *     no fan-out); reconstruction concatenates the picked codewords,
+    *     landing in the same micro domain the assignment family
+    *     consumes.
+    * Scale shape: training is T×8-row bounded (cap 2048); the codebook
+    * rides ONE broadcast row; encode/reconstruct/assign are per-row
+    * maps; the only shuffles are the centroid aggregate, the bounded
+    * training aggregates, and the output groupBy. */
+  /** Subspace count — the PQ operating knob (`spark.graft.pq.m`,
+    * default 8 = the graded/oracle setting; any divisor of 64).
+    * Bytes-per-vector = m, so m trades compression for recall: the
+    * decorrelated ×10 fixture measures 0.34 (m=8) → markedly higher at
+    * m=16/32 (PqSpec gates monotonicity; BASELINE.md records the
+    * curve). Verify clears all spark.graft.* confs before grading, so
+    * a live knob can never mismatch the pinned oracle SQL. */
+  private def pqM(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pq.m")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(v => v >= 1 && v <= 64 && 64 % v == 0)
+      .getOrElse(8)
+
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    codebookGen(s, d, pqM(s), 256)
+
+  /** Generalized deterministic quantizer trainer: `m` subspaces of
+    * 64/m dims, up to `nCodes` codewords each, trained on the md5-rank
+    * 2048-row sample with 2 unrolled Lloyd iterations. m=pqM/256 is
+    * the PQ book; m=1/16 is the IVFADC coarse-cell book (one subspace
+    * = the whole vector, 16 cells). */
+  /** md5-ranked 2048-row training sample (vec_id, em, rnr) over `src`
+    * embeddings (micro domain), localCheckpointed — the shared training
+    * population for every trained book. The rank window runs AFTER the
+    * 2048-row cap (a distributed TakeOrderedAndProject, never a global
+    * window over n rows); localCheckpoint because the sample feeds
+    * seeds AND both Lloyd iterations of each book trained on it —
+    * without it every consumer re-runs the corpus TakeOrdered (plus
+    * its n-row micro HOF), measured as the dominant ×100 cost of the
+    * whole PQ family. ≤2048 rows — always safe to pin. */
+  private def rankedSampleOf(src: DataFrame): DataFrame = {
+    val ord = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    src
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .orderBy(ord: _*).limit(2048)
+      .withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
+      .localCheckpoint()
+  }
+
+  private def rankedSample(s: SparkSession, d: String): DataFrame =
+    rankedSampleOf(embeddings(s, d))
+
+  private def codebookGen(s: SparkSession, d: String, m: Int, nCodes: Int): DataFrame =
+    codebookGenOn(s, rankedSample(s, d), m, nCodes)
+
+  /** [[codebookGen]] on an explicit (vec_id, em, rnr) training relation
+    * — the residual book (q223) trains on the ranked sample's COARSE
+    * RESIDUALS and the ingest books (q227) on the base split's sample,
+    * all through this one trainer. */
+  private def codebookGenOn(s: SparkSession, ranked: DataFrame, m: Int, nCodes: Int): DataFrame = {
+    graft.functions.PqEncodeMicro.register(s)
+    val dsub = 64 / m
+    val microRound: Column => Column = v =>
+      when(v >= 0, floor(v + 0.5d)).otherwise(ceil(v - 0.5d)).cast("double")
+    val step = ranked.agg(ceil(count(lit(1)).cast("double") / nCodes.toDouble).cast("long").as("step"))
+    val seeds0 = ranked.crossJoin(broadcast(step))
+      .filter((col("rnr") - 1) % col("step") === 0)
+      .select(expr("cast((rnr - 1) div step as int)").as("code"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> slice(em, j * $dsub + 1, $dsub))")).as(Seq("j", "cw")))
+      .select(col("j"), col("code"), col("cw"))
+    // Each Lloyd iteration ENCODES the T training vectors through the
+    // same fused expression the final encoding uses (pq_encode_micro —
+    // one broadcast codebook decode, primitive hot loop), then
+    // re-centers each (j, code) cell on the micro-rounded member mean.
+    def lloydIter(cb: DataFrame): DataFrame = {
+      val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+      ranked.crossJoin(broadcast(cbArr))
+        .select(col("em"),
+          posexplode(expr("pq_encode_micro(em, cbs).codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(expr(s"slice(em, j * $dsub + 1, $dsub)")).as(Seq("i", "q")))
+        .groupBy("j", "code", "i")
+        .agg(microRound(sum("q") / count(lit(1))).as("m"))
+        .groupBy("j", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("cw"))
+        // ≤2048 rows; pinning each iteration keeps the nested-Lloyd DAG
+        // from re-executing the previous iteration per consumer (each
+        // codebook feeds a broadcast AND the next iteration's encode —
+        // and q218 consumes the final book twice: LUT build + encode).
+        .localCheckpoint()
+    }
+    lloydIter(lloydIter(seeds0))
+  }
+
+  /** (vec_id, true_label, codes: array<int>[8], dv: array<double>[64])
+    * — the 8-code PQ encoding of every vector plus its reconstruction,
+    * via ONE [[graft.functions.PqEncodeMicro]] call per row against the
+    * broadcast codebook. */
+  private[queries] def pqQuantized(s: SparkSession, d: String): DataFrame =
+    pqQuantizedWith(s, d, pqCodebook(s, d))
+
+  /** [[pqQuantized]] against an already-built codebook — q218/q219
+    * build the book once and feed BOTH the LUT arm and the encode arm
+    * (training twice was a measured ×10 constant). */
+  private def pqQuantizedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
+    graft.functions.PqEncodeMicro.register(s)
+    val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    // encode feeds the RAW float column (pq_encode_micro's float arm
+    // micro-rounds in-loop); `em` is only materialized for callers
+    // that reference it (PqSpec) — column pruning drops its HOF from
+    // the q216/q217 plans.
+    embeddings(s, d)
+      .filter(col("embedding").isNotNull) // dv non-null for the argmin
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .crossJoin(broadcast(cbArr))
+      .withColumn("enc", expr("pq_encode_micro(embedding, cbs)"))
+      .select(col("vec_id"), col("true_label"),
+        col("enc.codes").as("codes"), col("em"), col("enc.dv").as("dv"))
+  }
+
+  private[queries] def pqCodebookForTest(s: SparkSession, d: String): DataFrame =
+    pqCodebook(s, d)
+
+  private def pqAssignments(s: SparkSession, d: String): DataFrame =
+    dequantAssignments(s, d,
+      pqQuantized(s, d).select(col("vec_id"), col("true_label"), col("dv")))
+
+  /** [[pqAssignments]] at an EXPLICIT m (knob-independent) — q229
+    * grades m=16 as a second fixed operating point. */
+  private def pqAssignmentsM(s: SparkSession, d: String, m: Int): DataFrame =
+    dequantAssignments(s, d,
+      pqQuantizedWith(s, d, codebookGen(s, d, m, 256))
+        .select(col("vec_id"), col("true_label"), col("dv")))
+
+  /** PQ training + encode CTEs (oracle face of [[pqCodebook]] /
+    * [[pqQuantized]]): ends in `prc` (vec_id, true_label, dv) and the
+    * assignment pair pa9/pr9 against `cent`. */
+  private val sqlPqCtes: String = sqlPqCtesFilter("")
+
+  /** [[sqlPqCtes]] with an optional WHERE predicate restricting the
+    * TRAINING/QUERY population (ptr and everything derived from it —
+    * books, coarse cells, qsel) while the encoded corpus (pq0) stays
+    * the full table — the frozen-book ingest regime of q228. */
+  private def sqlPqCtesFilter(trainWhere: String): String =
+    sqlPqCtesGen(8, trainWhere)
+
+  /** Fully parameterized PQ chain: `m` subspaces of 64/m dims (q216's
+    * graded point is m=8; q229 grades m=16 — bytes-per-vector = m, the
+    * compression/recall knob). */
+  private def sqlPqCtesGen(m: Int, trainWhere: String): String = {
+    val dsub = 64 / m
+    def lloydIterSql(n: Int): String =
+      s"""pa$n AS (
+         |  SELECT j, vec_id, sv, code,
+         |    ROW_NUMBER() OVER (PARTITION BY j, vec_id ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT p.j, p.vec_id, p.sv, c.code,
+         |      list_sum(list_transform(range($dsub), i ->
+         |        (p.sv[i+1] - c.cw[i+1]) * (p.sv[i+1] - c.cw[i+1]))) AS dist
+         |    FROM pts p JOIN pcb${n - 1} c ON c.j = p.j) t$n),
+         |pcb$n AS (
+         |  SELECT j, code, list(m ORDER BY i) AS cw FROM (
+         |    SELECT a.j, a.code, t.i,
+         |      CAST(CASE WHEN SUM(a.sv[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.sv[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.sv[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT j, code, sv FROM pa$n WHERE rn = 1) a, range($dsub) t(i)
+         |    GROUP BY a.j, a.code, t.i) g$n
+         |  GROUP BY j, code)""".stripMargin
+    """pq0 AS (
+      |  SELECT vec_id, label AS true_label,
+      |    list_transform(range(64), i ->
+      |      CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS DOUBLE)) AS em
+      |  FROM embeddings),
+      |ptr AS (
+      |  SELECT vec_id, em,
+      |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnr
+      |  FROM (SELECT vec_id, em FROM pq0""".stripMargin + trainWhere + s"""
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) ts),
+      |pts AS (
+      |  SELECT vec_id, rnr, j, list_transform(range($dsub), i -> em[j*$dsub+i+1]) AS sv
+      |  FROM ptr, range($m) t(j)),
+      |ptc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 256) AS BIGINT) AS step FROM ptr),
+      |pcb0 AS (
+      |  SELECT j, CAST((rnr - 1) // step AS INTEGER) AS code, sv AS cw
+      |  FROM pts, ptc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
+      lloydIterSql(1) + ",\n" + lloydIterSql(2) + ",\n" +
+      s"""pen AS (
+        |  SELECT vec_id, true_label, j, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, v.true_label, c.j, c.code,
+        |      list_sum(list_transform(range($dsub), i ->
+        |        (v.em[c.j*$dsub+i+1] - c.cw[i+1]) * (v.em[c.j*$dsub+i+1] - c.cw[i+1]))) AS dist
+        |    FROM pq0 v CROSS JOIN pcb2 c) te),
+        |prc AS (
+        |  SELECT e.vec_id, e.true_label, flatten(list(c.cw ORDER BY e.j)) AS dv
+        |  FROM (SELECT vec_id, true_label, j, code FROM pen WHERE rn = 1) e
+        |  JOIN pcb2 c ON c.j = e.j AND c.code = e.code
+        |  GROUP BY e.vec_id, e.true_label),
+        |pa9 AS (
+        |  SELECT d.vec_id, d.true_label, c.label AS cand,
+        |    list_sum(list_transform(range(64), i ->
+        |      (d.dv[i+1] - c.cvec[i+1]) * (d.dv[i+1] - c.cvec[i+1]))) AS dist
+        |  FROM prc d CROSS JOIN cent c),
+        |pr9 AS (
+        |  SELECT vec_id, true_label, cand, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+        |  FROM pa9)""".stripMargin
+  }
+
+  val pqAssign: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes
+       |SELECT true_label AS label, cand AS assigned, COUNT(*) AS n
+       |FROM pr9 WHERE rn = 1
+       |GROUP BY true_label, cand ORDER BY label, assigned""".stripMargin) { (s, d) =>
+    pqAssignments(s, d)
+      .groupBy(col("true_label").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** PQ recall certificate — the q215 contract for the PQ encoding:
+    * label recall and tie-robust geo recall of the PQ-reconstructed
+    * assignment vs the exact one, distances recomputed at full
+    * precision. The recall value itself is the graded quantity: both
+    * engines must train, encode, reconstruct, and assign identically
+    * to agree on it. */
+  val pqRecall: Q = Q(
+    s"""WITH ${Llm.sqlAssignCtes},
+       |$sqlPqCtes,
+       |i9 AS (
+       |  SELECT r.vec_id, r.cand, a.dist
+       |  FROM pr9 r JOIN asg a ON a.vec_id = r.vec_id AND a.cand = r.cand
+       |  WHERE r.rn = 1)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+       |JOIN i9 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+    Llm.recallCertificate(s, d, pqAssignments(s, d))
+  }
+
+  /** PQ m=16 recall certificate (q229) — the SECOND graded operating
+    * point on the bytes/recall curve (the round-7 advisory's m-sweep
+    * hardening): 16 subspaces of 4 dims, 16 B/vector, same trainer and
+    * encode machinery, knob-free (both engines pin m=16 structurally).
+    * On this near-isotropic fixture no rotation can help PQ (an
+    * OPQ-style variance-balancing permutation is a no-op when every
+    * coordinate already carries equal variance — measured: label
+    * variance ratio ~0.98), so BYTES are the honest recall lever, and
+    * this row certifies exactly what doubling them buys over the q217
+    * m=8 floor. */
+  val pq16Recall: Q = Q(
+    s"""WITH ${Llm.sqlAssignCtes},
+       |${sqlPqCtesGen(16, "")},
+       |i9 AS (
+       |  SELECT r.vec_id, r.cand, a.dist
+       |  FROM pr9 r JOIN asg a ON a.vec_id = r.vec_id AND a.cand = r.cand
+       |  WHERE r.rn = 1)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN b.cand = i.cand THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_agree,
+       |  CAST(SUM(CASE WHEN b.dist = i.dist THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS geo_recall
+       |FROM (SELECT vec_id, cand, dist FROM best WHERE rn = 1) b
+       |JOIN i9 i ON b.vec_id = i.vec_id""".stripMargin) { (s, d) =>
+    Llm.recallCertificate(s, d, pqAssignmentsM(s, d, 16))
+  }
+
+  /** The ADC query set: the first 10 vectors in the corpus's md5-rank
+    * order (the SAME deterministic order the PQ training sample uses,
+    * so the oracle reuses its `ptr` CTE with `rnr <= 10`), each with
+    * its exact micro vector. 10 rows — always broadcastable. */
+  private[queries] def adcQueries(s: SparkSession, d: String): DataFrame =
+    adcQueriesOf(embeddings(s, d))
+
+  private def adcQueriesOf(src: DataFrame): DataFrame =
+    src
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("qid"), col("em"))
+
+  /** (qid, rnk, vec_id, dist): the PQ-ADC top-10 per query — the
+    * search-time payoff of the q216 codes. The query stays full
+    * precision; per (query, subspace, code) partial distances are
+    * precomputed ONCE on the ≤(10 × m×256)-row LUT relation (bounded,
+    * one dense broadcast array per query), and the corpus scan reads 8 one-byte codes
+    * per vector + m table lookups per (vector, query) — never the
+    * 256 B float vector. Top-k per query is the W5 shape: the
+    * row_number ≤ k filter trips WindowGroupLimit, so each map task
+    * forwards only its local top-k per query and the final window sees
+    * tasks×k rows, not n. At ×1000 the scanned payload drops 32×
+    * alongside the compute cut — the property that makes PQ indexes
+    * the 100 TB ANN format. */
+  private[queries] def adcTopkDf(s: SparkSession, d: String): DataFrame =
+    adcTopkDfK(s, d, 10)
+
+  private def adcTopkDfK(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.PqAdcMicro.register(s)
+    val m = pqM(s)
+    val dsub = 64 / m
+    val qs = adcQueries(s, d)
+    val cb = pqCodebook(s, d)
+    // Per-(query, subspace, code) exact partials on the bounded
+    // (10 × m×256)-row relation, then ONE dense array per query
+    // (position j·256+code; codes the trainer never emitted stay +∞
+    // and are never referenced by an encoded vector).
+    val lutRows = cb.crossJoin(broadcast(qs))
+      .select(col("qid"), expr("j * 256 + code").as("pos"),
+        expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+      .groupBy("qid")
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
+      .select(col("qid"), expr(
+        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+    // Fan-out = broadcast nested-loop join of the 10 LUT rows over the
+    // codes scan (codegen'd), distance = a scalar codegen expression —
+    // the whole 10n-row stage stays inside one WholeStageCodegen span.
+    // (The first cut exploded a multi-query struct array from a
+    // CodegenFallback expression; Generate over a fallback child forced
+    // the stage interpreted, ~2× the entire encode at ×100.)
+    pqQuantizedWith(s, d, cb).select(col("vec_id"), col("codes"))
+      .crossJoin(broadcast(lutRows))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Shared oracle CTEs for the ADC rows: queries, LUT, ADC distances
+    * and the ADC top-10 (`atop`). Distances are exact micro integers
+    * on both sides (per-subspace partials < 2⁴⁵, totals < 2⁵³), so the
+    * BIGINT-summed oracle and the expression's sequential double
+    * accumulation are bit-equal. */
+  private val sqlAdcCtes: String =
+    """qsel AS (SELECT vec_id AS qid, em FROM ptr WHERE rnr <= 10),
+      |alut AS (
+      |  SELECT q.qid, c.j, c.code,
+      |    list_sum(list_transform(range(8), i ->
+      |      (q.em[c.j*8+i+1] - c.cw[i+1]) * (q.em[c.j*8+i+1] - c.cw[i+1]))) AS d
+      |  FROM qsel q CROSS JOIN pcb2 c),
+      |adist AS (
+      |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
+      |  FROM (SELECT vec_id, j, code FROM pen WHERE rn = 1) e
+      |  JOIN alut l ON l.j = e.j AND l.code = e.code
+      |  GROUP BY l.qid, e.vec_id),
+      |atop AS (
+      |  SELECT qid, vec_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+      |  FROM adist)""".stripMargin
+
+  /** PQ-ADC top-k similarity search (graded end to end: training,
+    * encoding, LUT build, distance, and ranking must all agree). */
+  val adcTopk: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes
+       |SELECT qid, rnk, vec_id, dist FROM atop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    adcTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** ADC recall@10 certificate — the q215/q217 contract for SEARCH:
+    * the ADC top-10 per query vs the exact full-precision top-10
+    * (both tie-broken dist ASC, vec_id ASC), matched on membership.
+    * The recall VALUE is the graded quantity. The exact arm is the
+    * honest baseline the 32×-smaller scan is measured against. */
+  val adcRecall: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM atop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // NULL embeddings are out of contract, but guard them like the enc
+    // path does: unguarded, l2_micro returns null and Spark's default
+    // NULLS FIRST would rank those rows ahead of every real distance,
+    // while the oracle's ROW_NUMBER is NULLS LAST in DuckDB.
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    adcTopkDf(s, d).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
+  /** IVFADC — the standard disk-scale ANN architecture (coarse
+    * inverted cells over the CORPUS + ADC over PQ codes), composed
+    * from existing machinery:
+    *  - coarse book = [[codebookGen]] with ONE subspace of all 64 dims
+    *    and 16 codewords, so corpus cell assignment IS
+    *    `pq_encode_micro(embedding, coarse).codes[0]` — one extra
+    *    broadcast + one fused argmin in the SAME scan that encodes the
+    *    PQ codes (no join between the two);
+    *  - each query probes its 2 nearest cells (a 10×16-row relational
+    *    rank — no expression needed);
+    *  - the ADC scan joins `cell = probed cell` (broadcast hash join
+    *    on the ≤20-row probe×LUT relation), so each query reads only
+    *    its probed cells' members — the scan shrinks to ~nprobe/16 of
+    *    the corpus INSTEAD of fanning every vector out to every query.
+    * Ranked output may legitimately hold <k rows for a query whose
+    * probed cells are small; the certificate (q221) grades both the
+    * recall@10 and the scanned fraction, the two axes of the
+    * recall/cost trade. */
+  private def ivfadcParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.PqAdcMicro.register(s)
+    val m = pqM(s)
+    val dsub = 64 / m
+    val qs = adcQueries(s, d)
+    val cb = pqCodebook(s, d)
+    val coarse = codebookGen(s, d, 1, 16)
+    val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
+    // one corpus scan: PQ codes + coarse cell, two broadcast books
+    val enc = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
+        expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, cb, coarse, m, ivfadcNprobe(s))
+    (enc, probe, lutRows)
+  }
+
+  /** Per-query probe list (2 nearest coarse cells, ties → smaller
+    * code) and dense per-query LUT arrays — shared by the inline
+    * (q220/q221) and persisted (q222) IVFADC paths, which must serve
+    * byte-identical rankings. */
+  /** IVFADC probe width (`spark.graft.ivfadc.nprobe`, default 2 = the
+    * graded/oracle setting; 1..16). nprobe=16 probes every cell, i.e.
+    * exactly the full-scan ADC ranking (IvfadcSpec pins the equality);
+    * Verify clears spark.graft.* confs before grading, so a live knob
+    * can never mismatch the pinned oracle SQL. */
+  private def ivfadcNprobe(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivfadc.nprobe")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(v => v >= 1 && v <= 16)
+      .getOrElse(2)
+
+  private def ivfadcProbeAndLut(qs: DataFrame, cb: DataFrame, coarse: DataFrame,
+      m: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    val dsub = 64 / m
+    // coarse is ≤16 rows — AQE would broadcast it anyway, but hint it
+    // for uniformity with every other bounded crossJoin in the family
+    val probe = qs.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("code").as("pcell"),
+        expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("pcell"))
+    val lutRows = cb.crossJoin(broadcast(qs))
+      .select(col("qid"), expr("j * 256 + code").as("pos"),
+        expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+      .groupBy("qid")
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
+      .select(col("qid"), expr(
+        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+    (probe, lutRows)
+  }
+
+  /** (qid, vec_id) pairs the pruning admits — IvfadcSpec anti-joins
+    * q220's results against this to prove no leak past the cell join. */
+  private[queries] def ivfadcMembershipForTest(s: SparkSession, d: String): DataFrame = {
+    val (enc, probe, _) = ivfadcParts(s, d)
+    enc.join(broadcast(probe), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"))
+  }
+
+  private[queries] def ivfadcTopkDf(s: SparkSession, d: String): DataFrame =
+    ivfadcTopkFrom(ivfadcParts(s, d))
+
+  /** Top-k over already-built parts — q221 builds the parts ONCE and
+    * feeds both its scan-count arm and the ranking (training twice was
+    * a measured sf0.1 constant). */
+  private def ivfadcTopkFrom(parts: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (enc, probe, lutRows) = parts
+    val probeLut = probe.join(lutRows, "qid") // ≤20 rows, each with one LUT
+    enc
+      .join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Coarse training + cell/probe CTEs shared by q220/q221. Reuses
+    * ptr/pq0/pen/qsel/alut from [[sqlPqCtes]]/[[sqlAdcCtes]]; the
+    * coarse Lloyd mirrors the PQ book at (1 subspace, 16 codes). */
+  private val sqlIvfadcCtes: String = {
+    def coarseLloydSql(n: Int): String =
+      s"""cpa$n AS (
+         |  SELECT em, code, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT p.vec_id, p.em, c.code,
+         |      list_sum(list_transform(range(64), i ->
+         |        (p.em[i+1] - c.cw[i+1]) * (p.em[i+1] - c.cw[i+1]))) AS dist
+         |    FROM ptr p CROSS JOIN ccb${n - 1} c) t$n),
+         |ccb$n AS (
+         |  SELECT code, list(m ORDER BY i) AS cw FROM (
+         |    SELECT a.code, t.i,
+         |      CAST(CASE WHEN SUM(a.em[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.em[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.em[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT em, code FROM cpa$n WHERE rn = 1) a, range(64) t(i)
+         |    GROUP BY a.code, t.i) g$n
+         |  GROUP BY code)""".stripMargin
+    """ctc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 16) AS BIGINT) AS step FROM ptr),
+      |ccb0 AS (
+      |  SELECT CAST((rnr - 1) // step AS INTEGER) AS code, em AS cw
+      |  FROM ptr, ctc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
+      coarseLloydSql(1) + ",\n" + coarseLloydSql(2) + ",\n" +
+      """cellv AS (
+        |  SELECT vec_id, code AS cell FROM (
+        |    SELECT vec_id, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, code ASC) AS rn
+        |    FROM (
+        |      SELECT v.vec_id, c.code,
+        |        list_sum(list_transform(range(64), i ->
+        |          (v.em[i+1] - c.cw[i+1]) * (v.em[i+1] - c.cw[i+1]))) AS dist
+        |      FROM pq0 v CROSS JOIN ccb2 c) t) r WHERE rn = 1),
+        |cqp AS (
+        |  SELECT qid, code AS pcell FROM (
+        |    SELECT qid, code,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, code ASC) AS rn
+        |    FROM (
+        |      SELECT q.qid, c.code,
+        |        list_sum(list_transform(range(64), i ->
+        |          (q.em[i+1] - c.cw[i+1]) * (q.em[i+1] - c.cw[i+1]))) AS dist
+        |      FROM qsel q CROSS JOIN ccb2 c) t) r WHERE rn <= 2),
+        |vdist AS (
+        |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
+        |  FROM (SELECT vec_id, j, code FROM pen WHERE rn = 1) e
+        |  JOIN cellv cv ON cv.vec_id = e.vec_id
+        |  JOIN cqp p ON p.pcell = cv.cell
+        |  JOIN alut l ON l.qid = p.qid AND l.j = e.j AND l.code = e.code
+        |  GROUP BY l.qid, e.vec_id),
+        |vtop AS (
+        |  SELECT qid, vec_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+        |  FROM vdist)""".stripMargin
+  }
+
+  /** IVFADC top-k: coarse-cell-pruned ADC search, graded end to end
+    * (coarse training, cell assignment, probe pick, LUT, ranking). */
+  val ivfadcTopk: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    ivfadcTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVFADC certificate: recall@10 vs the exact full-precision top-10
+    * AND the scanned fraction (probed members / (queries × corpus)) —
+    * the two axes of the recall/cost trade, both graded values. */
+  val ivfadcRecall: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (t.n_queries * 10) AS recall,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM (SELECT qid, vec_id FROM vtop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |CROSS JOIN scn s CROSS JOIN tot t
+       |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm (NULLS FIRST vs LAST trap)
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val parts = ivfadcParts(s, d)
+    val (enc, probe, _) = parts
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    ivfadcTopkFrom(parts).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(scn))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
+  /** PERSISTED IVFADC INDEX — the deployable form of q220 (the
+    * q209/q213 publish-once pattern applied to the compressed corpus):
+    * the 8-byte PQ codes are written ONCE partitioned by coarse CELL
+    * (hive layout, sorted by vec_id within) together with both books;
+    * a probe batch reads back only the ≤2 cell directories each query
+    * probes — `cell` is the PARTITION column and the probe side
+    * arrives through a broadcast join, so Spark injects dynamic
+    * partition pruning into the index scan (IvfadcSpec pins the
+    * `dynamicpruning` filter). This is where the IVFADC scan cut
+    * becomes PHYSICAL: the inline q220 re-encodes every vector per
+    * run, but a 100 TB corpus publishes ~8 B/vector of codes once and
+    * every probe batch touches nprobe/16 of the directories. Graded
+    * contract: byte-identical rankings to q220 (the oracle IS q220's
+    * SQL). */
+  val ivfadcIndex: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    val m = pqM(s)
+    val sfKey = d.replaceAll("[^a-z0-9.]", "_")
+    val dir = s"/tmp/graft_llm/$sfKey/ivfadc_index_m$m"
+    if (Llm.ivfIndexStaged.add(dir)) {
+      val (enc, _, _) = ivfadcParts(s, d)
+      enc.repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      pqCodebook(s, d).coalesce(1).write.mode("overwrite").parquet(s"$dir/book")
+      codebookGen(s, d, 1, 16).coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    }
+    val idx = s.read.parquet(s"$dir/codes")
+    val book = s.read.parquet(s"$dir/book")
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val qs = adcQueries(s, d)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
+    val probeLut = probe.join(lutRows, "qid")
+    idx.join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** RESIDUAL IVFADC (q223/q224) — the canonical FAISS IVFADC encoding
+    * the raw-code path (q220) approximates: PQ-encode the RESIDUAL
+    * `x − coarse_centroid(cell(x))` instead of the raw vector. Raw
+    * codes waste the whole codebook budget re-describing the coarse
+    * position the cell id already carries; residuals shrink the encoded
+    * domain to the within-cell spread, so the same 8 B/vector describe
+    * far finer structure — this is why production PQ recall survives at
+    * 8 B. The round-7 certificates put the raw floor at recall@10 0.43
+    * (sf0.001) / 0.24 (×100) at nprobe=2; q224 grades the lift.
+    * Composition (everything stays the integer-micro bridge, so both
+    * engines agree bit-for-bit):
+    *  - the PQ book TRAINS on the ranked sample's residuals w.r.t. the
+    *    coarse book (a book trained on raw vectors would have its
+    *    codewords in the wrong domain);
+    *  - the corpus scan computes cell, residual, and residual codes in
+    *    ONE pass — coarse book, 16-row cell→centroid join, and residual
+    *    book are all broadcast;
+    *  - search shifts each query per probed cell
+    *    (`‖q − (c + r̂)‖² = ‖(q − c) − r̂‖²`), so the LUT becomes
+    *    per-(query, CELL) — still a ≤(nprobe·queries)-row broadcast
+    *    relation, just keyed one level finer than q220's per-query LUT.
+    * Scale shape identical to q220: n-row scan reads m bytes of codes,
+    * probe join prunes to nprobe/16 of the corpus, distance is the same
+    * codegen'd pq_adc_micro, top-k trips WindowGroupLimit. */
+  private[queries] def ivfadcResidualParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dsub = 64 / m
+    val qs = adcQueries(s, d)
+    val ranked = rankedSample(s, d)
+    val coarse = codebookGenOn(s, ranked, 1, 16)
+    val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
+    val coarseSel = coarse.select(col("code").as("cell"), col("cw").as("ccw"))
+    // residual book: residuals of the SAME ranked sample w.r.t. the
+    // coarse book (cell via the same fused argmin the corpus uses; the
+    // oracle reuses cellv — ptr's vec_ids are a subset of pq0's)
+    val resSample = ranked.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("rnr"), col("em"),
+        expr("pq_encode_micro(em, ccbs).codes[0]").as("cell"))
+      .join(broadcast(coarseSel), "cell")
+      .select(col("vec_id"), col("rnr"),
+        expr("zip_with(em, ccw, (a, b) -> a - b)").as("em"))
+      .localCheckpoint() // ≤2048 rows; feeds seeds + both Lloyd iterations
+    val book = codebookGenOn(s, resSample, m, 256)
+    val cbArr = book.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    // one corpus scan: coarse cell + residual + residual PQ codes
+    val enc = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"),
+        expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
+      .join(broadcast(coarseSel), "cell")
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("cell"),
+        expr("pq_encode_micro(zip_with(em, ccw, (a, b) -> a - b), cbs).codes").as("codes"))
+    val nprobe = ivfadcNprobe(s)
+    val probe = qs.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("code").as("pcell"),
+        expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("pcell"))
+    // per-(query, cell) SHIFTED LUT: ‖(q − c_cell)_subⱼ − rcwⱼ,code‖²
+    val shifted = probe.join(broadcast(qs), "qid")
+      .join(broadcast(coarseSel), col("pcell") === col("cell"))
+      .select(col("qid"), col("pcell"),
+        expr("zip_with(em, ccw, (a, b) -> a - b)").as("sq"))
+    val lutRows = shifted.crossJoin(book) // ≤(nprobe·10) × m·256 rows, bounded
+      .select(col("qid"), col("pcell"), expr("j * 256 + code").as("pos"),
+        expr(s"aggregate(zip_with(slice(sq, j * $dsub + 1, $dsub), cw, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+      .groupBy("qid", "pcell")
+      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
+      .select(col("qid"), col("pcell"), expr(
+        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+    (enc, probe, lutRows)
+  }
+
+  private[queries] def ivfadcResidualTopkDf(s: SparkSession, d: String): DataFrame =
+    ivfadcResidualTopkFrom(ivfadcResidualParts(s, d))
+
+  private def ivfadcResidualTopkFrom(parts: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    ivfadcResidualTopkFromK(parts, 10)
+
+  private def ivfadcResidualTopkFromK(parts: (DataFrame, DataFrame, DataFrame), k: Int): DataFrame = {
+    val (enc, _, lutRows) = parts
+    // the LUT relation is already per-(qid, pcell) — it IS the probe
+    enc.join(broadcast(lutRows), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Residual training + encode + shifted-LUT CTEs (oracle face of
+    * [[ivfadcResidualParts]]): reuses ptr/pq0/qsel (PQ family) and
+    * ccb2/cellv/cqp (coarse family); ends in `rtop`. */
+  private val sqlResidualCtes: String = {
+    def resLloydSql(n: Int): String =
+      s"""rpa$n AS (
+         |  SELECT j, vec_id, sv, code,
+         |    ROW_NUMBER() OVER (PARTITION BY j, vec_id ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT p.j, p.vec_id, p.sv, c.code,
+         |      list_sum(list_transform(range(8), i ->
+         |        (p.sv[i+1] - c.cw[i+1]) * (p.sv[i+1] - c.cw[i+1]))) AS dist
+         |    FROM rpts p JOIN rcb${n - 1} c ON c.j = p.j) rt$n),
+         |rcb$n AS (
+         |  SELECT j, code, list(m ORDER BY i) AS cw FROM (
+         |    SELECT a.j, a.code, t.i,
+         |      CAST(CASE WHEN SUM(a.sv[t.i+1]) / COUNT(*) >= 0
+         |        THEN FLOOR(SUM(a.sv[t.i+1]) / COUNT(*) + 0.5)
+         |        ELSE CEIL(SUM(a.sv[t.i+1]) / COUNT(*) - 0.5) END AS DOUBLE) AS m
+         |    FROM (SELECT j, code, sv FROM rpa$n WHERE rn = 1) a, range(8) t(i)
+         |    GROUP BY a.j, a.code, t.i) rg$n
+         |  GROUP BY j, code)""".stripMargin
+    """rres AS (
+      |  SELECT p.vec_id, p.rnr,
+      |    list_transform(range(64), i -> p.em[i+1] - c.cw[i+1]) AS em
+      |  FROM ptr p JOIN cellv cv ON cv.vec_id = p.vec_id
+      |  JOIN ccb2 c ON c.code = cv.cell),
+      |rpts AS (
+      |  SELECT vec_id, rnr, j, list_transform(range(8), i -> em[j*8+i+1]) AS sv
+      |  FROM rres, range(8) t(j)),
+      |rtc AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 256) AS BIGINT) AS step FROM rres),
+      |rcb0 AS (
+      |  SELECT j, CAST((rnr - 1) // step AS INTEGER) AS code, sv AS cw
+      |  FROM rpts, rtc WHERE (rnr - 1) % step = 0),""".stripMargin + "\n" +
+      resLloydSql(1) + ",\n" + resLloydSql(2) + ",\n" +
+      """rcv AS (
+        |  SELECT v.vec_id, cv.cell,
+        |    list_transform(range(64), i -> v.em[i+1] - c.cw[i+1]) AS em
+        |  FROM pq0 v JOIN cellv cv ON cv.vec_id = v.vec_id
+        |  JOIN ccb2 c ON c.code = cv.cell),
+        |ren AS (
+        |  SELECT vec_id, cell, j, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, v.cell, c.j, c.code,
+        |      list_sum(list_transform(range(8), i ->
+        |        (v.em[c.j*8+i+1] - c.cw[i+1]) * (v.em[c.j*8+i+1] - c.cw[i+1]))) AS dist
+        |    FROM rcv v CROSS JOIN rcb2 c) rte),
+        |rsq AS (
+        |  SELECT p.qid, p.pcell,
+        |    list_transform(range(64), i -> q.em[i+1] - c.cw[i+1]) AS em
+        |  FROM cqp p JOIN qsel q ON q.qid = p.qid
+        |  JOIN ccb2 c ON c.code = p.pcell),
+        |rlut AS (
+        |  SELECT s.qid, s.pcell, c.j, c.code,
+        |    list_sum(list_transform(range(8), i ->
+        |      (s.em[c.j*8+i+1] - c.cw[i+1]) * (s.em[c.j*8+i+1] - c.cw[i+1]))) AS d
+        |  FROM rsq s CROSS JOIN rcb2 c),
+        |rdist AS (
+        |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
+        |  FROM (SELECT vec_id, cell, j, code FROM ren WHERE rn = 1) e
+        |  JOIN rlut l ON l.pcell = e.cell AND l.j = e.j AND l.code = e.code
+        |  GROUP BY l.qid, e.vec_id),
+        |rtop AS (
+        |  SELECT qid, vec_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+        |  FROM rdist)""".stripMargin
+  }
+
+  /** Residual IVFADC top-k: graded end to end — coarse training, cell
+    * assignment, residual-book training, residual encode, per-cell
+    * shifted LUTs, ranking. */
+  val ivfadcResidualTopk: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes
+       |SELECT qid, rnk, vec_id, dist FROM rtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    ivfadcResidualTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Residual IVFADC certificate: recall@10 vs the exact top-10 AND
+    * the scanned fraction. The scan set is IDENTICAL to q221's (same
+    * coarse book, same probes), so any recall delta over q221 is pure
+    * encoding quality — the graded claim of the residual path. */
+  val ivfadcResidualRecall: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (t.n_queries * 10) AS recall,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM (SELECT qid, vec_id FROM rtop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |CROSS JOIN scn s CROSS JOIN tot t
+       |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm (NULLS FIRST vs LAST trap)
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val parts = ivfadcResidualParts(s, d)
+    val (enc, probe, _) = parts
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    ivfadcResidualTopkFrom(parts).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(scn))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
+  /** TWO-STAGE SEARCH (q225/q226): ADC top-(k·α) shortlist →
+    * full-precision re-rank → top-k — the configuration every
+    * production PQ system actually serves. The shortlist is bounded
+    * (α·k·queries = 1000 rows here), so the re-rank join touches
+    * negligible data: the corpus scan is still the 32×-smaller ADC
+    * scan; only shortlist members have their float vectors re-read.
+    * Round-7 measured the ADC code floor at recall 0.56 (sf0.001
+    * full-scan); re-ranking recovers every in-shortlist miss, and the
+    * q226 certificate grades the recovered value. Monotone by
+    * construction: any exact-top-10 member in the shortlist re-ranks
+    * into the final top-10 (at most 9 items can beat it), so rerank
+    * recall ≥ ADC recall, always. */
+  /** (qid, rnk, vec_id, dist): exact re-rank of the ADC top-100
+    * shortlist. The corpus joins the BROADCAST 1000-row shortlist —
+    * at 100 TB this reads back only the shortlisted vectors' floats
+    * (row-group pruned in a real layout), never the corpus. */
+  private[queries] def adcRerankTopkDf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    val shortlist = adcTopkDfK(s, d, 100).select(col("qid"), col("vec_id"))
+    embeddings(s, d).filter(col("embedding").isNotNull)
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Re-rank CTEs over an ADC shortlist relation `src` (qid, vec_id):
+    * exact micro distances + final ranking. */
+  private def sqlRerankCtes(src: String): String =
+    s"""rrk AS (
+       |  SELECT a.qid, a.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM ($src) a
+       |  JOIN pq0 v ON v.vec_id = a.vec_id
+       |  JOIN qsel q ON q.qid = a.qid),
+       |rrt AS (
+       |  SELECT qid, vec_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM rrk)""".stripMargin
+
+  val adcRerankTopk: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |${sqlRerankCtes("SELECT qid, vec_id FROM atop WHERE rnk <= 100")}
+       |SELECT qid, rnk, vec_id, dist FROM rrt WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    adcRerankTopkDf(s, d)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Two-stage recall certificate: recall@10 of (ADC top-100 → exact
+    * re-rank → top-10) vs the exact top-10 — the graded proof that the
+    * re-rank stage recovers the compressed-code losses (≥ the q219
+    * raw-ADC recall by construction; == 1.0 whenever the true top-10
+    * survives into the 10×-wider shortlist). */
+  val adcRerankRecall: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |${sqlRerankCtes("SELECT qid, vec_id FROM atop WHERE rnk <= 100")},
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    adcRerankTopkDf(s, d).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
+  /** RESIDUAL IVFADC + RE-RANK (q227) — the full production serving
+    * stack: coarse pruning (nprobe/16 of the corpus scanned) →
+    * residual-PQ ADC shortlist (top-100 within probed cells) → exact
+    * re-rank → top-10. At this operating point recall equals the
+    * COARSE MEMBERSHIP CEILING (every in-probed-cell true neighbor is
+    * recovered: the shortlist is 10× the final k and the re-rank is
+    * exact), so the certificate cleanly splits the two loss sources —
+    * pruning (scan_frac's twin) vs encoding (eliminated). Measured at
+    * sf0.001: raw-ADC floor 0.43 → re-ranked 0.51 = the nprobe=2
+    * ceiling, at an UNCHANGED 12.3% scan fraction. */
+  val ivfadcRerankRecall: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes,
+       |${sqlRerankCtes("SELECT qid, vec_id FROM rtop WHERE rnk <= 100")},
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (t.n_queries * 10) AS recall,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |CROSS JOIN scn s CROSS JOIN tot t
+       |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    // same NULL guard as the q219 exact arm
+    val exact = embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val parts = ivfadcResidualParts(s, d)
+    val (enc, probe, _) = parts
+    val short = ivfadcResidualTopkFromK(parts, 100).select(col("qid"), col("vec_id"))
+    val reranked = embeddings(s, d).filter(col("embedding").isNotNull)
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    reranked
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(scn))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
+  /** Encode `src` embeddings against FROZEN (book, coarse) relations —
+    * the shared shape of the q228 day-0 publish, its daily batch, and a
+    * full republish (IngestSpec proves batch-maintained ≡ republished).
+    * Same one-pass scan as [[ivfadcParts]]' enc: two broadcast books,
+    * no joins, n rows. */
+  private[queries] def ivfadcEncodeWith(src: DataFrame, book: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    val cbArr = book.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
+    src.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
+        expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
+  }
+
+  private[queries] def ivfadcIngestDir(s: SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^a-z0-9.]", "_")
+    s"/tmp/graft_llm/$sfKey/ivfadc_ingest_m${pqM(s)}"
+  }
+
+  /** INCREMENTAL IVFADC INDEX INGEST (q228) — daily maintenance of the
+    * q222 published-index pattern, the flow every production vector
+    * store runs: books are trained ONCE on the day-0 (base) corpus and
+    * FROZEN; day 0 publishes the base split's codes cell-partitioned;
+    * day 1's injected batch (here the `vec_id % 10 = 0` split) is
+    * encoded with the frozen books and two-phase-appended into exactly
+    * its cells ([[graft.operators.IndexIngest]] — staged hidden,
+    * committed by atomic per-file rename, crash-replayable). Probes are
+    * UNCHANGED: dynamic partition pruning over cell directories, frozen
+    * books from disk. The graded contract: the maintained index serves
+    * rankings byte-identical to a frozen-book FULL pipeline over the
+    * whole corpus (the oracle is exactly q220's SQL with the training/
+    * query population restricted to the base split), and IngestSpec
+    * additionally proves byte-parity with a full republish plus the
+    * crash-between-stage-and-commit invariants. O(batch) maintenance,
+    * O(nprobe/16) probes — the 100 TB serving economics. */
+  val ivfadcIngest: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |${sqlPqCtesFilter(" WHERE vec_id % 10 <> 0")},
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dir = ivfadcIngestDir(s, d)
+    val baseAll = embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
+    if (Llm.ivfIndexStaged.add(dir)) {
+      val ranked = rankedSampleOf(baseAll)
+      codebookGenOn(s, ranked, m, 256).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      codebookGenOn(s, ranked, 1, 16).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/coarse")
+      val book = s.read.parquet(s"$dir/book")
+      val coarse = s.read.parquet(s"$dir/coarse")
+      ivfadcEncodeWith(baseAll, book, coarse)
+        .repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      val batch = embeddings(s, d).filter(col("vec_id") % 10 === 0)
+      graft.operators.IndexIngest.appendBatch(s,
+        ivfadcEncodeWith(batch, book, coarse), s"$dir/codes", "day1")
+    }
+    val idx = s.read.parquet(s"$dir/codes")
+    val book = s.read.parquet(s"$dir/book")
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val qs = adcQueriesOf(baseAll)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
+    val probeLut = probe.join(lutRows, "qid")
+    idx.join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  override def queries: Seq[(String, Q)] = Seq(
+    "q214_sq8_assign"     -> sq8Assign,
+    "q215_sq8_recall"     -> sq8Recall,
+    "q216_pq_assign"      -> pqAssign,
+    "q217_pq_recall"      -> pqRecall,
+    "q218_adc_topk"       -> adcTopk,
+    "q219_adc_recall"     -> adcRecall,
+    "q220_ivfadc_topk"    -> ivfadcTopk,
+    "q221_ivfadc_recall"  -> ivfadcRecall,
+    "q222_ivfadc_index"   -> ivfadcIndex,
+    "q223_ivfadc_residual_topk"   -> ivfadcResidualTopk,
+    "q224_ivfadc_residual_recall" -> ivfadcResidualRecall,
+    "q225_adc_rerank_topk"        -> adcRerankTopk,
+    "q226_adc_rerank_recall"      -> adcRerankRecall,
+    "q227_ivfadc_rerank_recall"   -> ivfadcRerankRecall,
+    "q228_ivfadc_ingest"          -> ivfadcIngest,
+    "q229_pq16_recall"            -> pq16Recall
+  )
+}

@@ -31,12 +31,12 @@ class AdcSpec extends AnyFunSuite with Matchers {
     // the query vector and x's PQ reconstruction dv — the LUT is just
     // that distance regrouped per subspace. Any drift in LUT layout,
     // position arithmetic, or accumulation shows here.
-    val qs = Llm.adcQueries(spark, sf)
-    val viaDv = Llm.pqQuantized(spark, sf).select(col("vec_id"), col("dv"))
+    val qs = VectorQuant.adcQueries(spark, sf)
+    val viaDv = VectorQuant.pqQuantized(spark, sf).select(col("vec_id"), col("dv"))
       .crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id"),
         expr("aggregate(zip_with(em, dv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("dist"))
-    val viaAdc = Llm.adcTopkDf(spark, sf).select("qid", "vec_id", "dist")
+    val viaAdc = VectorQuant.adcTopkDf(spark, sf).select("qid", "vec_id", "dist")
     val drift = viaAdc.alias("a")
       .join(viaDv.alias("r"), Seq("qid", "vec_id"))
       .filter(col("a.dist") =!= col("r.dist"))
@@ -61,7 +61,7 @@ class AdcSpec extends AnyFunSuite with Matchers {
     recall shouldBe r.getAs[Long]("n_matched").toDouble / 100.0
     // exact arm: each query's own vector is its rank-1 neighbor (dist 0)
     graft.functions.L2Micro.register(spark)
-    val qs = Llm.adcQueries(spark, sf)
+    val qs = VectorQuant.adcQueries(spark, sf)
     val selfTop = graft.Tables.embeddings(spark, sf)
       .crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))

@@ -28,7 +28,7 @@ class IngestSpec extends AnyFunSuite with Matchers {
     * first call per JVM) and returns its index dir. */
   private def stagedDir(): String = {
     SparkEntry.queries("q228_ivfadc_ingest")(spark, sf).collect()
-    Llm.ivfadcIngestDir(spark, sf)
+    VectorQuant.ivfadcIngestDir(spark, sf)
   }
 
   test("batch-maintained index is byte-identical to a frozen-book full republish") {
@@ -36,7 +36,7 @@ class IngestSpec extends AnyFunSuite with Matchers {
     val book = spark.read.parquet(s"$dir/book")
     val coarse = spark.read.parquet(s"$dir/coarse")
     graft.functions.PqEncodeMicro.register(spark)
-    val republish = Llm.ivfadcEncodeWith(
+    val republish = VectorQuant.ivfadcEncodeWith(
       graft.Tables.embeddings(spark, sf), book, coarse)
       .select(col("vec_id"), col("codes").cast("string"), col("cell"))
       .collect().map(_.toString).sorted.toSeq
@@ -51,7 +51,7 @@ class IngestSpec extends AnyFunSuite with Matchers {
     graft.functions.PqEncodeMicro.register(spark)
     // a second injected batch: re-encode a small deterministic slice
     // under fresh vec_ids so the append is observable
-    val batch2 = Llm.ivfadcEncodeWith(
+    val batch2 = VectorQuant.ivfadcEncodeWith(
       graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 97 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L), book, coarse)
     IndexIngest.interruptAfterStage =

@@ -29,8 +29,8 @@ class IvfadcSpec extends AnyFunSuite with Matchers {
     // Rebuild the cell/probe relations and anti-join: a q220 row whose
     // vector sits outside the query's probed cells means the pruning
     // join leaked (or the cell assignment drifted from the book).
-    val top = Llm.ivfadcTopkDf(spark, sf).select("qid", "vec_id")
-    val leaks = top.except(Llm.ivfadcMembershipForTest(spark, sf)).count()
+    val top = VectorQuant.ivfadcTopkDf(spark, sf).select("qid", "vec_id")
+    val leaks = top.except(VectorQuant.ivfadcMembershipForTest(spark, sf)).count()
     leaks shouldBe 0L
   }
 

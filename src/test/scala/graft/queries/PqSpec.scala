@@ -15,7 +15,7 @@ class PqSpec extends AnyFunSuite with Matchers {
   private val sf = "/root/testdata/sf0.001"
 
   test("every vector gets 8 codes in [0, 255] and a 64-element reconstruction") {
-    val bad = Llm.pqQuantized(spark, sf)
+    val bad = VectorQuant.pqQuantized(spark, sf)
       .filter(expr("size(codes) != 8 OR size(dv) != 64 OR " +
         "exists(codes, c -> c < 0 OR c > 255) OR " +
         "exists(dv, x -> x != cast(x as bigint))")) // codewords are micro-rounded integers
@@ -29,9 +29,9 @@ class PqSpec extends AnyFunSuite with Matchers {
     // uses: explode vectors × codebook entries of the same subspace,
     // rank by (dist ASC, code ASC). Any drift in the fused expression's
     // distance arithmetic, early exit, or tie order shows here.
-    val q = Llm.pqQuantized(spark, sf).select("vec_id", "em", "codes").cache()
+    val q = VectorQuant.pqQuantized(spark, sf).select("vec_id", "em", "codes").cache()
     val fused = q.select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
-    val cb = Llm.pqCodebookForTest(spark, sf)
+    val cb = VectorQuant.pqCodebookForTest(spark, sf)
     val indep = q.select(col("vec_id"), col("em"),
         posexplode(expr("transform(sequence(0, 7), j -> slice(em, j * 8 + 1, 8))")).as(Seq("j", "sv")))
       .join(cb, "j")
@@ -51,8 +51,8 @@ class PqSpec extends AnyFunSuite with Matchers {
     // every subspace the reconstructed slice is at least as close to the
     // original subvector as any other codeword of that subspace — spot
     // check: recon subspace distance equals the minimum over the codebook.
-    val q = Llm.pqQuantized(spark, sf).limit(50)
-    val cb = Llm.pqCodebookForTest(spark, sf)
+    val q = VectorQuant.pqQuantized(spark, sf).limit(50)
+    val cb = VectorQuant.pqCodebookForTest(spark, sf)
     val viol = q.select(col("vec_id"), col("em"), col("dv"),
         posexplode(expr("sequence(0, 7)")).as(Seq("x", "j")))
       .select(col("vec_id"), col("j"),
@@ -115,11 +115,11 @@ class PqSpec extends AnyFunSuite with Matchers {
   }
 
   test("codebook: at most 8×256 entries, 8-dim integer-micro codewords, deterministic rerun") {
-    val cb = Llm.pqCodebookForTest(spark, sf).cache()
+    val cb = VectorQuant.pqCodebookForTest(spark, sf).cache()
     cb.count() should be <= (8L * 256L)
     cb.filter(expr("size(cw) != 8 OR exists(cw, x -> x != cast(x as bigint))")).count() shouldBe 0L
     val a = cb.orderBy("j", "code").collect().map(_.toString)
-    val b = Llm.pqCodebookForTest(spark, sf).orderBy("j", "code").collect().map(_.toString)
+    val b = VectorQuant.pqCodebookForTest(spark, sf).orderBy("j", "code").collect().map(_.toString)
     a should contain theSameElementsInOrderAs b
     cb.unpersist()
   }

@@ -19,7 +19,7 @@ class ResidualRerankSpec extends AnyFunSuite with Matchers {
 
   private def exactTop10 = {
     graft.functions.L2Micro.register(spark)
-    val qs = Llm.adcQueries(spark, sf)
+    val qs = VectorQuant.adcQueries(spark, sf)
     graft.Tables.embeddings(spark, sf)
       .filter(col("embedding").isNotNull)
       .crossJoin(broadcast(qs))
@@ -60,7 +60,7 @@ class ResidualRerankSpec extends AnyFunSuite with Matchers {
     // ceiling: exact-top-10 members that live in probed cells. At this
     // SF every probed cell pair holds < 100 members, so the ADC top-100
     // shortlist is ALL of them and the exact re-rank recovers each one.
-    val (enc, probe, _) = Llm.ivfadcResidualParts(spark, sf)
+    val (enc, probe, _) = VectorQuant.ivfadcResidualParts(spark, sf)
     val ceiling = exactTop10
       .join(enc.select(col("vec_id"), col("cell")), "vec_id")
       .join(broadcast(probe), Seq("qid"))

@@ -15,7 +15,7 @@ class Sq8Spec extends AnyFunSuite with Matchers {
   private val sf = "/root/testdata/sf0.001"
 
   test("every quantized component fits a signed byte — the ceil-scale bound, no clamp") {
-    val r = Llm.sq8Quantized(spark, sf)
+    val r = VectorQuant.sq8Quantized(spark, sf)
       .select(expr("aggregate(q8, 0, (a, x) -> greatest(a, abs(x)))").as("mx"))
       .agg(max("mx")).head().getInt(0)
     r should be <= 127
@@ -24,7 +24,7 @@ class Sq8Spec extends AnyFunSuite with Matchers {
   test("reconstruction error is bounded by s/2 per component") {
     // |em − q·s| ≤ s/2 by the half-away-from-zero rounding; an off-by-one
     // in either engine's div arm would break this on negative components
-    val bad = Llm.sq8Quantized(spark, sf)
+    val bad = VectorQuant.sq8Quantized(spark, sf)
       .select(expr(
         "aggregate(zip_with(em, deq, (e, v) -> abs(e - cast(v as long))), 0L, (a, x) -> greatest(a, x))").as("err"),
         col("s8"))
