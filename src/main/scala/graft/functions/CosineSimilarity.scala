@@ -8,8 +8,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression: cosine similarity between two
-  * `array<float>` columns, computed in one fused pass (dot and both norms
-  * together) with doubles, inside whole-stage codegen.
+  * `array<float>` or two `array<double>` columns, computed in one fused
+  * pass (dot and both norms together) with doubles, inside whole-stage
+  * codegen. The double arm exists for the SQ8 micro domain (q234):
+  * dequantized vectors are micro-integers stored as doubles, so every
+  * element is exactly representable and the arithmetic is identical to
+  * the float arm widened per element.
   *
   * Replaces the `zip_with`+`aggregate` composite used as the portable
   * baseline — same accumulation order (left-to-right, widened to double
@@ -26,21 +30,30 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
   override def dataType: DataType = DoubleType
 
+  /** True when both sides are array<double> (the SQ8 micro domain). */
+  private def isDoubleArm: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+      s"cosine_sim expects (array<float>, array<float>) or (array<double>, array<double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val dbl = isDoubleArm
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (dbl) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (dbl) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -56,12 +69,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX = if (isDoubleArm) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (isDoubleArm) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = $getX;
+         |  double $yv = $getY;
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

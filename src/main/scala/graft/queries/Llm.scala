@@ -1890,7 +1890,7 @@ object Llm extends QueryModule {
   }
 
   /** Spark face of [[sqlAssignCtes]]: (vec_id, true_label, assigned). */
-  private def centroidAssignments(s: SparkSession, d: String): DataFrame = {
+  private[queries] def centroidAssignments(s: SparkSession, d: String): DataFrame = {
     val cent = centroidsDf(s, d)
     // Fused argmin -- NOT a per-candidate row fan-out. Three shapes were
     // measured at the x1000 self-bench (2M vectors x 10k learned

@@ -90,7 +90,10 @@ object VectorQuant extends QueryModule {
     dequantAssignments(s, d,
       sq8Quantized(s, d).select(col("vec_id"), col("true_label"), col("deq").as("dv")))
 
-  private val sqlSq8Ctes =
+  /** The quantize→dequantize prefix alone (em8/sc8/dq8 → dq8.dv), shared
+    * by the assignment chain below and the q234/q235 semantic-dedup
+    * rows that score pairs in the compressed domain. */
+  private val sqlSq8Dq =
     """em8 AS (
       |  SELECT vec_id, label AS true_label,
       |    list_transform(range(64), i ->
@@ -104,7 +107,10 @@ object VectorQuant extends QueryModule {
       |  SELECT vec_id, true_label,
       |    list_transform(em, x -> CAST((CASE WHEN x >= 0 THEN (2*x + s) // (2*s)
       |      ELSE -((-2*x + s) // (2*s)) END) * s AS DOUBLE)) AS dv
-      |  FROM sc8),
+      |  FROM sc8)""".stripMargin
+
+  private val sqlSq8Ctes =
+    sqlSq8Dq + """,
       |a8 AS (
       |  SELECT d.vec_id, d.true_label, c.label AS cand,
       |    list_sum(list_transform(range(64), i ->
@@ -1389,6 +1395,128 @@ object VectorQuant extends QueryModule {
       .orderBy("qid", "rnk")
   }
 
+  /** DuckDB cosine over the SQ8-dequantized micro vectors (dq8.dv). Every
+    * dv element is an integer stored as DOUBLE, all products/sums stay
+    * below 2^53, so both engines compute the identical bit pattern
+    * regardless of accumulation order. */
+  private def sqlCosDv(l: String, r: String): String =
+    s"""list_sum(list_transform(range(64), i -> $l.dv[i+1] * $r.dv[i+1]))
+       | / (sqrt(list_sum(list_transform(range(64), i -> $l.dv[i+1] * $l.dv[i+1])))
+       |  * sqrt(list_sum(list_transform(range(64), i -> $r.dv[i+1] * $r.dv[i+1]))))""".stripMargin.replace("\n", "")
+
+  /** The q234/q235 shared clustered relation: (cluster, vec_id) from the
+    * q99/q177 nearest-centroid assignment. The argmin output is the
+    * EXPENSIVE subtree and is checkpointed — but only its 2-long rows,
+    * never an O(n)-row payload relation (the q233 ×1000 lesson); the
+    * cheap encode/load scans recompute per consumer. */
+  private def clusteredIds(s: SparkSession, d: String): DataFrame =
+    Llm.centroidAssignments(s, d)
+      .select(col("vec_id").as("aid"), col("assigned").as("cluster"))
+      .localCheckpoint()
+
+  /** SEMANTIC DEDUP IN THE COMPRESSED DOMAIN — q177 (SemDeDup: near-dup
+    * pairs within learned clusters) re-run entirely off the SQ8 store:
+    * the pairwise cosine reads the dequantized int8 codes, never the
+    * full-precision floats. This is the shape a 100 TB curator actually
+    * deploys — the pair scan's shuffle payload drops ~3.5× (72 B codes
+    * vs 256 B floats per vector), and the quantization error this
+    * introduces at the 0.35 threshold is measured IN-BAND by the q235
+    * agreement certificate rather than assumed away.
+    *
+    * Scale shape: identical to q177 (pair space bounded per assigned
+    * cell, fused codegen cosine, corpus² never materializes); the only
+    * change is WHICH vectors feed the cosine. */
+  val semanticDedupSq8: Q = Q(
+    s"""WITH ${Llm.sqlAssignCtes},
+       |$sqlSq8Dq,
+       |ce AS (SELECT b.cand AS cluster, q.vec_id, q.dv
+       |       FROM best b JOIN dq8 q ON b.vec_id = q.vec_id
+       |       WHERE b.rn = 1)
+       |SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  ROUND(${sqlCosDv("x", "y")}, 6) AS cos
+       |FROM ce x JOIN ce y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |WHERE ${sqlCosDv("x", "y")} >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val ce = clusteredIds(s, d)
+      .join(sq8Quantized(s, d), col("aid") === col("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("deq"))
+    val a = ce.select(col("cluster"), col("vec_id").as("vec_a"), col("deq").as("qa"))
+    val b = ce.select(col("cluster").as("cb"), col("vec_id").as("vec_b"), col("deq").as("qb"))
+    a.join(b, col("cluster") === col("cb") && col("vec_a") < col("vec_b"))
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        expr("cosine_sim(qa, qb)").as("cos_raw"))
+      .filter(col("cos_raw") >= 0.35)
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** AGREEMENT CERTIFICATE for q234 — precision/recall of the
+    * compressed-domain dedup pairs against the exact full-precision
+    * pairs at the SAME threshold and the SAME clusters. The VALUE is
+    * the graded quantity (like every recall certificate in this
+    * family): it tells the curator exactly how many dedup decisions
+    * flip when the pair scan runs off int8 codes. Both arms share the
+    * checkpointed cluster assignment; each arm re-scans its own
+    * (cheap) vector load. */
+  val semanticDedupSq8Agreement: Q = Q(
+    s"""WITH ${Llm.sqlAssignCtes},
+       |$sqlSq8Dq,
+       |cc AS (SELECT b.cand AS cluster, b.vec_id FROM best b WHERE b.rn = 1),
+       |ee AS (SELECT cc.cluster, e.vec_id, e.embedding
+       |       FROM cc JOIN embeddings e ON cc.vec_id = e.vec_id),
+       |qq AS (SELECT cc.cluster, q.vec_id, q.dv
+       |       FROM cc JOIN dq8 q ON cc.vec_id = q.vec_id),
+       |ep AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |       FROM ee x JOIN ee y
+       |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |       WHERE ${Llm.sqlCosOf("x", "y")} >= 0.35),
+       |sp AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |       FROM qq x JOIN qq y
+       |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |       WHERE ${sqlCosDv("x", "y")} >= 0.35),
+       |u AS (SELECT vec_a, vec_b, SUM(src) AS m FROM (
+       |        SELECT vec_a, vec_b, 1 AS src FROM ep
+       |        UNION ALL SELECT vec_a, vec_b, 2 AS src FROM sp)
+       |      GROUP BY vec_a, vec_b)
+       |SELECT
+       |  COUNT(*) FILTER (WHERE m IN (1, 3)) AS n_exact,
+       |  COUNT(*) FILTER (WHERE m IN (2, 3)) AS n_sq8,
+       |  COUNT(*) FILTER (WHERE m = 3) AS n_both,
+       |  ROUND(CAST(COUNT(*) FILTER (WHERE m = 3) AS DOUBLE)
+       |    / COUNT(*) FILTER (WHERE m IN (2, 3)), 6) AS precision,
+       |  ROUND(CAST(COUNT(*) FILTER (WHERE m = 3) AS DOUBLE)
+       |    / COUNT(*) FILTER (WHERE m IN (1, 3)), 6) AS recall
+       |FROM u""".stripMargin) { (s, d) =>
+    graft.functions.CosineSimilarity.register(s)
+    val cc = clusteredIds(s, d)
+    def pairsOf(vecs: DataFrame): DataFrame = {
+      val ce = cc.join(vecs, col("aid") === col("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("v"))
+      val a = ce.select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = ce.select(col("cluster").as("cb"), col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("cluster") === col("cb") && col("vec_a") < col("vec_b"))
+        .filter(expr("cosine_sim(va, vb)") >= 0.35)
+        .select(col("vec_a"), col("vec_b"))
+    }
+    val ep = pairsOf(embeddings(s, d).select(col("vec_id"), col("embedding").as("v")))
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("src"))
+    val sp = pairsOf(sq8Quantized(s, d).select(col("vec_id"), col("deq").as("v")))
+      .select(col("vec_a"), col("vec_b"), lit(2L).as("src"))
+    ep.union(sp)
+      .groupBy("vec_a", "vec_b").agg(sum("src").as("m"))
+      .agg(
+        count(when(col("m").isin(1, 3), 1)).as("n_exact"),
+        count(when(col("m").isin(2, 3), 1)).as("n_sq8"),
+        count(when(col("m") === 3, 1)).as("n_both"),
+        round(count(when(col("m") === 3, 1)).cast("double") /
+          count(when(col("m").isin(2, 3), 1)), 6).as("precision"),
+        round(count(when(col("m") === 3, 1)).cast("double") /
+          count(when(col("m").isin(1, 3), 1)), 6).as("recall"))
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q214_sq8_assign"     -> sq8Assign,
     "q215_sq8_recall"     -> sq8Recall,
@@ -1405,6 +1533,8 @@ object VectorQuant extends QueryModule {
     "q226_adc_rerank_recall"      -> adcRerankRecall,
     "q227_ivfadc_rerank_recall"   -> ivfadcRerankRecall,
     "q228_ivfadc_ingest"          -> ivfadcIngest,
-    "q229_pq16_recall"            -> pq16Recall
+    "q229_pq16_recall"            -> pq16Recall,
+    "q234_semdedup_sq8"           -> semanticDedupSq8,
+    "q235_semdedup_sq8_agreement" -> semanticDedupSq8Agreement
   )
 }
