@@ -200,12 +200,159 @@ object AnnGen {
     (spark, duck)
   }
 
+  /** v7 (round-8 continuation): RESIDUAL-ALGEBRA differential. Spark
+    * runs the PRODUCTION decomposition — fused argmin_l2_micro cell
+    * assignment, residual = em − cvec(cell), distances computed against
+    * the RECONSTRUCTION cvec + residual — while DuckDB computes the
+    * plain exact distance. All coordinates are integers in doubles, so
+    * reconstruction is exact and the two top-k lists must agree
+    * bit-for-bit per random (dim, cells, jitter, ties) draw: any drift
+    * in the residual algebra (the q223–q227 machinery), the fused
+    * argmin, or either engine's tie-break surfaces as a mismatch. */
+  private def shapeResidual(r: Random): (String, String) = {
+    val dim = 1 + r.nextInt(16)
+    val c = 2 + r.nextInt(9)
+    val n = 20 + r.nextInt(181)
+    val nq = 1 + r.nextInt(5)
+    val k = 1 + r.nextInt(10)
+    val a = r.nextInt(10)
+    val spark =
+      s"""WITH ${sparkCorpus(n, dim, c, a, 1000L)},
+         |cent AS (
+         |  SELECT id AS cid,
+         |    transform(sequence(0, ${dim - 1}), j -> cast(${baseExpr("id", "j", 1000L)} as double)) AS cvec
+         |  FROM range($c)),
+         |carr AS (SELECT collect_list(struct(cast(cid as int) AS cand, cvec)) AS cands FROM cent),
+         |asg AS (
+         |  SELECT v.vec_id, v.em,
+         |    cast(argmin_l2_micro(v.em, cands) as bigint) AS cell
+         |  FROM corpus v CROSS JOIN carr),
+         |res AS (
+         |  SELECT a.vec_id, a.cell, c.cvec,
+         |    zip_with(a.em, c.cvec, (x, y) -> x - y) AS resid
+         |  FROM asg a JOIN cent c ON a.cell = c.cid),
+         |q AS (SELECT vec_id AS qid, em FROM corpus WHERE vec_id < $nq),
+         |d AS (
+         |  SELECT q.qid, v.vec_id,
+         |    aggregate(zip_with(q.em, zip_with(v.cvec, v.resid, (cw, rs) -> cw + rs),
+         |      (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z) AS dist
+         |  FROM res v CROSS JOIN q),
+         |r AS (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+         |  FROM d)
+         |SELECT qid, rnk, vec_id, dist FROM r WHERE rnk <= $k
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    val duck =
+      s"""WITH ${duckCorpus(n, dim, c, a, 1000L)},
+         |q AS (SELECT vec_id AS qid, em FROM corpus WHERE vec_id < $nq),
+         |d AS (
+         |  SELECT q.qid, v.vec_id,
+         |    list_sum(list_transform(range($dim), i ->
+         |      (q.em[i+1] - v.em[i+1]) * (q.em[i+1] - v.em[i+1]))) AS dist
+         |  FROM corpus v CROSS JOIN q),
+         |r AS (
+         |  SELECT qid, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+         |  FROM d)
+         |SELECT qid, rnk, vec_id, dist FROM r WHERE rnk <= $k
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    (spark, duck)
+  }
+
+  /** v7: TWO-STAGE RERANK differential (the q225–q227 discipline). Both
+    * engines run the same algorithm from one parameter draw: stage 1
+    * ranks by the SQ8-compressed distance (exact query vs dequantized
+    * corpus — the ADC regime) and keeps a shortlist of k2 ≥ k; stage 2
+    * re-ranks the shortlist at full precision and emits top-k. Stresses
+    * shortlist-boundary ties under collapse classes (a = 0 makes whole
+    * classes equidistant at BOTH stages) and the quantized/exact rank
+    * interleave — per random (dim, cells, jitter, k, k2, magnitude). */
+  private def shapeRerank(r: Random): (String, String) = {
+    val dim = 1 + r.nextInt(16)
+    val c = 1 + r.nextInt(10)
+    val n = 20 + r.nextInt(181)
+    val nq = 1 + r.nextInt(5)
+    val k = 1 + r.nextInt(8)
+    val k2 = k + 1 + r.nextInt(10)
+    val a = r.nextInt(10)
+    val mult = Seq(1L, 100L, 10000L)(r.nextInt(3))
+    val spark =
+      s"""WITH ${sparkCorpus(n, dim, c, a, mult)},
+         |dq AS (
+         |  SELECT vec_id, em,
+         |    transform(em, x -> cast((CASE WHEN cast(x as bigint) >= 0
+         |      THEN (2 * cast(x as bigint) + s) div (2 * s)
+         |      ELSE -((-2 * cast(x as bigint) + s) div (2 * s)) END) * s as double)) AS deq
+         |  FROM (SELECT vec_id, em,
+         |    greatest(1L, (aggregate(em, 0L, (m, x) -> greatest(m, abs(cast(x as bigint)))) + 126) div 127) AS s
+         |    FROM corpus)),
+         |q AS (SELECT vec_id AS qid, em FROM corpus WHERE vec_id < $nq),
+         |s1 AS (
+         |  SELECT q.qid, v.vec_id, v.em,
+         |    aggregate(zip_with(q.em, v.deq, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z) AS qdist
+         |  FROM dq v CROSS JOIN q),
+         |sl AS (
+         |  SELECT qid, vec_id, em,
+         |    row_number() OVER (PARTITION BY qid ORDER BY qdist ASC, vec_id ASC) AS r1
+         |  FROM s1),
+         |s2 AS (
+         |  SELECT sl.qid, sl.vec_id,
+         |    aggregate(zip_with(q.em, sl.em, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z) AS dist
+         |  FROM sl JOIN q ON sl.qid = q.qid
+         |  WHERE sl.r1 <= $k2),
+         |r AS (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+         |  FROM s2)
+         |SELECT qid, rnk, vec_id, dist FROM r WHERE rnk <= $k
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    val duck =
+      s"""WITH ${duckCorpus(n, dim, c, a, mult)},
+         |dq AS (
+         |  SELECT vec_id, em,
+         |    list_transform(em, x -> CAST((CASE WHEN CAST(x AS BIGINT) >= 0
+         |      THEN (2 * CAST(x AS BIGINT) + s) // (2 * s)
+         |      ELSE -((-2 * CAST(x AS BIGINT) + s) // (2 * s)) END) * s AS DOUBLE)) AS deq
+         |  FROM (SELECT vec_id, em,
+         |    GREATEST(1, (list_max(list_transform(em, x -> ABS(CAST(x AS BIGINT)))) + 126) // 127) AS s
+         |    FROM corpus)),
+         |q AS (SELECT vec_id AS qid, em FROM corpus WHERE vec_id < $nq),
+         |s1 AS (
+         |  SELECT q.qid, v.vec_id, v.em,
+         |    list_sum(list_transform(range($dim), i ->
+         |      (q.em[i+1] - v.deq[i+1]) * (q.em[i+1] - v.deq[i+1]))) AS qdist
+         |  FROM dq v CROSS JOIN q),
+         |sl AS (
+         |  SELECT qid, vec_id, em,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdist ASC, vec_id ASC) AS r1
+         |  FROM s1),
+         |s2 AS (
+         |  SELECT sl.qid, sl.vec_id,
+         |    list_sum(list_transform(range($dim), i ->
+         |      (q.em[i+1] - sl.em[i+1]) * (q.em[i+1] - sl.em[i+1]))) AS dist
+         |  FROM sl JOIN q ON sl.qid = q.qid
+         |  WHERE sl.r1 <= $k2),
+         |r AS (
+         |  SELECT qid, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+         |  FROM s2)
+         |SELECT qid, rnk, vec_id, dist FROM r WHERE rnk <= $k
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    (spark, duck)
+  }
+
   private val shapes: Seq[(String, Random => (String, String))] = Seq(
     "anntopk" -> shapeTopk _,
     "annassign" -> shapeAssign _,
     "annsq8" -> shapeSq8 _)
 
-  def nShapes: Int = shapes.size
+  private val shapesV7: Seq[(String, Random => (String, String))] =
+    shapes ++ Seq(
+      "annresid" -> shapeResidual _,
+      "annrerank" -> shapeRerank _)
+
+  def nShapes: Int = shapesV7.size
 
   /** FROZEN v6 corpus — graded picks (q230–q232) index into this; the
     * same never-change-a-frozen-generator rule as QueryGen.casesVN
@@ -218,6 +365,17 @@ object AnnGen {
       AnnCase(f"az$i%03d_$shapeName", spark, duck)
     }
 
+  /** FROZEN v7 corpus (round-8 continuation): the v6 shapes plus the
+    * residual-algebra and two-stage-rerank differentials. New seed
+    * stream (prefix b, multiplier 1000033) so v6 cases are untouched. */
+  def casesV7(seed: Long, n: Int): Seq[AnnCase] =
+    (0 until n).map { i =>
+      val (shapeName, gen) = shapesV7(i % shapesV7.size)
+      val r = new Random(seed * 1000033L + i)
+      val (spark, duck) = gen(r)
+      AnnCase(f"bz$i%03d_$shapeName", spark, duck)
+    }
+
   /** Current ANN grammar (campaign + AnnFuzzSpec default). */
-  def cases(seed: Long, n: Int): Seq[AnnCase] = casesV6(seed, n)
+  def cases(seed: Long, n: Int): Seq[AnnCase] = casesV7(seed, n)
 }

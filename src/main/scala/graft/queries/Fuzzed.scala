@@ -76,6 +76,19 @@ object Fuzzed extends QueryModule {
     "q231_fuzz_ann_assign" -> 286,
     "q232_fuzz_ann_sq8"    -> 299)
 
+  private val corpusV7 = graft.fuzz.AnnGen.casesV7(42L, 300).toVector
+
+  /** v7 ANN shapes (round-8 continuation): the residual-algebra
+    * differential (Spark runs the production fused-argmin → residual →
+    * reconstruct → distance decomposition, DuckDB the direct exact
+    * distance — equal iff the q223+ residual algebra is exact) and the
+    * two-stage rerank (SQ8-shortlist → exact re-rank, the q225–q227
+    * discipline, dialect-pair). Campaigns: 600 cases seeds 42/7, all
+    * green (FUZZ.md). */
+  private val picksV7 = Seq(
+    "q236_fuzz_ann_residual" -> 298,
+    "q237_fuzz_ann_rerank"   -> 299)
+
   private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
     ps.map { case (key, i) =>
       val sql = cs(i).sql
@@ -96,5 +109,5 @@ object Fuzzed extends QueryModule {
 
   override def queries: Seq[(String, Q)] =
     rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4) ++
-      rows(corpusV5, picksV5) ++ annRows(corpusV6, picksV6)
+      rows(corpusV5, picksV5) ++ annRows(corpusV6, picksV6) ++ annRows(corpusV7, picksV7)
 }
