@@ -124,7 +124,9 @@ object Coverage {
       Seq("q223_ivfadc_residual_topk", "q224_ivfadc_residual_recall",
         "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall")),
     Row("L14", "incremental index maintenance: frozen-book daily batch ingest into the published IVFADC index (two-phase crash-safe cell append)",
-      Seq("q228_ivfadc_ingest"))
+      Seq("q228_ivfadc_ingest")),
+    Row("L15", "data selection + compressed-domain dedup: DSIR importance resampling (hashed-ngram target/raw log-ratio scoring); SemDeDup over the SQ8 store with an in-band precision/recall agreement certificate",
+      Seq("q233_dsir_select", "q234_semdedup_sq8", "q235_semdedup_sq8_agreement"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey
