@@ -26,11 +26,36 @@ class CosineSimilaritySpec extends AnyFunSuite with Matchers {
     self should be < 1e-6
   }
 
-  test("type checking rejects non-float arrays") {
+  test("type checking: float and double arms accepted, mixed/integer rejected") {
     CosineSimilarity.register(spark)
     import spark.implicits._
-    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b") // array<double>
-    an[Exception] should be thrownBy df.select(expr("cosine_sim(a, b)")).collect()
+    // double arm (the SQ8 micro domain, q234) computes like the float arm
+    val dd = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val got = dd.select(expr("cosine_sim(a, b)")).collect()(0).getDouble(0)
+    val want = (1.0 * 3 + 2.0 * 4) / (math.sqrt(1.0 + 4) * math.sqrt(9.0 + 16))
+    got shouldBe want
+    // integer arrays and mixed float/double still rejected
+    val ii = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    an[Exception] should be thrownBy ii.select(expr("cosine_sim(a, b)")).collect()
+    val mixed = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("a", "b")
+    an[Exception] should be thrownBy mixed.select(expr("cosine_sim(a, b)")).collect()
+  }
+
+  test("double arm: interpreted eval matches codegen on micro-integer data") {
+    CosineSimilarity.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val a = Literal(ArrayData.toArrayData(Array(1000000.0, -2000000.0)), ArrayType(DoubleType))
+    val b = Literal(ArrayData.toArrayData(Array(3000000.0, 4000000.0)), ArrayType(DoubleType))
+    val got = CosineSimilarity(a, b).eval(null).asInstanceOf[Double]
+    val dot = 1000000.0 * 3000000.0 + (-2000000.0) * 4000000.0
+    val want = dot / (math.sqrt(1e12 + 4e12) * math.sqrt(9e12 + 16e12))
+    got shouldBe want
+    // and via SQL (codegen path) on the same values
+    import spark.implicits._
+    val df = Seq((Seq(1000000.0, -2000000.0), Seq(3000000.0, 4000000.0))).toDF("a", "b")
+    df.select(expr("cosine_sim(a, b)")).collect()(0).getDouble(0) shouldBe want
   }
 
   test("interpreted eval path matches codegen path") {
