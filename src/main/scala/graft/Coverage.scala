@@ -125,8 +125,9 @@ object Coverage {
         "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall")),
     Row("L14", "incremental index maintenance: frozen-book daily batch ingest into the published IVFADC index (two-phase crash-safe cell append)",
       Seq("q228_ivfadc_ingest")),
-    Row("L15", "data selection + compressed-domain dedup: DSIR importance resampling (hashed-ngram target/raw log-ratio scoring); SemDeDup over the SQ8 store with an in-band precision/recall agreement certificate",
-      Seq("q233_dsir_select", "q234_semdedup_sq8", "q235_semdedup_sq8_agreement"))
+    Row("L15", "data selection + compressed-domain dedup + spectral diagnostics: DSIR importance resampling (hashed-ngram target/raw log-ratio scoring); SemDeDup over the SQ8 store with an in-band precision/recall agreement certificate; top-PC eigenvalue/explained-share via integer-domain power iteration (the whiten-before-quantize check)",
+      Seq("q233_dsir_select", "q234_semdedup_sq8", "q235_semdedup_sq8_agreement",
+        "q238_embedding_pca"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

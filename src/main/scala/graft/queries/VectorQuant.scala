@@ -1517,6 +1517,120 @@ object VectorQuant extends QueryModule {
           count(when(col("m").isin(1, 3), 1)), 6).as("recall"))
   }
 
+  /** EMBEDDING SPECTRAL DIAGNOSTICS — the top principal component's
+    * eigenvalue and explained-variance share, the anisotropy measurement
+    * behind embedding whitening / "all-but-the-top" post-processing and
+    * the decide-whether-OPQ-helps check a PQ deployment runs first
+    * (round-7's finding — rotation is a no-op on isotropic fixtures —
+    * becomes a MEASURED property instead of an argument).
+    *
+    * Engine-portable power iteration, the q206 unrolled-Lloyd
+    * discipline applied to eigenvectors: the covariance is built from
+    * exact integer sufficient statistics (micro em; DECIMAL(19,0)
+    * products per the q176 rule; the per-cell double arithmetic is
+    * three correctly-rounded ops on exact integers, identical in both
+    * engines), scaled to BIGINT cells, and THREE fixed iterations run
+    * entirely in integers — matrix·vector is a 4096-row grouped SUM of
+    * longs (order-independent), normalization is max-abs with the
+    * sign-split truncating division that makes Spark `div` ≡ DuckDB
+    * `//`. The one float reduction (Rayleigh quotient) folds ordered
+    * 64-element arrays left-to-right on both engines (the cosine_sim
+    * precedent: identical op sequence ⇒ identical bits).
+    *
+    * Scale shape: one n×d² expansion feeding a d²-group map-side-
+    * combinable aggregate (the shuffle carries ≤4096×tasks rows) — the
+    * canonical distributed-covariance shape; everything after is
+    * bounded-relation (≤4096 rows, checkpointed once). The VALUE is
+    * the graded quantity: explained_share ≈ 1/d certifies isotropy,
+    * ≫1/d says whiten before quantizing. */
+  val embeddingPca: Q = {
+    val sqlDot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(64), k -> $a[k+1] * $b[k+1]))"
+    Q(
+      s"""WITH emt AS (
+         |  SELECT vec_id, list_transform(range(64), k ->
+         |    CAST(ROUND(CAST(embedding[k+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS em
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |st AS (SELECT COUNT(*) AS n FROM emt),
+         |sx AS (SELECT i, CAST(SUM(em[i+1]) AS BIGINT) AS sx
+         |  FROM emt, range(64) t(i) GROUP BY i),
+         |pr AS (SELECT i, j,
+         |    SUM(CAST(em[i+1] AS DECIMAL(19,0)) * CAST(em[j+1] AS DECIMAL(19,0))) AS sxy
+         |  FROM emt, range(64) t(i), range(64) u(j) GROUP BY i, j),
+         |cv AS (SELECT pr.i, pr.j,
+         |    CAST(ROUND((CAST(sxy AS DOUBLE) / n
+         |      - (CAST(a.sx AS DOUBLE) / n) * (CAST(b.sx AS DOUBLE) / n)) / 1000000, 0) AS BIGINT) AS c
+         |  FROM pr JOIN sx a ON pr.i = a.i JOIN sx b ON pr.j = b.i CROSS JOIN st),
+         |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(64) t(i)),
+         |w1 AS (SELECT cv.i, CAST(SUM(cv.c * v0.v) AS BIGINT) AS w
+         |  FROM cv JOIN v0 ON cv.j = v0.i GROUP BY cv.i),
+         |m1 AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w1),
+         |v1 AS (SELECT i, CASE WHEN w >= 0 THEN w // s ELSE -((-w) // s) END AS v
+         |  FROM w1 CROSS JOIN m1),
+         |w2 AS (SELECT cv.i, CAST(SUM(cv.c * v1.v) AS BIGINT) AS w
+         |  FROM cv JOIN v1 ON cv.j = v1.i GROUP BY cv.i),
+         |m2 AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w2),
+         |v2 AS (SELECT i, CASE WHEN w >= 0 THEN w // s ELSE -((-w) // s) END AS v
+         |  FROM w2 CROSS JOIN m2),
+         |w3 AS (SELECT cv.i, CAST(SUM(cv.c * v2.v) AS BIGINT) AS w
+         |  FROM cv JOIN v2 ON cv.j = v2.i GROUP BY cv.i),
+         |ar AS (SELECT
+         |    (SELECT list(CAST(v AS DOUBLE) ORDER BY i) FROM v2) AS va,
+         |    (SELECT list(CAST(w AS DOUBLE) ORDER BY i) FROM w3) AS wa,
+         |    (SELECT CAST(SUM(c) AS BIGINT) FROM cv WHERE i = j) AS trc)
+         |SELECT
+         |  CASE WHEN ${sqlDot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / 1000000, 6) END AS lambda1,
+         |  CASE WHEN ${sqlDot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share,
+         |  ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var
+         |FROM ar""".stripMargin) { (s, d) =>
+      val emt = embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(transform(col("embedding"), x =>
+          round(x.cast("double") * 1000000d, 0).cast("long")).as("em"))
+      val ex = emt.select(posexplode(col("em")).as(Seq("i", "xi")), col("em"))
+      val nRow = emt.agg(count(lit(1)).as("n"))
+      val sx = ex.groupBy("i").agg(sum("xi").as("sx"))
+      val pr = ex.select(col("i"), col("xi"), posexplode(col("em")).as(Seq("j", "xj")))
+        .groupBy("i", "j")
+        .agg(sum(col("xi").cast("decimal(19,0)") * col("xj").cast("decimal(19,0)")).as("sxy"))
+      val cv = pr
+        .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
+        .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+        .crossJoin(broadcast(nRow))
+        .select(col("i"), col("j"),
+          round((col("sxy").cast("double") / col("n")
+            - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
+            / 1000000d, 0).cast("long").as("c"))
+        .localCheckpoint() // 4096 rows, bounded; feeds three iterations + trace
+      def step(v: DataFrame): (DataFrame, DataFrame) = {
+        val w = cv.join(broadcast(v), cv("j") === v("vi"))
+          .groupBy(cv("i")).agg(sum(col("c") * col("v")).as("w"))
+        val m = w.agg(greatest(lit(1L), expr("max(abs(w)) div 1000000")).as("s"))
+        val vNext = w.crossJoin(broadcast(m)).selectExpr("i AS vi",
+          "CASE WHEN w >= 0 THEN w div s ELSE -((-w) div s) END AS v")
+        (w, vNext)
+      }
+      val v0 = s.range(64).select(col("id").cast("int").as("vi"), lit(1000000L).as("v"))
+      val (_, v1) = step(v0)
+      val (_, v2) = step(v1)
+      val (w3, _) = step(v2)
+      val va = v2.agg(expr(
+        "transform(array_sort(collect_list(struct(vi, v))), x -> cast(x.v as double))").as("va"))
+      val wa = w3.agg(expr(
+        "transform(array_sort(collect_list(struct(i, w))), x -> cast(x.w as double))").as("wa"))
+      val tr = cv.filter(col("i") === col("j")).agg(sum("c").as("trc"))
+      def dot(a: String, b: String): String =
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+      va.crossJoin(wa).crossJoin(tr).selectExpr(
+        s"CASE WHEN ${dot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / 1000000, 6) END AS lambda1",
+        s"CASE WHEN ${dot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share",
+        "ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var")
+    }
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q214_sq8_assign"     -> sq8Assign,
     "q215_sq8_recall"     -> sq8Recall,
@@ -1535,6 +1649,7 @@ object VectorQuant extends QueryModule {
     "q228_ivfadc_ingest"          -> ivfadcIngest,
     "q229_pq16_recall"            -> pq16Recall,
     "q234_semdedup_sq8"           -> semanticDedupSq8,
-    "q235_semdedup_sq8_agreement" -> semanticDedupSq8Agreement
+    "q235_semdedup_sq8_agreement" -> semanticDedupSq8Agreement,
+    "q238_embedding_pca"          -> embeddingPca
   )
 }
