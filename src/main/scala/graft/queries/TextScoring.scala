@@ -583,6 +583,28 @@ object TextScoring extends QueryModule {
     * selection is TakeOrderedAndProject (tasks×100 rows to the driver).
     * No model training, no all-pairs, nothing driver-side. The two
     * corpus scans are the canonical fit-then-score structure. */
+  /** The q233 featurized token relation: (doc_id, tgt, bucket). The
+    * target gate gets its OWN projection BELOW the explode — aliased in
+    * the same select as explode(...), ExtractGenerator would hoist it
+    * above the Generate and re-evaluate the doc-level stopword scan per
+    * TOKEN row (40× redundant work, measured 3.5 s of the first cut at
+    * sf0.1; DESIGN_SCALE rule 4). PlanSpec pins this placement. */
+  private[graft] def dsirTok(s: SparkSession, d: String): DataFrame = {
+    val ch = split(col("tok"), "")
+    val hv = aggregate(
+      transform(sequence(lit(1), length(col("tok"))),
+        i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
+      lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))
+    val tgt = col("n_chars").between(100, 500) &&
+      (size(filter(words, t => t.isInCollection(Llm.stopWords))).cast("double") /
+        size(words)) >= 0.05
+    documents(s, d)
+      .select(col("doc_id"), tgt.as("tgt"), col("text"))
+      .select(col("doc_id"), col("tgt"), explode(words).as("tok"))
+      .filter(length(col("tok")) === octet_length(col("tok")))
+      .select(col("doc_id"), col("tgt"), (hv % 64).as("b"))
+  }
+
   val dsirSelect: Q = Q(
     s"""WITH d0 AS (SELECT doc_id, text,
        |    (n_chars BETWEEN 100 AND 500 AND
@@ -609,14 +631,6 @@ object TextScoring extends QueryModule {
        |  FROM tok JOIN lp USING (b) GROUP BY tok.doc_id)
        |SELECT doc_id, weight FROM w
        |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
-    val ch = split(col("tok"), "")
-    val hv = aggregate(
-      transform(sequence(lit(1), length(col("tok"))),
-        i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
-      lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))
-    val tgt = col("n_chars").between(100, 500) &&
-      (size(filter(words, t => t.isInCollection(Llm.stopWords))).cast("double") /
-        size(words)) >= 0.05
     // Fit-then-score = two corpus scans, NOT a materialized token
     // relation: localCheckpointing the O(n)-row featurized relation
     // OOM'd the ×1000 decade probe (execution memory starved by 2G
@@ -625,15 +639,7 @@ object TextScoring extends QueryModule {
     // broadcast-sized subtrees. Recomputing the hash scan is the same
     // trade a 100 TB run makes: re-reading pruned parquet beats
     // materializing a corpus-sized intermediate.
-    // tgt gets its OWN projection BELOW the explode: aliased in the same
-    // select as explode(...), ExtractGenerator would hoist it above the
-    // Generate and re-evaluate the stopword scan per TOKEN row (40×
-    // redundant work, measured 3.5 s of this query's first cut at sf0.1).
-    val tok = documents(s, d)
-      .select(col("doc_id"), tgt.as("tgt"), col("text"))
-      .select(col("doc_id"), col("tgt"), explode(words).as("tok"))
-      .filter(length(col("tok")) === octet_length(col("tok")))
-      .select(col("doc_id"), col("tgt"), (hv % 64).as("b"))
+    val tok = dsirTok(s, d)
     val bs = tok.groupBy("b").agg(
       count(lit(1)).as("cr"),
       count(when(col("tgt"), 1)).as("ct"))

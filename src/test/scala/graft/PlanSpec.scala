@@ -504,4 +504,28 @@ class PlanSpec extends AnyFunSuite with Matchers {
       saved.foreach { case (k, ov) => ov.fold(c.unset(k))(c.set(k, _)) }
     }
   }
+
+  test("q233: the stopword target gate projects BELOW the explode (ExtractGenerator hoist guard)") {
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
+    // aliasing the gate in the SAME select as explode() lets
+    // ExtractGenerator hoist it above the Generate, re-evaluating the
+    // doc-level stopword scan once per TOKEN row (40x redundant work,
+    // 6.6 s -> 1.25 s at sf0.1 when fixed; DESIGN_SCALE rule 4). The
+    // guard: no projection that computes the stopword-list membership
+    // may have a Generate anywhere beneath it. Pinned on the shared
+    // dsirTok fragment — in the full query the gate lives only in the
+    // eagerly-checkpointed bucket-stats subtree, invisible from the
+    // final plan.
+    val df = graft.queries.TextScoring.dsirTok(spark, sf)
+    val hoisted = df.queryExecution.executedPlan.collect {
+      case pr: ProjectExec
+          if pr.projectList.exists(_.toString.contains("IN (the,a,of")) &&
+            pr.find(_.isInstanceOf[GenerateExec]).isDefined => pr
+    }
+    withClue("stopword gate evaluated per token row (above a Generate): ") {
+      hoisted shouldBe empty
+    }
+    // and the gate IS in the fragment plan (below the explode)
+    df.queryExecution.executedPlan.toString should include("IN (the,a,of")
+  }
 }
