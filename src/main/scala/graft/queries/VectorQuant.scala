@@ -6,12 +6,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding compression and compressed-domain ANN search (SURVEY.md §2
-  * L12–L14): SQ8 scalar quantization, PQ product quantization (m=8 and
+  * L12–L15): SQ8 scalar quantization, PQ product quantization (m=8 and
   * m=16 operating points), ADC top-k search, IVFADC cell-pruned search,
   * residual encoding, two-stage exact re-rank, the persisted IVFADC
-  * index, and incremental index ingest — split out of [[Llm]] at the
-  * quantization-family boundary for reviewability (round 8; zero
-  * behavior change, query keys stable).
+  * index, incremental index ingest, compressed-domain semantic dedup
+  * with its agreement certificate, and embedding spectral diagnostics
+  * (q214–q238) — split out of [[Llm]] at the quantization-family
+  * boundary for reviewability (round 8; zero behavior change, query
+  * keys stable).
   *
   * Shares the IVF coarse-quantizer machinery with [[Llm]]
   * (Llm.sqlCentCtes / Llm.sqlAssignCtes / Llm.centroidsDf /
