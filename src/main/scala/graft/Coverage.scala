@@ -127,7 +127,7 @@ object Coverage {
       Seq("q228_ivfadc_ingest")),
     Row("L15", "data selection + compressed-domain dedup + spectral diagnostics: DSIR importance resampling (hashed-ngram target/raw log-ratio scoring); SemDeDup over the SQ8 store with an in-band precision/recall agreement certificate; top-PC eigenvalue/explained-share via integer-domain power iteration (the whiten-before-quantize check)",
       Seq("q233_dsir_select", "q234_semdedup_sq8", "q235_semdedup_sq8_agreement",
-        "q238_embedding_pca"))
+        "q238_embedding_pca", "q239_embedding_abtt"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

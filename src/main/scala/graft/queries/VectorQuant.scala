@@ -1545,37 +1545,80 @@ object VectorQuant extends QueryModule {
     * bounded-relation (≤4096 rows, checkpointed once). The VALUE is
     * the graded quantity: explained_share ≈ 1/d certifies isotropy,
     * ≫1/d says whiten before quantizing. */
+  /** Shared PCA machinery (q238 diagnostics, q239 ABTT transform):
+    * micro embeddings → exact sufficient statistics → BIGINT-scaled
+    * covariance → three integer power iterations (v2, w3). */
+  private val sqlPcaCtes: String =
+    """emt AS (
+      |  SELECT vec_id, list_transform(range(64), k ->
+      |    CAST(ROUND(CAST(embedding[k+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS em
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |st AS (SELECT COUNT(*) AS n FROM emt),
+      |sx AS (SELECT i, CAST(SUM(em[i+1]) AS BIGINT) AS sx
+      |  FROM emt, range(64) t(i) GROUP BY i),
+      |pr AS (SELECT i, j,
+      |    SUM(CAST(em[i+1] AS DECIMAL(19,0)) * CAST(em[j+1] AS DECIMAL(19,0))) AS sxy
+      |  FROM emt, range(64) t(i), range(64) u(j) GROUP BY i, j),
+      |cv AS (SELECT pr.i, pr.j,
+      |    CAST(ROUND((CAST(sxy AS DOUBLE) / n
+      |      - (CAST(a.sx AS DOUBLE) / n) * (CAST(b.sx AS DOUBLE) / n)) / 1000000, 0) AS BIGINT) AS c
+      |  FROM pr JOIN sx a ON pr.i = a.i JOIN sx b ON pr.j = b.i CROSS JOIN st),
+      |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(64) t(i)),
+      |w1 AS (SELECT cv.i, CAST(SUM(cv.c * v0.v) AS BIGINT) AS w
+      |  FROM cv JOIN v0 ON cv.j = v0.i GROUP BY cv.i),
+      |m1 AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w1),
+      |v1 AS (SELECT i, CASE WHEN w >= 0 THEN w // s ELSE -((-w) // s) END AS v
+      |  FROM w1 CROSS JOIN m1),
+      |w2 AS (SELECT cv.i, CAST(SUM(cv.c * v1.v) AS BIGINT) AS w
+      |  FROM cv JOIN v1 ON cv.j = v1.i GROUP BY cv.i),
+      |m2 AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w2),
+      |v2 AS (SELECT i, CASE WHEN w >= 0 THEN w // s ELSE -((-w) // s) END AS v
+      |  FROM w2 CROSS JOIN m2),
+      |w3 AS (SELECT cv.i, CAST(SUM(cv.c * v2.v) AS BIGINT) AS w
+      |  FROM cv JOIN v2 ON cv.j = v2.i GROUP BY cv.i)""".stripMargin
+
+  /** Spark face of [[sqlPcaCtes]]: (emt, nRow, sx, cv, v2, w3). cv is
+    * checkpointed (4096 bounded rows — feeds three iterations + trace). */
+  private def pcaParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val emt = embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), transform(col("embedding"), x =>
+        round(x.cast("double") * 1000000d, 0).cast("long")).as("em"))
+    val ex = emt.select(posexplode(col("em")).as(Seq("i", "xi")), col("em"))
+    val nRow = emt.agg(count(lit(1)).as("n"))
+    val sx = ex.groupBy("i").agg(sum("xi").as("sx"))
+    val pr = ex.select(col("i"), col("xi"), posexplode(col("em")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(col("xi").cast("decimal(19,0)") * col("xj").cast("decimal(19,0)")).as("sxy"))
+    val cv = pr
+      .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        round((col("sxy").cast("double") / col("n")
+          - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
+          / 1000000d, 0).cast("long").as("c"))
+      .localCheckpoint()
+    def step(v: DataFrame): (DataFrame, DataFrame) = {
+      val w = cv.join(broadcast(v), cv("j") === v("vi"))
+        .groupBy(cv("i")).agg(sum(col("c") * col("v")).as("w"))
+      val m = w.agg(greatest(lit(1L), expr("max(abs(w)) div 1000000")).as("s"))
+      val vNext = w.crossJoin(broadcast(m)).selectExpr("i AS vi",
+        "CASE WHEN w >= 0 THEN w div s ELSE -((-w) div s) END AS v")
+      (w, vNext)
+    }
+    val v0 = s.range(64).select(col("id").cast("int").as("vi"), lit(1000000L).as("v"))
+    val (_, v1) = step(v0)
+    val (_, v2) = step(v1)
+    val (w3, _) = step(v2)
+    (emt, nRow, sx, cv, v2, w3)
+  }
+
   val embeddingPca: Q = {
     val sqlDot = (a: String, b: String) =>
       s"list_sum(list_transform(range(64), k -> $a[k+1] * $b[k+1]))"
     Q(
-      s"""WITH emt AS (
-         |  SELECT vec_id, list_transform(range(64), k ->
-         |    CAST(ROUND(CAST(embedding[k+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS em
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |st AS (SELECT COUNT(*) AS n FROM emt),
-         |sx AS (SELECT i, CAST(SUM(em[i+1]) AS BIGINT) AS sx
-         |  FROM emt, range(64) t(i) GROUP BY i),
-         |pr AS (SELECT i, j,
-         |    SUM(CAST(em[i+1] AS DECIMAL(19,0)) * CAST(em[j+1] AS DECIMAL(19,0))) AS sxy
-         |  FROM emt, range(64) t(i), range(64) u(j) GROUP BY i, j),
-         |cv AS (SELECT pr.i, pr.j,
-         |    CAST(ROUND((CAST(sxy AS DOUBLE) / n
-         |      - (CAST(a.sx AS DOUBLE) / n) * (CAST(b.sx AS DOUBLE) / n)) / 1000000, 0) AS BIGINT) AS c
-         |  FROM pr JOIN sx a ON pr.i = a.i JOIN sx b ON pr.j = b.i CROSS JOIN st),
-         |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(64) t(i)),
-         |w1 AS (SELECT cv.i, CAST(SUM(cv.c * v0.v) AS BIGINT) AS w
-         |  FROM cv JOIN v0 ON cv.j = v0.i GROUP BY cv.i),
-         |m1 AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w1),
-         |v1 AS (SELECT i, CASE WHEN w >= 0 THEN w // s ELSE -((-w) // s) END AS v
-         |  FROM w1 CROSS JOIN m1),
-         |w2 AS (SELECT cv.i, CAST(SUM(cv.c * v1.v) AS BIGINT) AS w
-         |  FROM cv JOIN v1 ON cv.j = v1.i GROUP BY cv.i),
-         |m2 AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w2),
-         |v2 AS (SELECT i, CASE WHEN w >= 0 THEN w // s ELSE -((-w) // s) END AS v
-         |  FROM w2 CROSS JOIN m2),
-         |w3 AS (SELECT cv.i, CAST(SUM(cv.c * v2.v) AS BIGINT) AS w
-         |  FROM cv JOIN v2 ON cv.j = v2.i GROUP BY cv.i),
+      s"""WITH $sqlPcaCtes,
          |ar AS (SELECT
          |    (SELECT list(CAST(v AS DOUBLE) ORDER BY i) FROM v2) AS va,
          |    (SELECT list(CAST(w AS DOUBLE) ORDER BY i) FROM w3) AS wa,
@@ -1587,36 +1630,7 @@ object VectorQuant extends QueryModule {
          |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share,
          |  ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var
          |FROM ar""".stripMargin) { (s, d) =>
-      val emt = embeddings(s, d).filter(col("embedding").isNotNull)
-        .select(transform(col("embedding"), x =>
-          round(x.cast("double") * 1000000d, 0).cast("long")).as("em"))
-      val ex = emt.select(posexplode(col("em")).as(Seq("i", "xi")), col("em"))
-      val nRow = emt.agg(count(lit(1)).as("n"))
-      val sx = ex.groupBy("i").agg(sum("xi").as("sx"))
-      val pr = ex.select(col("i"), col("xi"), posexplode(col("em")).as(Seq("j", "xj")))
-        .groupBy("i", "j")
-        .agg(sum(col("xi").cast("decimal(19,0)") * col("xj").cast("decimal(19,0)")).as("sxy"))
-      val cv = pr
-        .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
-        .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
-        .crossJoin(broadcast(nRow))
-        .select(col("i"), col("j"),
-          round((col("sxy").cast("double") / col("n")
-            - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
-            / 1000000d, 0).cast("long").as("c"))
-        .localCheckpoint() // 4096 rows, bounded; feeds three iterations + trace
-      def step(v: DataFrame): (DataFrame, DataFrame) = {
-        val w = cv.join(broadcast(v), cv("j") === v("vi"))
-          .groupBy(cv("i")).agg(sum(col("c") * col("v")).as("w"))
-        val m = w.agg(greatest(lit(1L), expr("max(abs(w)) div 1000000")).as("s"))
-        val vNext = w.crossJoin(broadcast(m)).selectExpr("i AS vi",
-          "CASE WHEN w >= 0 THEN w div s ELSE -((-w) div s) END AS v")
-        (w, vNext)
-      }
-      val v0 = s.range(64).select(col("id").cast("int").as("vi"), lit(1000000L).as("v"))
-      val (_, v1) = step(v0)
-      val (_, v2) = step(v1)
-      val (w3, _) = step(v2)
+      val (_, _, _, cv, v2, w3) = pcaParts(s, d)
       val va = v2.agg(expr(
         "transform(array_sort(collect_list(struct(vi, v))), x -> cast(x.v as double))").as("va"))
       val wa = w3.agg(expr(
@@ -1631,6 +1645,76 @@ object VectorQuant extends QueryModule {
           s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share",
         "ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var")
     }
+  }
+
+  /** ALL-BUT-THE-TOP embedding post-processing — q238's diagnosis
+    * applied as a transform: mean-center every embedding and remove its
+    * projection onto the top principal component (the published common-
+    * direction removal that improves similarity tasks on anisotropic
+    * embeddings; on THIS near-isotropic fixture the projections are
+    * correspondingly small — q238 and q239 tell one consistent story).
+    *
+    * Portability: mean-centering stays exact-integer by working
+    * n-SCALED (mc_j = n·em_j − Σem_j — no division, |mc| ≤ 4e12 exact in
+    * doubles); the per-row projection coefficient folds mc·v left-to-
+    * right on both engines (the cosine_sim precedent), and every
+    * residual element is the SAME scalar IEEE op sequence
+    * (mc − (cn/dn)·v) / n / 10⁶, rounded once. Output: the coefficient
+    * and the first two residual coordinates per vector (the full
+    * residual is the same expression over k — two coordinates keep the
+    * graded row compact while pinning the arithmetic). The `+ 0.0` on
+    * every output normalizes IEEE signed zero: a tiny negative value
+    * rounds to -0.0 in DuckDB but 0.0 in Spark, and the hash compare
+    * sees the sign bit.
+    *
+    * Scale shape: the PCA fit is q238's bounded machinery; the
+    * transform itself is a pure per-row map against ONE broadcast 1-row
+    * relation (v, Σx, n as arrays/scalars) — no shuffle at all beyond
+    * the output sort. The 100 TB deployment writes the full residual
+    * array back to parquet with exactly this plan. */
+  val embeddingAbtt: Q = Q(
+    s"""WITH $sqlPcaCtes,
+       |ga AS (SELECT
+       |    (SELECT list(CAST(v AS DOUBLE) ORDER BY i) FROM v2) AS va,
+       |    (SELECT list(CAST(sx AS DOUBLE) ORDER BY i) FROM sx) AS sxa,
+       |    (SELECT n FROM st) AS n),
+       |pc AS (SELECT vec_id,
+       |    list_transform(range(64), k -> CAST(em[k+1] AS DOUBLE) * n - sxa[k+1]) AS mc,
+       |    va, n
+       |  FROM emt CROSS JOIN ga),
+       |co AS (SELECT vec_id, mc, va, n,
+       |    list_sum(list_transform(range(64), k -> mc[k+1] * va[k+1])) AS cn,
+       |    list_sum(list_transform(range(64), k -> va[k+1] * va[k+1])) AS dn
+       |  FROM pc)
+       |SELECT vec_id,
+       |  CASE WHEN dn = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE ROUND(cn / dn / n / 1000000, 6) + 0.0 END AS proj,
+       |  CASE WHEN dn = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE ROUND((mc[1] - cn / dn * va[1]) / n / 1000000, 6) + 0.0 END AS r0,
+       |  CASE WHEN dn = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE ROUND((mc[2] - cn / dn * va[2]) / n / 1000000, 6) + 0.0 END AS r1
+       |FROM co ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val (emt, nRow, sx, _, v2, _) = pcaParts(s, d)
+    val ga = v2.agg(expr(
+        "transform(array_sort(collect_list(struct(vi, v))), x -> cast(x.v as double))").as("va"))
+      .crossJoin(sx.agg(expr(
+        "transform(array_sort(collect_list(struct(i, sx))), x -> cast(x.sx as double))").as("sxa")))
+      .crossJoin(nRow)
+    emt.crossJoin(broadcast(ga))
+      .selectExpr("vec_id",
+        "zip_with(transform(em, x -> cast(x as double) * n), sxa, (a, b) -> a - b) AS mc",
+        "va", "n")
+      .selectExpr("vec_id", "mc", "va", "n",
+        "aggregate(zip_with(mc, va, (x, y) -> x * y), 0D, (acc, z) -> acc + z) AS cn",
+        "aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, z) -> acc + z) AS dn")
+      .selectExpr("vec_id",
+        "CASE WHEN dn = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE ROUND(cn / dn / n / 1000000, 6) + 0.0D END AS proj",
+        "CASE WHEN dn = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE ROUND((element_at(mc, 1) - cn / dn * element_at(va, 1)) / n / 1000000, 6) + 0.0D END AS r0",
+        "CASE WHEN dn = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE ROUND((element_at(mc, 2) - cn / dn * element_at(va, 2)) / n / 1000000, 6) + 0.0D END AS r1")
+      .orderBy("vec_id")
   }
 
   override def queries: Seq[(String, Q)] = Seq(
@@ -1652,6 +1736,7 @@ object VectorQuant extends QueryModule {
     "q229_pq16_recall"            -> pq16Recall,
     "q234_semdedup_sq8"           -> semanticDedupSq8,
     "q235_semdedup_sq8_agreement" -> semanticDedupSq8Agreement,
-    "q238_embedding_pca"          -> embeddingPca
+    "q238_embedding_pca"          -> embeddingPca,
+    "q239_embedding_abtt"         -> embeddingAbtt
   )
 }
