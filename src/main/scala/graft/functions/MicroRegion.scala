@@ -32,6 +32,15 @@ import org.apache.spark.unsafe.Platform
   *    rows while dodging the stride sample — noted honestly at the
   *    call sites.
   *
+  *    Per-hit probe count: the round-8 default of 128 strided reads per
+  *    hit (each a likely cache miss — the strides span the whole
+  *    region) measured as a large share of the ADC family's ~1.4×
+  *    round-8 inflation; the detection GUARANTEE never came from the
+  *    probes (it is the periodic checksum's bounded-staleness argument),
+  *    so round 9 drops the default to 16 probes — first/last word always
+  *    included — and keeps the checksum cadence. Raise
+  *    `-Dgraft.microRegion.sampleWords` for paranoid runs.
+  *
   * Both knobs are JVM-level system properties read once at class load
   * (they size per-task caches, not per-query plans):
   * `-Dgraft.microRegion.fullCompareWords=N` raises the deterministic
@@ -55,7 +64,9 @@ object MicroRegion {
     * in FULL on every hit; larger regions use the sampled+periodic-
     * checksum tier described in the class doc. */
   val FullCompareWords: Int = intProp("graft.microRegion.fullCompareWords", 512, 1)
-  val SampleWords: Int = 128
+  /** Sampled tier: words probed on EVERY hit (evenly strided; ≥2 so the
+    * first and last word are always covered). */
+  val SampleWords: Int = intProp("graft.microRegion.sampleWords", 16, 2)
   /** Sampled tier: every this-many hits, recompute the full-region
     * checksum (bounds persistent-stale survival to FullEvery−1 rows). */
   val FullEvery: Int = intProp("graft.microRegion.fullEvery", 512, 1)

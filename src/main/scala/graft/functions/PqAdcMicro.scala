@@ -51,6 +51,12 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 
+  // The LUT builders emit exactly m·256 slots, so `pos < w` is implied
+  // by the code-domain test whenever w covers the codes' subspaces —
+  // hoisting that width check out of the inner loop (validated ONCE per
+  // row) leaves a single unsigned range test per element, `(c & ~255)
+  // == 0` ≡ 0 ≤ c < 256. A short/torn LUT (out of contract but
+  // registered session-wide) falls back to the fully-guarded loop.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
@@ -58,12 +64,21 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
     val w = lut.numElements()
     var acc = 0.0
     var j = 0
-    while (j < m) {
-      val c = codes.getInt(j)
-      val pos = j * 256 + c
-      acc += (if (c >= 0 && c < 256 && pos < w) lut.getDouble(pos)
-              else Double.PositiveInfinity)
-      j += 1
+    if (w >= m * 256) {
+      while (j < m) {
+        val c = codes.getInt(j)
+        acc += (if ((c & ~255) == 0) lut.getDouble(j * 256 + c)
+                else Double.PositiveInfinity)
+        j += 1
+      }
+    } else {
+      while (j < m) {
+        val c = codes.getInt(j)
+        val pos = j * 256 + c
+        acc += (if (c >= 0 && c < 256 && pos < w) lut.getDouble(pos)
+                else Double.PositiveInfinity)
+        j += 1
+      }
     }
     acc
   }
@@ -80,11 +95,19 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
          |int $m = $a.numElements();
          |int $w = $b.numElements();
          |double $acc = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
-         |  int $c = $a.getInt($j);
-         |  int $pos = $j * 256 + $c;
-         |  $acc += ($c >= 0 && $c < 256 && $pos < $w)
-         |    ? $b.getDouble($pos) : Double.POSITIVE_INFINITY;
+         |if ($w >= $m * 256) {
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $c = $a.getInt($j);
+         |    $acc += (($c & ~255) == 0)
+         |      ? $b.getDouble($j * 256 + $c) : Double.POSITIVE_INFINITY;
+         |  }
+         |} else {
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $c = $a.getInt($j);
+         |    int $pos = $j * 256 + $c;
+         |    $acc += ($c >= 0 && $c < 256 && $pos < $w)
+         |      ? $b.getDouble($pos) : Double.POSITIVE_INFINITY;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -97,8 +120,11 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object PqAdcMicro {
-  /** Idempotently registers `pq_adc_micro(codes, lut)`. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently registers `pq_adc_micro(codes, lut)` plus the LUT
+    * builder `dense_lut_micro` every ADC call site feeds it from. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_adc_micro", exprs => PqAdcMicro(exprs(0), exprs(1)), "built-in")
+    DenseLutMicro.register(spark)
+  }
 }

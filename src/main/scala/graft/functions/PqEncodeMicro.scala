@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -45,41 +45,12 @@ import org.apache.spark.sql.types._
   * offset advanced by zero. Interpreted ([[CodegenFallback]]): the
   * k·d loop on primitive arrays dominates; fallback costs one boxed
   * call per row.
+  *
+  * The decode cache + encode loop live in [[PqEncodeCore]] (one
+  * instance per expression instance — single-threaded per task), so
+  * the RESIDUAL variant [[PqEncodeShiftMicro]] shares them verbatim.
   */
-case class PqEncodeMicro(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("codes", ArrayType(IntegerType)),
-    StructField("dv", ArrayType(DoubleType))))
-
-  private val cbType = ArrayType(StructType(Seq(
-    StructField("j", IntegerType), StructField("code", IntegerType),
-    StructField("cw", ArrayType(DoubleType)))))
-
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType | FloatType, _),
-          ArrayType(StructType(Array(StructField(_, IntegerType, _, _),
-                                     StructField(_, IntegerType, _, _),
-                                     StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode_micro expects (array<double> | array<float>, ${cbType.sql}), " +
-        s"got (${left.dataType.sql}, ${right.dataType.sql})")
-  }
-
-  /** array<double> embeddings are PRE-SCALED micro vectors consumed
-    * as-is; array<float> embeddings are raw and get the repo's ±0.5
-    * micro rounding here — same arithmetic as [[Sq8QuantizeMicro]] /
-    * [[ArgminL2Micro]]'s float arm — saving the caller a per-row HOF
-    * materialization of the micro array. */
-  @transient private lazy val embPreScaled: Boolean = left.dataType match {
-    case ArrayType(DoubleType, _) => true
-    case _ => false
-  }
-
-  override def nullable: Boolean = true
-
+private[functions] final class PqEncodeCore {
   // Decoded codebook, grouped by ascending subspace j:
   //   subJ(s)     — the subspace's j value (ascending)
   //   subDim(s)   — its codeword length d_j
@@ -87,21 +58,21 @@ case class PqEncodeMicro(left: Expression, right: Expression)
   //   subVecs(s)  — codewords, scan order
   // Single-slot fingerprint cache (the codebook rides one broadcast
   // row, identical bytes every stream row); tiered MicroRegion verify on hit.
-  @transient private var cachedBase: AnyRef = _
-  @transient private var cachedOff: Long = _
-  @transient private var cachedK: Int = -1
-  @transient private var cachedSize: Long = -1L
-  @transient private var cachedHead: Long = _
-  @transient private var cachedMid: Long = _
-  @transient private var cachedTail: Long = _
-  @transient private var cachedWords: Array[Long] = _
-  @transient private var subJ: Array[Int] = _
-  @transient private var subDim: Array[Int] = _
-  @transient private var subCodes: Array[Array[Int]] = _
-  @transient private var subVecs: Array[Array[Array[Double]]] = _
-  @transient private var exBuf: Array[Double] = _
+  private var cachedBase: AnyRef = _
+  private var cachedOff: Long = _
+  private var cachedK: Int = -1
+  private var cachedSize: Long = -1L
+  private var cachedHead: Long = _
+  private var cachedMid: Long = _
+  private var cachedTail: Long = _
+  private var cachedWords: Array[Long] = _
+  private var subJ: Array[Int] = _
+  private var subDim: Array[Int] = _
+  private var subCodes: Array[Array[Int]] = _
+  private var subVecs: Array[Array[Array[Double]]] = _
+  private var exBuf: Array[Double] = _
 
-  private def decode(cbs: ArrayData): Unit = {
+  def decode(cbs: ArrayData): Unit = {
     import org.apache.spark.unsafe.Platform
     val k = cbs.numElements()
     val (base: AnyRef, off: Long, size: Long, head: Long, mid: Long, tail: Long) = cbs match {
@@ -152,17 +123,16 @@ case class PqEncodeMicro(left: Expression, right: Expression)
     cachedWords = if (size >= 0) MicroRegion.snapshot(base, off, size) else null
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val emb = a.asInstanceOf[ArrayData]
-    val cbs = b.asInstanceOf[ArrayData]
-    if (cbs.numElements() == 0) return null
-    decode(cbs)
-    val m = subJ.length
-    val n = emb.numElements()
+  /** Load the input vector into the reused micro buffer: array<double>
+    * embeddings are PRE-SCALED micro vectors copied as-is; array<float>
+    * embeddings are raw and get the repo's ±0.5 micro rounding here —
+    * same arithmetic as [[Sq8QuantizeMicro]] / [[ArgminL2Micro]]'s
+    * float arm. Returns the buffer (length ≥ n, reused across rows). */
+  def loadMicro(emb: ArrayData, n: Int, preScaled: Boolean): Array[Double] = {
     if (exBuf == null || exBuf.length < n) exBuf = new Array[Double](n)
     val ex = exBuf
     var i = 0
-    if (embPreScaled) {
+    if (preScaled) {
       while (i < n) { ex(i) = emb.getDouble(i); i += 1 }
     } else {
       while (i < n) {
@@ -171,6 +141,13 @@ case class PqEncodeMicro(left: Expression, right: Expression)
         i += 1
       }
     }
+    ex
+  }
+
+  /** Encode the first `n` elements of `ex` (micro domain) against the
+    * decoded codebook. */
+  def encode(ex: Array[Double], n: Int): InternalRow = {
+    val m = subJ.length
     val codes = new Array[Int](m)
     var dvLen = 0
     var g = 0
@@ -214,6 +191,55 @@ case class PqEncodeMicro(left: Expression, right: Expression)
     InternalRow(UnsafeArrayData.fromPrimitiveArray(codes),
       UnsafeArrayData.fromPrimitiveArray(dv))
   }
+}
+
+private[functions] object PqEncodeCore {
+  val outType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType)),
+    StructField("dv", ArrayType(DoubleType))))
+
+  val cbType: DataType = ArrayType(StructType(Seq(
+    StructField("j", IntegerType), StructField("code", IntegerType),
+    StructField("cw", ArrayType(DoubleType)))))
+
+  def cbTypeOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(StructField(_, IntegerType, _, _),
+                                    StructField(_, IntegerType, _, _),
+                                    StructField(_, ArrayType(DoubleType, _), _, _))), _) => true
+    case _ => false
+  }
+}
+
+case class PqEncodeMicro(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = PqEncodeCore.outType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType | FloatType, _), cb) if PqEncodeCore.cbTypeOk(cb) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_micro expects (array<double> | array<float>, ${PqEncodeCore.cbType.sql}), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  @transient private lazy val embPreScaled: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val core = new PqEncodeCore
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val cbs = b.asInstanceOf[ArrayData]
+    if (cbs.numElements() == 0) return null
+    core.decode(cbs)
+    val n = emb.numElements()
+    core.encode(core.loadMicro(emb, n, embPreScaled), n)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -221,9 +247,79 @@ case class PqEncodeMicro(left: Expression, right: Expression)
   override def prettyName: String = "pq_encode_micro"
 }
 
+/** RESIDUAL variant of [[PqEncodeMicro]] — the q223/q224/q227 corpus
+  * scan's hot path:
+  *
+  * `pq_encode_shift_micro(em, shift: array<double>, cbs) →
+  * struct<codes, dv>` ≡ `pq_encode_micro(zip_with(micro(em), shift,
+  * (a, b) -> a - b), cbs)`
+  *
+  * i.e. the vector is micro-scaled, the (integer-valued) `shift` — the
+  * coarse centroid of the vector's cell — is subtracted element-wise,
+  * and the RESIDUAL is PQ-encoded. Fused because the composed HOF form
+  * allocates two 64-element arrays and runs two interpreted lambdas
+  * per row BEFORE the encode even starts — measured as most of the
+  * residual family's ~2× scan-cost premium over the raw q220 encode at
+  * sf0.1 (the repo-wide HOF-allocation lesson). Arithmetic is
+  * element-for-element identical to the composed form (exact integer
+  * subtraction in doubles), so the oracle CTEs are unchanged.
+  *
+  * A shift shorter than the vector leaves the tail unshifted
+  * (subtracting a missing element as 0); in contract both are d=64. */
+case class PqEncodeShiftMicro(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = PqEncodeCore.outType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), ArrayType(DoubleType, _), cb)
+          if PqEncodeCore.cbTypeOk(cb) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode_shift_micro expects (array<double> | array<float>, array<double>, " +
+          s"${PqEncodeCore.cbType.sql}), got (${first.dataType.sql}, ${second.dataType.sql}, " +
+          s"${third.dataType.sql})")
+    }
+
+  @transient private lazy val embPreScaled: Boolean = first.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val core = new PqEncodeCore
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val shift = b.asInstanceOf[ArrayData]
+    val cbs = c.asInstanceOf[ArrayData]
+    if (cbs.numElements() == 0) return null
+    core.decode(cbs)
+    val n = emb.numElements()
+    val ex = core.loadMicro(emb, n, embPreScaled)
+    val sn = math.min(n, shift.numElements())
+    var i = 0
+    while (i < sn) { ex(i) -= shift.getDouble(i); i += 1 }
+    core.encode(ex, n)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "pq_encode_shift_micro"
+}
+
 object PqEncodeMicro {
-  /** Idempotently registers `pq_encode_micro(em, cbs)`. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently registers `pq_encode_micro(em, cbs)` and
+    * `pq_encode_shift_micro(em, shift, cbs)`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode_micro", exprs => PqEncodeMicro(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode_shift_micro",
+      exprs => PqEncodeShiftMicro(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }

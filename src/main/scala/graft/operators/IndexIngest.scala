@@ -44,7 +44,13 @@ object IndexIngest {
 
   def appendBatch(spark: SparkSession, enc: DataFrame, codesDir: String,
                   batchId: String): Unit = {
-    require(batchId.matches("[A-Za-z0-9_-]+"), s"unsafe batchId: $batchId")
+    // '-' is the committed-file-name delimiter (ingest-<batchId>-<part>),
+    // so it must stay OUT of the batchId alphabet: recovery deletes by
+    // the prefix `ingest-<batchId>-`, and a batchId containing '-'
+    // (e.g. replaying "day1" with "day1-retry" committed) would let that
+    // prefix span ANOTHER batch's files — silent data loss from the live
+    // index. With '-' excluded, the prefix parses unambiguously.
+    require(batchId.matches("[A-Za-z0-9_]+"), s"unsafe batchId: $batchId")
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new Path(codesDir)
     val fs = live.getFileSystem(conf)

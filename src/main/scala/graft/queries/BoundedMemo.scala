@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Application-scoped memo for BOUNDED (broadcast-sized) relations that
+  * several graded queries rebuild identically — trained codebooks, the
+  * md5-ranked training sample, the 10-row ADC query set, the exact
+  * top-10 arm every certificate compares against.
+  *
+  * Round-8's bench doubling traced in large part to re-TRAINING the
+  * same deterministic books inline in every certificate row (q223/q224/
+  * q227 each re-ran coarse + residual Lloyd; q216–q221 each re-ran the
+  * PQ book) — the round-9 flattening ask. Every relation cached here is
+  * a pure deterministic function of its key (scale-factor dir + explicit
+  * parameters; training is md5-rank seeded, ties broken structurally),
+  * so the first caller materializes it once per application and every
+  * later query reads the identical pinned rows — the same pay-once
+  * discipline as the persisted q222/q228 indexes, held in memory instead
+  * of /tmp because everything here is ≤~2048 rows.
+  *
+  * Rules of use (the repo's memory-shape rule 3):
+  *  - BOUNDED relations only — the value must be broadcast-sized
+  *    (≤ a few thousand rows) regardless of corpus scale; O(n)
+  *    relations keep their per-query recompute;
+  *  - the build must already end in `localCheckpoint()` (or be handed
+  *    one by the caller) so the cached plan is a pinned RDD scan, not a
+  *    live subtree that re-executes per consumer;
+  *  - keys embed every parameter the relation depends on (sf dir, m,
+  *    nCodes, variant) — a live `spark.graft.*` knob must land in the
+  *    key or stay out of the cached build entirely.
+  *
+  * Keyed by applicationId so a restarted SparkContext (whose
+  * localCheckpointed RDDs died with it) never serves stale handles.
+  */
+object BoundedMemo {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Get-or-build. Plain get/putIfAbsent rather than computeIfAbsent:
+    * builds nest (a codebook build memo-reads the ranked sample), and
+    * ConcurrentHashMap forbids reentrant computeIfAbsent. A racing
+    * duplicate build is harmless — both values are identical and one
+    * wins the publish. */
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = s.sparkContext.applicationId + "|" + key
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+}

@@ -1877,17 +1877,23 @@ object Llm extends QueryModule {
       |  FROM asg)""".stripMargin
 
   /** Spark face of [[sqlCentCtes]]: (label, cvec: array<double>) — the
-    * per-label mean centroid in micro units. */
-  private[queries] def centroidsDf(s: SparkSession, d: String): DataFrame = {
-    val ed = embeddings(s, d)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
-      .select(col("label"), col("i"),
-        round(col("e").cast("double") * 1000000d, 0).cast("long").as("e"))
-    ed.groupBy("label", "i")
-      .agg((sum("e").cast("double") / count(lit(1))).as("c"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cvec"))
-  }
+    * per-label mean centroid in micro units. Memoized pinned (≤ label-
+    * cardinality rows): a dozen graded rows across the assignment and
+    * quantization families each re-ran the n×64-row centroid aggregate;
+    * the relation is a pure deterministic function of the fixture, so
+    * the first caller pays the scan once per application (BoundedMemo). */
+  private[queries] def centroidsDf(s: SparkSession, d: String): DataFrame =
+    BoundedMemo(s, s"cent|$d") {
+      val ed = embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+        .select(col("label"), col("i"),
+          round(col("e").cast("double") * 1000000d, 0).cast("long").as("e"))
+      ed.groupBy("label", "i")
+        .agg((sum("e").cast("double") / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cvec"))
+        .localCheckpoint()
+    }
 
   /** Spark face of [[sqlAssignCtes]]: (vec_id, true_label, assigned). */
   private[queries] def centroidAssignments(s: SparkSession, d: String): DataFrame = {
@@ -2972,7 +2978,7 @@ object Llm extends QueryModule {
        |h AS (SELECT doc_id,
        |    CAST(COALESCE(list_sum(list_transform(range(length(tok)),
        |      i -> (i + 1) * ord(tok[i+1]))), 0) + 7919 * length(tok) AS BIGINT) AS hv
-       |  FROM tok WHERE length(tok) = strlen(tok))
+       |  FROM tok WHERE length(tok) = strlen(tok) AND length(tok) > 0)
        |SELECT doc_id, CAST(hv % 16 AS BIGINT) AS dim,
        |  CAST(SUM(CASE WHEN hv % 32 >= 16 THEN -1 ELSE 1 END) AS BIGINT) AS w
        |FROM h GROUP BY doc_id, dim
@@ -2983,7 +2989,10 @@ object Llm extends QueryModule {
         i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
       lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))).as("hv")
     documents(s, d).select(col("doc_id"), explode(words).as("tok"))
-      .filter(length(col("tok")) === octet_length(col("tok")))
+      // length > 0: empty tokens (consecutive spaces) pass the ASCII
+      // gate but crash Spark's positional hash (element_at(ch, 0) via
+      // sequence(1,0)) while DuckDB hashes them to 0 — see q233
+      .filter(length(col("tok")) === octet_length(col("tok")) && length(col("tok")) > 0)
       .select(col("doc_id"), hv)
       .groupBy(col("doc_id"), (col("hv") % 16).as("dim"))
       .agg(sum(when(col("hv") % 32 >= 16, -1L).otherwise(1L)).as("w"))

@@ -601,7 +601,12 @@ object TextScoring extends QueryModule {
     documents(s, d)
       .select(col("doc_id"), tgt.as("tgt"), col("text"))
       .select(col("doc_id"), col("tgt"), explode(words).as("tok"))
-      .filter(length(col("tok")) === octet_length(col("tok")))
+      // length(tok) > 0: consecutive/leading spaces split into EMPTY
+      // tokens, which pass the chars=bytes ASCII gate but then crash the
+      // hash (Spark's sequence(1,0) yields [1,0] and element_at(ch, 0)
+      // throws) while DuckDB's list_sum over an empty range is NULL→0 —
+      // a data-dependent crash/divergence. Excluded on BOTH arms.
+      .filter(length(col("tok")) === octet_length(col("tok")) && length(col("tok")) > 0)
       .select(col("doc_id"), col("tgt"), (hv % 64).as("b"))
   }
 
@@ -618,7 +623,7 @@ object TextScoring extends QueryModule {
        |    CAST(COALESCE(list_sum(list_transform(range(length(tok)),
        |      i -> (i + 1) * ord(tok[i+1]))), 0) + 7919 * length(tok) AS BIGINT)
        |      % 64 AS b
-       |  FROM t0 WHERE length(tok) = strlen(tok)),
+       |  FROM t0 WHERE length(tok) = strlen(tok) AND length(tok) > 0),
        |bs AS (SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (WHERE tgt) AS ct
        |  FROM tok GROUP BY b),
        |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bs),

@@ -231,10 +231,15 @@ object VectorQuant extends QueryModule {
   }
 
   private def rankedSample(s: SparkSession, d: String): DataFrame =
-    rankedSampleOf(embeddings(s, d))
+    BoundedMemo(s, s"ranked|$d")(rankedSampleOf(embeddings(s, d)))
 
+  /** Memoized per (d, m, nCodes): the books are pure deterministic
+    * functions of the fixture (md5-rank seeding, structural tie-breaks),
+    * and round 8 measured inline re-training as the dominant repeated
+    * cost of the certificate family — every ADC/IVFADC/residual row now
+    * reads the same pinned ≤2048-row relations (BoundedMemo doc). */
   private def codebookGen(s: SparkSession, d: String, m: Int, nCodes: Int): DataFrame =
-    codebookGenOn(s, rankedSample(s, d), m, nCodes)
+    BoundedMemo(s, s"book|$d|$m|$nCodes")(codebookGenOn(s, rankedSample(s, d), m, nCodes))
 
   /** [[codebookGen]] on an explicit (vec_id, em, rnr) training relation
     * — the residual book (q223) trains on the ranked sample's COARSE
@@ -461,7 +466,7 @@ object VectorQuant extends QueryModule {
     * so the oracle reuses its `ptr` CTE with `rnr <= 10`), each with
     * its exact micro vector. 10 rows — always broadcastable. */
   private[queries] def adcQueries(s: SparkSession, d: String): DataFrame =
-    adcQueriesOf(embeddings(s, d))
+    BoundedMemo(s, s"adcq|$d")(adcQueriesOf(embeddings(s, d)).localCheckpoint())
 
   private def adcQueriesOf(src: DataFrame): DataFrame =
     src
@@ -470,6 +475,29 @@ object VectorQuant extends QueryModule {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(10)
       .select(col("vec_id").as("qid"), col("em"))
+
+  /** The exact full-precision top-10 (qid, vec_id) per ADC query — the
+    * baseline arm every search certificate compares against (q219/q221/
+    * q224/q226/q227 all share it; round 8 re-ran the n×10-row scan five
+    * times). ≤100 rows, memoized pinned.
+    *
+    * NULL embeddings are out of contract, but guarded like the encode
+    * path: unguarded, l2_micro returns null and Spark's default NULLS
+    * FIRST would rank those rows ahead of every real distance, while
+    * the oracle's ROW_NUMBER is NULLS LAST in DuckDB. */
+  private def exactTop10(s: SparkSession, d: String): DataFrame =
+    BoundedMemo(s, s"exact10|$d") {
+      graft.functions.L2Micro.register(s)
+      embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .crossJoin(broadcast(adcQueries(s, d)))
+        .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rnk") <= 10)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    }
 
   /** (qid, rnk, vec_id, dist): the PQ-ADC top-10 per query — the
     * search-time payoff of the q216 codes. The query stays full
@@ -495,15 +523,16 @@ object VectorQuant extends QueryModule {
     // Per-(query, subspace, code) exact partials on the bounded
     // (10 × m×256)-row relation, then ONE dense array per query
     // (position j·256+code; codes the trainer never emitted stay +∞
-    // and are never referenced by an encoded vector).
+    // and are never referenced by an encoded vector). Scatter via
+    // dense_lut_micro — the map-lookup fill was O(width²) per LUT row
+    // (see DenseLutMicro's scaladoc for the round-9 measurement).
     val lutRows = cb.crossJoin(broadcast(qs))
       .select(col("qid"), expr("j * 256 + code").as("pos"),
         expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
       .groupBy("qid")
-      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
-      .select(col("qid"), expr(
-        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+      .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
+      .select(col("qid"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
     // Fan-out = broadcast nested-loop join of the 10 LUT rows over the
     // codes scan (codegen'd), distance = a scalar codegen expression —
     // the whole 10n-row stage stays inside one WholeStageCodegen span.
@@ -578,20 +607,8 @@ object VectorQuant extends QueryModule {
        |FROM (SELECT qid, vec_id FROM atop WHERE rnk <= 10) a
        |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
-    graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    // NULL embeddings are out of contract, but guard them like the enc
-    // path does: unguarded, l2_micro returns null and Spark's default
-    // NULLS FIRST would rank those rows ahead of every real distance,
-    // while the oracle's ROW_NUMBER is NULLS LAST in DuckDB.
-    val exact = embeddings(s, d)
-      .filter(col("embedding").isNotNull)
-      .crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
+    val exact = exactTop10(s, d)
     val nq = qs.agg(count(lit(1)).as("n_queries"))
     adcTopkDf(s, d).select("qid", "vec_id")
       .join(exact, Seq("qid", "vec_id"))
@@ -619,6 +636,9 @@ object VectorQuant extends QueryModule {
     * probed cells are small; the certificate (q221) grades both the
     * recall@10 and the scanned fraction, the two axes of the
     * recall/cost trade. */
+  private[queries] def ivfadcPartsProbe(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    ivfadcParts(s, d)
+
   private def ivfadcParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.PqAdcMicro.register(s)
     val m = pqM(s)
@@ -672,9 +692,8 @@ object VectorQuant extends QueryModule {
         expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
       .groupBy("qid")
-      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
-      .select(col("qid"), expr(
-        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+      .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
+      .select(col("qid"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
     (probe, lutRows)
   }
 
@@ -808,17 +827,8 @@ object VectorQuant extends QueryModule {
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id
        |CROSS JOIN scn s CROSS JOIN tot t
        |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
-    graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    // same NULL guard as the q219 exact arm (NULLS FIRST vs LAST trap)
-    val exact = embeddings(s, d)
-      .filter(col("embedding").isNotNull)
-      .crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
+    val exact = exactTop10(s, d)
     val parts = ivfadcParts(s, d)
     val (enc, probe, _) = parts
     val scn = enc.select(col("cell"))
@@ -917,32 +927,40 @@ object VectorQuant extends QueryModule {
     val dsub = 64 / m
     val qs = adcQueries(s, d)
     val ranked = rankedSample(s, d)
-    val coarse = codebookGenOn(s, ranked, 1, 16)
+    val coarse = codebookGen(s, d, 1, 16) // memo-shared with ivfadcParts
     val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
     val coarseSel = coarse.select(col("code").as("cell"), col("cw").as("ccw"))
     // residual book: residuals of the SAME ranked sample w.r.t. the
     // coarse book (cell via the same fused argmin the corpus uses; the
-    // oracle reuses cellv — ptr's vec_ids are a subset of pq0's)
-    val resSample = ranked.crossJoin(broadcast(coarseArr))
-      .select(col("vec_id"), col("rnr"), col("em"),
-        expr("pq_encode_micro(em, ccbs).codes[0]").as("cell"))
-      .join(broadcast(coarseSel), "cell")
-      .select(col("vec_id"), col("rnr"),
-        expr("zip_with(em, ccw, (a, b) -> a - b)").as("em"))
-      .localCheckpoint() // ≤2048 rows; feeds seeds + both Lloyd iterations
-    val book = codebookGenOn(s, resSample, m, 256)
+    // oracle reuses cellv — ptr's vec_ids are a subset of pq0's).
+    // Memoized like every trained book: q223/q224/q227 each consume it,
+    // and round 8 paid the coarse+residual Lloyd three times over.
+    val resSample = BoundedMemo(s, s"ressample|$d|$m") {
+      ranked.crossJoin(broadcast(coarseArr))
+        .select(col("vec_id"), col("rnr"), col("em"),
+          expr("pq_encode_micro(em, ccbs).codes[0]").as("cell"))
+        .join(broadcast(coarseSel), "cell")
+        .select(col("vec_id"), col("rnr"),
+          expr("zip_with(em, ccw, (a, b) -> a - b)").as("em"))
+        .localCheckpoint() // ≤2048 rows; feeds seeds + both Lloyd iterations
+    }
+    val book = BoundedMemo(s, s"resbook|$d|$m")(codebookGenOn(s, resSample, m, 256))
     val cbArr = book.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
-    // one corpus scan: coarse cell + residual + residual PQ codes
+    // one corpus scan: coarse cell + residual + residual PQ codes. The
+    // residual encode is the FUSED pq_encode_shift_micro (micro-scale,
+    // subtract the cell centroid, encode — one primitive pass): the
+    // composed transform+zip_with form allocated two arrays and ran two
+    // interpreted lambdas per row, measured as most of the residual
+    // family's ~2× scan premium over the raw q220 encode at sf0.1.
     val enc = embeddings(s, d)
       .filter(col("embedding").isNotNull)
       .crossJoin(broadcast(coarseArr))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"),
+      .select(col("vec_id"), col("embedding"),
         expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
       .join(broadcast(coarseSel), "cell")
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id"), col("cell"),
-        expr("pq_encode_micro(zip_with(em, ccw, (a, b) -> a - b), cbs).codes").as("codes"))
+        expr("pq_encode_shift_micro(embedding, ccw, cbs).codes").as("codes"))
     val nprobe = ivfadcNprobe(s)
     val probe = qs.crossJoin(broadcast(coarse))
       .select(col("qid"), col("code").as("pcell"),
@@ -956,14 +974,13 @@ object VectorQuant extends QueryModule {
       .join(broadcast(coarseSel), col("pcell") === col("cell"))
       .select(col("qid"), col("pcell"),
         expr("zip_with(em, ccw, (a, b) -> a - b)").as("sq"))
-    val lutRows = shifted.crossJoin(book) // ≤(nprobe·10) × m·256 rows, bounded
+    val lutRows = shifted.crossJoin(broadcast(book)) // ≤(nprobe·10) × m·256 rows, bounded
       .select(col("qid"), col("pcell"), expr("j * 256 + code").as("pos"),
         expr(s"aggregate(zip_with(slice(sq, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
       .groupBy("qid", "pcell")
-      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("d"))).as("pd"))
-      .select(col("qid"), col("pcell"), expr(
-        s"transform(sequence(0, ${m * 256 - 1}), p -> coalesce(element_at(pd, p), cast('Infinity' as double)))").as("lut"))
+      .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
+      .select(col("qid"), col("pcell"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
     (enc, probe, lutRows)
   }
 
@@ -1104,17 +1121,8 @@ object VectorQuant extends QueryModule {
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id
        |CROSS JOIN scn s CROSS JOIN tot t
        |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
-    graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    // same NULL guard as the q219 exact arm (NULLS FIRST vs LAST trap)
-    val exact = embeddings(s, d)
-      .filter(col("embedding").isNotNull)
-      .crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
+    val exact = exactTop10(s, d)
     val parts = ivfadcResidualParts(s, d)
     val (enc, probe, _) = parts
     val scn = enc.select(col("cell"))
@@ -1215,17 +1223,8 @@ object VectorQuant extends QueryModule {
        |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
        |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
-    graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    // same NULL guard as the q219 exact arm
-    val exact = embeddings(s, d)
-      .filter(col("embedding").isNotNull)
-      .crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
+    val exact = exactTop10(s, d)
     val nq = qs.agg(count(lit(1)).as("n_queries"))
     adcRerankTopkDf(s, d).select("qid", "vec_id")
       .join(exact, Seq("qid", "vec_id"))
@@ -1279,15 +1278,7 @@ object VectorQuant extends QueryModule {
        |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
     graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    // same NULL guard as the q219 exact arm
-    val exact = embeddings(s, d)
-      .filter(col("embedding").isNotNull)
-      .crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
+    val exact = exactTop10(s, d)
     val parts = ivfadcResidualParts(s, d)
     val (enc, probe, _) = parts
     val short = ivfadcResidualTopkFromK(parts, 100).select(col("qid"), col("vec_id"))
