@@ -120,14 +120,18 @@ object Coverage {
       Seq("q214_sq8_assign", "q215_sq8_recall", "q216_pq_assign", "q217_pq_recall",
         "q218_adc_topk", "q219_adc_recall", "q220_ivfadc_topk", "q221_ivfadc_recall",
         "q222_ivfadc_index", "q229_pq16_recall")),
-    Row("L13", "residual IVFADC encoding + two-stage exact re-rank (production serving stack: recall recovered to the pruning ceiling at unchanged scan fraction)",
+    Row("L13", "residual IVFADC encoding + two-stage exact re-rank (production serving stack: recall recovered to the pruning ceiling at unchanged scan fraction; shortlist depth α is a measured knob with pinned monotonicity)",
       Seq("q223_ivfadc_residual_topk", "q224_ivfadc_residual_recall",
-        "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall")),
-    Row("L14", "incremental index maintenance: frozen-book daily batch ingest into the published IVFADC index (two-phase crash-safe cell append)",
-      Seq("q228_ivfadc_ingest")),
+        "q225_adc_rerank_topk", "q226_adc_rerank_recall", "q227_ivfadc_rerank_recall",
+        "q241_pq16_rerank_recall")),
+    Row("L14", "incremental index maintenance: frozen-book daily batch ingest into the published IVFADC index (two-phase crash-safe cell append) + partition-preserving compaction of the accumulated batches (rankings byte-identical, one file per cell)",
+      Seq("q228_ivfadc_ingest", "q240_ivfadc_compacted")),
     Row("L15", "data selection + compressed-domain dedup + spectral diagnostics: DSIR importance resampling (hashed-ngram target/raw log-ratio scoring); SemDeDup over the SQ8 store with an in-band precision/recall agreement certificate; top-PC eigenvalue/explained-share via integer-domain power iteration (the whiten-before-quantize check)",
       Seq("q233_dsir_select", "q234_semdedup_sq8", "q235_semdedup_sq8_agreement",
-        "q238_embedding_pca", "q239_embedding_abtt"))
+        "q238_embedding_pca", "q239_embedding_abtt")),
+    Row("L16", "anisotropic demonstration corpus (deterministic low-rank generated data): residual encoding and whiten-then-quantize (ABTT→PQ) measured STRICTLY above their raw floors — the positive case the near-isotropic fixture hides, completing the diagnose→decide→transform→requantize loop",
+      Seq("q242_aniso_pca", "q243_aniso_residual_lift",
+        "q244_aniso_pq_raw_recall", "q245_aniso_pq_abtt_recall"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

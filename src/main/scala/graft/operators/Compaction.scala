@@ -38,6 +38,30 @@ object Compaction {
     (n, bytes)
   }
 
+  /** Compact a HIVE-PARTITIONED parquet dataset, preserving its
+    * partition layout — the incremental-index hygiene job (q240): daily
+    * [[IndexIngest]] appends accumulate one file per (batch × cell),
+    * and this rewrite collapses each partition directory to one
+    * scan-sized file while keeping the directory scheme (so dynamic
+    * partition pruning on the probe path is untouched) and the
+    * within-partition sort (row-group stats stay selective). Content is
+    * row-identical — the q240 oracle proves probe rankings byte-equal
+    * through the rewrite. `repartition(col(partitionCol))` gives one
+    * task per live partition value, so the output is one file per
+    * partition directory regardless of how many ingest batches fed it. */
+  def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
+                         partitionCol: String, sortCol: String): Stats = {
+    import org.apache.spark.sql.functions.col
+    val (inFiles, inBytes) = list(spark, inDir, ".parquet")
+    require(inFiles > 0, s"no parquet files under $inDir")
+    spark.read.parquet(inDir)
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(outDir)
+    val (outFiles, outBytes) = list(spark, outDir, ".parquet")
+    Stats(inFiles, inBytes, outFiles, outBytes)
+  }
+
   /** Compact `inDir` (parquet) into `outDir` targeting `targetBytes` per
     * output file. Returns before/after stats. */
   def compact(spark: SparkSession, inDir: String, outDir: String,

@@ -220,26 +220,41 @@ object VectorQuant extends QueryModule {
     * without it every consumer re-runs the corpus TakeOrdered (plus
     * its n-row micro HOF), measured as the dominant ×100 cost of the
     * whole PQ family. ≤2048 rows — always safe to pin. */
-  private def rankedSampleOf(src: DataFrame): DataFrame = {
+  private def rankedSampleOf(src: DataFrame): DataFrame =
+    rankedSampleOfEm(src.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em")))
+
+  /** [[rankedSampleOf]] on an ALREADY-micro (vec_id, em) relation — the
+    * ABTT-transformed corpus (q245) trains its book through this arm. */
+  private def rankedSampleOfEm(em: DataFrame): DataFrame = {
     val ord = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    src
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+    em.select(col("vec_id"), col("em"))
       .orderBy(ord: _*).limit(2048)
       .withColumn("rnr", row_number().over(Window.orderBy(ord: _*)))
       .localCheckpoint()
   }
 
   private def rankedSample(s: SparkSession, d: String): DataFrame =
-    BoundedMemo(s, s"ranked|$d")(rankedSampleOf(embeddings(s, d)))
+    rankedSampleFor(s, d, embeddings(s, d))
 
-  /** Memoized per (d, m, nCodes): the books are pure deterministic
+  /** Keyed (src-parameterized) forms: the aniso demonstration rows
+    * (q242–q245) run the same chains over a GENERATED corpus, keyed
+    * "aniso" instead of the sf dir. */
+  private def rankedSampleFor(s: SparkSession, key: String, src: DataFrame): DataFrame =
+    BoundedMemo(s, s"ranked|$key")(rankedSampleOf(src))
+
+  /** Memoized per (key, m, nCodes): the books are pure deterministic
     * functions of the fixture (md5-rank seeding, structural tie-breaks),
     * and round 8 measured inline re-training as the dominant repeated
     * cost of the certificate family — every ADC/IVFADC/residual row now
     * reads the same pinned ≤2048-row relations (BoundedMemo doc). */
   private def codebookGen(s: SparkSession, d: String, m: Int, nCodes: Int): DataFrame =
-    BoundedMemo(s, s"book|$d|$m|$nCodes")(codebookGenOn(s, rankedSample(s, d), m, nCodes))
+    codebookFor(s, d, embeddings(s, d), m, nCodes)
+
+  private def codebookFor(s: SparkSession, key: String, src: DataFrame,
+      m: Int, nCodes: Int): DataFrame =
+    BoundedMemo(s, s"book|$key|$m|$nCodes")(
+      codebookGenOn(s, rankedSampleFor(s, key, src), m, nCodes))
 
   /** [[codebookGen]] on an explicit (vec_id, em, rnr) training relation
     * — the residual book (q223) trains on the ranked sample's COARSE
@@ -291,14 +306,17 @@ object VectorQuant extends QueryModule {
   /** [[pqQuantized]] against an already-built codebook — q218/q219
     * build the book once and feed BOTH the LUT arm and the encode arm
     * (training twice was a measured ×10 constant). */
-  private def pqQuantizedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
+  private def pqQuantizedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame =
+    pqQuantizedOf(s, embeddings(s, d), cb)
+
+  private def pqQuantizedOf(s: SparkSession, src: DataFrame, cb: DataFrame): DataFrame = {
     graft.functions.PqEncodeMicro.register(s)
     val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
     // encode feeds the RAW float column (pq_encode_micro's float arm
     // micro-rounds in-loop); `em` is only materialized for callers
     // that reference it (PqSpec) — column pruning drops its HOF from
     // the q216/q217 plans.
-    embeddings(s, d)
+    src
       .filter(col("embedding").isNotNull) // dv non-null for the argmin
       .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
@@ -325,7 +343,8 @@ object VectorQuant extends QueryModule {
   /** PQ training + encode CTEs (oracle face of [[pqCodebook]] /
     * [[pqQuantized]]): ends in `prc` (vec_id, true_label, dv) and the
     * assignment pair pa9/pr9 against `cent`. */
-  private val sqlPqCtes: String = sqlPqCtesFilter("")
+  // lazy: references sqlPq0Default, declared below (object-init order)
+  private lazy val sqlPqCtes: String = sqlPqCtesFilter("")
 
   /** [[sqlPqCtes]] with an optional WHERE predicate restricting the
     * TRAINING/QUERY population (ptr and everything derived from it —
@@ -334,10 +353,26 @@ object VectorQuant extends QueryModule {
   private def sqlPqCtesFilter(trainWhere: String): String =
     sqlPqCtesGen(8, trainWhere)
 
+  /** The default pq0 source CTE: micro embeddings straight off the
+    * table (or whatever `embeddings` CTE shadows it — the aniso rows
+    * bind their generated corpus under that name). */
+  private val sqlPq0Default: String =
+    """pq0 AS (
+      |  SELECT vec_id, label AS true_label,
+      |    list_transform(range(64), i ->
+      |      CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS DOUBLE)) AS em
+      |  FROM embeddings)""".stripMargin
+
   /** Fully parameterized PQ chain: `m` subspaces of 64/m dims (q216's
     * graded point is m=8; q229 grades m=16 — bytes-per-vector = m, the
     * compression/recall knob). */
-  private def sqlPqCtesGen(m: Int, trainWhere: String): String = {
+  private def sqlPqCtesGen(m: Int, trainWhere: String): String =
+    sqlPq0Default + ",\n" + sqlPqTail(m, trainWhere)
+
+  /** Everything downstream of pq0 — training sample, books, encode,
+    * assignment pair — so a caller can swap the CORPUS (q245 feeds the
+    * ABTT-transformed vectors in as its own pq0). */
+  private def sqlPqTail(m: Int, trainWhere: String): String = {
     val dsub = 64 / m
     def lloydIterSql(n: Int): String =
       s"""pa$n AS (
@@ -357,12 +392,7 @@ object VectorQuant extends QueryModule {
          |    FROM (SELECT j, code, sv FROM pa$n WHERE rn = 1) a, range($dsub) t(i)
          |    GROUP BY a.j, a.code, t.i) g$n
          |  GROUP BY j, code)""".stripMargin
-    """pq0 AS (
-      |  SELECT vec_id, label AS true_label,
-      |    list_transform(range(64), i ->
-      |      CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS DOUBLE)) AS em
-      |  FROM embeddings),
-      |ptr AS (
+    """ptr AS (
       |  SELECT vec_id, em,
       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnr
       |  FROM (SELECT vec_id, em FROM pq0""".stripMargin + trainWhere + s"""
@@ -466,12 +496,18 @@ object VectorQuant extends QueryModule {
     * so the oracle reuses its `ptr` CTE with `rnr <= 10`), each with
     * its exact micro vector. 10 rows — always broadcastable. */
   private[queries] def adcQueries(s: SparkSession, d: String): DataFrame =
-    BoundedMemo(s, s"adcq|$d")(adcQueriesOf(embeddings(s, d)).localCheckpoint())
+    adcQueriesFor(s, d, embeddings(s, d))
+
+  private def adcQueriesFor(s: SparkSession, key: String, src: DataFrame): DataFrame =
+    BoundedMemo(s, s"adcq|$key")(adcQueriesOf(src).localCheckpoint())
 
   private def adcQueriesOf(src: DataFrame): DataFrame =
-    src
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em"))
+    adcQueriesOfEm(src.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000D, 0) as double))").as("em")))
+
+  /** [[adcQueriesOf]] on an ALREADY-micro (vec_id, em) relation. */
+  private def adcQueriesOfEm(em: DataFrame): DataFrame =
+    em.select(col("vec_id"), col("em"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(10)
       .select(col("vec_id").as("qid"), col("em"))
@@ -486,11 +522,15 @@ object VectorQuant extends QueryModule {
     * FIRST would rank those rows ahead of every real distance, while
     * the oracle's ROW_NUMBER is NULLS LAST in DuckDB. */
   private def exactTop10(s: SparkSession, d: String): DataFrame =
-    BoundedMemo(s, s"exact10|$d") {
+    exactTop10Of(s, s"exact10|$d", embeddings(s, d), adcQueries(s, d))
+
+  private def exactTop10Of(s: SparkSession, key: String, src: DataFrame,
+      qs: DataFrame): DataFrame =
+    BoundedMemo(s, key) {
       graft.functions.L2Micro.register(s)
-      embeddings(s, d)
+      src
         .filter(col("embedding").isNotNull)
-        .crossJoin(broadcast(adcQueries(s, d)))
+        .crossJoin(broadcast(qs))
         .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
@@ -514,51 +554,64 @@ object VectorQuant extends QueryModule {
   private[queries] def adcTopkDf(s: SparkSession, d: String): DataFrame =
     adcTopkDfK(s, d, 10)
 
-  private def adcTopkDfK(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def adcTopkDfK(s: SparkSession, d: String, k: Int): DataFrame =
+    adcTopkDfKm(s, d, k, pqM(s))
+
+  /** [[adcTopkDfK]] at an explicit m — q241 grades the m=16 shortlist. */
+  private def adcTopkDfKm(s: SparkSession, d: String, k: Int, m: Int): DataFrame = {
     graft.functions.PqAdcMicro.register(s)
-    val m = pqM(s)
+    val cb = codebookGen(s, d, m, 256)
+    adcTopkCore(
+      pqQuantizedWith(s, d, cb).select(col("vec_id"), col("codes")),
+      denseLutRows(cb, adcQueries(s, d), m), k)
+  }
+
+  /** Per-(query, subspace, code) exact partials on the bounded
+    * (queries × m×256)-row relation, then ONE dense array per query
+    * (position j·256+code; codes the trainer never emitted stay +∞
+    * and are never referenced by an encoded vector). Scatter via
+    * dense_lut_micro — the map-lookup fill was O(width²) per LUT row
+    * (see DenseLutMicro's scaladoc for the round-9 measurement). */
+  private def denseLutRows(cb: DataFrame, qs: DataFrame, m: Int): DataFrame = {
     val dsub = 64 / m
-    val qs = adcQueries(s, d)
-    val cb = pqCodebook(s, d)
-    // Per-(query, subspace, code) exact partials on the bounded
-    // (10 × m×256)-row relation, then ONE dense array per query
-    // (position j·256+code; codes the trainer never emitted stay +∞
-    // and are never referenced by an encoded vector). Scatter via
-    // dense_lut_micro — the map-lookup fill was O(width²) per LUT row
-    // (see DenseLutMicro's scaladoc for the round-9 measurement).
-    val lutRows = cb.crossJoin(broadcast(qs))
+    cb.crossJoin(broadcast(qs))
       .select(col("qid"), expr("j * 256 + code").as("pos"),
         expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
       .groupBy("qid")
       .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
       .select(col("qid"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
-    // Fan-out = broadcast nested-loop join of the 10 LUT rows over the
-    // codes scan (codegen'd), distance = a scalar codegen expression —
-    // the whole 10n-row stage stays inside one WholeStageCodegen span.
-    // (The first cut exploded a multi-query struct array from a
-    // CodegenFallback expression; Generate over a fallback child forced
-    // the stage interpreted, ~2× the entire encode at ×100.)
-    pqQuantizedWith(s, d, cb).select(col("vec_id"), col("codes"))
+  }
+
+  /** Fan-out = broadcast nested-loop join of the ≤10 LUT rows over the
+    * codes scan (codegen'd), distance = a scalar codegen expression —
+    * the whole 10n-row stage stays inside one WholeStageCodegen span.
+    * (The first cut exploded a multi-query struct array from a
+    * CodegenFallback expression; Generate over a fallback child forced
+    * the stage interpreted, ~2× the entire encode at ×100.) */
+  private def adcTopkCore(encoded: DataFrame, lutRows: DataFrame, k: Int): DataFrame =
+    encoded
       .crossJoin(broadcast(lutRows))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
       .filter(col("rnk") <= k)
-  }
 
   /** Shared oracle CTEs for the ADC rows: queries, LUT, ADC distances
     * and the ADC top-10 (`atop`). Distances are exact micro integers
     * on both sides (per-subspace partials < 2⁴⁵, totals < 2⁵³), so the
     * BIGINT-summed oracle and the expression's sequential double
     * accumulation are bit-equal. */
-  private val sqlAdcCtes: String =
-    """qsel AS (SELECT vec_id AS qid, em FROM ptr WHERE rnr <= 10),
+  private val sqlAdcCtes: String = sqlAdcCtesGen(8)
+
+  private def sqlAdcCtesGen(m: Int): String = {
+    val dsub = 64 / m
+    s"""qsel AS (SELECT vec_id AS qid, em FROM ptr WHERE rnr <= 10),
       |alut AS (
       |  SELECT q.qid, c.j, c.code,
-      |    list_sum(list_transform(range(8), i ->
-      |      (q.em[c.j*8+i+1] - c.cw[i+1]) * (q.em[c.j*8+i+1] - c.cw[i+1]))) AS d
+      |    list_sum(list_transform(range($dsub), i ->
+      |      (q.em[c.j*$dsub+i+1] - c.cw[i+1]) * (q.em[c.j*$dsub+i+1] - c.cw[i+1]))) AS d
       |  FROM qsel q CROSS JOIN pcb2 c),
       |adist AS (
       |  SELECT l.qid, e.vec_id, CAST(SUM(CAST(l.d AS BIGINT)) AS DOUBLE) AS dist
@@ -569,6 +622,7 @@ object VectorQuant extends QueryModule {
       |  SELECT qid, vec_id, dist,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
       |  FROM adist)""".stripMargin
+  }
 
   /** PQ-ADC top-k similarity search (graded end to end: training,
     * encoding, LUT build, distance, and ranking must all agree). */
@@ -639,17 +693,20 @@ object VectorQuant extends QueryModule {
   private[queries] def ivfadcPartsProbe(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     ivfadcParts(s, d)
 
-  private def ivfadcParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private def ivfadcParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    ivfadcPartsFor(s, d, embeddings(s, d))
+
+  private def ivfadcPartsFor(s: SparkSession, key: String,
+      src: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.PqAdcMicro.register(s)
     val m = pqM(s)
-    val dsub = 64 / m
-    val qs = adcQueries(s, d)
-    val cb = pqCodebook(s, d)
-    val coarse = codebookGen(s, d, 1, 16)
+    val qs = adcQueriesFor(s, key, src)
+    val cb = codebookFor(s, key, src, m, 256)
+    val coarse = codebookFor(s, key, src, 1, 16)
     val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
     val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
     // one corpus scan: PQ codes + coarse cell, two broadcast books
-    val enc = embeddings(s, d)
+    val enc = src
       .filter(col("embedding").isNotNull)
       .crossJoin(broadcast(cbArr))
       .crossJoin(broadcast(coarseArr))
@@ -920,14 +977,18 @@ object VectorQuant extends QueryModule {
     * Scale shape identical to q220: n-row scan reads m bytes of codes,
     * probe join prunes to nprobe/16 of the corpus, distance is the same
     * codegen'd pq_adc_micro, top-k trips WindowGroupLimit. */
-  private[queries] def ivfadcResidualParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private[queries] def ivfadcResidualParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    ivfadcResidualPartsFor(s, d, embeddings(s, d))
+
+  private def ivfadcResidualPartsFor(s: SparkSession, key: String,
+      src: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.PqAdcMicro.register(s)
     graft.functions.PqEncodeMicro.register(s)
     val m = pqM(s)
     val dsub = 64 / m
-    val qs = adcQueries(s, d)
-    val ranked = rankedSample(s, d)
-    val coarse = codebookGen(s, d, 1, 16) // memo-shared with ivfadcParts
+    val qs = adcQueriesFor(s, key, src)
+    val ranked = rankedSampleFor(s, key, src)
+    val coarse = codebookFor(s, key, src, 1, 16) // memo-shared with ivfadcParts
     val coarseArr = coarse.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("ccbs"))
     val coarseSel = coarse.select(col("code").as("cell"), col("cw").as("ccw"))
     // residual book: residuals of the SAME ranked sample w.r.t. the
@@ -935,7 +996,7 @@ object VectorQuant extends QueryModule {
     // oracle reuses cellv — ptr's vec_ids are a subset of pq0's).
     // Memoized like every trained book: q223/q224/q227 each consume it,
     // and round 8 paid the coarse+residual Lloyd three times over.
-    val resSample = BoundedMemo(s, s"ressample|$d|$m") {
+    val resSample = BoundedMemo(s, s"ressample|$key|$m") {
       ranked.crossJoin(broadcast(coarseArr))
         .select(col("vec_id"), col("rnr"), col("em"),
           expr("pq_encode_micro(em, ccbs).codes[0]").as("cell"))
@@ -944,7 +1005,7 @@ object VectorQuant extends QueryModule {
           expr("zip_with(em, ccw, (a, b) -> a - b)").as("em"))
         .localCheckpoint() // ≤2048 rows; feeds seeds + both Lloyd iterations
     }
-    val book = BoundedMemo(s, s"resbook|$d|$m")(codebookGenOn(s, resSample, m, 256))
+    val book = BoundedMemo(s, s"resbook|$key|$m")(codebookGenOn(s, resSample, m, 256))
     val cbArr = book.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
     // one corpus scan: coarse cell + residual + residual PQ codes. The
     // residual encode is the FUSED pq_encode_shift_micro (micro-scale,
@@ -952,7 +1013,7 @@ object VectorQuant extends QueryModule {
     // composed transform+zip_with form allocated two arrays and ran two
     // interpreted lambdas per row, measured as most of the residual
     // family's ~2× scan premium over the raw q220 encode at sf0.1.
-    val enc = embeddings(s, d)
+    val enc = src
       .filter(col("embedding").isNotNull)
       .crossJoin(broadcast(coarseArr))
       .select(col("vec_id"), col("embedding"),
@@ -1154,14 +1215,32 @@ object VectorQuant extends QueryModule {
     * construction: any exact-top-10 member in the shortlist re-ranks
     * into the final top-10 (at most 9 items can beat it), so rerank
     * recall ≥ ADC recall, always. */
-  /** (qid, rnk, vec_id, dist): exact re-rank of the ADC top-100
-    * shortlist. The corpus joins the BROADCAST 1000-row shortlist —
-    * at 100 TB this reads back only the shortlisted vectors' floats
-    * (row-group pruned in a real layout), never the corpus. */
+  /** Re-rank shortlist multiplier α (`spark.graft.rerank.alpha`,
+    * default 10 = the graded/oracle setting; 1..100): stage 1 keeps the
+    * ADC top-(k·α) per query and stage 2 re-ranks it at full precision.
+    * α is THE knob trading scan-back volume for recall — recall@k is
+    * monotone in α by construction (a wider shortlist is a superset, and
+    * the exact re-rank of a superset can only keep or add true
+    * neighbors; AlphaSpec pins it), reaching the exact answer when the
+    * shortlist covers the corpus. BASELINE.md records the measured
+    * α-curve at sf0.001/×100 — the same treatment nprobe got in round 7.
+    * Verify clears spark.graft.* confs before grading, so a live knob
+    * can never mismatch the pinned oracle SQL. */
+  private def rerankAlpha(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.rerank.alpha")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(v => v >= 1 && v <= 100)
+      .getOrElse(10)
+
+  /** (qid, rnk, vec_id, dist): exact re-rank of the ADC top-(10·α)
+    * shortlist. The corpus joins the BROADCAST ≤(10·α·queries)-row
+    * shortlist — at 100 TB this reads back only the shortlisted
+    * vectors' floats (row-group pruned in a real layout), never the
+    * corpus. */
   private[queries] def adcRerankTopkDf(s: SparkSession, d: String): DataFrame = {
     graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    val shortlist = adcTopkDfK(s, d, 100).select(col("qid"), col("vec_id"))
+    val shortlist = adcTopkDfK(s, d, 10 * rerankAlpha(s)).select(col("qid"), col("vec_id"))
     embeddings(s, d).filter(col("embedding").isNotNull)
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "qid")
@@ -1281,7 +1360,7 @@ object VectorQuant extends QueryModule {
     val exact = exactTop10(s, d)
     val parts = ivfadcResidualParts(s, d)
     val (enc, probe, _) = parts
-    val short = ivfadcResidualTopkFromK(parts, 100).select(col("qid"), col("vec_id"))
+    val short = ivfadcResidualTopkFromK(parts, 10 * rerankAlpha(s)).select(col("qid"), col("vec_id"))
     val reranked = embeddings(s, d).filter(col("embedding").isNotNull)
       .join(broadcast(short), "vec_id")
       .join(broadcast(qs), "qid")
@@ -1568,28 +1647,55 @@ object VectorQuant extends QueryModule {
       |w3 AS (SELECT cv.i, CAST(SUM(cv.c * v2.v) AS BIGINT) AS w
       |  FROM cv JOIN v2 ON cv.j = v2.i GROUP BY cv.i)""".stripMargin
 
-  /** Spark face of [[sqlPcaCtes]]: (emt, nRow, sx, cv, v2, w3). cv is
-    * checkpointed (4096 bounded rows — feeds three iterations + trace). */
+  /** Spark face of [[sqlPcaCtes]]: (emt, nRow, sx, cv, v2, w3). The
+    * BOUNDED fit outputs (nRow 1 row, sx 64 rows, cv 4096 rows) are
+    * memoized pinned per key — q238/q239 share one covariance pass, and
+    * the aniso rows (q242/q245) share theirs under key "aniso". */
   private def pcaParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    pcaPartsFor(s, d, embeddings(s, d))
+
+  private def pcaPartsFor(s: SparkSession, key: String, src: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val emt = embeddings(s, d).filter(col("embedding").isNotNull)
+    val emt = src.filter(col("embedding").isNotNull)
       .select(col("vec_id"), transform(col("embedding"), x =>
         round(x.cast("double") * 1000000d, 0).cast("long")).as("em"))
     val ex = emt.select(posexplode(col("em")).as(Seq("i", "xi")), col("em"))
-    val nRow = emt.agg(count(lit(1)).as("n"))
-    val sx = ex.groupBy("i").agg(sum("xi").as("sx"))
-    val pr = ex.select(col("i"), col("xi"), posexplode(col("em")).as(Seq("j", "xj")))
-      .groupBy("i", "j")
-      .agg(sum(col("xi").cast("decimal(19,0)") * col("xj").cast("decimal(19,0)")).as("sxy"))
-    val cv = pr
-      .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
-      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
-      .crossJoin(broadcast(nRow))
-      .select(col("i"), col("j"),
-        round((col("sxy").cast("double") / col("n")
-          - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
-          / 1000000d, 0).cast("long").as("c"))
-      .localCheckpoint()
+    val nRow = BoundedMemo(s, s"pcan|$key")(emt.agg(count(lit(1)).as("n")).localCheckpoint())
+    val sx = BoundedMemo(s, s"pcasx|$key")(
+      ex.groupBy("i").agg(sum("xi").as("sx")).localCheckpoint())
+    val cv = BoundedMemo(s, s"pcacv|$key") {
+      // Fused sufficient-statistics aggregate (CovOuterMicro): one
+      // 2080-multiply-add primitive pass per row into per-partition
+      // 128-bit accumulators, instead of the 64+4096-row double-
+      // posexplode Generate (the first carrying the whole em array)
+      // plus 4096 hash-aggregate probes per row — the round-8 verdict's
+      // ×1000 watch item. sxy reconstructs as hi·2⁶⁴ + unsigned(lo) in
+      // DECIMAL(38,0), bit-identical to the decimal-sum it replaces
+      // (CovOuterMicroSpec pins parity incl. limb-boundary crossings).
+      val buf = emt.agg(graft.functions.CovOuterMicro(col("em")).as("b"))
+      val two64 = graft.functions.CovOuterMicro.TwoPow64
+      val tri = buf.select(posexplode(expr(
+          "transform(sequence(0, 4095), t -> named_struct(" +
+            "'i', cast(t div 64 as int), 'j', cast(t % 64 as int), " +
+            "'hi', b[2 * t], 'lo', b[2 * t + 1]))")).as(Seq("p", "c")))
+        .filter(col("c.j") >= col("c.i"))
+        .selectExpr("c.i AS i", "c.j AS j",
+          s"CAST(c.hi AS DECIMAL(38,0)) * $two64 + " +
+            s"(CASE WHEN c.lo >= 0 THEN CAST(c.lo AS DECIMAL(38,0)) " +
+            s"ELSE CAST(c.lo AS DECIMAL(38,0)) + $two64 END) AS sxy")
+      val pr = tri.unionByName(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+      pr
+        .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
+        .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+        .crossJoin(broadcast(nRow))
+        .select(col("i"), col("j"),
+          round((col("sxy").cast("double") / col("n")
+            - (col("sxi").cast("double") / col("n")) * (col("sxj").cast("double") / col("n")))
+            / 1000000d, 0).cast("long").as("c"))
+        .localCheckpoint()
+    }
     def step(v: DataFrame): (DataFrame, DataFrame) = {
       val w = cv.join(broadcast(v), cv("j") === v("vi"))
         .groupBy(cv("i")).agg(sum(col("c") * col("v")).as("w"))
@@ -1605,37 +1711,46 @@ object VectorQuant extends QueryModule {
     (emt, nRow, sx, cv, v2, w3)
   }
 
-  val embeddingPca: Q = {
+  /** The PCA summary tail (ar + final select) shared by q238 and its
+    * aniso twin q242. */
+  private val sqlPcaSummary: String = {
     val sqlDot = (a: String, b: String) =>
       s"list_sum(list_transform(range(64), k -> $a[k+1] * $b[k+1]))"
-    Q(
-      s"""WITH $sqlPcaCtes,
-         |ar AS (SELECT
-         |    (SELECT list(CAST(v AS DOUBLE) ORDER BY i) FROM v2) AS va,
-         |    (SELECT list(CAST(w AS DOUBLE) ORDER BY i) FROM w3) AS wa,
-         |    (SELECT CAST(SUM(c) AS BIGINT) FROM cv WHERE i = j) AS trc)
-         |SELECT
-         |  CASE WHEN ${sqlDot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE)
-         |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / 1000000, 6) END AS lambda1,
-         |  CASE WHEN ${sqlDot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE)
-         |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share,
-         |  ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var
-         |FROM ar""".stripMargin) { (s, d) =>
-      val (_, _, _, cv, v2, w3) = pcaParts(s, d)
-      val va = v2.agg(expr(
-        "transform(array_sort(collect_list(struct(vi, v))), x -> cast(x.v as double))").as("va"))
-      val wa = w3.agg(expr(
-        "transform(array_sort(collect_list(struct(i, w))), x -> cast(x.w as double))").as("wa"))
-      val tr = cv.filter(col("i") === col("j")).agg(sum("c").as("trc"))
-      def dot(a: String, b: String): String =
-        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
-      va.crossJoin(wa).crossJoin(tr).selectExpr(
-        s"CASE WHEN ${dot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE) " +
-          s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / 1000000, 6) END AS lambda1",
-        s"CASE WHEN ${dot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE) " +
-          s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share",
-        "ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var")
-    }
+    s"""ar AS (SELECT
+       |    (SELECT list(CAST(v AS DOUBLE) ORDER BY i) FROM v2) AS va,
+       |    (SELECT list(CAST(w AS DOUBLE) ORDER BY i) FROM w3) AS wa,
+       |    (SELECT CAST(SUM(c) AS BIGINT) FROM cv WHERE i = j) AS trc)
+       |SELECT
+       |  CASE WHEN ${sqlDot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / 1000000, 6) END AS lambda1,
+       |  CASE WHEN ${sqlDot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE ROUND(${sqlDot("va", "wa")} / ${sqlDot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share,
+       |  ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var
+       |FROM ar""".stripMargin
+  }
+
+  private def pcaSummaryDf(
+      parts: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (_, _, _, cv, v2, w3) = parts
+    val va = v2.agg(expr(
+      "transform(array_sort(collect_list(struct(vi, v))), x -> cast(x.v as double))").as("va"))
+    val wa = w3.agg(expr(
+      "transform(array_sort(collect_list(struct(i, w))), x -> cast(x.w as double))").as("wa"))
+    val tr = cv.filter(col("i") === col("j")).agg(sum("c").as("trc"))
+    def dot(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    va.crossJoin(wa).crossJoin(tr).selectExpr(
+      s"CASE WHEN ${dot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / 1000000, 6) END AS lambda1",
+      s"CASE WHEN ${dot("va", "va")} = 0 OR trc = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE ROUND(${dot("va", "wa")} / ${dot("va", "va")} / CAST(trc AS DOUBLE), 6) END AS explained_share",
+      "ROUND(CAST(trc AS DOUBLE) / 1000000, 6) AS trace_var")
+  }
+
+  val embeddingPca: Q = Q(
+    s"""WITH $sqlPcaCtes,
+       |$sqlPcaSummary""".stripMargin) { (s, d) =>
+    pcaSummaryDf(pcaParts(s, d))
   }
 
   /** ALL-BUT-THE-TOP embedding post-processing — q238's diagnosis
@@ -1708,6 +1823,395 @@ object VectorQuant extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** INGEST × COMPACTION COMPOSITION (q240) — the loop
+    * [[graft.operators.IndexIngest]] names as q127's job, closed: books
+    * train once on the day-0 base split (vec_id % 10 ≥ 3, 70% of the
+    * corpus) and freeze; day 0 publishes the base codes cell-partitioned;
+    * THREE daily batches (% 10 = 0, 1, 2) two-phase-append into their
+    * cells; then [[graft.operators.Compaction.compactPartitioned]]
+    * rewrites the accumulated (1 day-0 + 3 ingest) files per cell into
+    * ONE file per cell, preserving the hive layout (probes keep dynamic
+    * partition pruning) and the within-cell vec_id sort. Graded
+    * contract: the COMPACTED index serves rankings byte-identical to a
+    * frozen-book full pipeline over the whole corpus (the oracle is
+    * q220's SQL with training/queries restricted to the base split) —
+    * i.e. 3 ingests + 1 compaction are invisible to the reader.
+    * IngestSpec additionally pins the small-file bound (≤1 data file
+    * per cell after compaction) and pre/post-compaction byte-parity.
+    * This is the full 100 TB maintenance cycle: O(batch) daily appends,
+    * a periodic O(partition) rewrite, O(nprobe/16) probes. */
+  private[queries] def ivfadcCompactDir(s: SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^a-z0-9.]", "_")
+    s"/tmp/graft_llm/$sfKey/ivfadc_compact_m${pqM(s)}"
+  }
+
+  val ivfadcCompacted: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |${sqlPqCtesFilter(" WHERE vec_id % 10 >= 3")},
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dir = ivfadcCompactDir(s, d)
+    val base = embeddings(s, d).filter(col("vec_id") % 10 >= 3)
+    if (Llm.ivfIndexStaged.add(dir)) {
+      val ranked = rankedSampleOf(base)
+      codebookGenOn(s, ranked, m, 256).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      codebookGenOn(s, ranked, 1, 16).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/coarse")
+      val book = s.read.parquet(s"$dir/book")
+      val coarse = s.read.parquet(s"$dir/coarse")
+      ivfadcEncodeWith(base, book, coarse)
+        .repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      (0 to 2).foreach { b =>
+        val batch = embeddings(s, d).filter(col("vec_id") % 10 === b)
+        graft.operators.IndexIngest.appendBatch(s,
+          ivfadcEncodeWith(batch, book, coarse), s"$dir/codes", s"day${b + 1}")
+      }
+      graft.operators.Compaction.compactPartitioned(
+        s, s"$dir/codes", s"$dir/compacted", "cell", "vec_id")
+    }
+    val idx = s.read.parquet(s"$dir/compacted")
+    val book = s.read.parquet(s"$dir/book")
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val qs = adcQueriesOf(base)
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
+    val probeLut = probe.join(lutRows, "qid")
+    idx.join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  /** PQ m=16 + EXACT RE-RANK (q241) — the composition round 8 left
+    * ungraded: q229 certifies the m=16 assignment floor, q226 the m=8
+    * two-stage stack; the production operating point is BOTH — 16
+    * B/vector codes for the scan, top-(10·α) shortlist, exact re-rank.
+    * Likely the best recall/byte point in the family (BASELINE.md
+    * records the measured pair). Same α knob as q225–q227. */
+  val pq16RerankRecall: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |${sqlPqCtesGen(16, "")},
+       |${sqlAdcCtesGen(16)},
+       |${sqlRerankCtes("SELECT qid, vec_id FROM atop WHERE rnk <= 100")},
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.L2Micro.register(s)
+    val qs = adcQueries(s, d)
+    val exact = exactTop10(s, d)
+    val shortlist = adcTopkDfKm(s, d, 10 * rerankAlpha(s), 16)
+      .select(col("qid"), col("vec_id"))
+    val reranked = embeddings(s, d).filter(col("embedding").isNotNull)
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    reranked.join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
+  /** ANISOTROPIC DEMONSTRATION CORPUS (q242–q245) — the positive case
+    * the near-isotropic fixture hides (round-8's honest negative: q238
+    * measured explained_share 0.0219 ≈ the 1/64 floor, so residual
+    * encoding and rotation CAN'T lift recall there). This corpus is a
+    * deterministic integer function of (row, coordinate) — the AnnGen
+    * discipline, both engines generate bit-identical data from their own
+    * range() — with genuine LOW-RANK structure:
+    *
+    *   micro(i, j) = g(i)·u(j)·10⁴  +  class(i mod 10, j)·3·10³  +  jitter·200
+    *
+    * g ∈ [−120, 120] (241 values, 37 a unit mod 241 → injective),
+    * u ∈ [−3, 3] — a rank-ONE common direction g ⊗ u that carries ~99%
+    * of the variance (q242 measures it; contrast 0.0219 on the fixture);
+    * class patterns and jitter are the fine structure underneath.
+    * Embeddings are micro/10⁶ cast to FLOAT — |micro| ≤ 3.7·10⁶ keeps
+    * the float→micro round-trip exact and every downstream product
+    * < 2⁵³. Why the demonstrations work here: 256 raw-PQ codewords per
+    * subspace cannot resolve 241 g-levels × 10 classes, but after the
+    * coarse quantizer slices g into 16 cells the per-cell RESIDUAL
+    * alphabet is small enough for the same 8 bytes (q243), and removing
+    * the top principal direction entirely (ABTT) leaves only the
+    * class+jitter structure, which PQ describes almost exactly (q245 vs
+    * the q244 raw floor). AnisoSpec pins both lifts STRICTLY. */
+  private val AnisoN = 2000
+
+  private def anisoIntExpr(i: String, j: String): String =
+    s"((($i * 37) % 241 - 120) * (($j * 13) % 7 - 3) * 10000" +
+      s" + ((($i % 10) * 37 + $j * 13) % 41 - 20) * 3000" +
+      s" + (($i * 31 + $j * 7) % 21 - 10) * 200)"
+
+  private def anisoSrc(s: SparkSession): DataFrame =
+    s.range(AnisoN).selectExpr(
+      "id AS vec_id", "id % 10 AS label",
+      s"transform(sequence(0, 63), j -> cast(cast(${anisoIntExpr("id", "j")} as double) / 1000000D as float)) AS embedding")
+
+  /** The corpus as a CTE named `embeddings` — DuckDB binds CTE names
+    * over table names, so every existing oracle CTE chain (cent, PQ,
+    * ADC, IVFADC, residual, PCA) runs over the generated corpus
+    * verbatim. */
+  private val sqlAnisoCte: String =
+    s"""embeddings AS (
+       |  SELECT i AS vec_id, i % 10 AS label,
+       |    list_transform(range(64), j -> CAST(CAST(${anisoIntExpr("i", "j")} AS DOUBLE) / 1000000 AS FLOAT)) AS embedding
+       |  FROM range($AnisoN) t(i))""".stripMargin
+
+  /** q238's spectral diagnostic over the aniso corpus (q242): the
+    * DECIDE step of the diagnose→transform→requantize loop — here
+    * explained_share lands near 1, the signal that says "whiten before
+    * quantizing" (where the fixture's 0.0219 said "don't bother"). */
+  val anisoPca: Q = Q(
+    s"""WITH $sqlAnisoCte,
+       |$sqlPcaCtes,
+       |$sqlPcaSummary""".stripMargin) { (s, d) =>
+    pcaSummaryDf(pcaPartsFor(s, "aniso", anisoSrc(s)))
+  }
+
+  /** RESIDUAL LIFT CERTIFICATE (q243): raw-code IVFADC recall@10 AND
+    * residual IVFADC recall@10 against the exact top-10, same coarse
+    * book, same probes, same scan set — ONE row whose recall_residual >
+    * recall_raw IS the graded demonstration that residual encoding buys
+    * recall once the geometry concentrates (AnisoSpec pins strictness). */
+  val anisoResidualLift: Q = Q(
+    s"""WITH $sqlAnisoCte,
+       |${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |$sqlResidualCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist),
+       |mr AS (SELECT COUNT(*) AS n
+       |  FROM (SELECT qid, vec_id FROM vtop WHERE rnk <= 10) a
+       |  JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |    ON e.qid = a.qid AND e.vec_id = a.vec_id),
+       |ms AS (SELECT COUNT(*) AS n
+       |  FROM (SELECT qid, vec_id FROM rtop WHERE rnk <= 10) a
+       |  JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |    ON e.qid = a.qid AND e.vec_id = a.vec_id),
+       |scn AS (
+       |  SELECT COUNT(*) AS n_scanned
+       |  FROM cqp p JOIN cellv cv ON cv.cell = p.pcell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM qsel) AS n_queries,
+       |    (SELECT COUNT(*) FROM pq0) AS n_corpus)
+       |SELECT t.n_queries, 10 AS k,
+       |  mr.n AS n_raw, CAST(mr.n AS DOUBLE) / (t.n_queries * 10) AS recall_raw,
+       |  ms.n AS n_residual, CAST(ms.n AS DOUBLE) / (t.n_queries * 10) AS recall_residual,
+       |  CAST(s.n_scanned AS DOUBLE) / (t.n_queries * t.n_corpus) AS scan_frac
+       |FROM mr CROSS JOIN ms CROSS JOIN scn s CROSS JOIN tot t""".stripMargin) { (s, d) =>
+    val src = anisoSrc(s)
+    val qs = adcQueriesFor(s, "aniso", src)
+    val exact = exactTop10Of(s, "exact10|aniso", src, qs)
+    val raw = ivfadcPartsFor(s, "aniso", src)
+    val res = ivfadcResidualPartsFor(s, "aniso", src)
+    val nRaw = ivfadcTopkFrom(raw).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id")).agg(count(lit(1)).as("n_raw"))
+    val nRes = ivfadcResidualTopkFrom(res).select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id")).agg(count(lit(1)).as("n_residual"))
+    val (enc, probe, _) = raw
+    val scn = enc.select(col("cell"))
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val tot = qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(src.filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_corpus")))
+    nRaw.crossJoin(broadcast(nRes))
+      .crossJoin(broadcast(scn))
+      .crossJoin(broadcast(tot))
+      .select(col("n_queries"), lit(10).as("k"),
+        col("n_raw"),
+        (col("n_raw").cast("double") / (col("n_queries") * 10)).as("recall_raw"),
+        col("n_residual"),
+        (col("n_residual").cast("double") / (col("n_queries") * 10)).as("recall_residual"),
+        (col("n_scanned").cast("double") / (col("n_queries") * col("n_corpus"))).as("scan_frac"))
+  }
+
+  /** RAW-PQ search floor on the aniso corpus (q244) — q219's full-scan
+    * ADC recall@10, the baseline q245's whitened twin is measured
+    * against. Low BY DESIGN here: 256 codewords per subspace cannot
+    * resolve 241 g-levels × 10 classes. */
+  val anisoPqRawRecall: Q = Q(
+    s"""WITH $sqlAnisoCte,
+       |${Llm.sqlCentCtes},
+       |$sqlPqCtes,
+       |$sqlAdcCtes,
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM atop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    val src = anisoSrc(s)
+    val qs = adcQueriesFor(s, "aniso", src)
+    val cb = codebookFor(s, "aniso", src, 8, 256)
+    val top = adcTopkCore(
+      pqQuantizedOf(s, src, cb).select(col("vec_id"), col("codes")),
+      denseLutRows(cb, qs, 8), 10)
+    val exact = exactTop10Of(s, "exact10|aniso", src, qs)
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    top.select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
+  /** (vec_id, true_label, em): the ABTT-TRANSFORMED corpus — mean-center
+    * (n-scaled, exact) then remove the projection onto the top principal
+    * direction, re-rounded ONCE to the integer micro domain (`ROUND(…,
+    * 0) + 0.0` — the q239 arithmetic, full 64 coordinates instead of
+    * two). A pure per-row map against one broadcast 1-row fit — the plan
+    * that re-writes whitened embeddings at 100 TB. */
+  private def abttCorpusOf(s: SparkSession, key: String, src: DataFrame): DataFrame = {
+    val (emt, nRow, sx, _, v2, _) = pcaPartsFor(s, key, src)
+    val ga = BoundedMemo(s, s"abttga|$key") {
+      v2.agg(expr(
+          "transform(array_sort(collect_list(struct(vi, v))), x -> cast(x.v as double))").as("va"))
+        .crossJoin(sx.agg(expr(
+          "transform(array_sort(collect_list(struct(i, sx))), x -> cast(x.sx as double))").as("sxa")))
+        .crossJoin(nRow)
+        .localCheckpoint()
+    }
+    emt.crossJoin(broadcast(ga))
+      .selectExpr("vec_id",
+        "zip_with(transform(em, x -> cast(x as double) * n), sxa, (a, b) -> a - b) AS mc",
+        "va", "n")
+      .selectExpr("vec_id", "mc", "va", "n",
+        "aggregate(zip_with(mc, va, (x, y) -> x * y), 0D, (acc, z) -> acc + z) AS cn",
+        "aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, z) -> acc + z) AS dn")
+      .selectExpr("vec_id", "cast(vec_id % 10 as bigint) AS true_label",
+        "transform(sequence(0, 63), k -> CASE WHEN dn = 0 THEN cast(0 as double) " +
+          "ELSE round((element_at(mc, k + 1) - cn / dn * element_at(va, k + 1)) / n, 0) + 0.0D END) AS em")
+  }
+
+  /** ABTT→PQ search recall on the aniso corpus (q245): whiten (q239's
+    * transform, all 64 coordinates), REQUANTIZE (train the PQ book on
+    * the transformed sample, encode the transformed corpus), search, and
+    * grade recall@10 against the exact top-10 IN THE TRANSFORMED SPACE —
+    * the same fidelity measure q244 applies to the raw space, so the
+    * pair isolates what the transform buys the quantizer. With the
+    * rank-one common direction removed, the residual alphabet is
+    * class+jitter-sized and the same 8 bytes describe it almost exactly
+    * (AnisoSpec pins recall_q245 > recall_q244 strictly). This completes
+    * the diagnose (q238/q242) → decide → transform (q239) → requantize
+    * loop the round-8 verdict asked for. */
+  val anisoPqAbttRecall: Q = Q(
+    s"""WITH $sqlAnisoCte,
+       |${Llm.sqlCentCtes},
+       |$sqlPcaCtes,
+       |ga AS (SELECT
+       |    (SELECT list(CAST(v AS DOUBLE) ORDER BY i) FROM v2) AS va,
+       |    (SELECT list(CAST(sx AS DOUBLE) ORDER BY i) FROM sx) AS sxa,
+       |    (SELECT n FROM st) AS n),
+       |apc AS (SELECT vec_id,
+       |    list_transform(range(64), k -> CAST(em[k+1] AS DOUBLE) * n - sxa[k+1]) AS mc, va, n
+       |  FROM emt CROSS JOIN ga),
+       |aco AS (SELECT vec_id, mc, va, n,
+       |    list_sum(list_transform(range(64), k -> mc[k+1] * va[k+1])) AS cn,
+       |    list_sum(list_transform(range(64), k -> va[k+1] * va[k+1])) AS dn
+       |  FROM apc),
+       |pq0 AS (SELECT vec_id, vec_id % 10 AS true_label,
+       |    list_transform(range(64), k -> CASE WHEN dn = 0 THEN CAST(0 AS DOUBLE)
+       |      ELSE ROUND((mc[k+1] - cn / dn * va[k+1]) / n, 0) + 0.0 END) AS em
+       |  FROM aco),
+       |${sqlPqTail(8, "")},
+       |${sqlAdcCtesGen(8)},
+       |edist AS (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(range(64), i ->
+       |      (v.em[i+1] - q.em[i+1]) * (v.em[i+1] - q.em[i+1]))) AS dist
+       |  FROM pq0 v CROSS JOIN qsel q),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM edist)
+       |SELECT (SELECT COUNT(*) FROM qsel) AS n_queries, 10 AS k,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / ((SELECT COUNT(*) FROM qsel) * 10) AS recall
+       |FROM (SELECT qid, vec_id FROM atop WHERE rnk <= 10) a
+       |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
+       |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val t = abttCorpusOf(s, "aniso", anisoSrc(s))
+    val ranked = BoundedMemo(s, "ranked|anisoabtt")(
+      rankedSampleOfEm(t.select(col("vec_id"), col("em"))))
+    val cb = BoundedMemo(s, "book|anisoabtt|8|256")(codebookGenOn(s, ranked, 8, 256))
+    val cbArr = cb.agg(collect_list(struct(col("j"), col("code"), col("cw"))).as("cbs"))
+    val qs = BoundedMemo(s, "adcq|anisoabtt")(
+      adcQueriesOfEm(t.select(col("vec_id"), col("em"))).localCheckpoint())
+    val encoded = t.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), expr("pq_encode_micro(em, cbs).codes").as("codes"))
+    val top = adcTopkCore(encoded, denseLutRows(cb, qs, 8), 10)
+    // exact arm in the TRANSFORMED space — the HOF fold matches the
+    // oracle's list_sum element-for-element (integer-valued ⇒ exact)
+    val exact = BoundedMemo(s, "exact10|anisoabtt") {
+      t.select(col("vec_id"), col("em").as("ve"))
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          expr("aggregate(zip_with(ve, em, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)").as("dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rnk") <= 10)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    }
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    top.select("qid", "vec_id")
+      .join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), lit(10).as("k"), col("n_matched"),
+        (col("n_matched").cast("double") / (col("n_queries") * 10)).as("recall"))
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q214_sq8_assign"     -> sq8Assign,
     "q215_sq8_recall"     -> sq8Recall,
@@ -1728,6 +2232,12 @@ object VectorQuant extends QueryModule {
     "q234_semdedup_sq8"           -> semanticDedupSq8,
     "q235_semdedup_sq8_agreement" -> semanticDedupSq8Agreement,
     "q238_embedding_pca"          -> embeddingPca,
-    "q239_embedding_abtt"         -> embeddingAbtt
+    "q239_embedding_abtt"         -> embeddingAbtt,
+    "q240_ivfadc_compacted"       -> ivfadcCompacted,
+    "q241_pq16_rerank_recall"     -> pq16RerankRecall,
+    "q242_aniso_pca"              -> anisoPca,
+    "q243_aniso_residual_lift"    -> anisoResidualLift,
+    "q244_aniso_pq_raw_recall"    -> anisoPqRawRecall,
+    "q245_aniso_pq_abtt_recall"   -> anisoPqAbttRecall
   )
 }

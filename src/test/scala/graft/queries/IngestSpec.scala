@@ -85,6 +85,32 @@ class IngestSpec extends AnyFunSuite with Matchers {
     indexRows(s"$dir/codes") shouldBe before
   }
 
+  test("q240: compaction is row-invisible (ingested ≡ compacted) and bounds small files to one per cell") {
+    SparkEntry.queries("q240_ivfadc_compacted")(spark, sf).collect()
+    val dir = VectorQuant.ivfadcCompactDir(spark, sf)
+    // (1) content identical through the rewrite — probes cannot tell
+    indexRows(s"$dir/compacted") shouldBe indexRows(s"$dir/codes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPerCell(sub: String): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map { cd =>
+          cd.getPath.getName ->
+            fs.listStatus(cd.getPath).count { f =>
+              val n = f.getPath.getName
+              f.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+        }.toMap
+    // (2) the ingested dir really accumulated small files (day-0 + 3
+    // batches land ≥2 files in at least one cell)...
+    filesPerCell("codes").values.max should be >= 2
+    // (3) ...and compaction collapses every cell to exactly one file
+    val compacted = filesPerCell("compacted")
+    compacted.keySet shouldBe filesPerCell("codes").keySet
+    all(compacted.values) shouldBe 1
+  }
+
   test("q228 shape: ranks contiguous, distances non-decreasing integers; deterministic rerun") {
     val a = SparkEntry.queries("q228_ivfadc_ingest")(spark, sf).collect()
     a.groupBy(_.getAs[Long]("qid")).foreach { case (_, g) =>
