@@ -31,6 +31,9 @@ object AnnFuzzVerify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     graft.functions.ArgminL2Micro.register(spark)
+    graft.functions.PqAdcMicro.register(spark) // + dense_lut_micro (v8)
+    graft.functions.PqEncodeMicro.register(spark) // + pq_encode_shift_micro (v8)
+    graft.functions.CovOuterMicro.register(spark) // v8 covariance shape
     val cases = fuzz.AnnGen.cases(seed, n)
     var failed = 0
     cases.foreach { c =>

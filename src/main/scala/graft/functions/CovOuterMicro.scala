@@ -98,8 +98,13 @@ object CovOuterMicro {
   private lazy val fn = F.udaf(new Agg)
 
   /** `cov_outer_micro(em: array<long>) → array<long>[8192]` — the flat
-    * (hi, lo) triangle buffer; decode with [[sqlDecodeTriangle]]. */
+    * (hi, lo) triangle buffer; decode as hi·2⁶⁴ + unsigned(lo). */
   def apply(c: Column): Column = fn(c)
+
+  /** Idempotently registers `cov_outer_micro` for SQL callers (the v8
+    * fuzz differential drives it from generated SQL text). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("cov_outer_micro", fn)
 
   /** Spark-SQL decode of the buffer column `b` into (i, j, sxy
     * DECIMAL(38,0)) rows for the upper triangle: sxy = hi·2⁶⁴ +

@@ -342,6 +342,182 @@ object AnnGen {
     (spark, duck)
   }
 
+  /** v8 (round 9): DENSE-LUT ADC differential. Spark runs the round-9
+    * production pair — `dense_lut_micro` scatters random sparse
+    * (pos, d) partials into the m·256-slot dense array and
+    * `pq_adc_micro` sums per-subspace slots per vector — while DuckDB
+    * computes the same ADC distance RELATIONALLY (join codes to the
+    * sparse partial table, BIGINT-sum). Codes stay in the generated
+    * alphabet (every (j, code) the corpus emits exists in the partial
+    * table; the out-of-alphabet → +∞ path is PqAdcMicroSpec's job), so
+    * the two rankings must agree bit-for-bit per random (m, alphabet,
+    * magnitudes incl. NEGATIVE partials, ties). */
+  private def shapeLutAdc(r: Random): (String, String) = {
+    val m = 1 + r.nextInt(4)
+    val nc = 2 + r.nextInt(31)
+    val n = 20 + r.nextInt(181)
+    val k = 1 + r.nextInt(10)
+    val a1 = 1 + r.nextInt(97)
+    val a2 = 1 + r.nextInt(89)
+    val md = 11 + r.nextInt(990)
+    val mult = Seq(1L, 100L, 10000L)(r.nextInt(3))
+    val ca = 1 + r.nextInt(53)
+    val cb = 1 + r.nextInt(47)
+    def dexpr(j: String, c: String): String =
+      s"((($j) * $a1 + ($c) * $a2) % $md - ${md / 2}) * $mult"
+    val spark =
+      s"""WITH pr AS (
+         |  SELECT cast(id div $nc as int) AS j, cast(id % $nc as int) AS code,
+         |    cast(${dexpr(s"(id div $nc)", s"(id % $nc)")} as double) AS d
+         |  FROM range(${m * nc})),
+         |lut AS (
+         |  SELECT dense_lut_micro(collect_list(struct(j * 256 + code, d)), ${m * 256}) AS lut
+         |  FROM pr),
+         |corpus AS (
+         |  SELECT id AS vec_id,
+         |    transform(sequence(0, ${m - 1}), j -> cast((id * $ca + j * $cb) % $nc as int)) AS codes
+         |  FROM range($n)),
+         |dd AS (SELECT c.vec_id, pq_adc_micro(c.codes, l.lut) AS dist
+         |       FROM corpus c CROSS JOIN lut l),
+         |r AS (SELECT vec_id, dist,
+         |    row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rnk FROM dd)
+         |SELECT rnk, vec_id, dist FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+    val duck =
+      s"""WITH pr AS (
+         |  SELECT CAST(i // $nc AS INT) AS j, CAST(i % $nc AS INT) AS code,
+         |    CAST(${dexpr(s"(i // $nc)", s"(i % $nc)")} AS DOUBLE) AS d
+         |  FROM range(${m * nc}) t(i)),
+         |corpus AS (
+         |  SELECT i AS vec_id,
+         |    list_transform(range($m), j -> CAST((i * $ca + j * $cb) % $nc AS INT)) AS codes
+         |  FROM range($n) t(i)),
+         |ev AS (SELECT vec_id, j, codes[j+1] AS code FROM corpus, range($m) t(j)),
+         |dd AS (SELECT e.vec_id, CAST(SUM(CAST(p.d AS BIGINT)) AS DOUBLE) AS dist
+         |       FROM ev e JOIN pr p ON p.j = e.j AND p.code = e.code
+         |       GROUP BY e.vec_id),
+         |r AS (SELECT vec_id, dist,
+         |    ROW_NUMBER() OVER (ORDER BY dist ASC, vec_id ASC) AS rnk FROM dd)
+         |SELECT rnk, vec_id, dist FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+    (spark, duck)
+  }
+
+  /** v8: COVARIANCE SUFFICIENT-STATISTICS differential. Spark runs the
+    * fused `cov_outer_micro` typed aggregate (128-bit limb buffers,
+    * upper triangle) and decodes hi·2⁶⁴ + unsigned(lo) per cell; DuckDB
+    * sums the outer products in HUGEINT — an exact 128-bit reference
+    * the engine provides natively. Magnitudes keep the exact-double
+    * window (≤ ~2·10¹⁵ per cell) so the DOUBLE-cast outputs are
+    * bit-equal; the limb-boundary crossings themselves are
+    * CovOuterMicroSpec's BigInt job. */
+  private def shapeCovOuter(r: Random): (String, String) = {
+    val dim = 1 + r.nextInt(6)
+    val n = 20 + r.nextInt(181)
+    val a1 = 1 + r.nextInt(97)
+    val a2 = 1 + r.nextInt(89)
+    val md = 11 + r.nextInt(990)
+    val mult = Seq(1L, 100L, 3000L)(r.nextInt(3))
+    def vexpr(i: String, kk: String): String =
+      s"((($i) * $a1 + ($kk) * $a2) % $md - ${md / 2}) * $mult"
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    val spark =
+      s"""WITH corpus AS (
+         |  SELECT id AS vec_id,
+         |    transform(sequence(0, ${dim - 1}), k -> cast(${vexpr("id", "k")} as bigint)) AS em
+         |  FROM range($n)),
+         |b AS (SELECT cov_outer_micro(em) AS b FROM corpus),
+         |ij AS (SELECT cast(id div $dim as int) AS i, cast(id % $dim as int) AS j
+         |       FROM range(${dim * dim})),
+         |tri AS (
+         |  SELECT ij.i, ij.j,
+         |    cast(CAST(b.b[2 * (ij.i * 64 + ij.j)] AS DECIMAL(38,0)) * $two64 +
+         |      (CASE WHEN b.b[2 * (ij.i * 64 + ij.j) + 1] >= 0
+         |        THEN CAST(b.b[2 * (ij.i * 64 + ij.j) + 1] AS DECIMAL(38,0))
+         |        ELSE CAST(b.b[2 * (ij.i * 64 + ij.j) + 1] AS DECIMAL(38,0)) + $two64 END)
+         |      as double) AS sxy
+         |  FROM b CROSS JOIN ij WHERE ij.j >= ij.i)
+         |SELECT i, j, sxy FROM tri ORDER BY i, j""".stripMargin
+    val duck =
+      s"""WITH corpus AS (
+         |  SELECT i AS vec_id,
+         |    list_transform(range($dim), k -> CAST(${vexpr("i", "k")} AS BIGINT)) AS em
+         |  FROM range($n) t(i)),
+         |tri AS (
+         |  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+         |    CAST(SUM(CAST(em[t.i+1] AS HUGEINT) * em[u.j+1]) AS DOUBLE) AS sxy
+         |  FROM corpus, range($dim) t(i), range($dim) u(j)
+         |  WHERE u.j >= t.i GROUP BY t.i, u.j)
+         |SELECT i, j, sxy FROM tri ORDER BY i, j""".stripMargin
+    (spark, duck)
+  }
+
+  /** v8: FUSED SHIFT-ENCODE differential (the q223 residual corpus
+    * scan's hot path). Spark runs `pq_encode_shift_micro(em, shift,
+    * cbs)` — micro-domain subtract + per-subspace argmin in one
+    * primitive pass — DuckDB the relational form: residual = em −
+    * shift, then ROW_NUMBER argmin per (vector, subspace) with the
+    * (dist ASC, code ASC) tie order. Collapse classes and zero jitter
+    * force maximal exact ties per random (m, dsub, codebook). */
+  private def shapeShiftEncode(r: Random): (String, String) = {
+    val m = 1 + r.nextInt(2)
+    val dsub = 1 + r.nextInt(4)
+    val d = m * dsub
+    val nc = 2 + r.nextInt(7)
+    val n = 20 + r.nextInt(131)
+    val c = 1 + r.nextInt(8)
+    val a = r.nextInt(10)
+    val s1 = 1 + r.nextInt(50)
+    val w1 = 1 + r.nextInt(61)
+    val w2 = 1 + r.nextInt(59)
+    def vexpr(i: String, kk: String): String =
+      s"${baseExpr(s"(($i) % $c)", kk, 1000L)} + ${jitterExpr(i, kk, a)}"
+    def sexpr(kk: String): String = s"((($kk) * $s1) % 37 - 18) * 500"
+    def cwexpr(j: String, code: String, t: String): String =
+      s"((($j) * $w1 + ($code) * $w2 + ($t) * 13) % 41 - 20) * 900"
+    val spark =
+      s"""WITH corpus AS (
+         |  SELECT id AS vec_id,
+         |    transform(sequence(0, ${d - 1}), k -> cast(${vexpr("id", "k")} as double)) AS em
+         |  FROM range($n)),
+         |sh AS (SELECT transform(sequence(0, ${d - 1}), k -> cast(${sexpr("k")} as double)) AS shift),
+         |cb AS (
+         |  SELECT cast(id div $nc as int) AS j, cast(id % $nc as int) AS code,
+         |    transform(sequence(0, ${dsub - 1}), t ->
+         |      cast(${cwexpr(s"(id div $nc)", s"(id % $nc)", "t")} as double)) AS cw
+         |  FROM range(${m * nc})),
+         |cba AS (SELECT collect_list(struct(j, code, cw)) AS cbs FROM cb),
+         |enc AS (
+         |  SELECT c.vec_id, pq_encode_shift_micro(c.em, s.shift, a.cbs).codes AS codes
+         |  FROM corpus c CROSS JOIN sh s CROSS JOIN cba a)
+         |SELECT vec_id, cast(pos as int) AS j, code
+         |FROM enc LATERAL VIEW posexplode(codes) x AS pos, code
+         |ORDER BY vec_id, j""".stripMargin
+    val duck =
+      s"""WITH corpus AS (
+         |  SELECT i AS vec_id,
+         |    list_transform(range($d), k -> CAST(${vexpr("i", "k")} AS DOUBLE)) AS em
+         |  FROM range($n) t(i)),
+         |sh AS (SELECT list_transform(range($d), k -> CAST(${sexpr("k")} AS DOUBLE)) AS shift),
+         |cb AS (
+         |  SELECT CAST(i // $nc AS INT) AS j, CAST(i % $nc AS INT) AS code,
+         |    list_transform(range($dsub), t ->
+         |      CAST(${cwexpr(s"(i // $nc)", s"(i % $nc)", "t")} AS DOUBLE)) AS cw
+         |  FROM range(${m * nc}) t(i)),
+         |res AS (
+         |  SELECT vec_id, list_transform(range($d), k -> em[k+1] - sh.shift[k+1]) AS rv
+         |  FROM corpus, sh),
+         |asg AS (
+         |  SELECT vec_id, j, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+         |  FROM (
+         |    SELECT r.vec_id, c.j, c.code,
+         |      list_sum(list_transform(range($dsub), t ->
+         |        (r.rv[c.j*$dsub+t+1] - c.cw[t+1]) * (r.rv[c.j*$dsub+t+1] - c.cw[t+1]))) AS dist
+         |    FROM res r CROSS JOIN cb c) z)
+         |SELECT vec_id, CAST(j AS INT) AS j, code FROM asg WHERE rn = 1
+         |ORDER BY vec_id, j""".stripMargin
+    (spark, duck)
+  }
+
   private val shapes: Seq[(String, Random => (String, String))] = Seq(
     "anntopk" -> shapeTopk _,
     "annassign" -> shapeAssign _,
@@ -352,7 +528,13 @@ object AnnGen {
       "annresid" -> shapeResidual _,
       "annrerank" -> shapeRerank _)
 
-  def nShapes: Int = shapesV7.size
+  private val shapesV8: Seq[(String, Random => (String, String))] =
+    shapesV7 ++ Seq(
+      "annlut" -> shapeLutAdc _,
+      "anncov" -> shapeCovOuter _,
+      "annshift" -> shapeShiftEncode _)
+
+  def nShapes: Int = shapesV8.size
 
   /** FROZEN v6 corpus — graded picks (q230–q232) index into this; the
     * same never-change-a-frozen-generator rule as QueryGen.casesVN
@@ -376,6 +558,19 @@ object AnnGen {
       AnnCase(f"bz$i%03d_$shapeName", spark, duck)
     }
 
+  /** FROZEN v8 corpus (round 9): the v7 shapes plus the dense-LUT ADC,
+    * covariance sufficient-statistics, and fused shift-encode
+    * differentials — the round-9 expressions each fuzzed against an
+    * independent relational/HUGEINT reference. New seed stream
+    * (prefix c, multiplier 1000151) so v6/v7 are untouched. */
+  def casesV8(seed: Long, n: Int): Seq[AnnCase] =
+    (0 until n).map { i =>
+      val (shapeName, gen) = shapesV8(i % shapesV8.size)
+      val r = new Random(seed * 1000151L + i)
+      val (spark, duck) = gen(r)
+      AnnCase(f"cz$i%03d_$shapeName", spark, duck)
+    }
+
   /** Current ANN grammar (campaign + AnnFuzzSpec default). */
-  def cases(seed: Long, n: Int): Seq[AnnCase] = casesV7(seed, n)
+  def cases(seed: Long, n: Int): Seq[AnnCase] = casesV8(seed, n)
 }

@@ -89,6 +89,19 @@ object Fuzzed extends QueryModule {
     "q236_fuzz_ann_residual" -> 298,
     "q237_fuzz_ann_rerank"   -> 299)
 
+  private val corpusV8 = graft.fuzz.AnnGen.casesV8(42L, 300).toVector
+
+  /** v8 ANN shapes (round 9): each of the round's new expressions
+    * fuzzed against an independent reference — dense_lut_micro +
+    * pq_adc_micro vs a relational join-ADC (q246), the cov_outer_micro
+    * 128-bit limb aggregate vs DuckDB's native HUGEINT sums (q247), and
+    * pq_encode_shift_micro vs the relational residual argmin (q248).
+    * Campaign: 600 cases seeds 42/7, all green (FUZZ.md). */
+  private val picksV8 = Seq(
+    "q246_fuzz_ann_lut"   -> 293,
+    "q247_fuzz_ann_cov"   -> 294,
+    "q248_fuzz_ann_shift" -> 295)
+
   private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
     ps.map { case (key, i) =>
       val sql = cs(i).sql
@@ -103,11 +116,15 @@ object Fuzzed extends QueryModule {
       val c = cs(i)
       key -> Q(c.duckSql) { (s, _) =>
         graft.functions.ArgminL2Micro.register(s)
+        graft.functions.PqAdcMicro.register(s)
+        graft.functions.PqEncodeMicro.register(s)
+        graft.functions.CovOuterMicro.register(s)
         s.sql(c.sparkSql)
       }
     }
 
   override def queries: Seq[(String, Q)] =
     rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4) ++
-      rows(corpusV5, picksV5) ++ annRows(corpusV6, picksV6) ++ annRows(corpusV7, picksV7)
+      rows(corpusV5, picksV5) ++ annRows(corpusV6, picksV6) ++ annRows(corpusV7, picksV7) ++
+      annRows(corpusV8, picksV8)
 }
