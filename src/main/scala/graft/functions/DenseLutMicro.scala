@@ -46,10 +46,18 @@ case class DenseLutMicro(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  /** Hard ceiling on the dense width. The in-contract widths are
+    * m·256 ≤ 16384; the function is registered session-wide, and an
+    * absurd width must fail LOUDLY here rather than as an executor-
+    * killing allocation (the PqAdcMicro input-hardening precedent). */
+  val MaxWidth: Int = 1 << 24
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val pairs = a.asInstanceOf[ArrayData]
     val width = b.asInstanceOf[Int]
     if (width < 0) return null
+    require(width <= MaxWidth,
+      s"dense_lut_micro width $width exceeds the $MaxWidth ceiling")
     val out = Array.fill(width)(Double.PositiveInfinity)
     val n = pairs.numElements()
     var i = 0

@@ -1857,6 +1857,10 @@ object VectorQuant extends QueryModule {
     val m = pqM(s)
     val dir = ivfadcCompactDir(s, d)
     val base = embeddings(s, d).filter(col("vec_id") % 10 >= 3)
+    // same cross-process staleness stance as q222/q228 (Llm.ivfIndexStaged
+    // doc): a fresh JVM re-publishes the whole cycle with mode(overwrite),
+    // so a /tmp tree left by an earlier process is never served stale; a
+    // crash INSIDE this block leaves the guard set for this JVM only.
     if (Llm.ivfIndexStaged.add(dir)) {
       val ranked = rankedSampleOf(base)
       codebookGenOn(s, ranked, m, 256).coalesce(1)

@@ -30,6 +30,14 @@ class DenseLutMicroSpec extends AnyFunSuite with Matchers {
     fast(3) shouldBe -2.0
   }
 
+  test("an absurd width fails loudly instead of allocating executor-killing arrays") {
+    DenseLutMicro.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dense_lut_micro(array(struct(0, 1.0D)), 1073741824)").collect()
+    }
+    e.getMessage should include("ceiling")
+  }
+
   test("out-of-range positions are ignored; width 0 yields an empty array") {
     DenseLutMicro.register(spark)
     val r = spark.sql(
