@@ -55,9 +55,13 @@ case class DenseLutMicro(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val pairs = a.asInstanceOf[ArrayData]
     val width = b.asInstanceOf[Int]
-    if (width < 0) return null
-    require(width <= MaxWidth,
-      s"dense_lut_micro width $width exceeds the $MaxWidth ceiling")
+    // negative widths fail LOUDLY too: a silently-returned NULL LUT
+    // would turn every downstream pq_adc_micro distance NULL, and
+    // Spark's default NULLS FIRST would rank those rows into the
+    // top-k — the silent-wrong-ranking trap this codebase guards
+    // against everywhere else
+    require(width >= 0 && width <= MaxWidth,
+      s"dense_lut_micro width $width outside [0, $MaxWidth]")
     val out = Array.fill(width)(Double.PositiveInfinity)
     val n = pairs.numElements()
     var i = 0

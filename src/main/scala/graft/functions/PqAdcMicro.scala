@@ -64,7 +64,11 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
     val w = lut.numElements()
     var acc = 0.0
     var j = 0
-    if (w >= m * 256) {
+    // both comparisons in LONG: `m * 256` wraps int past m = 2^23, which
+    // would take the UNguarded fast path against a short LUT (and the
+    // slow path's int pos would wrap negative past the same point —
+    // UnsafeArrayData reads have no bounds check of their own)
+    if (w >= m * 256L) {
       while (j < m) {
         val c = codes.getInt(j)
         acc += (if ((c & ~255) == 0) lut.getDouble(j * 256 + c)
@@ -74,8 +78,8 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
     } else {
       while (j < m) {
         val c = codes.getInt(j)
-        val pos = j * 256 + c
-        acc += (if (c >= 0 && c < 256 && pos < w) lut.getDouble(pos)
+        val pos = j * 256L + c
+        acc += (if (c >= 0 && c < 256 && pos < w) lut.getDouble(pos.toInt)
                 else Double.PositiveInfinity)
         j += 1
       }
@@ -95,7 +99,7 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
          |int $m = $a.numElements();
          |int $w = $b.numElements();
          |double $acc = 0.0;
-         |if ($w >= $m * 256) {
+         |if ($w >= $m * 256L) {
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $c = $a.getInt($j);
          |    $acc += (($c & ~255) == 0)
@@ -104,9 +108,9 @@ case class PqAdcMicro(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $c = $a.getInt($j);
-         |    int $pos = $j * 256 + $c;
+         |    long $pos = $j * 256L + $c;
          |    $acc += ($c >= 0 && $c < 256 && $pos < $w)
-         |      ? $b.getDouble($pos) : Double.POSITIVE_INFINITY;
+         |      ? $b.getDouble((int) $pos) : Double.POSITIVE_INFINITY;
          |  }
          |}
          |${ev.value} = $acc;

@@ -54,9 +54,15 @@ object Compaction {
     import org.apache.spark.sql.functions.col
     val (inFiles, inBytes) = list(spark, inDir, ".parquet")
     require(inFiles > 0, s"no parquet files under $inDir")
+    // sort by (partitionCol, sortCol): partitionBy's writer REQUIRES an
+    // ordering on the partition column and would insert its own sort
+    // above a sortCol-only sort — the within-cell order would then
+    // survive only via sort stability, which a spilling sort does not
+    // guarantee. Sorting on both keys satisfies the writer's requirement
+    // (no second sort) and makes the within-cell order unconditional.
     spark.read.parquet(inDir)
       .repartition(col(partitionCol))
-      .sortWithinPartitions(sortCol)
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(outDir)
     val (outFiles, outBytes) = list(spark, outDir, ".parquet")
     Stats(inFiles, inBytes, outFiles, outBytes)

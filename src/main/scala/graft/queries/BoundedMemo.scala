@@ -34,6 +34,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BoundedMemo {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  @volatile private var currentApp: String = ""
 
   /** Get-or-build. Plain get/putIfAbsent rather than computeIfAbsent:
     * builds nest (a codebook build memo-reads the ranked sample), and
@@ -41,7 +42,19 @@ object BoundedMemo {
     * duplicate build is harmless — both values are identical and one
     * wins the publish. */
   def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s.sparkContext.applicationId + "|" + key
+    val app = s.sparkContext.applicationId
+    // first access under a NEW application evicts the previous app's
+    // entries: their plans reference the dead context's checkpointed
+    // RDDs and would otherwise strand object graphs for the life of the
+    // JVM (the warm-sbt-shell workflow restarts SparkContexts freely)
+    if (currentApp != app) synchronized {
+      if (currentApp != app) {
+        val prefix = app + "|"
+        cache.keySet.removeIf(k => !k.startsWith(prefix))
+        currentApp = app
+      }
+    }
+    val k = app + "|" + key
     val hit = cache.get(k)
     if (hit != null) hit
     else {

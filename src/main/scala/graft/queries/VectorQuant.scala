@@ -996,7 +996,10 @@ object VectorQuant extends QueryModule {
     // oracle reuses cellv — ptr's vec_ids are a subset of pq0's).
     // Memoized like every trained book: q223/q224/q227 each consume it,
     // and round 8 paid the coarse+residual Lloyd three times over.
-    val resSample = BoundedMemo(s, s"ressample|$key|$m") {
+    // m-independent key: the residual sample depends only on the ranked
+    // sample and the fixed (1, 16) coarse book, so knob-varied m values
+    // share one pinned relation (the derived resbook keeps m in its key)
+    val resSample = BoundedMemo(s, s"ressample|$key") {
       ranked.crossJoin(broadcast(coarseArr))
         .select(col("vec_id"), col("rnr"), col("em"),
           expr("pq_encode_micro(em, ccbs).codes[0]").as("cell"))
@@ -1237,10 +1240,15 @@ object VectorQuant extends QueryModule {
     * shortlist — at 100 TB this reads back only the shortlisted
     * vectors' floats (row-group pruned in a real layout), never the
     * corpus. */
-  private[queries] def adcRerankTopkDf(s: SparkSession, d: String): DataFrame = {
+  private[queries] def adcRerankTopkDf(s: SparkSession, d: String): DataFrame =
+    adcRerankTopkDfM(s, d, pqM(s))
+
+  /** [[adcRerankTopkDf]] at an explicit m — q241 grades the m=16
+    * shortlist through the SAME rerank pipeline as q225/q226. */
+  private def adcRerankTopkDfM(s: SparkSession, d: String, m: Int): DataFrame = {
     graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    val shortlist = adcTopkDfK(s, d, 10 * rerankAlpha(s)).select(col("qid"), col("vec_id"))
+    val shortlist = adcTopkDfKm(s, d, 10 * rerankAlpha(s), m).select(col("qid"), col("vec_id"))
     embeddings(s, d).filter(col("embedding").isNotNull)
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "qid")
@@ -1660,7 +1668,7 @@ object VectorQuant extends QueryModule {
     val emt = src.filter(col("embedding").isNotNull)
       .select(col("vec_id"), transform(col("embedding"), x =>
         round(x.cast("double") * 1000000d, 0).cast("long")).as("em"))
-    val ex = emt.select(posexplode(col("em")).as(Seq("i", "xi")), col("em"))
+    val ex = emt.select(posexplode(col("em")).as(Seq("i", "xi")))
     val nRow = BoundedMemo(s, s"pcan|$key")(emt.agg(count(lit(1)).as("n")).localCheckpoint())
     val sx = BoundedMemo(s, s"pcasx|$key")(
       ex.groupBy("i").agg(sum("xi").as("sx")).localCheckpoint())
@@ -1922,19 +1930,9 @@ object VectorQuant extends QueryModule {
        |FROM (SELECT qid, vec_id FROM rrt WHERE rnk <= 10) a
        |JOIN (SELECT qid, vec_id FROM etop WHERE rnk <= 10) e
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin) { (s, d) =>
-    graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
     val exact = exactTop10(s, d)
-    val shortlist = adcTopkDfKm(s, d, 10 * rerankAlpha(s), 16)
-      .select(col("qid"), col("vec_id"))
-    val reranked = embeddings(s, d).filter(col("embedding").isNotNull)
-      .join(broadcast(shortlist), "vec_id")
-      .join(broadcast(qs), "qid")
-      .select(col("qid"), col("vec_id"), expr("l2_micro(embedding, em)").as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
+    val reranked = adcRerankTopkDfM(s, d, 16).select("qid", "vec_id")
     val nq = qs.agg(count(lit(1)).as("n_queries"))
     reranked.join(exact, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("n_matched"))

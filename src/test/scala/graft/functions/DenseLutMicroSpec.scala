@@ -35,7 +35,11 @@ class DenseLutMicroSpec extends AnyFunSuite with Matchers {
     val e = intercept[Exception] {
       spark.sql("SELECT dense_lut_micro(array(struct(0, 1.0D)), 1073741824)").collect()
     }
-    e.getMessage should include("ceiling")
+    e.getMessage should include("outside [0,")
+    val neg = intercept[Exception] {
+      spark.sql("SELECT dense_lut_micro(array(struct(0, 1.0D)), -8)").collect()
+    }
+    neg.getMessage should include("outside [0,")
   }
 
   test("out-of-range positions are ignored; width 0 yields an empty array") {
