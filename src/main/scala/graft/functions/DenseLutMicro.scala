@@ -49,8 +49,11 @@ case class DenseLutMicro(left: Expression, right: Expression)
   /** Hard ceiling on the dense width. The in-contract widths are
     * m·256 ≤ 16384; the function is registered session-wide, and an
     * absurd width must fail LOUDLY here rather than as an executor-
-    * killing allocation (the PqAdcMicro input-hardening precedent). */
-  val MaxWidth: Int = 1 << 24
+    * killing allocation (the PqAdcMicro input-hardening precedent).
+    * 1<<16 = 4× the contract ceiling — headroom for a wider codebook,
+    * but a 512 KB LUT row is the largest this will ever hand an
+    * executor (the round-9 1<<24 bound still allowed 128 MB rows). */
+  val MaxWidth: Int = 1 << 16
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val pairs = a.asInstanceOf[ArrayData]

@@ -265,7 +265,13 @@ case class PqEncodeMicro(left: Expression, right: Expression)
   * subtraction in doubles), so the oracle CTEs are unchanged.
   *
   * A shift shorter than the vector leaves the tail unshifted
-  * (subtracting a missing element as 0); in contract both are d=64. */
+  * (subtracting a missing element as 0); in contract both are d=64.
+  * Divergences from raw zip_with are LOUD, not silent: a shift LONGER
+  * than the vector (zip_with would pad the vector side with nulls) and
+  * a NULL shift element (zip_with would yield a null residual element,
+  * which no encode can consume) both throw — a silently-dropped or
+  * garbage-encoded row would vanish from the index under an inner
+  * join, the silent-data-loss trap this codebase guards everywhere. */
 case class PqEncodeShiftMicro(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
 
@@ -299,9 +305,17 @@ case class PqEncodeShiftMicro(first: Expression, second: Expression, third: Expr
     core.decode(cbs)
     val n = emb.numElements()
     val ex = core.loadMicro(emb, n, embPreScaled)
-    val sn = math.min(n, shift.numElements())
+    val sn = shift.numElements()
+    require(sn <= n,
+      s"pq_encode_shift_micro: shift length $sn exceeds vector length $n " +
+        "(zip_with would null-pad the vector side; in contract both are d=64)")
     var i = 0
-    while (i < sn) { ex(i) -= shift.getDouble(i); i += 1 }
+    while (i < sn) {
+      require(!shift.isNullAt(i),
+        s"pq_encode_shift_micro: null shift element at $i " +
+          "(would silently encode garbage / drop the row from the index)")
+      ex(i) -= shift.getDouble(i); i += 1
+    }
     core.encode(ex, n)
   }
 

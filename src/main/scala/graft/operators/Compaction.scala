@@ -46,8 +46,10 @@ object Compaction {
     * partition pruning on the probe path is untouched) and the
     * within-partition sort (row-group stats stay selective). Content is
     * row-identical — the q240 oracle proves probe rankings byte-equal
-    * through the rewrite. `repartition(col(partitionCol))` gives one
-    * task per live partition value, so the output is one file per
+    * through the rewrite. `repartition(col(partitionCol))` hashes every
+    * row of a partition value into the SAME task (several values may
+    * share a task, and AQE may coalesce), so a partition value never
+    * splits across tasks and the output is at most one file per
     * partition directory regardless of how many ingest batches fed it. */
   def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
                          partitionCol: String, sortCol: String): Stats = {

@@ -39,8 +39,8 @@ object BoundedMemo {
   /** Get-or-build. Plain get/putIfAbsent rather than computeIfAbsent:
     * builds nest (a codebook build memo-reads the ranked sample), and
     * ConcurrentHashMap forbids reentrant computeIfAbsent. A racing
-    * duplicate build is harmless — both values are identical and one
-    * wins the publish. */
+    * duplicate build computes identical values; one wins the publish
+    * and the loser's pinned checkpoint blocks are released. */
   def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val app = s.sparkContext.applicationId
     // first access under a NEW application evicts the previous app's
@@ -60,7 +60,28 @@ object BoundedMemo {
     else {
       val built = build
       val prev = cache.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // the losing build's localCheckpoint pinned its own RDD blocks in
+        // executor storage; nothing will ever read them through the memo,
+        // so release them instead of leaking ≤2048-row blocks per race
+        // for the application lifetime. Guarded: only blocks the winner
+        // does NOT reference (a build that returns a caller-shared DF can
+        // surface the same plan from both racers).
+        if (built ne prev) unpersistLoser(built, prev)
+        prev
+      } else built
     }
   }
+
+  private def leafRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
+  private def unpersistLoser(loser: DataFrame, winner: DataFrame): Unit =
+    try {
+      val keep = leafRdds(winner).map(_.id).toSet
+      leafRdds(loser).filterNot(r => keep(r.id))
+        .foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () } // release is best-effort hygiene
 }

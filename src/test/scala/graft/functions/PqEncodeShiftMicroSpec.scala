@@ -51,4 +51,32 @@ class PqEncodeShiftMicroSpec extends AnyFunSuite with Matchers {
          |""".stripMargin).collect()(0)
     r.getStruct(0) shouldBe r.getStruct(1)
   }
+
+  test("out-of-contract shifts fail LOUDLY: null element, shift longer than vector") {
+    PqEncodeMicro.register(spark)
+    val nullEl = intercept[Exception] {
+      spark.sql(
+        s"""SELECT pq_encode_shift_micro(array(1250000D, -2000000D, 500000D, 490000D),
+           |  array(300000D, CAST(NULL AS DOUBLE), 0D, 250000D), $cbs)""".stripMargin).collect()
+    }
+    nullEl.getMessage should include("null shift element")
+    val longer = intercept[Exception] {
+      spark.sql(
+        s"""SELECT pq_encode_shift_micro(array(1250000D, -2000000D, 500000D, 490000D),
+           |  array(0D, 0D, 0D, 0D, 0D), $cbs)""".stripMargin).collect()
+    }
+    longer.getMessage should include("exceeds vector length")
+  }
+
+  test("shift shorter than the vector leaves the tail unshifted (documented contract)") {
+    PqEncodeMicro.register(spark)
+    val r = spark.sql(
+      s"""SELECT
+         |  pq_encode_shift_micro(array(1250000D, -2000000D, 500000D, 490000D),
+         |    array(300000D, -100000D), $cbs) AS short_shift,
+         |  pq_encode_shift_micro(array(1250000D, -2000000D, 500000D, 490000D),
+         |    array(300000D, -100000D, 0D, 0D), $cbs) AS zero_padded
+         |""".stripMargin).collect()(0)
+    r.getStruct(0) shouldBe r.getStruct(1)
+  }
 }
