@@ -131,7 +131,9 @@ object Coverage {
         "q238_embedding_pca", "q239_embedding_abtt")),
     Row("L16", "anisotropic demonstration corpus (deterministic low-rank generated data): residual encoding and whiten-then-quantize (ABTT→PQ) measured STRICTLY above their raw floors — the positive case the near-isotropic fixture hides, completing the diagnose→decide→transform→requantize loop",
       Seq("q242_aniso_pca", "q243_aniso_residual_lift",
-        "q244_aniso_pq_raw_recall", "q245_aniso_pq_abtt_recall"))
+        "q244_aniso_pq_raw_recall", "q245_aniso_pq_abtt_recall")),
+    Row("L17", "manifest-based atomic index visibility: every generation (base publish, each batch append, compaction swap) committed by one atomically-renamed manifest; probes plan from the manifest, never directory listing — a crash at ANY instant leaves readers on the old complete generation (ManifestSpec drives every failpoint); vacuum retires unreferenced files",
+      Seq("q249_ivfadc_manifest"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *     never observe a torn file) but not jointly atomic — a
   *     mid-commit crash exposes a PREFIX of the batch, and step 1 makes
   *     replay converge to exactly the full batch. A system needing
-  *     all-or-nothing visibility adds a manifest/transaction log (the
-  *     Delta/Iceberg layer this deliberately stops short of);
+  *     all-or-nothing visibility routes reads through a manifest —
+  *     [[IndexManifest]] IS that layer (q249): same staging+rename
+  *     discipline, plus one atomically-renamed manifest per generation
+  *     that readers plan from instead of directory listing;
   *  5. clean the staging dir.
   *
   * Scale notes: the batch shuffles once (repartition by cell) and only

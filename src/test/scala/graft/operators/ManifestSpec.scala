@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The manifest layer's whole point is what q249's oracle CANNOT see:
+  * crash-at-any-instant visibility. This spec drives every commit
+  * protocol through its worst failpoints —
+  *  - a crash mid data-file rename leaves readers on the OLD complete
+  *    generation (never a batch prefix — the exact hole
+  *    IndexIngest.scala:25-31 documents for directory-listing readers);
+  *  - a crash after all renames but before the manifest rename is
+  *    equally invisible;
+  *  - replay converges, and replay of a COMMITTED batch is a no-op
+  *    (exactly-once by manifest inspection);
+  *  - compaction's swap is the single manifest rename: pre-swap readers
+  *    see the old files, post-swap only the compacted ones, and vacuum
+  *    retires the rest without changing served rows;
+  *  - a half-written `.tmp` manifest is never served. */
+class ManifestSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/tmp/graft_llm/manifest_spec/index"
+
+  private def fsRoot = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Tiny deterministic index batch: n rows starting at id0, cells 0-3. */
+  private def batch(id0: Long, n: Int) = {
+    spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 7), j -> cast((id * 7 + j) % 256 as int)) AS codes",
+      "cast(id % 4 as int) AS cell")
+  }
+
+  private def served(): Seq[String] =
+    IndexManifest.read(spark, dir)
+      .select(col("vec_id"), col("codes").cast("string"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("vec_id"), col("codes").cast("string"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+
+  private def freshIndex(): Unit = {
+    val (fs, root) = fsRoot
+    fs.delete(root, true)
+    IndexManifest.publishBase(spark, batch(0, 40), dir)
+  }
+
+  test("publish + append + read: manifest serves exactly base ∪ batches") {
+    freshIndex()
+    served() shouldBe rowsOf(batch(0, 40))
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    val (fs, root) = fsRoot
+    IndexManifest.current(fs, root).get.gen shouldBe 2L
+  }
+
+  test("crash MID data-file rename: readers on the old generation, never a prefix; replay converges") {
+    freshIndex()
+    val before = served()
+    IndexManifest.interruptMidRename =
+      () => throw new RuntimeException("simulated crash mid-commit")
+    try {
+      intercept[RuntimeException] {
+        IndexManifest.appendBatch(spark, batch(200, 12), dir, "day1")
+      }
+    } finally IndexManifest.interruptMidRename = () => ()
+    // some ingest files ARE on disk (the rename prefix happened)...
+    val (fs, root) = fsRoot
+    val orphans = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(cd => fs.listStatus(cd.getPath))
+      .count(_.getPath.getName.startsWith("ingest-day1-"))
+    orphans should be >= 1
+    // ...but the manifest reader serves the old generation byte-identically
+    served() shouldBe before
+    IndexManifest.current(fs, root).get.gen shouldBe 1L
+    // replay converges to exactly-once
+    IndexManifest.appendBatch(spark, batch(200, 12), dir, "day1")
+    served() shouldBe rowsOf(batch(0, 40).union(batch(200, 12)))
+    // replay of the committed batch is a manifest-checked no-op
+    val gen = IndexManifest.current(fs, root).get.gen
+    IndexManifest.appendBatch(spark, batch(200, 12), dir, "day1")
+    IndexManifest.current(fs, root).get.gen shouldBe gen
+    served() shouldBe rowsOf(batch(0, 40).union(batch(200, 12)))
+  }
+
+  test("crash BEFORE the manifest rename (all data files in place): equally invisible") {
+    freshIndex()
+    val before = served()
+    IndexManifest.interruptBeforeManifest =
+      () => throw new RuntimeException("simulated crash pre-manifest")
+    try {
+      intercept[RuntimeException] {
+        IndexManifest.appendBatch(spark, batch(300, 8), dir, "day1")
+      }
+    } finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe before
+    IndexManifest.appendBatch(spark, batch(300, 8), dir, "day1")
+    served() shouldBe rowsOf(batch(0, 40).union(batch(300, 8)))
+  }
+
+  test("compaction: crash before swap invisible; swap atomic; vacuum retires old files without changing rows") {
+    freshIndex()
+    (0 to 2).foreach(b => IndexManifest.appendBatch(spark, batch(100L * (b + 1), 10), dir, s"day${b + 1}"))
+    val full = served()
+    val (fs, root) = fsRoot
+    def dataFiles(): Seq[String] = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(cd => fs.listStatus(cd.getPath).map(f => s"${cd.getPath.getName}/${f.getPath.getName}"))
+      .filterNot(f => f.split('/').last.startsWith(".") || f.split('/').last.startsWith("_"))
+      .sorted.toSeq
+    val preFiles = dataFiles()
+    // crash mid-compact: old generation still served
+    IndexManifest.interruptBeforeManifest =
+      () => throw new RuntimeException("simulated crash pre-swap")
+    try intercept[RuntimeException] { IndexManifest.compact(spark, dir, "vec_id") }
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe full
+    // completed compact: same rows, ONE file per cell, swap by manifest
+    IndexManifest.compact(spark, dir, "vec_id")
+    served() shouldBe full
+    val st = IndexManifest.current(fs, root).get
+    st.files.foreach(f => f.split('/').last should startWith(s"compact-${st.gen}-"))
+    st.files.groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
+    // pre-compaction files still on disk (old readers keep working)...
+    dataFiles().size should be > st.files.size
+    preFiles.toSet.subsetOf(dataFiles().toSet) shouldBe true
+    // ...until vacuum retires them; served rows unchanged
+    val deleted = IndexManifest.vacuum(spark, dir)
+    deleted should not be empty
+    dataFiles().sorted shouldBe st.files.sorted
+    served() shouldBe full
+    // the retained manifest is the current one only
+    fs.listStatus(new Path(root, "_manifests")).map(_.getPath.getName).toSeq shouldBe
+      Seq(f"manifest-${st.gen}%09d.json")
+  }
+
+  test("a half-written .tmp manifest is never served as current") {
+    freshIndex()
+    val (fs, root) = fsRoot
+    val g1 = IndexManifest.current(fs, root).get
+    val junk = fs.create(new Path(root, "_manifests/.manifest-000000099.json.tmp"), true)
+    junk.write("""{"generation":99,"files":["cell=0/bogus.parquet"""".getBytes("UTF-8"))
+    junk.close()
+    IndexManifest.current(fs, root).get shouldBe g1
+    served() shouldBe rowsOf(batch(0, 40))
+  }
+
+  test("paths round-trip the manifest encoding exactly (escape/unescape)") {
+    freshIndex()
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    // every listed file exists on disk under the root — no mangling
+    st.files.foreach { f => fs.exists(new Path(root, f)) shouldBe true }
+  }
+}
