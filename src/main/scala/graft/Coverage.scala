@@ -133,7 +133,9 @@ object Coverage {
       Seq("q242_aniso_pca", "q243_aniso_residual_lift",
         "q244_aniso_pq_raw_recall", "q245_aniso_pq_abtt_recall")),
     Row("L17", "manifest-based atomic index visibility: every generation (base publish, each batch append, compaction swap) committed by one atomically-renamed manifest; probes plan from the manifest, never directory listing — a crash at ANY instant leaves readers on the old complete generation (ManifestSpec drives every failpoint); vacuum retires unreferenced files",
-      Seq("q249_ivfadc_manifest"))
+      Seq("q249_ivfadc_manifest")),
+    Row("L18", "OPQ-style learned rotation (ABTT + masked-fit Householder eigen-alignment): the residual class subspace rotated into ONE PQ subspace and requantized — recall STRICTLY above the q245 ABTT floor on the aniso corpus (0.83→0.86), with the honest no-lift twin on the near-isotropic fixture and the projection-vs-rotation negative (iterated deflation, 0.82 < 0.83: removing the direction loses what reflecting it gains)",
+      Seq("q250_aniso_align_recall", "q251_fixture_align_recall", "q252_aniso_topr_recall"))
   )
 
   /** Keys in the registry not claimed by any §2 row — the beyond-survey

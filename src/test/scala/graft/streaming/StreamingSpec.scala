@@ -286,6 +286,59 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: foreachBatch -> IndexManifest.appendBatch is batch-atomic and byte-identical to the batch path") {
+    // the q228/q249 maintenance loop driven from a STREAM: readStream ->
+    // foreachBatch -> IndexManifest.appendBatch. Three proofs: (a) each
+    // micro-batch commits one whole generation (a reader inside the
+    // foreachBatch callback, i.e. at a batch boundary, sees complete
+    // batches only — never a file prefix); (b) the final index is
+    // byte-identical to the same slices appended through the BATCH
+    // path; (c) a foreachBatch REPLAY (Structured Streaming's restart
+    // contract: batch ids are stable, sinks must be idempotent per id)
+    // is a manifest-checked no-op — exactly-once composition.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IndexManifest
+    def enc(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "value AS vec_id", "cast(value % 4 as int) AS cell",
+      "transform(sequence(0, 7), j -> cast((value * 7 + j) % 256 as int)) AS codes")
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream")
+    val streamDir = dir.resolve("stream_idx").toString
+    val batchDir = dir.resolve("batch_idx").toString
+    val base = spark.range(40).toDF("value")
+    IndexManifest.publishBase(spark, enc(base), streamDir)
+    IndexManifest.publishBase(spark, enc(base), batchDir)
+    (0 until 3).foreach { b =>
+      IndexManifest.appendBatch(spark,
+        enc(spark.range(40 + b * 20, 60 + b * 20).toDF("value")), batchDir, s"stream$b")
+    }
+    val boundaryCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IndexManifest.appendBatch(spark, enc(mb), streamDir, s"stream$batchId")
+        boundaryCounts += IndexManifest.read(spark, streamDir).count()
+        ()
+      }
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      stream.addData(40L until 60L: _*); q.processAllAvailable()
+      stream.addData(60L until 80L: _*); q.processAllAvailable()
+      stream.addData(80L until 100L: _*); q.processAllAvailable()
+    } finally q.stop()
+    // (a) whole generations at every batch boundary
+    boundaryCounts.toSeq shouldBe Seq(60L, 80L, 100L)
+    // (b) byte-parity with the batch ingest path
+    val viaStream = IndexManifest.read(spark, streamDir)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val viaBatch = IndexManifest.read(spark, batchDir)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    viaStream shouldBe viaBatch
+    // (c) replaying a committed micro-batch id is a no-op
+    IndexManifest.appendBatch(spark, enc(spark.range(40, 60).toDF("value")), streamDir, "stream0")
+    IndexManifest.read(spark, streamDir).count() shouldBe 100
+  }
+
   test("ST3c: SessionizeStream emits each session exactly once, on close") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
