@@ -518,6 +518,95 @@ object AnnGen {
     (spark, duck)
   }
 
+  /** v9: HOUSEHOLDER REFLECTOR differential (the q250/q251 alignment
+    * pass's scalar arithmetic — sqrt-normalize, cancellation-free
+    * w = u + sign(u_t)·e_t, reflect, re-round). Spark runs the exact
+    * HOF-fold dialect [[graft.queries.VectorQuant]]'s householdStep
+    * emits (aggregate(zip_with…)); DuckDB the list_sum(list_transform…)
+    * mirror — the same dialect pair the graded chain relies on, here
+    * stressed per random (dim, target axis, direction class, corpus).
+    * Direction classes force every guard path: the ZERO direction
+    * (ww = 0 → identity), a pure NEGATIVE axis direction (s0 = −1 and
+    * u ∝ e_t — maximal cancellation risk the sign choice avoids), a
+    * negative-heavy ramp, and a general mixed direction. */
+  private def shapeHouseholder(r: Random): (String, String) = {
+    val dim = 2 + r.nextInt(7)
+    val t = r.nextInt(dim)
+    val n = 20 + r.nextInt(131)
+    val c = 1 + r.nextInt(8)
+    val a = r.nextInt(10)
+    val dv1 = 1 + r.nextInt(43)
+    val dmd = 7 + r.nextInt(60)
+    val vClass = r.nextInt(4)
+    def vexpr(i: String, kk: String): String =
+      s"${baseExpr(s"(($i) % $c)", kk, 1000L)} + ${jitterExpr(i, kk, a)}"
+    def dirExpr(kk: String): String = vClass match {
+      case 0 => "0"
+      case 1 => s"(CASE WHEN ($kk) = $t THEN -700000 ELSE 0 END)"
+      case 2 => s"-(((($kk) * $dv1 + 3) % $dmd) * 1000)"
+      case _ => s"(((($kk) * $dv1) % $dmd - ${dmd / 2}) * 1000)"
+    }
+    val spark =
+      s"""WITH corpus AS (
+         |  SELECT id AS vec_id,
+         |    transform(sequence(0, ${dim - 1}), k -> cast(${vexpr("id", "k")} as double)) AS em
+         |  FROM range($n)),
+         |dirv AS (SELECT transform(sequence(0, ${dim - 1}), k -> cast(${dirExpr("k")} as double)) AS va),
+         |hn AS (SELECT va,
+         |    sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (a, z) -> a + z)) AS nv
+         |  FROM dirv),
+         |hs AS (SELECT va, nv,
+         |    CASE WHEN nv = 0D THEN cast(0 as double)
+         |      ELSE CASE WHEN element_at(va, $t + 1) / nv >= 0D THEN 1.0D ELSE -1.0D END END AS s0
+         |  FROM hn),
+         |hw AS (SELECT nv, transform(sequence(0, ${dim - 1}), k ->
+         |    CASE WHEN nv = 0D THEN cast(0 as double)
+         |      ELSE element_at(va, k + 1) / nv + CASE WHEN k = $t THEN s0 ELSE cast(0 as double) END END) AS wa
+         |  FROM hs),
+         |hq AS (SELECT wa,
+         |    aggregate(zip_with(wa, wa, (x, y) -> x * y), 0D, (a, z) -> a + z) AS ww
+         |  FROM hw),
+         |rot AS (SELECT vec_id, transform(sequence(0, ${dim - 1}), k ->
+         |    cast(round(CASE WHEN ww = 0D THEN element_at(em, k + 1)
+         |      ELSE element_at(em, k + 1) - (2 * dw / ww) * element_at(wa, k + 1) END, 0) as bigint)) AS em
+         |  FROM (SELECT c.vec_id, c.em, h.wa, h.ww,
+         |          aggregate(zip_with(c.em, h.wa, (x, y) -> x * y), 0D, (a, z) -> a + z) AS dw
+         |        FROM corpus c CROSS JOIN hq h) z)
+         |SELECT vec_id, cast(pos as int) AS k, v
+         |FROM rot LATERAL VIEW posexplode(em) x AS pos, v
+         |ORDER BY vec_id, k""".stripMargin
+    val duck =
+      s"""WITH corpus AS (
+         |  SELECT i AS vec_id,
+         |    list_transform(range($dim), k -> CAST(${vexpr("i", "k")} AS DOUBLE)) AS em
+         |  FROM range($n) t(i)),
+         |dirv AS (SELECT list_transform(range($dim), k -> CAST(${dirExpr("k")} AS DOUBLE)) AS va),
+         |hn AS (SELECT va,
+         |    sqrt(list_sum(list_transform(range($dim), k -> va[k+1] * va[k+1]))) AS nv
+         |  FROM dirv),
+         |hs AS (SELECT va, nv,
+         |    CASE WHEN nv = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CASE WHEN va[$t+1] / nv >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END END AS s0
+         |  FROM hn),
+         |hw AS (SELECT nv, list_transform(range($dim), k ->
+         |    CASE WHEN nv = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE va[k+1] / nv + CASE WHEN k = $t THEN s0 ELSE CAST(0 AS DOUBLE) END END) AS wa
+         |  FROM hs),
+         |hq AS (SELECT wa,
+         |    list_sum(list_transform(range($dim), k -> wa[k+1] * wa[k+1])) AS ww
+         |  FROM hw),
+         |rot AS (SELECT vec_id, list_transform(range($dim), k ->
+         |    CAST(ROUND(CASE WHEN ww = 0 THEN em[k+1]
+         |      ELSE em[k+1] - (2 * dw / ww) * wa[k+1] END, 0) AS BIGINT)) AS em
+         |  FROM (SELECT c.vec_id, c.em, h.wa, h.ww,
+         |          list_sum(list_transform(range($dim), k -> c.em[k+1] * h.wa[k+1])) AS dw
+         |        FROM corpus c CROSS JOIN hq h) z)
+         |SELECT vec_id, CAST(u.k AS INT) AS k, em[u.k+1] AS v
+         |FROM rot, range($dim) u(k)
+         |ORDER BY vec_id, k""".stripMargin
+    (spark, duck)
+  }
+
   private val shapes: Seq[(String, Random => (String, String))] = Seq(
     "anntopk" -> shapeTopk _,
     "annassign" -> shapeAssign _,
@@ -534,7 +623,10 @@ object AnnGen {
       "anncov" -> shapeCovOuter _,
       "annshift" -> shapeShiftEncode _)
 
-  def nShapes: Int = shapesV8.size
+  private val shapesV9: Seq[(String, Random => (String, String))] =
+    shapesV8 :+ ("annhh" -> shapeHouseholder _)
+
+  def nShapes: Int = shapesV9.size
 
   /** FROZEN v6 corpus — graded picks (q230–q232) index into this; the
     * same never-change-a-frozen-generator rule as QueryGen.casesVN
@@ -571,6 +663,19 @@ object AnnGen {
       AnnCase(f"cz$i%03d_$shapeName", spark, duck)
     }
 
+  /** FROZEN v9 corpus (round 10): the v8 shapes plus the Householder
+    * reflector differential — the q250/q251 alignment arithmetic fuzzed
+    * per random (dim, axis, direction class) incl. the identity and
+    * sign guard paths. New seed stream (prefix d, multiplier 1000253)
+    * so v6/v7/v8 are untouched. */
+  def casesV9(seed: Long, n: Int): Seq[AnnCase] =
+    (0 until n).map { i =>
+      val (shapeName, gen) = shapesV9(i % shapesV9.size)
+      val r = new Random(seed * 1000253L + i)
+      val (spark, duck) = gen(r)
+      AnnCase(f"dz$i%03d_$shapeName", spark, duck)
+    }
+
   /** Current ANN grammar (campaign + AnnFuzzSpec default). */
-  def cases(seed: Long, n: Int): Seq[AnnCase] = casesV8(seed, n)
+  def cases(seed: Long, n: Int): Seq[AnnCase] = casesV9(seed, n)
 }

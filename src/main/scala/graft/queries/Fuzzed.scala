@@ -102,6 +102,20 @@ object Fuzzed extends QueryModule {
     "q247_fuzz_ann_cov"   -> 294,
     "q248_fuzz_ann_shift" -> 295)
 
+  private val corpusV9 = graft.fuzz.AnnGen.casesV9(42L, 300).toVector
+
+  /** v9 ANN shape (round 10): the q250/q251 Householder reflector
+    * arithmetic — sqrt-normalize, cancellation-free sign choice,
+    * reflect, re-round — as a dialect-pair differential per random
+    * (dim, target axis, direction class incl. the ww=0 identity and
+    * pure-negative-axis guard paths). Graded picks: a dim-8
+    * negative-ramp reflection (q253) and the pure-negative-axis sign
+    * path (q254). Campaign: 900 cases seeds 42/7 (sf0.001) +
+    * 123 (sf0.01), all green (FUZZ.md §v9). */
+  private val picksV9 = Seq(
+    "q253_fuzz_ann_householder"      -> 260,
+    "q254_fuzz_ann_householder_axis" -> 287)
+
   private def rows(cs: Vector[QueryGen.FuzzCase], ps: Seq[(String, Int)]): Seq[(String, Q)] =
     ps.map { case (key, i) =>
       val sql = cs(i).sql
@@ -126,5 +140,5 @@ object Fuzzed extends QueryModule {
   override def queries: Seq[(String, Q)] =
     rows(corpus, picks) ++ rows(corpusV3, picksV3) ++ rows(corpusV4, picksV4) ++
       rows(corpusV5, picksV5) ++ annRows(corpusV6, picksV6) ++ annRows(corpusV7, picksV7) ++
-      annRows(corpusV8, picksV8)
+      annRows(corpusV8, picksV8) ++ annRows(corpusV9, picksV9)
 }
