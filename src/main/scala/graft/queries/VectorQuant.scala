@@ -2490,8 +2490,26 @@ object VectorQuant extends QueryModule {
       // O(passes²) lineage and the fused projection stages blow up
       // whole-stage codegen (measured 141 s → ~8 s at the graded size).
       // n-row corpus pins, NOT BoundedMemo material: built per query.
-      (emt, t) => householdStep(s, keyBase, emt, t).localCheckpoint()
+      (emt, t) =>
+        val next = householdStep(s, keyBase, emt, t).localCheckpoint()
+        // pass t's fit memos and `next`'s pin have both materialized by
+        // now (localCheckpoint is eager), so nothing reads pass t-1's
+        // pinned blocks again — release them. Without this the fold
+        // holds kAlign corpus copies in executor storage at once (~9 GB
+        // at the ×1000 decade point); with it, peak is two passes.
+        unpersistCorpusPin(emt)
+        next
     }.selectExpr("vec_id", "transform(em, x -> cast(x as double)) AS em")
+
+  /** Release a corpus-pin DataFrame's localCheckpoint blocks (the
+    * BoundedMemo.unpersistLoser discipline; best-effort). Only ever
+    * called on pins THIS pipeline created — never on memoized
+    * relations. */
+  private def unpersistCorpusPin(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
 
   /** Oracle face of one [[householdStep]]: the mask CTE (t > 0), the
     * suffix-h$t pca chain on it, the reflector (hv→hq), and the
