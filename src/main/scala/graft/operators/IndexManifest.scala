@@ -32,8 +32,18 @@ import org.apache.spark.sql.functions._
   * manifest dir as data; zero-padded generation numbers make lexical
   * order = numeric order for the recovery scan.
   *
-  * Commit protocols (single logical writer — the maintenance job; the
-  * rename-if-absent doubles as a lost-race detector):
+  * Commit protocols (MULTI-WRITER safe via optimistic concurrency: the
+  * atomic rename-if-absent of `manifest-<gen>.json` is a compare-and-
+  * swap on the generation number — a loser re-reads current and
+  * retries; appends retry by UNION (their staged files are in no
+  * manifest yet, and a racing compaction read a snapshot without them,
+  * so union never double-counts), compactions retry by REDOING the
+  * rewrite (their stale snapshot is missing the racer's rows, so
+  * committing it would drop data — the asymmetry ManifestSpec's
+  * concurrent-writer tests pin). Time travel: manifests and data files
+  * are immutable, so [[readAt]] serves any retained generation
+  * byte-identically while current advances; [[vacuum]]'s `keepGens` is
+  * the retention window):
   *  - '''base publish''': write the partitioned dataset, then commit
   *    manifest 1 listing its files;
   *  - '''batch append''': stage under a dot-dir, rename the staged
@@ -133,10 +143,15 @@ object IndexManifest {
     sb.toString
   }
 
-  /** Atomic publish: write `.manifest-<gen>.json.tmp`, rename to the
-    * final name. Rename-over-existing fails on HDFS-like filesystems,
-    * so two racing writers cannot both believe they committed `gen`. */
-  private def writeManifest(fs: FileSystem, root: Path, gen: Long, files: Seq[String]): Unit = {
+  /** Atomic publish attempt: write `.manifest-<gen>.json.tmp`, rename
+    * to the final name. Returns false when generation `gen` was already
+    * committed by a CONCURRENT writer (the rename-if-absent CAS lost) —
+    * callers retry on top of the new current. Rename-over-existing
+    * fails on HDFS-like filesystems, so two racing writers cannot both
+    * believe they committed `gen`; object stores without atomic rename
+    * need a put-if-absent or an external lock here (the single seam the
+    * whole protocol concentrates its atomicity into). */
+  private def tryWriteManifest(fs: FileSystem, root: Path, gen: Long, files: Seq[String]): Boolean = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val tmp = new Path(md, s".${manifestName(gen)}.tmp")
@@ -147,9 +162,15 @@ object IndexManifest {
       out.write(json.getBytes("UTF-8"))
     } finally out.close()
     val target = new Path(md, manifestName(gen))
-    require(!fs.exists(target), s"manifest generation $gen already committed (concurrent writer?)")
-    require(fs.rename(tmp, target), s"manifest rename failed: $tmp -> $target")
+    if (fs.exists(target)) { fs.delete(tmp, false); return false }
+    val won = fs.rename(tmp, target)
+    if (!won) fs.delete(tmp, false)
+    won
   }
+
+  private def writeManifest(fs: FileSystem, root: Path, gen: Long, files: Seq[String]): Unit =
+    require(tryWriteManifest(fs, root, gen, files),
+      s"manifest generation $gen already committed (concurrent writer?)")
 
   /** Data files of `subdir` (recursive over cell dirs), as root-relative
     * paths, excluding hidden/metadata files. */
@@ -221,7 +242,25 @@ object IndexManifest {
           }
       }
     interruptBeforeManifest()
-    writeManifest(fs, root, st.gen + 1, st.files ++ added)
+    // OPTIMISTIC COMMIT: another writer (a racing append of a DIFFERENT
+    // batch, or a compaction) may take gen+1 between our staging and our
+    // manifest rename. Our data files are already renamed in under this
+    // batch's unique prefix and referenced by NO manifest, so losing the
+    // CAS is recoverable without touching data: re-read current, union
+    // our files onto ITS list, try the next generation. Correct against
+    // a racing COMPACTION too: the compactor read a generation WITHOUT
+    // this batch, so its output cannot contain these rows — the union
+    // never double-counts. Bounded attempts: livelock is a deployment
+    // bug worth failing loudly on, not spinning through.
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 16, s"append $batchId lost the manifest race $attempts times at $dir")
+      val cur = current(fs, root).getOrElse(sys.error(s"manifest disappeared at $dir"))
+      if (cur.files.exists(_.split('/').last.startsWith(prefix))) committed = true // a replay of THIS batch won
+      else committed = tryWriteManifest(fs, root, cur.gen + 1, cur.files ++ added)
+    }
     fs.delete(staging, true)
   }
 
@@ -229,7 +268,20 @@ object IndexManifest {
     * sorted file per cell and commit a manifest listing only those —
     * the copy-then-swap endpoint q240's directory flavor leaves
     * ungraded, here graded by the atomic manifest rename. */
-  def compact(spark: SparkSession, dir: String, sortCol: String): Unit = {
+  def compact(spark: SparkSession, dir: String, sortCol: String): Unit =
+    compactAttempt(spark, dir, sortCol, attemptsLeft = 4)
+
+  /** One optimistic compaction attempt. Unlike an append, a compaction
+    * that loses the manifest CAS cannot commit on top of the new
+    * current: the rewrite was a snapshot of a generation that no longer
+    * includes the racing writer's rows, so committing it would DROP
+    * them. Recovery: the freshly-renamed `compact-<gen>-…` files are
+    * referenced by no manifest (invisible) — delete them and redo the
+    * whole rewrite against the NEW current. Bounded retries: compaction
+    * is a periodic maintenance job; under sustained append pressure it
+    * should yield, not spin. */
+  private def compactAttempt(spark: SparkSession, dir: String, sortCol: String,
+      attemptsLeft: Int): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val st = current(fs, root).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
@@ -274,7 +326,15 @@ object IndexManifest {
           }
       }
     interruptBeforeManifest()
-    writeManifest(fs, root, gen, added.toSeq) // the swap: old files drop out of view here
+    // the swap: old files drop out of view at this ONE rename
+    if (!tryWriteManifest(fs, root, gen, added.toSeq)) {
+      added.foreach(rel => fs.delete(new Path(root, rel), false))
+      fs.delete(staging, true)
+      require(attemptsLeft > 1,
+        s"compaction lost the manifest race repeatedly at $dir — yielding to the writers")
+      compactAttempt(spark, dir, sortCol, attemptsLeft - 1)
+      return
+    }
     fs.delete(staging, true)
   }
 
@@ -290,22 +350,63 @@ object IndexManifest {
       .parquet(st.files.map(f => s"$dir/$f"): _*)
   }
 
-  /** Delete data files the CURRENT manifest does not reference, and
-    * manifests older than current. Returns deleted root-relative paths.
-    * Production runs this behind a retention window; see object doc. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  /** Committed generation numbers at `dir`, ascending — the time-travel
+    * catalog ([[readAt]] accepts any of them until [[vacuum]] retires
+    * it past the retention window). */
+  def generations(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("manifest-").stripSuffix(".json").toLong).toOption)
+      .sorted.toSeq
+  }
+
+  /** TIME TRAVEL: read generation `gen` exactly as it was committed —
+    * manifests are immutable and data files are never rewritten in
+    * place, so a pinned generation keeps serving byte-identical rows
+    * while appends/compactions advance current (and a long-running
+    * query that planned at gen N is undisturbed by anything that
+    * commits during it — the read-side half of the atomicity story).
+    * Fails loudly when `gen` was vacuumed past the retention window. */
+  def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new Path(manifestDir(root), manifestName(gen))
+    require(fs.exists(p), {
+      val avail = generations(spark, dir)
+      s"generation $gen not available at $dir (have: ${avail.mkString(",")}) — vacuumed past retention?"
+    })
+    val files = readFiles(fs, p)
+    require(files.nonEmpty, s"manifest gen $gen at $dir lists no files")
+    spark.read.option("basePath", dir)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Delete data files no RETAINED manifest references, and manifests
+    * older than the retention window (`keepGens` newest generations,
+    * default 1 = current only). Returns deleted root-relative paths.
+    * The window is a deployment knob balancing time-travel depth and
+    * long-running-reader safety against storage — not a correctness
+    * mechanism; correctness is the manifest rename. */
+  def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1): Seq[String] = {
+    require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
     val (fs, root) = fsOf(spark, dir)
     val st = current(fs, root).getOrElse(return Seq.empty)
-    val live = st.files.toSet
+    val retained = generations(spark, dir).takeRight(keepGens).toSet + st.gen
+    val md = manifestDir(root)
+    val live = retained.toSeq.flatMap(g =>
+      readFiles(fs, new Path(md, manifestName(g)))).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     listDataFiles(fs, root, root).filterNot(live).foreach { rel =>
       fs.delete(new Path(root, rel), false)
       deleted += rel
     }
-    val md = manifestDir(root)
     fs.listStatus(md).map(_.getPath).foreach { p =>
       val n = p.getName
-      val keep = n == manifestName(st.gen)
+      val keep = n.startsWith("manifest-") && n.endsWith(".json") &&
+        scala.util.Try(n.stripPrefix("manifest-").stripSuffix(".json").toLong)
+          .toOption.exists(retained)
       if (!keep && (n.startsWith("manifest-") || n.endsWith(".tmp"))) {
         fs.delete(p, false)
         deleted += s"_manifests/$n"

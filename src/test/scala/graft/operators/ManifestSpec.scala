@@ -160,4 +160,62 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     // every listed file exists on disk under the root — no mangling
     st.files.foreach { f => fs.exists(new Path(root, f)) shouldBe true }
   }
+
+  test("CONCURRENT WRITERS: an append that loses the manifest CAS retries on top of the winner — neither batch lost") {
+    freshIndex()
+    // a competing append commits in the window between this append's
+    // data-file renames and its manifest rename (the failpoint runs a
+    // REAL full append, then disarms — the worst-case interleaving,
+    // deterministically)
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.appendBatch(spark, batch(200, 8), dir, "racer")
+    }
+    try IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).union(batch(200, 8)))
+    val (fs, root) = fsRoot
+    // base=1, racer=2, day1's retried commit=3
+    IndexManifest.current(fs, root).get.gen shouldBe 3L
+  }
+
+  test("CONCURRENT WRITERS: a compaction that loses the CAS to an append redoes the rewrite — the racer's rows survive") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    // the racing append commits while the compactor is between its
+    // rewrite and its swap: committing the stale rewrite would DROP the
+    // racer's rows — the compactor must discard its output and redo
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.appendBatch(spark, batch(200, 8), dir, "racer")
+    }
+    try IndexManifest.compact(spark, dir, "vec_id")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).union(batch(200, 8)))
+    // and the redo really compacted: one data file per live cell
+    val (fs, root) = fsRoot
+    IndexManifest.current(fs, root).get.files
+      .groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
+  }
+
+  test("TIME TRAVEL: readAt serves each committed generation byte-identically while current advances; vacuum honors retention") {
+    freshIndex()                                            // gen 1: base
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1") // gen 2
+    IndexManifest.compact(spark, dir, "vec_id")             // gen 3: swap
+    IndexManifest.generations(spark, dir) shouldBe Seq(1L, 2L, 3L)
+    rowsOf(IndexManifest.readAt(spark, dir, 1)) shouldBe rowsOf(batch(0, 40))
+    rowsOf(IndexManifest.readAt(spark, dir, 2)) shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    rowsOf(IndexManifest.readAt(spark, dir, 3)) shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // retention 2: gen 1 retires; gen 2 keeps serving its ORIGINAL
+    // (pre-compaction) files even though gen 3 no longer lists them
+    IndexManifest.vacuum(spark, dir, keepGens = 2)
+    IndexManifest.generations(spark, dir) shouldBe Seq(2L, 3L)
+    an[Exception] should be thrownBy IndexManifest.readAt(spark, dir, 1)
+    rowsOf(IndexManifest.readAt(spark, dir, 2)) shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // retention 1 (the default): only current survives, rows unchanged
+    IndexManifest.vacuum(spark, dir)
+    IndexManifest.generations(spark, dir) shouldBe Seq(3L)
+    an[Exception] should be thrownBy IndexManifest.readAt(spark, dir, 2)
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+  }
 }
