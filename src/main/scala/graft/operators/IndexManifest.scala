@@ -82,7 +82,12 @@ object IndexManifest {
   @volatile var interruptMidRename: () => Unit = () => ()     // after the FIRST data-file rename
   @volatile var interruptBeforeManifest: () => Unit = () => () // all data files in place, manifest not yet committed
 
-  final case class State(gen: Long, files: Seq[String])
+  /** One committed generation: its data files AND the ledger of every
+    * batchId ever appended (carried forward by compactions), so replay
+    * idempotence survives a compaction rewriting the batch's files away
+    * — a replay checked against FILE NAMES would re-append a batch the
+    * compacted current no longer names, double-counting every row. */
+  final case class State(gen: Long, files: Seq[String], batches: Seq[String])
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
 
@@ -105,14 +110,15 @@ object IndexManifest {
     if (gens.isEmpty) None
     else {
       val g = gens.max
-      Some(State(g, readFiles(fs, new Path(md, manifestName(g)))))
+      Some(readState(fs, new Path(md, manifestName(g)), g))
     }
   }
 
-  /** Manifest JSON is written by [[writeManifest]] with every path
-    * `%`-escaped into the `[A-Za-z0-9_.=/%-]` alphabet, so extracting
-    * the quoted strings needs no general JSON parser. */
-  private def readFiles(fs: FileSystem, p: Path): Seq[String] = {
+  /** Manifest JSON is written by [[tryWriteManifest]] with every path
+    * `%`-escaped into the `[A-Za-z0-9_.=/%-]` alphabet and batch ids
+    * already `[A-Za-z0-9_]`-clean, so extracting the quoted strings
+    * needs no general JSON parser. */
+  private def readState(fs: FileSystem, p: Path, gen: Long): State = {
     val in = fs.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -122,10 +128,19 @@ object IndexManifest {
       buf.toByteArray
     } finally in.close()
     val s = new String(bytes, "UTF-8")
-    val body = s.substring(s.indexOf("\"files\":[") + 9, s.lastIndexOf(']'))
-    body.split(',').toSeq.map(_.trim).filter(_.length >= 2)
-      .map(q => unescape(q.substring(1, q.length - 1)))
+    def arr(tag: String): Seq[String] = {
+      val at = s.indexOf(s""""$tag":[""")
+      if (at < 0) return Seq.empty
+      val start = at + tag.length + 4
+      val body = s.substring(start, s.indexOf(']', start))
+      body.split(',').toSeq.map(_.trim).filter(_.length >= 2)
+        .map(q => unescape(q.substring(1, q.length - 1)))
+    }
+    State(gen, arr("files"), arr("batches"))
   }
+
+  private def readFiles(fs: FileSystem, p: Path): Seq[String] =
+    readState(fs, p, 0L).files
 
   private def escape(path: String): String =
     path.flatMap { c =>
@@ -143,38 +158,58 @@ object IndexManifest {
     sb.toString
   }
 
-  /** Atomic publish attempt: write `.manifest-<gen>.json.tmp`, rename
-    * to the final name. Returns false when generation `gen` was already
-    * committed by a CONCURRENT writer (the rename-if-absent CAS lost) —
-    * callers retry on top of the new current. Rename-over-existing
-    * fails on HDFS-like filesystems, so two racing writers cannot both
-    * believe they committed `gen`; object stores without atomic rename
-    * need a put-if-absent or an external lock here (the single seam the
-    * whole protocol concentrates its atomicity into). */
-  private def tryWriteManifest(fs: FileSystem, root: Path, gen: Long, files: Seq[String]): Boolean = {
+  /** Atomic publish attempt: write `.manifest-<gen>.json.tmp`, then
+    * publish-if-absent to the final name. Returns false when generation
+    * `gen` was already committed by a CONCURRENT writer (the CAS lost)
+    * — callers retry on top of the new current. This is the single seam
+    * the whole protocol concentrates its atomicity into, and it needs a
+    * REAL create-if-absent primitive per filesystem:
+    *  - HDFS-like: `rename` fails when the destination exists — atomic;
+    *  - LOCAL (file://): Hadoop's rename bottoms out in POSIX rename(2),
+    *    which silently REPLACES an existing destination — two racers
+    *    would both "win" and one manifest would be lost. Use
+    *    `link(2)` instead (Files.createLink), which fails with
+    *    FileAlreadyExistsException atomically iff the target exists;
+    *  - object stores without either need a put-if-absent or an
+    *    external lock here. */
+  private def tryWriteManifest(fs: FileSystem, root: Path, gen: Long,
+      files: Seq[String], batches: Seq[String]): Boolean = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val tmp = new Path(md, s".${manifestName(gen)}.tmp")
     val out = fs.create(tmp, true)
     try {
-      val json = s"""{"generation":$gen,"files":[""" +
+      val json = s"""{"generation":$gen,"batches":[""" +
+        batches.sorted.map(b => "\"" + b + "\"").mkString(",") +
+        s"""],"files":[""" +
         files.sorted.map(f => "\"" + escape(f) + "\"").mkString(",") + "]}"
       out.write(json.getBytes("UTF-8"))
     } finally out.close()
     val target = new Path(md, manifestName(gen))
     if (fs.exists(target)) { fs.delete(tmp, false); return false }
-    val won = fs.rename(tmp, target)
-    if (!won) fs.delete(tmp, false)
+    val won =
+      if ("file" == fs.getUri.getScheme)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else fs.rename(tmp, target)
+    fs.delete(tmp, false) // hard-linked (or lost): the tmp name retires either way
     won
   }
 
-  private def writeManifest(fs: FileSystem, root: Path, gen: Long, files: Seq[String]): Unit =
-    require(tryWriteManifest(fs, root, gen, files),
+  private def writeManifest(fs: FileSystem, root: Path, gen: Long,
+      files: Seq[String], batches: Seq[String]): Unit =
+    require(tryWriteManifest(fs, root, gen, files, batches),
       s"manifest generation $gen already committed (concurrent writer?)")
 
   /** Data files of `subdir` (recursive over cell dirs), as root-relative
     * paths, excluding hidden/metadata files. */
-  private def listDataFiles(fs: FileSystem, root: Path, sub: Path): Seq[String] = {
+  private def listDataFiles(fs: FileSystem, sub: Path): Seq[String] = {
     fs.listStatus(sub)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .flatMap { cd =>
@@ -187,39 +222,22 @@ object IndexManifest {
       }.toSeq
   }
 
-  /** Generation-1 publish of the base corpus: one partitioned write +
-    * manifest 1. `enc` must carry the partition column `cell`. */
-  def publishBase(spark: SparkSession, enc: DataFrame, dir: String): Unit = {
-    val (fs, root) = fsOf(spark, dir)
-    require(current(fs, root).isEmpty, s"index at $dir already has a manifest")
-    enc.repartition(col("cell")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    writeManifest(fs, root, 1L, listDataFiles(fs, root, root))
-  }
+  /** Per-attempt uniqueness token for staged file names. Two writers —
+    * or a zombie and its replacement replaying the SAME batch — can
+    * never collide on a file name, so neither protocol ever deletes
+    * files it did not itself stage (the prefix-scoped "orphan recovery"
+    * this replaces could destroy a LIVE concurrent writer's renamed-in
+    * files). Crashed attempts' files are invisible (in no manifest) and
+    * are collected by [[vacuum]] behind its grace window. */
+  private def newToken(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
-  /** Two-phase batch append with manifest commit. Crash-safe at every
-    * instant; replay of a committed batchId is a manifest-checked no-op. */
-  def appendBatch(spark: SparkSession, enc: DataFrame, dir: String, batchId: String): Unit = {
-    // same alphabet rule as IndexIngest: '-' is the file-name delimiter,
-    // so it must stay out of the batchId for the prefix scans below
-    require(batchId.matches("[A-Za-z0-9_]+"), s"unsafe batchId: $batchId")
-    val (fs, root) = fsOf(spark, dir)
-    val st = current(fs, root).getOrElse(
-      sys.error(s"no manifest at $dir — publishBase first"))
-    val prefix = s"ingest-$batchId-"
-    if (st.files.exists(_.split('/').last.startsWith(prefix))) return // committed: no-op
-    // recovery: delete orphans a crashed commit of THIS batch left
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { cd =>
-        fs.listStatus(cd.getPath)
-          .filter(_.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-      }
-    val staging = new Path(root, s".staging-$batchId")
-    fs.delete(staging, true)
-    enc.repartition(col("cell")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+  /** Rename `staging`'s cell-partitioned data files into the live cell
+    * dirs under `prefix`; returns the root-relative names renamed in.
+    * Shared by append and compaction (byte-identical protocol, only the
+    * prefix differs). */
+  private def renameStagedIn(fs: FileSystem, root: Path, staging: Path,
+      prefix: String): Seq[String] = {
     var renamed = 0
     val added = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(staging)
@@ -234,32 +252,67 @@ object IndexManifest {
           }
           .foreach { f =>
             val to = new Path(dest, s"$prefix${f.getPath.getName}")
-            fs.delete(to, false)
             require(fs.rename(f.getPath, to), s"rename failed: ${f.getPath} -> $to")
             added += s"${cellDir.getPath.getName}/${to.getName}"
             renamed += 1
             if (renamed == 1) interruptMidRename()
           }
       }
+    added.toSeq
+  }
+
+  /** Generation-1 publish of the base corpus: one partitioned write +
+    * manifest 1. `enc` must carry the partition column `cell`. */
+  def publishBase(spark: SparkSession, enc: DataFrame, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    require(current(fs, root).isEmpty, s"index at $dir already has a manifest")
+    enc.repartition(col("cell")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    writeManifest(fs, root, 1L, listDataFiles(fs, root), Seq.empty)
+  }
+
+  /** Two-phase batch append with manifest commit. Crash-safe at every
+    * instant; replay of a committed batchId is a no-op checked against
+    * the manifest's BATCH LEDGER — which compactions carry forward, so
+    * idempotence survives the batch's files being rewritten away (a
+    * file-name check would re-append after a compaction and serve every
+    * row of the batch twice). */
+  def appendBatch(spark: SparkSession, enc: DataFrame, dir: String, batchId: String): Unit = {
+    // '-' delimits the name components, so it stays out of the batchId
+    require(batchId.matches("[A-Za-z0-9_]+"), s"unsafe batchId: $batchId")
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    if (st.batches.contains(batchId)) return // committed: no-op
+    val token = newToken()
+    val staging = new Path(root, s".staging-$batchId-$token")
+    enc.repartition(col("cell")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val added = renameStagedIn(fs, root, staging, s"ingest-$batchId-$token-")
     interruptBeforeManifest()
     // OPTIMISTIC COMMIT: another writer (a racing append of a DIFFERENT
     // batch, or a compaction) may take gen+1 between our staging and our
-    // manifest rename. Our data files are already renamed in under this
-    // batch's unique prefix and referenced by NO manifest, so losing the
-    // CAS is recoverable without touching data: re-read current, union
-    // our files onto ITS list, try the next generation. Correct against
-    // a racing COMPACTION too: the compactor read a generation WITHOUT
-    // this batch, so its output cannot contain these rows — the union
-    // never double-counts. Bounded attempts: livelock is a deployment
-    // bug worth failing loudly on, not spinning through.
+    // manifest publish. Our data files are renamed in under this
+    // attempt's unique token and referenced by NO manifest, so losing
+    // the CAS is recoverable without touching data: re-read current,
+    // union our files onto ITS list, try the next generation. Correct
+    // against a racing COMPACTION too: the compactor read a generation
+    // WITHOUT this batch, so its output cannot contain these rows — the
+    // union never double-counts. If a REPLAY of this very batch won
+    // meanwhile, our files are duplicates: token-scoped, ours alone —
+    // delete them and bow out. Bounded attempts: livelock is a
+    // deployment bug worth failing loudly on, not spinning through.
     var attempts = 0
     var committed = false
     while (!committed) {
       attempts += 1
       require(attempts <= 16, s"append $batchId lost the manifest race $attempts times at $dir")
       val cur = current(fs, root).getOrElse(sys.error(s"manifest disappeared at $dir"))
-      if (cur.files.exists(_.split('/').last.startsWith(prefix))) committed = true // a replay of THIS batch won
-      else committed = tryWriteManifest(fs, root, cur.gen + 1, cur.files ++ added)
+      if (cur.batches.contains(batchId)) {
+        added.foreach(rel => fs.delete(new Path(root, rel), false))
+        committed = true
+      } else committed = tryWriteManifest(fs, root, cur.gen + 1,
+        cur.files ++ added, cur.batches :+ batchId)
     }
     fs.delete(staging, true)
   }
@@ -286,48 +339,22 @@ object IndexManifest {
     val st = current(fs, root).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
     val gen = st.gen + 1
-    val prefix = s"compact-$gen-"
-    // recovery: a crashed compact toward THIS generation left orphans
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { cd =>
-        fs.listStatus(cd.getPath)
-          .filter(_.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-      }
-    val staging = new Path(root, s".compact-$gen")
-    fs.delete(staging, true)
+    val token = newToken()
+    val staging = new Path(root, s".compact-$gen-$token")
     // one task per hash bucket of cell values ⇒ a cell never splits;
     // two-key sort so within-cell order is unconditional (the
     // Compaction.compactPartitioned discipline)
-    read(spark, dir)
+    readAt(spark, dir, st.gen)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col(sortCol))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-    var renamed = 0
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(staging)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { cellDir =>
-        val dest = new Path(root, cellDir.getPath.getName)
-        fs.mkdirs(dest)
-        fs.listStatus(cellDir.getPath)
-          .filter { f =>
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-          .foreach { f =>
-            val to = new Path(dest, s"$prefix${f.getPath.getName}")
-            fs.delete(to, false)
-            require(fs.rename(f.getPath, to), s"rename failed: ${f.getPath} -> $to")
-            added += s"${cellDir.getPath.getName}/${to.getName}"
-            renamed += 1
-            if (renamed == 1) interruptMidRename()
-          }
-      }
+    val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-")
     interruptBeforeManifest()
-    // the swap: old files drop out of view at this ONE rename
-    if (!tryWriteManifest(fs, root, gen, added.toSeq)) {
+    // the swap: old files drop out of view at this ONE publish. The
+    // batch ledger is CARRIED FORWARD — the compacted files contain
+    // every committed batch's rows, and replay idempotence must survive
+    // the batch's own files disappearing from the listing.
+    if (!tryWriteManifest(fs, root, gen, added, st.batches)) {
       added.foreach(rel => fs.delete(new Path(root, rel), false))
       fs.delete(staging, true)
       require(attemptsLeft > 1,
@@ -383,13 +410,23 @@ object IndexManifest {
       .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
-  /** Delete data files no RETAINED manifest references, and manifests
-    * older than the retention window (`keepGens` newest generations,
-    * default 1 = current only). Returns deleted root-relative paths.
-    * The window is a deployment knob balancing time-travel depth and
-    * long-running-reader safety against storage — not a correctness
-    * mechanism; correctness is the manifest rename. */
-  def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1): Seq[String] = {
+  /** Delete data files no RETAINED manifest references, manifests older
+    * than the retention window (`keepGens` newest generations, default
+    * 1 = current only), and crashed attempts' staging dirs. Returns
+    * deleted root-relative paths.
+    *
+    * `graceMs`: an unreferenced file YOUNGER than this is skipped — it
+    * may belong to an IN-FLIGHT writer that has renamed its files in
+    * but not yet won the manifest CAS (deleting them would let that
+    * writer commit a manifest pointing at nothing). Run vacuum
+    * concurrently with writers ONLY with graceMs above the longest
+    * staging→commit window (the standard object-store retention
+    * discipline); the default 0 is for exclusive maintenance windows.
+    * Retention is a deployment knob balancing time-travel depth,
+    * long-running-reader safety, and storage — not a correctness
+    * mechanism; correctness is the manifest publish. */
+  def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1,
+      graceMs: Long = 0L): Seq[String] = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
     val (fs, root) = fsOf(spark, dir)
     val st = current(fs, root).getOrElse(return Seq.empty)
@@ -397,19 +434,32 @@ object IndexManifest {
     val md = manifestDir(root)
     val live = retained.toSeq.flatMap(g =>
       readFiles(fs, new Path(md, manifestName(g)))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    listDataFiles(fs, root, root).filterNot(live).foreach { rel =>
-      fs.delete(new Path(root, rel), false)
-      deleted += rel
+    listDataFiles(fs, root).filterNot(live).foreach { rel =>
+      val p = new Path(root, rel)
+      if (fs.getFileStatus(p).getModificationTime < cutoff) {
+        fs.delete(p, false)
+        deleted += rel
+      }
     }
+    // crashed attempts' staging dirs (nothing pre-deletes them anymore —
+    // a live writer's staging must never be touched by another protocol)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(".staging-") || s.getPath.getName.startsWith(".compact-")) &&
+        s.getModificationTime < cutoff)
+      .foreach { s => fs.delete(s.getPath, true); deleted += s.getPath.getName }
     fs.listStatus(md).map(_.getPath).foreach { p =>
       val n = p.getName
       val keep = n.startsWith("manifest-") && n.endsWith(".json") &&
         scala.util.Try(n.stripPrefix("manifest-").stripSuffix(".json").toLong)
           .toOption.exists(retained)
       if (!keep && (n.startsWith("manifest-") || n.endsWith(".tmp"))) {
-        fs.delete(p, false)
-        deleted += s"_manifests/$n"
+        if (fs.getFileStatus(p).getModificationTime < cutoff) {
+          fs.delete(p, false)
+          deleted += s"_manifests/$n"
+        }
       }
     }
     deleted.toSeq

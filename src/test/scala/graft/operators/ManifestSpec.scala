@@ -198,6 +198,37 @@ class ManifestSpec extends AnyFunSuite with Matchers {
       .groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
   }
 
+  test("REPLAY AFTER COMPACTION: the batch ledger keeps a replayed committed batch a no-op even after its files were rewritten away") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1") // gen 2
+    IndexManifest.compact(spark, dir, "vec_id")                   // gen 3: day1's FILES no longer listed
+    // a streaming restart / retried job replays the committed batch —
+    // a file-name idempotence check would re-append here (the compacted
+    // current lists no ingest-day1-* names) and serve every row twice
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    val (fs, root) = fsRoot
+    IndexManifest.current(fs, root).get.gen shouldBe 3L
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // and the replay did not "recover away" generation 2's files
+    rowsOf(IndexManifest.readAt(spark, dir, 2)) shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+  }
+
+  test("VACUUM GRACE WINDOW: an unreferenced YOUNG file (an in-flight writer's renamed-in data) is spared; an exclusive-window vacuum collects it") {
+    freshIndex()
+    val (fs, root) = fsRoot
+    // simulate a writer that renamed its files into a cell dir but has
+    // not yet won the manifest CAS — referenced by no manifest, but live
+    val inflight = new Path(root, "cell=0/ingest-pending-deadbeef0000-part-0.parquet")
+    val out = fs.create(inflight, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    IndexManifest.vacuum(spark, dir, keepGens = 1, graceMs = 600000L)
+    fs.exists(inflight) shouldBe true // young ⇒ may be in-flight ⇒ spared
+    served() shouldBe rowsOf(batch(0, 40))
+    IndexManifest.vacuum(spark, dir) // grace 0 = exclusive maintenance window
+    fs.exists(inflight) shouldBe false
+    served() shouldBe rowsOf(batch(0, 40))
+  }
+
   test("TIME TRAVEL: readAt serves each committed generation byte-identically while current advances; vacuum honors retention") {
     freshIndex()                                            // gen 1: base
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1") // gen 2
