@@ -10,30 +10,63 @@ import org.apache.spark.sql.functions._
   * but a mid-commit crash exposes a batch PREFIX to directory-listing
   * readers). Here readers never list directories: every generation of
   * the index is described by ONE manifest file listing exactly its data
-  * files, manifests are published by atomic temp+rename, and a reader
-  * binds to the highest complete manifest — so any crash, at any
-  * instant, leaves readers on the OLD complete generation. This is the
-  * minimal core of what a production table format (a transaction log)
-  * provides, built from the same two primitives every one of them
-  * bottoms out in: immutable data files + an atomically-renamed
+  * files, manifests are published by atomic temp+publish-if-absent, and
+  * a reader binds to the highest complete manifest — so any crash, at
+  * any instant, leaves readers on the OLD complete generation. This is
+  * the minimal core of what a production table format (a transaction
+  * log) provides, built from the same two primitives every one of them
+  * bottoms out in: immutable data files + an atomically-published
   * pointer.
   *
   * Layout under the index root:
   * {{{
   *   cell=K/                      hive partition dirs (immutable data files)
   *     part-*.parquet             generation-1 base publish
-  *     ingest-<batchId>-*.parquet batch appends
-  *     compact-<gen>-*.parquet    compaction rewrites
+  *     ingest-<batchId>-<token>-* batch appends (token = per-ATTEMPT nonce)
+  *     compact-<gen>-<token>-*    compaction rewrites
   *   _manifests/
-  *     manifest-000000001.json    {"generation":1,"files":["cell=0/part-...", ...]}
+  *     manifest-000000001.json    checksummed v2 manifest (format below)
   *     manifest-000000002.json    ...
   * }}}
   * The `_` prefix keeps Spark's own file index from ever treating the
   * manifest dir as data; zero-padded generation numbers make lexical
   * order = numeric order for the recovery scan.
   *
+  * '''Manifest format (version 2)''' — a content checksum wraps a
+  * versioned body, so a torn write on a filesystem outside the
+  * documented atomicity contract, or a future schema change, fails
+  * LOUDLY at read time instead of silently parsing to garbage:
+  * {{{
+  *   {"checksum":"<crc32-hex-of-body>","body":{"version":2,"generation":G,
+  *    "batches":["<writer>:<maxVersion>", ...],
+  *    "files":[["<escaped path>",<rows>,<minVecId>,<maxVecId>], ...]}}
+  * }}}
+  * Each file entry carries '''zone-map stats''' (row count and min/max
+  * of `vec_id`, read once from the parquet footer at commit time — no
+  * data scan): files are written sorted by `vec_id` within each cell
+  * ([[publishBase]]/[[appendBatch]]/[[compact]] all enforce it), so the
+  * ranges are tight and [[readRange]] can skip, at PLANNING time and
+  * without opening a single footer, every file whose range cannot
+  * intersect the probe — the planning rung between "a manifest" and "a
+  * table format". Version-1 manifests (flat path strings, no checksum)
+  * are still read: their entries carry no stats (conservatively never
+  * skipped) and replay falls back to the file-name scan below.
+  *
+  * '''Batch ledger = per-writer watermarks.''' `batches` entries are
+  * `writer:maxVersion` pairs, not an ever-growing id list: a batchId of
+  * the form `<writer>_<digits>` is split into (writer, version), any
+  * other id is (id, 0). A batch is committed iff its version is ≤ its
+  * writer's watermark — the standard streaming-transaction contract
+  * (each writer commits monotonically increasing versions; a replayed
+  * or out-of-order ≤-watermark version is a no-op). A structured-id
+  * writer (e.g. a foreachBatch sink using `<appId>_<batchVersion>`)
+  * therefore costs ONE ledger entry no matter how many batches it
+  * commits, and the manifest stays O(writers + files) forever instead
+  * of O(total-batches). Compactions carry the ledger forward, so replay
+  * idempotence survives a batch's files being rewritten away.
+  *
   * Commit protocols (MULTI-WRITER safe via optimistic concurrency: the
-  * atomic rename-if-absent of `manifest-<gen>.json` is a compare-and-
+  * atomic publish-if-absent of `manifest-<gen>.json` is a compare-and-
   * swap on the generation number — a loser re-reads current and
   * retries; appends retry by UNION (their staged files are in no
   * manifest yet, and a racing compaction read a snapshot without them,
@@ -47,33 +80,40 @@ import org.apache.spark.sql.functions._
   *  - '''base publish''': write the partitioned dataset, then commit
   *    manifest 1 listing its files;
   *  - '''batch append''': stage under a dot-dir, rename the staged
-  *    files into live cell dirs (names `ingest-<batchId>-…`, exactly
-  *    the [[IndexIngest]] discipline), then commit gen+1 = old files ∪
-  *    new files. A crash ANYWHERE before the manifest rename leaves
+  *    files into live cell dirs (names `ingest-<batchId>-<token>-…`,
+  *    token = this attempt's nonce), then commit gen+1 = old files ∪
+  *    new files. A crash ANYWHERE before the manifest publish leaves
   *    orphan data files that no manifest references — invisible.
-  *    Replay: if the CURRENT manifest already carries this batchId, the
-  *    batch committed — no-op (exactly-once by manifest inspection,
-  *    strictly stronger than IndexIngest's delete-and-redo); otherwise
-  *    orphans with the batch prefix are deleted and the append redone;
+  *    Replay: if the batch is ≤ its writer's ledger watermark the
+  *    append committed — no-op (exactly-once by manifest inspection);
+  *    otherwise the append simply runs again under a FRESH token. The
+  *    crashed attempt's orphans are never touched by the replay (they
+  *    are token-scoped to the dead attempt; deleting by batch prefix
+  *    could destroy a LIVE concurrent attempt's renamed-in files) —
+  *    they stay invisible until [[vacuum]] collects them behind its
+  *    grace window;
   *  - '''compaction''': read the CURRENT generation (via manifest),
   *    rewrite one sorted file per cell, rename them in as
-  *    `compact-<gen>-…`, then commit a manifest listing ONLY the
-  *    compacted files — the swap endpoint is the one manifest rename,
-  *    and the pre-compaction files stay on disk (still serving any
-  *    reader bound to the old generation) until [[vacuum]];
-  *  - '''vacuum''': delete data files no CURRENT manifest references
-  *    and manifests older than current. In production this runs behind
-  *    a retention window (readers may hold old generations for the
-  *    duration of a query); the window is a deployment knob, not a
-  *    correctness mechanism — correctness is the manifest rename.
+  *    `compact-<gen>-<token>-…`, then commit a manifest listing ONLY
+  *    the compacted files — the swap endpoint is the one manifest
+  *    publish, and the pre-compaction files stay on disk (still serving
+  *    any reader bound to the old generation) until [[vacuum]];
+  *  - '''vacuum''': delete data files no RETAINED manifest references
+  *    and manifests older than the retention window. In production this
+  *    runs behind a grace window (readers may hold old generations for
+  *    the duration of a query; in-flight writers hold renamed-in files
+  *    until their CAS); the window is a deployment knob, not a
+  *    correctness mechanism — correctness is the manifest publish.
   *
-  * Scale notes: a manifest lists file PATHS, not rows — at 100 TB with
-  * scan-sized files that is O(100k) short strings, one small object
-  * read per query planning, replacing the O(files) recursive LIST that
-  * dominates object-store planning latency. Appends stay O(batch),
-  * compaction O(partition), and the probe path reads the same
-  * hive-partitioned layout (partition inference via basePath), so
-  * cell pruning is unchanged.
+  * Scale notes: a manifest lists file entries, not rows — at 100 TB
+  * with scan-sized files that is O(100k) short entries, one small
+  * object read per query planning, replacing the O(files) recursive
+  * LIST that dominates object-store planning latency (measured:
+  * BASELINE.md's 100k-file planning row, [[graft.ManifestPlanBench]]).
+  * Appends stay O(batch), compaction O(partition), and the probe path
+  * reads the same hive-partitioned layout (partition inference via
+  * basePath), so cell pruning is unchanged — zone maps add the
+  * within-cell file-skipping dimension on top.
   */
 object IndexManifest {
 
@@ -82,12 +122,52 @@ object IndexManifest {
   @volatile var interruptMidRename: () => Unit = () => ()     // after the FIRST data-file rename
   @volatile var interruptBeforeManifest: () => Unit = () => () // all data files in place, manifest not yet committed
 
-  /** One committed generation: its data files AND the ledger of every
-    * batchId ever appended (carried forward by compactions), so replay
-    * idempotence survives a compaction rewriting the batch's files away
-    * — a replay checked against FILE NAMES would re-append a batch the
-    * compacted current no longer names, double-counting every row. */
-  final case class State(gen: Long, files: Seq[String], batches: Seq[String])
+  /** One committed data file with its zone-map stats. `rows < 0` or an
+    * empty range marks a stats-less entry (a version-1 manifest):
+    * [[overlaps]] keeps it conservatively for every probe. */
+  final case class FileEntry(path: String, rows: Long, minVecId: Long, maxVecId: Long) {
+    def hasStats: Boolean = rows >= 0 && minVecId <= maxVecId
+    def overlaps(lo: Long, hi: Long): Boolean =
+      !hasStats || (minVecId <= hi && maxVecId >= lo)
+  }
+
+  /** One committed generation: its data files (with zone maps) AND the
+    * per-writer watermark ledger of every batch ever appended (carried
+    * forward by compactions, so replay idempotence survives a
+    * compaction rewriting the batch's files away — a replay checked
+    * against FILE NAMES would re-append such a batch and double-count
+    * every row). Ledger entries are `writer:maxVersion` strings. */
+  final case class State(gen: Long, files: Seq[FileEntry], batches: Seq[String]) {
+    def paths: Seq[String] = files.map(_.path)
+    /** writer → highest committed batch version. */
+    def watermarks: Map[String, Long] =
+      batches.map { e =>
+        val i = e.lastIndexOf(':')
+        if (i < 0) (e, 0L) else (e.take(i), e.drop(i + 1).toLong)
+      }.toMap
+  }
+
+  /** `<writer>_<digits>` → (writer, version); anything else → (id, 0).
+    * Writers using the structured form MUST commit monotonically
+    * increasing versions (the streaming-transaction contract): a
+    * version ≤ the writer's watermark is treated as already committed. */
+  private[operators] def splitBatchId(batchId: String): (String, Long) = {
+    val m = "^(.+)_([0-9]{1,18})$".r
+    batchId match {
+      case m(w, v) => (w, v.toLong)
+      case _       => (batchId, 0L)
+    }
+  }
+
+  /** Committed iff ≤ the writer's watermark; for version-1 manifests
+    * (which predate the ledger and parse with an empty/partial one)
+    * fall back to the committed FILE LIST: an `ingest-<batchId>-` name
+    * in a manifest is proof the batch committed. */
+  private def isCommitted(st: State, batchId: String): Boolean = {
+    val (w, v) = splitBatchId(batchId)
+    st.watermarks.get(w).exists(_ >= v) ||
+      st.files.exists(_.path.split('/').last.startsWith(s"ingest-$batchId-"))
+  }
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
 
@@ -100,7 +180,7 @@ object IndexManifest {
 
   /** Highest complete manifest, or None before the first publish.
     * `.tmp` files (a writer died mid-write) are ignored by the name
-    * filter — they are not manifests until renamed. */
+    * filter — they are not manifests until published. */
   def current(fs: FileSystem, root: Path): Option[State] = {
     val md = manifestDir(root)
     if (!fs.exists(md)) return None
@@ -114,11 +194,21 @@ object IndexManifest {
     }
   }
 
-  /** Manifest JSON is written by [[tryWriteManifest]] with every path
-    * `%`-escaped into the `[A-Za-z0-9_.=/%-]` alphabet and batch ids
-    * already `[A-Za-z0-9_]`-clean, so extracting the quoted strings
-    * needs no general JSON parser. */
-  private def readState(fs: FileSystem, p: Path, gen: Long): State = {
+  private def crc32Hex(bytes: Array[Byte]): String = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes)
+    f"${c.getValue}%08x"
+  }
+
+  /** Parse a manifest. Version 2 (`{"checksum":…,"body":{…}}`) is
+    * checksum-verified and version-checked — truncation, corruption, or
+    * a future format version fail LOUDLY here, never parse to a wrong
+    * file list. Version 1 (`{"generation":…}`, the pre-zone-map
+    * format) still parses: flat path strings become stats-less entries.
+    * Paths are `%`-escaped into `[A-Za-z0-9_.=/%-]` and ledger entries
+    * are `[A-Za-z0-9_:]`-clean, so extraction needs no general JSON
+    * parser. */
+  private[operators] def readState(fs: FileSystem, p: Path, gen: Long): State = {
     val in = fs.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -128,19 +218,54 @@ object IndexManifest {
       buf.toByteArray
     } finally in.close()
     val s = new String(bytes, "UTF-8")
-    def arr(tag: String): Seq[String] = {
-      val at = s.indexOf(s""""$tag":[""")
+    def fail(why: String): Nothing =
+      sys.error(s"corrupt or unsupported manifest $p: $why")
+    def flatArr(body: String, tag: String): Seq[String] = {
+      val at = body.indexOf(s""""$tag":[""")
       if (at < 0) return Seq.empty
       val start = at + tag.length + 4
-      val body = s.substring(start, s.indexOf(']', start))
-      body.split(',').toSeq.map(_.trim).filter(_.length >= 2)
+      val sub = body.substring(start, body.indexOf(']', start))
+      sub.split(',').toSeq.map(_.trim).filter(_.length >= 2)
         .map(q => unescape(q.substring(1, q.length - 1)))
     }
-    State(gen, arr("files"), arr("batches"))
+    if (s.startsWith("""{"checksum":"""")) {
+      val bodyAt = s.indexOf(""","body":""")
+      if (bodyAt < 0 || !s.endsWith("}")) fail("truncated (no body)")
+      val claimed = s.substring(13, bodyAt - 1)
+      val body = s.substring(bodyAt + 8, s.length - 1)
+      val actual = crc32Hex(body.getBytes("UTF-8"))
+      if (claimed != actual) fail(s"checksum mismatch (claimed $claimed, content $actual) — torn write?")
+      val vAt = body.indexOf(""""version":""")
+      val version = if (vAt < 0) fail("no version field")
+        else body.substring(vAt + 10).takeWhile(_.isDigit).toLong
+      if (version != 2L) fail(s"manifest version $version is newer than this reader (supports ≤2)")
+      val entries: Seq[FileEntry] = {
+        val at = body.indexOf(""""files":[""")
+        if (at < 0) fail("no files field")
+        val start = at + 9
+        if (body.charAt(start) == ']') Seq.empty
+        else {
+          val end = body.indexOf("]]", start)
+          if (end < 0) fail("unterminated files array")
+          body.substring(start + 1, end + 1).split("\\],\\[").toSeq.map { raw =>
+            val e = raw.stripPrefix("[").stripSuffix("]")
+            val parts = e.split(',')
+            if (parts.length != 4) fail(s"malformed file entry [$e]")
+            val q = parts(0).trim
+            FileEntry(unescape(q.substring(1, q.length - 1)),
+              parts(1).trim.toLong, parts(2).trim.toLong, parts(3).trim.toLong)
+          }
+        }
+      }
+      State(gen, entries, flatArr(body, "batches"))
+    } else if (s.startsWith("""{"generation"""")) {
+      // version 1: flat path strings, no stats, possibly partial ledger
+      State(gen, flatArr(s, "files").map(FileEntry(_, -1L, 0L, -1L)), flatArr(s, "batches"))
+    } else fail("unrecognized format")
   }
 
-  private def readFiles(fs: FileSystem, p: Path): Seq[String] =
-    readState(fs, p, 0L).files
+  private def readStateAt(fs: FileSystem, root: Path, gen: Long): State =
+    readState(fs, new Path(manifestDir(root), manifestName(gen)), gen)
 
   private def escape(path: String): String =
     path.flatMap { c =>
@@ -158,12 +283,15 @@ object IndexManifest {
     sb.toString
   }
 
-  /** Atomic publish attempt: write `.manifest-<gen>.json.tmp`, then
-    * publish-if-absent to the final name. Returns false when generation
-    * `gen` was already committed by a CONCURRENT writer (the CAS lost)
-    * — callers retry on top of the new current. This is the single seam
-    * the whole protocol concentrates its atomicity into, and it needs a
-    * REAL create-if-absent primitive per filesystem:
+  /** Atomic publish attempt: write `.manifest-<gen>.json.<token>.tmp`
+    * (token = per-ATTEMPT nonce — two racers writing the same
+    * generation must never share a tmp inode, or the CAS winner can
+    * publish the LOSER's bytes), then publish-if-absent to the final
+    * name. Returns false when generation `gen` was already committed by
+    * a CONCURRENT writer (the CAS lost) — callers retry on top of the
+    * new current. This is the single seam the whole protocol
+    * concentrates its atomicity into, and it needs a REAL
+    * create-if-absent primitive per filesystem:
     *  - HDFS-like: `rename` fails when the destination exists — atomic;
     *  - LOCAL (file://): Hadoop's rename bottoms out in POSIX rename(2),
     *    which silently REPLACES an existing destination — two racers
@@ -173,16 +301,19 @@ object IndexManifest {
     *  - object stores without either need a put-if-absent or an
     *    external lock here. */
   private def tryWriteManifest(fs: FileSystem, root: Path, gen: Long,
-      files: Seq[String], batches: Seq[String]): Boolean = {
+      files: Seq[FileEntry], batches: Seq[String]): Boolean = {
     val md = manifestDir(root)
     fs.mkdirs(md)
-    val tmp = new Path(md, s".${manifestName(gen)}.tmp")
+    val tmp = new Path(md, s".${manifestName(gen)}.${newToken()}.tmp")
     val out = fs.create(tmp, true)
     try {
-      val json = s"""{"generation":$gen,"batches":[""" +
+      val body = s"""{"version":2,"generation":$gen,"batches":[""" +
         batches.sorted.map(b => "\"" + b + "\"").mkString(",") +
         s"""],"files":[""" +
-        files.sorted.map(f => "\"" + escape(f) + "\"").mkString(",") + "]}"
+        files.sortBy(_.path).map(f =>
+          s"""["${escape(f.path)}",${f.rows},${f.minVecId},${f.maxVecId}]""").mkString(",") +
+        "]}"
+      val json = s"""{"checksum":"${crc32Hex(body.getBytes("UTF-8"))}","body":$body}"""
       out.write(json.getBytes("UTF-8"))
     } finally out.close()
     val target = new Path(md, manifestName(gen))
@@ -203,9 +334,41 @@ object IndexManifest {
   }
 
   private def writeManifest(fs: FileSystem, root: Path, gen: Long,
-      files: Seq[String], batches: Seq[String]): Unit =
+      files: Seq[FileEntry], batches: Seq[String]): Unit =
     require(tryWriteManifest(fs, root, gen, files, batches),
       s"manifest generation $gen already committed (concurrent writer?)")
+
+  /** Zone-map stats for one committed data file, from its parquet
+    * FOOTER — row count and min/max of `vec_id` over the row groups'
+    * column statistics. One small metadata read per file, no data scan
+    * (the table-format discipline: stats are captured once at commit,
+    * then served from the manifest forever). Files missing the column
+    * or its stats degrade to a stats-less entry (never skipped). */
+  private def entryOf(fs: FileSystem, root: Path, rel: String): FileEntry = {
+    import scala.jdk.CollectionConverters._
+    val abs = new Path(root, rel)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(abs, fs.getConf))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val colStats = blocks.flatMap(_.getColumns.asScala
+        .find(_.getPath.toDotString == "vec_id")
+        .map(_.getStatistics))
+      if (colStats.isEmpty || colStats.exists(st => st == null || !st.hasNonNullValue))
+        FileEntry(rel, rows, 0L, -1L)
+      else {
+        def asLong(c: Comparable[_]): Long = c match {
+          case l: java.lang.Long    => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case o                    => o.toString.toLong
+        }
+        FileEntry(rel, rows,
+          colStats.map(st => asLong(st.genericGetMin)).min,
+          colStats.map(st => asLong(st.genericGetMax)).max)
+      }
+    } finally rd.close()
+  }
 
   /** Data files of `subdir` (recursive over cell dirs), as root-relative
     * paths, excluding hidden/metadata files. */
@@ -233,11 +396,11 @@ object IndexManifest {
     java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
   /** Rename `staging`'s cell-partitioned data files into the live cell
-    * dirs under `prefix`; returns the root-relative names renamed in.
-    * Shared by append and compaction (byte-identical protocol, only the
-    * prefix differs). */
+    * dirs under `prefix`; returns the renamed-in entries WITH their
+    * footer-derived zone maps. Shared by append and compaction
+    * (byte-identical protocol, only the prefix differs). */
   private def renameStagedIn(fs: FileSystem, root: Path, staging: Path,
-      prefix: String): Seq[String] = {
+      prefix: String): Seq[FileEntry] = {
     var renamed = 0
     val added = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(staging)
@@ -258,7 +421,7 @@ object IndexManifest {
             if (renamed == 1) interruptMidRename()
           }
       }
-    added.toSeq
+    added.toSeq.map(rel => entryOf(fs, root, rel))
   }
 
   /** Generation-1 publish of the base corpus: one partitioned write +
@@ -268,22 +431,24 @@ object IndexManifest {
     require(current(fs, root).isEmpty, s"index at $dir already has a manifest")
     enc.repartition(col("cell")).sortWithinPartitions("vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    writeManifest(fs, root, 1L, listDataFiles(fs, root), Seq.empty)
+    writeManifest(fs, root, 1L,
+      listDataFiles(fs, root).map(rel => entryOf(fs, root, rel)), Seq.empty)
   }
 
   /** Two-phase batch append with manifest commit. Crash-safe at every
     * instant; replay of a committed batchId is a no-op checked against
-    * the manifest's BATCH LEDGER — which compactions carry forward, so
-    * idempotence survives the batch's files being rewritten away (a
+    * the manifest's WATERMARK LEDGER — which compactions carry forward,
+    * so idempotence survives the batch's files being rewritten away (a
     * file-name check would re-append after a compaction and serve every
-    * row of the batch twice). */
+    * row of the batch twice). Structured ids `<writer>_<version>` keep
+    * the ledger O(writers); see the class doc's ledger section. */
   def appendBatch(spark: SparkSession, enc: DataFrame, dir: String, batchId: String): Unit = {
     // '-' delimits the name components, so it stays out of the batchId
     require(batchId.matches("[A-Za-z0-9_]+"), s"unsafe batchId: $batchId")
     val (fs, root) = fsOf(spark, dir)
     val st = current(fs, root).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
-    if (st.batches.contains(batchId)) return // committed: no-op
+    if (isCommitted(st, batchId)) return // committed: no-op
     val token = newToken()
     val staging = new Path(root, s".staging-$batchId-$token")
     enc.repartition(col("cell")).sortWithinPartitions("vec_id")
@@ -302,17 +467,21 @@ object IndexManifest {
     // meanwhile, our files are duplicates: token-scoped, ours alone —
     // delete them and bow out. Bounded attempts: livelock is a
     // deployment bug worth failing loudly on, not spinning through.
+    val (writer, version) = splitBatchId(batchId)
     var attempts = 0
     var committed = false
     while (!committed) {
       attempts += 1
       require(attempts <= 16, s"append $batchId lost the manifest race $attempts times at $dir")
       val cur = current(fs, root).getOrElse(sys.error(s"manifest disappeared at $dir"))
-      if (cur.batches.contains(batchId)) {
-        added.foreach(rel => fs.delete(new Path(root, rel), false))
+      if (isCommitted(cur, batchId)) {
+        added.foreach(e => fs.delete(new Path(root, e.path), false))
         committed = true
-      } else committed = tryWriteManifest(fs, root, cur.gen + 1,
-        cur.files ++ added, cur.batches :+ batchId)
+      } else {
+        val wm = cur.watermarks + (writer -> math.max(version, cur.watermarks.getOrElse(writer, Long.MinValue)))
+        committed = tryWriteManifest(fs, root, cur.gen + 1,
+          cur.files ++ added, wm.toSeq.map { case (w, v) => s"$w:$v" })
+      }
     }
     fs.delete(staging, true)
   }
@@ -320,7 +489,7 @@ object IndexManifest {
   /** Manifest-swap compaction: rewrite the CURRENT generation to one
     * sorted file per cell and commit a manifest listing only those —
     * the copy-then-swap endpoint q240's directory flavor leaves
-    * ungraded, here graded by the atomic manifest rename. */
+    * ungraded, here graded by the atomic manifest publish. */
   def compact(spark: SparkSession, dir: String, sortCol: String): Unit =
     compactAttempt(spark, dir, sortCol, attemptsLeft = 4)
 
@@ -355,7 +524,7 @@ object IndexManifest {
     // every committed batch's rows, and replay idempotence must survive
     // the batch's own files disappearing from the listing.
     if (!tryWriteManifest(fs, root, gen, added, st.batches)) {
-      added.foreach(rel => fs.delete(new Path(root, rel), false))
+      added.foreach(e => fs.delete(new Path(root, e.path), false))
       fs.delete(staging, true)
       require(attemptsLeft > 1,
         s"compaction lost the manifest race repeatedly at $dir — yielding to the writers")
@@ -374,7 +543,33 @@ object IndexManifest {
       sys.error(s"no manifest at $dir — publishBase first"))
     require(st.files.nonEmpty, s"manifest gen ${st.gen} at $dir lists no files")
     spark.read.option("basePath", dir)
-      .parquet(st.files.map(f => s"$dir/$f"): _*)
+      .parquet(st.paths.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Zone-map file pruning plan for a `vec_id` probe range: (kept,
+    * skipped). Pure manifest arithmetic — no filesystem access, no
+    * footer reads; the skipped files are never handed to Spark, so at
+    * 100 TB a shortlist fetch opens only the files whose committed
+    * range can intersect it (stats-less v1 entries are conservatively
+    * kept). */
+  def planRange(st: State, lo: Long, hi: Long): (Seq[FileEntry], Seq[FileEntry]) =
+    st.files.partition(_.overlaps(lo, hi))
+
+  /** Read exactly the CURRENT generation's rows with `vec_id` in
+    * [lo, hi], planning only the files whose zone map can intersect the
+    * range — the manifest-level analogue of parquet row-group pruning,
+    * applied BEFORE any file is opened. The residual in-file filter
+    * still runs (zone maps prune at file granularity), and pushes down
+    * to the parquet scan as usual. */
+  def readRange(spark: SparkSession, dir: String, lo: Long, hi: Long): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    val (kept, _) = planRange(st, lo, hi)
+    if (kept.isEmpty) read(spark, dir).filter(lit(false))
+    else spark.read.option("basePath", dir)
+      .parquet(kept.map(f => s"$dir/${f.path}"): _*)
+      .filter(col("vec_id").between(lo, hi))
   }
 
   /** Committed generation numbers at `dir`, ascending — the time-travel
@@ -404,10 +599,10 @@ object IndexManifest {
       val avail = generations(spark, dir)
       s"generation $gen not available at $dir (have: ${avail.mkString(",")}) — vacuumed past retention?"
     })
-    val files = readFiles(fs, p)
-    require(files.nonEmpty, s"manifest gen $gen at $dir lists no files")
+    val st = readState(fs, p, gen)
+    require(st.files.nonEmpty, s"manifest gen $gen at $dir lists no files")
     spark.read.option("basePath", dir)
-      .parquet(files.map(f => s"$dir/$f"): _*)
+      .parquet(st.paths.map(f => s"$dir/$f"): _*)
   }
 
   /** Delete data files no RETAINED manifest references, manifests older
@@ -431,9 +626,8 @@ object IndexManifest {
     val (fs, root) = fsOf(spark, dir)
     val st = current(fs, root).getOrElse(return Seq.empty)
     val retained = generations(spark, dir).takeRight(keepGens).toSet + st.gen
-    val md = manifestDir(root)
     val live = retained.toSeq.flatMap(g =>
-      readFiles(fs, new Path(md, manifestName(g)))).toSet
+      readStateAt(fs, root, g).paths).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     listDataFiles(fs, root).filterNot(live).foreach { rel =>
@@ -450,6 +644,7 @@ object IndexManifest {
         (s.getPath.getName.startsWith(".staging-") || s.getPath.getName.startsWith(".compact-")) &&
         s.getModificationTime < cutoff)
       .foreach { s => fs.delete(s.getPath, true); deleted += s.getPath.getName }
+    val md = manifestDir(root)
     fs.listStatus(md).map(_.getPath).foreach { p =>
       val n = p.getName
       val keep = n.startsWith("manifest-") && n.endsWith(".json") &&

@@ -127,15 +127,15 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.compact(spark, dir, "vec_id")
     served() shouldBe full
     val st = IndexManifest.current(fs, root).get
-    st.files.foreach(f => f.split('/').last should startWith(s"compact-${st.gen}-"))
-    st.files.groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
+    st.paths.foreach(f => f.split('/').last should startWith(s"compact-${st.gen}-"))
+    st.paths.groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
     // pre-compaction files still on disk (old readers keep working)...
     dataFiles().size should be > st.files.size
     preFiles.toSet.subsetOf(dataFiles().toSet) shouldBe true
     // ...until vacuum retires them; served rows unchanged
     val deleted = IndexManifest.vacuum(spark, dir)
     deleted should not be empty
-    dataFiles().sorted shouldBe st.files.sorted
+    dataFiles().sorted shouldBe st.paths.sorted
     served() shouldBe full
     // the retained manifest is the current one only
     fs.listStatus(new Path(root, "_manifests")).map(_.getPath.getName).toSeq shouldBe
@@ -158,7 +158,7 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     val (fs, root) = fsRoot
     val st = IndexManifest.current(fs, root).get
     // every listed file exists on disk under the root — no mangling
-    st.files.foreach { f => fs.exists(new Path(root, f)) shouldBe true }
+    st.paths.foreach { f => fs.exists(new Path(root, f)) shouldBe true }
   }
 
   test("CONCURRENT WRITERS: an append that loses the manifest CAS retries on top of the winner — neither batch lost") {
@@ -194,7 +194,7 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).union(batch(200, 8)))
     // and the redo really compacted: one data file per live cell
     val (fs, root) = fsRoot
-    IndexManifest.current(fs, root).get.files
+    IndexManifest.current(fs, root).get.paths
       .groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
   }
 
@@ -248,5 +248,136 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.generations(spark, dir) shouldBe Seq(3L)
     an[Exception] should be thrownBy IndexManifest.readAt(spark, dir, 2)
     served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+  }
+
+  // ───────────────────────── round 11: zone maps, checksum, watermark ledger ─────────────────────────
+
+  test("ZONE MAPS: every committed entry carries footer stats — rows sum to the table, ranges are tight per cell") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    st.files.foreach { e => e.hasStats shouldBe true; e.rows should be > 0L }
+    st.files.map(_.rows).sum shouldBe 52L
+    // base ids 0..39 and batch ids 100..111 land in cell=id%4: each
+    // file's range must sit inside its source batch's id set for that cell
+    st.files.foreach { e =>
+      val cell = e.path.split('/').head.stripPrefix("cell=").toInt
+      val ids =
+        if (e.path.split('/').last.startsWith("ingest-day1-")) (100L until 112L).filter(_ % 4 == cell)
+        else (0L until 40L).filter(_ % 4 == cell)
+      e.minVecId should be >= ids.min
+      e.maxVecId should be <= ids.max
+      e.minVecId should be <= e.maxVecId
+    }
+  }
+
+  test("ZONE-MAP PRUNING: planRange skips non-overlapping files; readRange is byte-identical to the filtered full read") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    IndexManifest.appendBatch(spark, batch(200, 12), dir, "day2")
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    // probe [0, 50]: only the base files can overlap — both batches'
+    // ingest files (multi-file cells!) must be skipped at PLANNING
+    val (kept, skipped) = IndexManifest.planRange(st, 0L, 50L)
+    skipped.size should be > 0
+    skipped.foreach(e => e.path.split('/').last should startWith("ingest-"))
+    kept.map(_.rows).sum shouldBe 40L
+    rowsOf(IndexManifest.readRange(spark, dir, 0L, 50L)) shouldBe
+      rowsOf(IndexManifest.read(spark, dir).filter(col("vec_id").between(0L, 50L)))
+    // probe [100, 111]: exactly day1's files (plus nothing else) survive
+    val (kept2, skipped2) = IndexManifest.planRange(st, 100L, 111L)
+    kept2.foreach(e => e.path.split('/').last should startWith("ingest-"))
+    skipped2.size should be > 0
+    rowsOf(IndexManifest.readRange(spark, dir, 100L, 111L)) shouldBe rowsOf(batch(100, 12))
+    // an empty probe range serves zero rows without failing
+    IndexManifest.readRange(spark, dir, 5000L, 6000L).count() shouldBe 0L
+  }
+
+  /** v2 manifest bytes exactly as tryWriteManifest lays them out —
+    * the spec needs to forge manifests (corrupt / future-versioned). */
+  private def forgeManifest(gen: Long, bodyJson: String): Array[Byte] = {
+    val c = new java.util.zip.CRC32
+    c.update(bodyJson.getBytes("UTF-8"))
+    (f"""{"checksum":"${c.getValue}%08x","body":""" + bodyJson + "}").getBytes("UTF-8")
+  }
+
+  private def writeManifestBytes(name: String, bytes: Array[Byte]): Unit = {
+    val (fs, root) = fsRoot
+    val out = fs.create(new Path(root, s"_manifests/$name"), true)
+    out.write(bytes); out.close()
+  }
+
+  test("CHECKSUM: a torn/corrupted manifest fails LOUDLY, never parses to a wrong file list") {
+    freshIndex()
+    val good = forgeManifest(9L,
+      """{"version":2,"generation":9,"batches":[],"files":[["cell=0/bogus.parquet",1,0,0]]}""")
+    // flip one byte inside the body: checksum mismatch
+    val corrupt = good.clone(); corrupt(good.length - 5) = 'X'.toByte
+    writeManifestBytes("manifest-000000009.json", corrupt)
+    val e1 = intercept[RuntimeException] { IndexManifest.read(spark, dir) }
+    e1.getMessage should include("checksum mismatch")
+    // truncated mid-body: equally loud
+    writeManifestBytes("manifest-000000009.json", good.take(good.length / 2))
+    val e2 = intercept[RuntimeException] { IndexManifest.read(spark, dir) }
+    e2.getMessage.toLowerCase should (include("truncated") or include("checksum"))
+    val (fs, root) = fsRoot
+    fs.delete(new Path(root, "_manifests/manifest-000000009.json"), false)
+  }
+
+  test("VERSION GUARD: a future-versioned manifest is rejected loudly (no silent misparse)") {
+    freshIndex()
+    writeManifestBytes("manifest-000000009.json", forgeManifest(9L,
+      """{"version":3,"generation":9,"batches":[],"files":[["cell=0/bogus.parquet",1,0,0]]}"""))
+    val e = intercept[RuntimeException] { IndexManifest.read(spark, dir) }
+    e.getMessage should include("version 3")
+    val (fs, root) = fsRoot
+    fs.delete(new Path(root, "_manifests/manifest-000000009.json"), false)
+  }
+
+  test("LEGACY v1 manifests still read (stats-less, conservatively unskippable) and replay falls back to the file-name scan") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    // regress the CURRENT manifest to the pre-ledger v1 format: flat
+    // path strings, no batches array — exactly what a tree written
+    // before the ledger/zone-map change contains
+    val v1 = s"""{"generation":${st.gen + 1},"files":[""" +
+      st.paths.sorted.map(p => "\"" + p + "\"").mkString(",") + "]}"
+    writeManifestBytes(f"manifest-${st.gen + 1}%09d.json", v1.getBytes("UTF-8"))
+    val lg = IndexManifest.current(fs, root).get
+    lg.gen shouldBe st.gen + 1
+    lg.files.foreach(_.hasStats shouldBe false)
+    IndexManifest.planRange(lg, 5000L, 6000L)._2 shouldBe empty // nothing skippable
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // replay of day1 against the ledger-less manifest: the committed
+    // ingest-day1-* file names prove the commit — no re-append
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    IndexManifest.current(fs, root).get.gen shouldBe lg.gen
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+  }
+
+  test("WATERMARK LEDGER: <writer>_<version> ids keep the ledger O(writers); versions ≤ watermark are no-ops") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "sink_5")
+    IndexManifest.appendBatch(spark, batch(200, 12), dir, "sink_7")
+    val (fs, root) = fsRoot
+    val afterTwo = IndexManifest.current(fs, root).get
+    afterTwo.batches shouldBe Seq("sink:7") // one entry, not one per batch
+    // a replayed / out-of-order version ≤ watermark is a committed no-op
+    // (the streaming-transaction contract: versions commit monotonically)
+    IndexManifest.appendBatch(spark, batch(300, 12), dir, "sink_3")
+    IndexManifest.current(fs, root).get.gen shouldBe afterTwo.gen
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).union(batch(200, 12)))
+    // a fresh version advances the same single entry
+    IndexManifest.appendBatch(spark, batch(300, 12), dir, "sink_8")
+    val fin = IndexManifest.current(fs, root).get
+    fin.batches shouldBe Seq("sink:8")
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).union(batch(200, 12)).union(batch(300, 12)))
+    // unstructured ids coexist: their own writer entry at version 0
+    IndexManifest.appendBatch(spark, batch(400, 4), dir, "adhoc")
+    IndexManifest.current(fs, root).get.batches.sorted shouldBe Seq("adhoc:0", "sink:8")
   }
 }
