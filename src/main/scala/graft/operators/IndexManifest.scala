@@ -565,11 +565,45 @@ object IndexManifest {
     val (fs, root) = fsOf(spark, dir)
     val st = current(fs, root).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
+    prunedRead(spark, dir, st, lo, hi)
+  }
+
+  /** [[readRange]] against a PINNED generation — zone-map pruning and
+    * time travel COMPOSE: a reader bound to generation N plans its
+    * file-skips from N's immutable manifest while current advances.
+    * This matters between compactions: a batch-structured generation
+    * has per-batch files with tight disjoint `vec_id` ranges (new rows
+    * get new ids), so a range probe skips every other batch's files;
+    * after a full compaction one sorted file per cell spans the whole
+    * range and file-level skipping hands over to parquet row-group
+    * pruning (the compacted files are vec_id-sorted, so footer stats
+    * stay tight per row group). */
+  def readRangeAt(spark: SparkSession, dir: String, gen: Long,
+      lo: Long, hi: Long): DataFrame =
+    prunedRead(spark, dir, stateAt(spark, dir, gen), lo, hi)
+
+  private def prunedRead(spark: SparkSession, dir: String, st: State,
+      lo: Long, hi: Long): DataFrame = {
     val (kept, _) = planRange(st, lo, hi)
-    if (kept.isEmpty) read(spark, dir).filter(lit(false))
+    if (kept.isEmpty)
+      spark.read.option("basePath", dir)
+        .parquet(st.paths.map(f => s"$dir/$f"): _*)
+        .filter(lit(false))
     else spark.read.option("basePath", dir)
       .parquet(kept.map(f => s"$dir/${f.path}"): _*)
       .filter(col("vec_id").between(lo, hi))
+  }
+
+  /** The committed [[State]] of generation `gen`, failing loudly when
+    * it was vacuumed past the retention window. */
+  def stateAt(spark: SparkSession, dir: String, gen: Long): State = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new Path(manifestDir(root), manifestName(gen))
+    require(fs.exists(p), {
+      val avail = generations(spark, dir)
+      s"generation $gen not available at $dir (have: ${avail.mkString(",")}) — vacuumed past retention?"
+    })
+    readState(fs, p, gen)
   }
 
   /** Committed generation numbers at `dir`, ascending — the time-travel
@@ -593,13 +627,7 @@ object IndexManifest {
     * commits during it — the read-side half of the atomicity story).
     * Fails loudly when `gen` was vacuumed past the retention window. */
   def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
-    val (fs, root) = fsOf(spark, dir)
-    val p = new Path(manifestDir(root), manifestName(gen))
-    require(fs.exists(p), {
-      val avail = generations(spark, dir)
-      s"generation $gen not available at $dir (have: ${avail.mkString(",")}) — vacuumed past retention?"
-    })
-    val st = readState(fs, p, gen)
+    val st = stateAt(spark, dir, gen)
     require(st.files.nonEmpty, s"manifest gen $gen at $dir lists no files")
     spark.read.option("basePath", dir)
       .parquet(st.paths.map(f => s"$dir/$f"): _*)

@@ -2038,6 +2038,141 @@ object VectorQuant extends QueryModule {
       .orderBy("qid", "rnk")
   }
 
+  /** ZONE-MAP PRUNED PROBE (q255) + GRADED TIME TRAVEL (q256) — one
+    * manifest tree serves both, with the CONTIGUOUS-range batch layout
+    * real ingest produces (new rows get new vec_ids), which is where
+    * file-level zone maps actually bite — q249's `% 10` batches
+    * interleave ids, so every file spans the full range and nothing is
+    * skippable; here each batch's files carry tight disjoint ranges.
+    *
+    * Lifecycle: gen 1 = base (vec_id < b1, the first half), gen 2 =
+    * +dayA ([b1, b2)), gen 3 = +dayB ([b2, max]), gen 4 = compaction,
+    * then vacuum keepGens=3 — gen 1 retires, gens 2–4 stay pinned for
+    * readers (exactly the retention-window story [[graft.operators.IndexManifest.vacuum]]
+    * documents).
+    *
+    *  - '''q255''' probes the PINNED batch-structured generation 3 with
+    *    [[graft.operators.IndexManifest.readRangeAt]] for vec_id < b1:
+    *    planning keeps ONLY the base files — dayA/dayB files are
+    *    skipped from the manifest's zone maps before any footer is
+    *    opened (a structural `require` enforces skipped > 0 on every
+    *    grade), then runs the standard ADC ranking over the surviving
+    *    files. Oracle: the frozen-book pipeline with the scan restricted
+    *    to the same range. At 100 TB this is the shortlist-fetch /
+    *    backfill pattern: a bounded id-range probe touches O(range)
+    *    files, not O(table).
+    *  - '''q256''' reads the PINNED generation 2 via
+    *    [[graft.operators.IndexManifest.readAt]] AFTER two later
+    *    commits and a compaction rewrote current: the rankings must be
+    *    byte-identical to the pipeline restricted to base ∪ dayA —
+    *    time travel graded end-to-end against the oracle, closing the
+    *    round-10 verdict's "readAt is spec-only" gap.
+    *
+    * Split points are integer arithmetic both engines share exactly:
+    * b1 = (max+1)//2, b2 = (max+1)*3//4. */
+  private[queries] def manifestTtDir(s: SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^a-z0-9.]", "_")
+    s"/tmp/graft_llm/$sfKey/ivfadc_manifest_tt_m${pqM(s)}"
+  }
+
+  private val ttSplitCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** (b1, b2) for scale dir `d`: one tiny max-aggregate, cached per JVM. */
+  private def ttSplits(s: SparkSession, d: String): (Long, Long) =
+    ttSplitCache.getOrElseUpdate(d, {
+      val mx = embeddings(s, d).agg(max("vec_id")).head().getLong(0)
+      ((mx + 1) / 2, (mx + 1) * 3 / 4)
+    })
+
+  private val sqlTtB1 = "(SELECT (MAX(vec_id)+1)//2 FROM embeddings)"
+  private val sqlTtB2 = "(SELECT (MAX(vec_id)+1)*3//4 FROM embeddings)"
+
+  /** Stage the shared q255/q256 tree (once per JVM per sf dir). */
+  private def stageTtTree(s: SparkSession, d: String): String = {
+    graft.functions.PqAdcMicro.register(s)
+    graft.functions.PqEncodeMicro.register(s)
+    val m = pqM(s)
+    val dir = manifestTtDir(s, d)
+    val (b1, b2) = ttSplits(s, d)
+    if (Llm.ivfIndexStaged.add(dir)) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val base = embeddings(s, d).filter(col("vec_id") < b1)
+      val ranked = rankedSampleOf(base)
+      codebookGenOn(s, ranked, m, 256).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      codebookGenOn(s, ranked, 1, 16).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/coarse")
+      val book = s.read.parquet(s"$dir/book")
+      val coarse = s.read.parquet(s"$dir/coarse")
+      graft.operators.IndexManifest.publishBase(
+        s, ivfadcEncodeWith(base, book, coarse), s"$dir/index")
+      graft.operators.IndexManifest.appendBatch(s,
+        ivfadcEncodeWith(embeddings(s, d)
+          .filter(col("vec_id") >= b1 && col("vec_id") < b2), book, coarse),
+        s"$dir/index", "dayA")
+      graft.operators.IndexManifest.appendBatch(s,
+        ivfadcEncodeWith(embeddings(s, d).filter(col("vec_id") >= b2), book, coarse),
+        s"$dir/index", "dayB")
+      graft.operators.IndexManifest.compact(s, s"$dir/index", "vec_id")
+      graft.operators.IndexManifest.vacuum(s, s"$dir/index", keepGens = 3)
+    }
+    dir
+  }
+
+  /** The shared probe/rank tail: ADC top-10 per query over `idx`. */
+  private def ttRank(s: SparkSession, d: String, dir: String,
+      idx: DataFrame): DataFrame = {
+    val m = pqM(s)
+    val (b1, _) = ttSplits(s, d)
+    val book = s.read.parquet(s"$dir/book")
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val qs = adcQueriesOf(embeddings(s, d).filter(col("vec_id") < b1))
+    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
+    val probeLut = probe.join(lutRows, "qid")
+    idx.join(broadcast(probeLut), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id"),
+        expr("pq_adc_micro(codes, lut)").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
+
+  private def sqlTtOracle(rangeWhere: String): String =
+    s"""WITH ${Llm.sqlCentCtes},
+       |${sqlPqCtesFilter(s" WHERE vec_id < $sqlTtB1")},
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes,
+       |zr AS (SELECT qid, vec_id, dist FROM vdist WHERE $rangeWhere),
+       |ztop AS (
+       |  SELECT qid, vec_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM zr)
+       |SELECT qid, rnk, vec_id, dist FROM ztop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
+  val manifestZonemap: Q = Q(sqlTtOracle(s"vec_id < $sqlTtB1")) { (s, d) =>
+    val dir = stageTtTree(s, d)
+    val (b1, _) = ttSplits(s, d)
+    // the graded scale claim, enforced structurally on every grade:
+    // planning gen 3 for [0, b1) must SKIP at least one file (dayA/dayB
+    // files can't overlap the base range — their zone maps prove it)
+    val st = graft.operators.IndexManifest.stateAt(s, s"$dir/index", 3L)
+    val (_, skipped) = graft.operators.IndexManifest.planRange(st, 0L, b1 - 1)
+    require(skipped.nonEmpty,
+      s"zone maps skipped no files at $dir gen 3 — the batch layout lost its ranges")
+    ttRank(s, d, dir,
+      graft.operators.IndexManifest.readRangeAt(s, s"$dir/index", 3L, 0L, b1 - 1))
+  }
+
+  val manifestTimeTravel: Q = Q(sqlTtOracle(s"vec_id < $sqlTtB2")) { (s, d) =>
+    val dir = stageTtTree(s, d)
+    ttRank(s, d, dir,
+      graft.operators.IndexManifest.readAt(s, s"$dir/index", 2L))
+  }
+
   /** PQ m=16 + EXACT RE-RANK (q241) — the composition round 8 left
     * ungraded: q229 certifies the m=16 assignment floor, q226 the m=8
     * two-stage stack; the production operating point is BOTH — 16
@@ -2677,6 +2812,8 @@ object VectorQuant extends QueryModule {
     "q249_ivfadc_manifest"        -> ivfadcManifest,
     "q250_aniso_align_recall"     -> anisoAlignRecall,
     "q251_fixture_align_recall"   -> fixtureAlignRecall,
-    "q252_aniso_topr_recall"      -> anisoToprRecall
+    "q252_aniso_topr_recall"      -> anisoToprRecall,
+    "q255_manifest_zonemap"       -> manifestZonemap,
+    "q256_manifest_timetravel"    -> manifestTimeTravel
   )
 }
