@@ -300,7 +300,7 @@ object IndexManifest {
     *    FileAlreadyExistsException atomically iff the target exists;
     *  - object stores without either need a put-if-absent or an
     *    external lock here. */
-  private def tryWriteManifest(fs: FileSystem, root: Path, gen: Long,
+  private[graft] def tryWriteManifest(fs: FileSystem, root: Path, gen: Long,
       files: Seq[FileEntry], batches: Seq[String]): Boolean = {
     val md = manifestDir(root)
     fs.mkdirs(md)
