@@ -57,6 +57,20 @@ class AnisoSpec extends AnyFunSuite with Matchers {
     align should be > defl
   }
 
+  test("q257 vs q250: one codebook-aware OPQ alternation step falls STRICTLY below the one-shot alignment (the graded negative)") {
+    val align = SparkEntry.queries("q250_aniso_align_recall")(spark, sf).head().getAs[Double]("recall")
+    val opq = SparkEntry.queries("q257_aniso_opq_recall")(spark, sf).head().getAs[Double]("recall")
+    val abtt = SparkEntry.queries("q245_aniso_pq_abtt_recall")(spark, sf).head().getAs[Double]("recall")
+    info(s"ABTT = $abtt, align (q250) = $align, align+OPQ-step (q257) = $opq")
+    opq should be < align     // the error-driven reflection loses what alignment gained
+    opq should be > 0.7       // ...but stays a working operating point, not a collapse
+    // the trajectory bounces INSIDE the drop (0.81/0.83/0.81 at 1/2/3
+    // steps — BASELINE.md); deeper stacks never re-reach the one-shot
+    // optimum, which is the whole finding
+    val opq2 = graft.queries.VectorQuant.opqProbeCert(spark, 2).head().getAs[Double]("recall")
+    opq2 should be < align
+  }
+
   test("q251: the identical rotation pipeline on the near-isotropic FIXTURE does not lift (honest no-lift twin)") {
     val raw = SparkEntry.queries("q219_adc_recall")(spark, sf).head().getAs[Double]("recall")
     val aligned = SparkEntry.queries("q251_fixture_align_recall")(spark, sf).head().getAs[Double]("recall")
