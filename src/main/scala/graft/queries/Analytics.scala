@@ -1026,11 +1026,14 @@ object Analytics extends QueryModule {
     * supremum |F_a − F_b| is maximized as the INTEGER |ca·nb − cb·na|
     * over the merged value support, so engines cannot disagree at the
     * argmax (the float CDF difference would tie-break differently under
-    * rounding). The support relation is bounded by distinct value count
-    * (≤ ~500 lengths), so the unpartitioned cumulative window is over a
-    * provably tiny relation — same justification as q142's #languages
-    * window; the per-source counts arrive from one grouped aggregate
-    * over the data. */
+    * rounding). The cumulative CDF numerators come from
+    * [[graft.operators.PrefixSum]] — a range-exchanged two-pass prefix
+    * (one Long per partition to the driver), NOT a partition-less
+    * window: the support relation is distinct-value-bounded on the
+    * fixtures (~500 lengths) but a continuous 100 TB metric has no such
+    * bound, and the operator costs the same here while surviving there
+    * (the round-10 verdict's q174 watch item). Totals come off the
+    * stamped frame, so the documents scan runs once. */
   val ksTest: Q = Q(
     """WITH ab AS (SELECT n_chars AS v,
       |    COUNT(*) FILTER (WHERE source = 'src0') AS na_v,
@@ -1050,11 +1053,16 @@ object Analytics extends QueryModule {
       .groupBy(col("n_chars").as("v"))
       .agg(count(when(col("source") === "src0", 1)).as("na_v"),
         count(when(col("source") === "src1", 1)).as("nb_v"))
-    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val cum = ab.select(col("v"),
-      sum("na_v").over(wCum).as("ca"), sum("nb_v").over(wCum).as("cb"),
-      sum("na_v").over(wAll).as("na"), sum("nb_v").over(wAll).as("nb"))
+    // v is DISTINCT (post-groupBy) — the total order PrefixSum requires;
+    // exclusive prefix + the row's own weight = the inclusive CDF count
+    val parts = s.sparkContext.defaultParallelism
+    val pa = graft.operators.PrefixSum.withPrefixSum(ab, Seq(col("v")), "na_v", "pa", parts)
+    val pb = graft.operators.PrefixSum.withPrefixSum(pa, Seq(col("v")), "nb_v", "pb", parts)
+    val tot = pb.agg(sum("na_v").as("na"), sum("nb_v").as("nb"))
+    val cum = pb.crossJoin(broadcast(tot))
+      .select(col("v"),
+        (col("pa") + col("na_v")).as("ca"), (col("pb") + col("nb_v")).as("cb"),
+        col("na"), col("nb"))
     cum.agg(max("na").as("na"), max("nb").as("nb"),
         max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"),
         round(max(abs(col("ca") * col("nb") - col("cb") * col("na"))).cast("double")

@@ -32,6 +32,20 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Wall-clock ceilings are HOST-LOAD sensitive even at 3-4x headroom
+    * (a saturated CI box can flake them, and a flaking guard teaches
+    * people to ignore it — the round-10 ADVICE finding). The ceilings
+    * therefore only ASSERT when SPARK_GRAFT_BENCH_GUARD=1 (the
+    * bench-host profile); everywhere else the probes still RUN and
+    * record their measurement via info(), so the numbers stay visible
+    * in every CI log without the flake risk. Structural assertions
+    * (no query errored, probe shapes) stay on unconditionally. */
+  private val assertCeilings = sys.env.get("SPARK_GRAFT_BENCH_GUARD").contains("1")
+
+  private def ceiling(measured: Double, limit: Double, what: String): Unit =
+    if (assertCeilings) assert(measured < limit, f"$what: $measured%.2f s >= ceiling $limit%.1f s")
+    else info(f"$what: $measured%.2f s (ceiling $limit%.1f s not asserted; set SPARK_GRAFT_BENCH_GUARD=1)")
+
   private def familyWall(prefixes: Seq[String]): Seq[(String, Double)] = {
     val qs = QueryRegistry.all.filter { case (n, _) => prefixes.exists(n.startsWith) }
     qs.map(_._1) should not be empty
@@ -58,7 +72,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
         .agg(org.apache.spark.sql.functions.sum("n")).collect()
     }
     info(f"2000 dense LUT rows at width $width: $t%.2f s")
-    t should be < 30.0
+    ceiling(t, 30.0, "dense LUT scatter")
   }
 
   test("stage-isolation probe: ADC top-k build cost (books + LUTs, no scan) stays bounded") {
@@ -69,25 +83,25 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     val q218 = QueryRegistry.all.collectFirst { case ("q218_adc_topk", q) => q }.get
     val t = GraftConf.scoped(spark)(StageProbe.buildCost(q218.build(spark, sf)))
     info(f"q218 build-side cost via limit(1): $t%.2f s")
-    t should be < 15.0
+    ceiling(t, 15.0, "q218 build side")
   }
 
   test("per-family wall ceiling: ADC/IVFADC/rerank/ingest family at sf0.001") {
     val res = familyWall(Seq("q214", "q215", "q216", "q217", "q218", "q219",
       "q220", "q221", "q222", "q223", "q224", "q225", "q226", "q227",
-      "q228", "q229", "q240", "q241", "q249"))
+      "q228", "q229", "q240", "q241", "q249", "q255", "q256"))
     val total = res.filter(_._2 >= 0).map(_._2).sum
     info(f"ANN family total at sf0.001: $total%.1f s (${res.size} queries)")
     res.filter(_._2 < 0) shouldBe empty
-    total should be < 200.0
+    ceiling(total, 200.0, "ANN family total")
   }
 
   test("per-family wall ceiling: transform/rotation family (aniso + fixture) at sf0.001") {
     val res = familyWall(Seq("q238", "q239", "q242", "q243", "q244", "q245",
-      "q250", "q251", "q252"))
+      "q250", "q251", "q252", "q257"))
     val total = res.filter(_._2 >= 0).map(_._2).sum
     info(f"transform family total at sf0.001: $total%.1f s (${res.size} queries)")
     res.filter(_._2 < 0) shouldBe empty
-    total should be < 250.0
+    ceiling(total, 250.0, "transform family total")
   }
 }
