@@ -54,8 +54,10 @@ import org.apache.spark.sql.functions._
   *
   * '''Batch ledger = per-writer watermarks.''' `batches` entries are
   * `writer:maxVersion` pairs, not an ever-growing id list: a batchId of
-  * the form `<writer>_<digits>` is split into (writer, version), any
-  * other id is (id, 0). A batch is committed iff its version is ≤ its
+  * the form `<writer>_<digits>` is split into (writer, version); any
+  * other id gets its own `~`-prefixed ledger key at version 0 (a
+  * namespace no structured writer can collide with — see
+  * [[splitBatchId]]). A batch is committed iff its version is ≤ its
   * writer's watermark — the standard streaming-transaction contract
   * (each writer commits monotonically increasing versions; a replayed
   * or out-of-order ≤-watermark version is a no-op). A structured-id
@@ -139,34 +141,46 @@ object IndexManifest {
     * every row). Ledger entries are `writer:maxVersion` strings. */
   final case class State(gen: Long, files: Seq[FileEntry], batches: Seq[String]) {
     def paths: Seq[String] = files.map(_.path)
-    /** writer → highest committed batch version. */
+    /** ledger key → highest committed batch version. v2 entries are
+      * `key:version`; a COLON-LESS entry is a raw pre-ledger (v1)
+      * batchId and is re-split through [[splitBatchId]] so a
+      * structured id committed before the upgrade keeps its replay
+      * idempotence after a compaction rewrites its files away. */
     def watermarks: Map[String, Long] =
       batches.map { e =>
         val i = e.lastIndexOf(':')
-        if (i < 0) (e, 0L) else (e.take(i), e.drop(i + 1).toLong)
-      }.toMap
+        if (i < 0) splitBatchId(e) else (e.take(i), e.drop(i + 1).toLong)
+      }.groupMapReduce(_._1)(_._2)(math.max)
   }
 
-  /** `<writer>_<digits>` → (writer, version); anything else → (id, 0).
-    * Writers using the structured form MUST commit monotonically
-    * increasing versions (the streaming-transaction contract): a
-    * version ≤ the writer's watermark is treated as already committed. */
-  private[operators] def splitBatchId(batchId: String): (String, Long) = {
-    val m = "^(.+)_([0-9]{1,18})$".r
+  private val StructuredId = "^(.+)_([0-9]{1,18})$".r
+
+  /** Ledger key + version for a batchId. `<writer>_<digits>` →
+    * (writer, version): the writer MUST commit monotonically increasing
+    * versions (the streaming-transaction contract) and a version ≤ the
+    * watermark is treated as already committed. Any other id →
+    * (`~id`, 0): the `~` prefix (impossible in a batchId, whose
+    * alphabet is `[A-Za-z0-9_]`) keeps unstructured ids in a DISTINCT
+    * namespace — without it, an unstructured batch named `app` would
+    * alias version 0 of structured writer `app`, silently no-opping a
+    * legitimate first batch `app_0` (and vice versa). */
+  private[operators] def splitBatchId(batchId: String): (String, Long) =
     batchId match {
-      case m(w, v) => (w, v.toLong)
-      case _       => (batchId, 0L)
+      case StructuredId(w, v) => (w, v.toLong)
+      case _                  => (s"~$batchId", 0L)
     }
-  }
 
-  /** Committed iff ≤ the writer's watermark; for version-1 manifests
-    * (which predate the ledger and parse with an empty/partial one)
-    * fall back to the committed FILE LIST: an `ingest-<batchId>-` name
-    * in a manifest is proof the batch committed. */
+  /** Committed iff ≤ the ledger-key watermark. For version-1-descended
+    * manifests (recognizable by stats-less file entries — the
+    * pre-ledger format where `batches` may be missing entries) fall
+    * back to the committed FILE LIST: an `ingest-<batchId>-` name in a
+    * manifest is proof the batch committed. v2 trees never pay the
+    * O(files) name scan — every v2 commit writes its watermark. */
   private def isCommitted(st: State, batchId: String): Boolean = {
     val (w, v) = splitBatchId(batchId)
     st.watermarks.get(w).exists(_ >= v) ||
-      st.files.exists(_.path.split('/').last.startsWith(s"ingest-$batchId-"))
+      (st.files.exists(!_.hasStats) &&
+        st.files.exists(_.path.split('/').last.startsWith(s"ingest-$batchId-")))
   }
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
@@ -206,7 +220,7 @@ object IndexManifest {
     * file list. Version 1 (`{"generation":…}`, the pre-zone-map
     * format) still parses: flat path strings become stats-less entries.
     * Paths are `%`-escaped into `[A-Za-z0-9_.=/%-]` and ledger entries
-    * are `[A-Za-z0-9_:]`-clean, so extraction needs no general JSON
+    * are `[A-Za-z0-9_:~]`-clean, so extraction needs no general JSON
     * parser. */
   private[operators] def readState(fs: FileSystem, p: Path, gen: Long): State = {
     val in = fs.open(p)
@@ -228,6 +242,18 @@ object IndexManifest {
       sub.split(',').toSeq.map(_.trim).filter(_.length >= 2)
         .map(q => unescape(q.substring(1, q.length - 1)))
     }
+    def genOf(body: String): Long = {
+      val gAt = body.indexOf(""""generation":""")
+      if (gAt < 0) fail("no generation field")
+      body.substring(gAt + 13).takeWhile(_.isDigit).toLong
+    }
+    // the file NAME carries the generation the protocol binds to; a
+    // manifest restored/copied into the wrong slot has a valid checksum
+    // but must still fail loudly, not serve the wrong snapshot
+    def checkGen(body: String): Unit = {
+      val g = genOf(body)
+      if (g != gen) fail(s"body generation $g does not match file-name generation $gen — restored into the wrong slot?")
+    }
     if (s.startsWith("""{"checksum":"""")) {
       val bodyAt = s.indexOf(""","body":""")
       if (bodyAt < 0 || !s.endsWith("}")) fail("truncated (no body)")
@@ -239,6 +265,7 @@ object IndexManifest {
       val version = if (vAt < 0) fail("no version field")
         else body.substring(vAt + 10).takeWhile(_.isDigit).toLong
       if (version != 2L) fail(s"manifest version $version is newer than this reader (supports ≤2)")
+      checkGen(body)
       val entries: Seq[FileEntry] = {
         val at = body.indexOf(""""files":[""")
         if (at < 0) fail("no files field")
@@ -260,6 +287,7 @@ object IndexManifest {
       State(gen, entries, flatArr(body, "batches"))
     } else if (s.startsWith("""{"generation"""")) {
       // version 1: flat path strings, no stats, possibly partial ledger
+      checkGen(s)
       State(gen, flatArr(s, "files").map(FileEntry(_, -1L, 0L, -1L)), flatArr(s, "batches"))
     } else fail("unrecognized format")
   }
@@ -385,6 +413,26 @@ object IndexManifest {
       }.toSeq
   }
 
+  /** [[entryOf]] over many files with a bounded thread pool: the footer
+    * reads are independent blocking I/O (50–100 ms each on an object
+    * store), so a serial loop would put O(files) round-trips on the
+    * commit path. Production table formats collect these stats from
+    * the WRITE TASKS; driver-side parallel footer reads are the local
+    * protocol's simplification of that, bounded at 16 in flight. */
+  private def entriesOf(fs: FileSystem, root: Path, rels: Seq[String]): Seq[FileEntry] = {
+    if (rels.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, rels.size))
+    try {
+      val tasks = rels.map { rel =>
+        new java.util.concurrent.Callable[FileEntry] {
+          override def call(): FileEntry = entryOf(fs, root, rel)
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+
   /** Per-attempt uniqueness token for staged file names. Two writers —
     * or a zombie and its replacement replaying the SAME batch — can
     * never collide on a file name, so neither protocol ever deletes
@@ -421,7 +469,7 @@ object IndexManifest {
             if (renamed == 1) interruptMidRename()
           }
       }
-    added.toSeq.map(rel => entryOf(fs, root, rel))
+    entriesOf(fs, root, added.toSeq)
   }
 
   /** Generation-1 publish of the base corpus: one partitioned write +
@@ -432,7 +480,7 @@ object IndexManifest {
     enc.repartition(col("cell")).sortWithinPartitions("vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     writeManifest(fs, root, 1L,
-      listDataFiles(fs, root).map(rel => entryOf(fs, root, rel)), Seq.empty)
+      entriesOf(fs, root, listDataFiles(fs, root)), Seq.empty)
   }
 
   /** Two-phase batch append with manifest commit. Crash-safe at every
@@ -584,10 +632,13 @@ object IndexManifest {
 
   private def prunedRead(spark: SparkSession, dir: String, st: State,
       lo: Long, hi: Long): DataFrame = {
+    require(st.files.nonEmpty, s"manifest gen ${st.gen} at $dir lists no files")
     val (kept, _) = planRange(st, lo, hi)
     if (kept.isEmpty)
+      // schema from ONE file, zero rows — never hand the full (possibly
+      // 100k-entry) list to Spark just to produce an empty frame
       spark.read.option("basePath", dir)
-        .parquet(st.paths.map(f => s"$dir/$f"): _*)
+        .parquet(s"$dir/${st.paths.head}")
         .filter(lit(false))
     else spark.read.option("basePath", dir)
       .parquet(kept.map(f => s"$dir/${f.path}"): _*)

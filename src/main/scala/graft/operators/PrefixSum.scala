@@ -48,29 +48,51 @@ object PrefixSum {
     * stamping closure captures only the offsets array. */
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
                     prefixName: String, partitions: Int,
-                    reliable: Boolean = false): DataFrame = {
+                    reliable: Boolean = false): DataFrame =
+    withPrefixSums(df, sortCols, Seq(weightCol -> prefixName), partitions, reliable)
+
+  /** [[withPrefixSum]] for SEVERAL weight columns in one pass: one
+    * range exchange, one sort, one cached materialization, one
+    * per-partition totals collect (an Array[Long] of size #weights per
+    * partition) — instead of re-shuffling and re-collecting per weight
+    * (q174 stamps both CDF numerators through this). `weights` maps
+    * each LongType weight column to its new prefix column name. */
+  def withPrefixSums(df: DataFrame, sortCols: Seq[Column],
+                     weights: Seq[(String, String)], partitions: Int,
+                     reliable: Boolean = false): DataFrame = {
     require(partitions > 0, "partitions must be positive")
+    require(weights.nonEmpty, "at least one weight column required")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    require(sorted.schema(weightCol).dataType == LongType,
-      s"$weightCol must be LongType, got ${sorted.schema(weightCol).dataType.sql}")
-    val wIdx = sorted.schema.fieldIndex(weightCol)
+    weights.foreach { case (w, _) =>
+      require(sorted.schema(w).dataType == LongType,
+        s"$w must be LongType, got ${sorted.schema(w).dataType.sql}")
+    }
+    val wIdxs = weights.map { case (w, _) => sorted.schema.fieldIndex(w) }.toArray
+    val nw = wIdxs.length
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: one Long (partition weight total) per partition
+    // pass 1: nw Longs (partition weight totals) per partition
     val sums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      while (it.hasNext) s += it.next().getLong(wIdx)
+      val s = new Array[Long](nw)
+      while (it.hasNext) {
+        val row = it.next()
+        var k = 0
+        while (k < nw) { s(k) += row.getLong(wIdxs(k)); k += 1 }
+      }
       Iterator.single((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
+    val offsets = sums.scanLeft(new Array[Long](nw)) { (acc, p) =>
+      Array.tabulate(nw)(k => acc(k) + p(k))
+    }
     // pass 2: stamp offset + running local sum (cache hit, no re-shuffle)
     val stampedBase = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
+      val acc = offsets(i).clone()
       it.map { row =>
-        val out = Row.fromSeq(row.toSeq :+ acc)
-        acc += row.getLong(wIdx)
+        val out = Row.fromSeq(row.toSeq ++ acc.toSeq)
+        var k = 0
+        while (k < nw) { acc(k) += row.getLong(wIdxs(k)); k += 1 }
         out
       }
     }
@@ -80,7 +102,8 @@ object PrefixSum {
       else stampedBase.localCheckpoint()
     stamped.count() // force materialization while the sorted cache is live
     rdd.unpersist(blocking = false)
-    val schema = StructType(sorted.schema.fields :+ StructField(prefixName, LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields ++
+      weights.map { case (_, p) => StructField(p, LongType, nullable = false) })
     spark.createDataFrame(stamped, schema)
   }
 }

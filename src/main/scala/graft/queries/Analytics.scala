@@ -1054,10 +1054,11 @@ object Analytics extends QueryModule {
       .agg(count(when(col("source") === "src0", 1)).as("na_v"),
         count(when(col("source") === "src1", 1)).as("nb_v"))
     // v is DISTINCT (post-groupBy) — the total order PrefixSum requires;
-    // exclusive prefix + the row's own weight = the inclusive CDF count
+    // exclusive prefix + the row's own weight = the inclusive CDF count;
+    // BOTH numerators stamp in the one range exchange
     val parts = s.sparkContext.defaultParallelism
-    val pa = graft.operators.PrefixSum.withPrefixSum(ab, Seq(col("v")), "na_v", "pa", parts)
-    val pb = graft.operators.PrefixSum.withPrefixSum(pa, Seq(col("v")), "nb_v", "pb", parts)
+    val pb = graft.operators.PrefixSum.withPrefixSums(
+      ab, Seq(col("v")), Seq("na_v" -> "pa", "nb_v" -> "pb"), parts)
     val tot = pb.agg(sum("na_v").as("na"), sum("nb_v").as("nb"))
     val cum = pb.crossJoin(broadcast(tot))
       .select(col("v"),

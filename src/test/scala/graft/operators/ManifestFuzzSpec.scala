@@ -185,7 +185,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
         wm(w) should be >= maxCommitted
       }
     }
-    committed.keys.filter(_.startsWith("adhoc")).foreach(id => wm(id) shouldBe 0L)
+    committed.keys.filter(_.startsWith("adhoc")).foreach(id => wm(s"~$id") shouldBe 0L)
     val gen = st.gen
     committed.keys.take(5).foreach { id =>
       IndexManifest.appendBatch(spark, batch(1L, 3), dir, id)

@@ -376,8 +376,46 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     val fin = IndexManifest.current(fs, root).get
     fin.batches shouldBe Seq("sink:8")
     served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).union(batch(200, 12)).union(batch(300, 12)))
-    // unstructured ids coexist: their own writer entry at version 0
+    // unstructured ids coexist in their OWN (~-prefixed) namespace
     IndexManifest.appendBatch(spark, batch(400, 4), dir, "adhoc")
-    IndexManifest.current(fs, root).get.batches.sorted shouldBe Seq("adhoc:0", "sink:8")
+    IndexManifest.current(fs, root).get.batches.sorted shouldBe Seq("sink:8", "~adhoc:0")
+    // ...which means an unstructured id can NEVER alias version 0 of a
+    // structured writer: after unstructured "sink2" commits, the
+    // structured first batch "sink2_0" must still land (and vice versa)
+    IndexManifest.appendBatch(spark, batch(500, 4), dir, "sink2")
+    val before = served()
+    IndexManifest.appendBatch(spark, batch(600, 4), dir, "sink2_0")
+    served() should not be before
+    served() shouldBe (before ++ rowsOf(batch(600, 4))).sorted
+    // replay of each stays a no-op within its own namespace
+    val gen = IndexManifest.current(fs, root).get.gen
+    IndexManifest.appendBatch(spark, batch(1, 2), dir, "sink2")
+    IndexManifest.appendBatch(spark, batch(1, 2), dir, "sink2_0")
+    IndexManifest.current(fs, root).get.gen shouldBe gen
+  }
+
+  test("LEDGER UPGRADE: a structured id committed via a v1 (raw-id) ledger keeps replay idempotence after compaction") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 8), dir, "job_7")
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    // regress to a v1 manifest whose ledger carries the RAW id (the
+    // pre-watermark format) and whose files still list the ingest names
+    val v1 = s"""{"generation":${st.gen + 1},"batches":["job_7"],"files":[""" +
+      st.paths.sorted.map(p => "\"" + p + "\"").mkString(",") + "]}"
+    writeManifestBytes(f"manifest-${st.gen + 1}%09d.json", v1.getBytes("UTF-8"))
+    // a compaction carries the raw-id ledger forward and rewrites the
+    // ingest files away — the file-name fallback can no longer help
+    IndexManifest.compact(spark, dir, "vec_id")
+    val full = served()
+    // the replayed batch must STILL be a no-op: the raw entry re-splits
+    // through splitBatchId into (job, 7) at parse time
+    IndexManifest.appendBatch(spark, batch(100, 8), dir, "job_7")
+    served() shouldBe full
+    // and version 7 is the writer's watermark: ≤7 no-ops, 8 lands
+    IndexManifest.appendBatch(spark, batch(1, 2), dir, "job_3")
+    served() shouldBe full
+    IndexManifest.appendBatch(spark, batch(200, 4), dir, "job_8")
+    served() shouldBe (full ++ rowsOf(batch(200, 4))).sorted
   }
 }

@@ -309,13 +309,15 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     IndexManifest.publishBase(spark, enc(base), batchDir)
     (0 until 3).foreach { b =>
       IndexManifest.appendBatch(spark,
-        enc(spark.range(40 + b * 20, 60 + b * 20).toDF("value")), batchDir, s"stream$b")
+        enc(spark.range(40 + b * 20, 60 + b * 20).toDF("value")), batchDir, s"stream_$b")
     }
     val boundaryCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     val stream = MemoryStream[Long]
     val q = stream.toDF().writeStream
       .foreachBatch { (mb: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        IndexManifest.appendBatch(spark, enc(mb), streamDir, s"stream$batchId")
+        // the structured <writer>_<version> id form: the whole run costs
+        // ONE watermark ledger entry no matter how many batches commit
+        IndexManifest.appendBatch(spark, enc(mb), streamDir, s"stream_$batchId")
         boundaryCounts += IndexManifest.read(spark, streamDir).count()
         ()
       }
@@ -335,8 +337,14 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       .orderBy("vec_id").collect().map(_.toString).toSeq
     viaStream shouldBe viaBatch
     // (c) replaying a committed micro-batch id is a no-op
-    IndexManifest.appendBatch(spark, enc(spark.range(40, 60).toDF("value")), streamDir, "stream0")
+    IndexManifest.appendBatch(spark, enc(spark.range(40, 60).toDF("value")), streamDir, "stream_0")
     IndexManifest.read(spark, streamDir).count() shouldBe 100
+    // (d) the watermark ledger is O(writers): one entry for the sink
+    val (fs, root) = {
+      val pth = new org.apache.hadoop.fs.Path(streamDir)
+      (pth.getFileSystem(spark.sparkContext.hadoopConfiguration), pth)
+    }
+    IndexManifest.current(fs, root).get.batches shouldBe Seq("stream:2")
   }
 
   test("ST3c: SessionizeStream emits each session exactly once, on close") {
