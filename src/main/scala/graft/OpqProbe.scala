@@ -17,11 +17,20 @@ object OpqProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    if (args.headOption.contains("err")) {
+    args.find(_.startsWith("n=")).foreach(a =>
+      spark.conf.set("spark.graft.aniso.n", a.stripPrefix("n=")))
+    if (args.contains("err")) {
       graft.queries.VectorQuant.opqErrStats(spark).show(false)
       spark.stop(); return
     }
-    val extras = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(0, 1, 2, 3)
+    if (args.contains("moved")) {
+      graft.queries.VectorQuant.opqMoveStats(spark).show(false)
+      spark.stop(); return
+    }
+    val extras = {
+      val nums = args.filterNot(_.startsWith("n=")).toSeq
+      if (nums.nonEmpty) nums.map(_.toInt) else Seq(0, 1, 2, 3)
+    }
     extras.foreach { e =>
       val t0 = System.nanoTime()
       val df = graft.queries.VectorQuant.opqProbeCert(spark, e)

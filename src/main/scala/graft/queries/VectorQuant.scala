@@ -2952,6 +2952,23 @@ object VectorQuant extends QueryModule {
       .agg(max("mx").as("max_abs_err"), avg("ss").as("mean_sq_sum"), max("mxTail").as("max_abs_err_tail"))
   }
 
+  /** Scratch diagnostic: how many rows (and coordinates) the first
+    * alternation reflection actually MOVES relative to the aligned
+    * corpus — distinguishes a genuine recall plateau (corpus moved,
+    * ranking unchanged) from a degenerate identity reflection (the
+    * OpqErrScale failure mode). */
+  private[graft] def opqMoveStats(s: SparkSession): DataFrame = {
+    val ak = anisoKey(s)
+    val c1 = eigenAlignEmtOf(s, ak, anisoSrc(s), AlignK).select(col("vec_id"), col("em").as("e1"))
+    val c2 = opqAlignEmtOf(s, ak, anisoSrc(s), 1).select(col("vec_id"), col("em").as("e2"))
+    c1.join(c2, "vec_id")
+      .selectExpr(
+        "aggregate(zip_with(e1, e2, (a, b) -> abs(a - b)), 0L, (x, y) -> x + y) AS l1",
+        "CASE WHEN exists(zip_with(e1, e2, (a, b) -> a != b), p -> p) THEN 1 ELSE 0 END AS moved")
+      .agg(sum("moved").as("rows_moved"), count(lit(1)).as("rows"),
+        max("l1").as("max_row_l1"), avg("l1").as("mean_row_l1"))
+  }
+
   /** Probe hook for the alternation trajectory (OpqProbe / AnisoSpec):
     * the q257 certificate at an explicit alternation depth; extra = 0
     * is exactly q250's operating point. */
