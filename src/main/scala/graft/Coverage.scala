@@ -132,8 +132,8 @@ object Coverage {
     Row("L16", "anisotropic demonstration corpus (deterministic low-rank generated data): residual encoding and whiten-then-quantize (ABTT→PQ) measured STRICTLY above their raw floors — the positive case the near-isotropic fixture hides, completing the diagnose→decide→transform→requantize loop",
       Seq("q242_aniso_pca", "q243_aniso_residual_lift",
         "q244_aniso_pq_raw_recall", "q245_aniso_pq_abtt_recall")),
-    Row("L17", "manifest-based atomic index visibility with optimistic concurrency, time travel, file-level zone maps, and a checksummed versioned format: every generation (base publish, each batch append, compaction swap) committed by one atomically-published manifest (a generation-number CAS — racing appends retry by union, racing compactions redo their rewrite, neither loses rows); probes plan from the manifest, never directory listing — a crash at ANY instant leaves readers on the old complete generation; manifest entries carry per-file {rows, min/max vec_id} footer stats so a range probe skips non-overlapping files at planning time (q255 grades the pruned probe on a batch-structured generation, with skipped>0 enforced structurally); readAt() serves any retained generation byte-identically (q256 grades a pinned generation read AFTER two later appends + a compaction); the batch ledger is per-writer watermarks (O(writers), the streaming-transaction contract); vacuum honors a keepGens retention window + an in-flight-writer grace window (ManifestSpec drives every failpoint, both writer races, checksum/version/legacy parsing, and the retention ladder; ManifestFuzzSpec drives 220 seeded random schedules)",
-      Seq("q249_ivfadc_manifest", "q255_manifest_zonemap", "q256_manifest_timetravel")),
+    Row("L17", "manifest-based atomic index visibility with optimistic concurrency, time travel, file-level zone maps, and a checksummed versioned format: every generation (base publish, each batch append, compaction swap) committed by one atomically-published manifest (a generation-number CAS — racing appends retry by union, racing compactions redo their rewrite, neither loses rows); probes plan from the manifest, never directory listing — a crash at ANY instant leaves readers on the old complete generation; manifest entries carry per-file {rows, min/max vec_id} footer stats so a range probe skips non-overlapping files at planning time (q255 grades the pruned probe on a batch-structured generation, with skipped>0 enforced structurally); readAt() serves any retained generation byte-identically (q256 grades a pinned generation read AFTER two later appends + a compaction); the batch ledger is per-writer watermarks (O(writers), the streaming-transaction contract); vacuum honors a keepGens retention window + an in-flight-writer grace window; copy-on-write RANGE REPLACE (q258) is zone-map-surgical DML — only files overlapping the replaced vec_id range rewrite (entry-identical carry-forward of the rest is enforced structurally on every staging), committed in one CAS with compaction-style redo on loss (ManifestSpec drives every failpoint, all three writer races, checksum/version/legacy parsing, surgical replace, and the retention ladder; ManifestFuzzSpec drives 220 seeded random schedules)",
+      Seq("q249_ivfadc_manifest", "q255_manifest_zonemap", "q256_manifest_timetravel", "q258_manifest_replace")),
     Row("L18", "OPQ-style learned rotation (ABTT + masked-fit Householder eigen-alignment): the residual class subspace rotated into ONE PQ subspace and requantized — recall STRICTLY above the q245 ABTT floor on the aniso corpus (0.83→0.86), with the honest no-lift twin on the near-isotropic fixture, the projection-vs-rotation negative (iterated deflation, 0.82 < 0.83: removing the direction loses what reflecting it gains), and the FULL OPQ ALTERNATION graded as a measured negative (q257: one codebook-aware rotation update — book, quantization error, masked fit, reflection, retrain — drops recall to 0.81 < 0.86 and deeper alternation bounces inside the drop, so the one-shot spectral alignment IS the rotation optimum on this corpus; AnisoSpec pins it strictly)",
       Seq("q250_aniso_align_recall", "q251_fixture_align_recall", "q252_aniso_topr_recall", "q257_aniso_opq_recall"))
   )

@@ -534,6 +534,71 @@ object IndexManifest {
     fs.delete(staging, true)
   }
 
+  /** COPY-ON-WRITE RANGE REPLACE — zone-map-surgical DML: atomically
+    * replace every row with `vec_id` in [lo, hi] by `enc`'s rows
+    * (clipped to the range: the operation's contract is "the range's
+    * content becomes enc ∩ range", so out-of-range enc rows are
+    * excluded rather than smuggled past the untouched files they would
+    * duplicate). The rewrite touches ONLY the files whose zone map
+    * overlaps the range: survivors (out-of-range rows of overlapping
+    * files) and the replacement rows are staged together, renamed in
+    * under this attempt's token, and committed as
+    * (untouched-files ∪ rewritten-files) in ONE manifest CAS — a
+    * reader at any instant sees wholly-old or wholly-new, and every
+    * file the range cannot touch is carried forward ENTRY-IDENTICAL
+    * (same name, same stats: the surgical-DML property ManifestSpec
+    * pins). This is what the zone maps buy at write time: at 100 TB a
+    * backfill of one id range rewrites O(overlapping files), not
+    * O(table).
+    *
+    * Concurrency: a replace that loses the manifest CAS must REDO from
+    * the new current (the compaction asymmetry, for the same reason —
+    * its untouched-file snapshot is stale; committing it would drop a
+    * racing writer's files). Replay of a committed batchId is a
+    * watermark no-op like every other commit. */
+  def replaceRange(spark: SparkSession, enc: DataFrame, dir: String,
+      lo: Long, hi: Long, batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9_]+"), s"unsafe batchId: $batchId")
+    require(lo <= hi, s"empty replace range [$lo, $hi]")
+    replaceAttempt(spark, enc, dir, lo, hi, batchId, attemptsLeft = 4)
+  }
+
+  private def replaceAttempt(spark: SparkSession, enc: DataFrame, dir: String,
+      lo: Long, hi: Long, batchId: String, attemptsLeft: Int): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    if (isCommitted(st, batchId)) return // committed: no-op
+    val (overlap, untouched) = planRange(st, lo, hi)
+    val token = newToken()
+    val staging = new Path(root, s".replace-$batchId-$token")
+    val replacement = enc.filter(col("vec_id").between(lo, hi))
+    val survivors =
+      if (overlap.isEmpty) replacement
+      else spark.read.option("basePath", dir)
+        .parquet(overlap.map(e => s"$dir/${e.path}"): _*)
+        .filter(!col("vec_id").between(lo, hi))
+        .unionByName(replacement)
+    survivors.repartition(col("cell")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val added = renameStagedIn(fs, root, staging, s"replace-$batchId-$token-")
+    interruptBeforeManifest()
+    val (writer, version) = splitBatchId(batchId)
+    val wm = st.watermarks + (writer -> math.max(version, st.watermarks.getOrElse(writer, Long.MinValue)))
+    if (!tryWriteManifest(fs, root, st.gen + 1, untouched ++ added,
+        wm.toSeq.map { case (w, v) => s"$w:$v" })) {
+      // stale snapshot: a racer's files may be missing from `untouched`
+      // — discard this attempt's (invisible) output and redo
+      added.foreach(e => fs.delete(new Path(root, e.path), false))
+      fs.delete(staging, true)
+      require(attemptsLeft > 1,
+        s"replace $batchId lost the manifest race repeatedly at $dir — yielding to the writers")
+      replaceAttempt(spark, enc, dir, lo, hi, batchId, attemptsLeft - 1)
+      return
+    }
+    fs.delete(staging, true)
+  }
+
   /** Manifest-swap compaction: rewrite the CURRENT generation to one
     * sorted file per cell and commit a manifest listing only those —
     * the copy-then-swap endpoint q240's directory flavor leaves
@@ -720,7 +785,8 @@ object IndexManifest {
     // a live writer's staging must never be touched by another protocol)
     fs.listStatus(root)
       .filter(s => s.isDirectory &&
-        (s.getPath.getName.startsWith(".staging-") || s.getPath.getName.startsWith(".compact-")) &&
+        (s.getPath.getName.startsWith(".staging-") || s.getPath.getName.startsWith(".compact-") ||
+          s.getPath.getName.startsWith(".replace-")) &&
         s.getModificationTime < cutoff)
       .foreach { s => fs.delete(s.getPath, true); deleted += s.getPath.getName }
     val md = manifestDir(root)

@@ -2055,10 +2055,14 @@ object VectorQuant extends QueryModule {
     * skippable; here each batch's files carry tight disjoint ranges.
     *
     * Lifecycle: gen 1 = base (vec_id < b1, the first half), gen 2 =
-    * +dayA ([b1, b2)), gen 3 = +dayB ([b2, max]), gen 4 = compaction,
-    * then vacuum keepGens=3 — gen 1 retires, gens 2–4 stay pinned for
-    * readers (exactly the retention-window story [[graft.operators.IndexManifest.vacuum]]
-    * documents).
+    * +dayA ([b1, b2)), gen 3 = +dayB ([b2, max]), gen 4 = copy-on-write
+    * RANGE REPLACE of dayA's rows with revised vectors (q258 — run
+    * against the batch-structured generation, where zone maps bound the
+    * rewrite to dayA's files alone; a structural require pins the
+    * surgical carry-forward on every staging), gen 5 = compaction, then
+    * vacuum keepGens=4 — gen 1 retires, gens 2–5 stay pinned for
+    * readers (exactly the retention-window story
+    * [[graft.operators.IndexManifest.vacuum]] documents).
     *
     *  - '''q255''' probes the PINNED batch-structured generation 3 with
     *    [[graft.operators.IndexManifest.readRangeAt]] for vec_id < b1:
@@ -2123,8 +2127,30 @@ object VectorQuant extends QueryModule {
       graft.operators.IndexManifest.appendBatch(s,
         ivfadcEncodeWith(embeddings(s, d).filter(col("vec_id") >= b2), book, coarse),
         s"$dir/index", "dayB")
+      // gen 4: COPY-ON-WRITE RANGE REPLACE (q258) against the
+      // batch-structured generation — dayA's rows get REVISED vectors
+      // (deterministically modified: embedding reversed) re-encoded with
+      // the frozen books. Running the replace BEFORE the compaction is
+      // the surgical case the zone maps exist for: only dayA's files
+      // overlap [b1, b2), so base and dayB files must carry forward
+      // ENTRY-identical — enforced structurally right here, on every
+      // staging, not just in the spec.
+      val pre = graft.operators.IndexManifest.stateAt(s, s"$dir/index", 3L)
+      val revised = embeddings(s, d)
+        .filter(col("vec_id") >= b1 && col("vec_id") < b2)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.operators.IndexManifest.replaceRange(s,
+        ivfadcEncodeWith(revised, book, coarse), s"$dir/index", b1, b2 - 1, "fixA")
+      val post = graft.operators.IndexManifest.stateAt(s, s"$dir/index", 4L)
+      val preByPath = pre.files.map(e => e.path -> e).toMap
+      val carried = post.files.filter(e => preByPath.contains(e.path))
+      require(carried.nonEmpty && carried.forall(e => preByPath(e.path) == e)
+          && post.files.exists(_.path.split('/').last.startsWith("replace-fixA-")),
+        s"range replace was not surgical at $dir — zone maps failed to bound the rewrite")
+      // gen 5: compaction of the revised tree; vacuum keeps gens 2-5 so
+      // the PINNED readers (q255 gen 3, q256 gen 2) stay byte-identical
       graft.operators.IndexManifest.compact(s, s"$dir/index", "vec_id")
-      graft.operators.IndexManifest.vacuum(s, s"$dir/index", keepGens = 3)
+      graft.operators.IndexManifest.vacuum(s, s"$dir/index", keepGens = 4)
     }
     dir
   }
@@ -2180,6 +2206,39 @@ object VectorQuant extends QueryModule {
     val dir = stageTtTree(s, d)
     ttRank(s, d, dir,
       graft.operators.IndexManifest.readAt(s, s"$dir/index", 2L))
+  }
+
+  /** COPY-ON-WRITE RANGE REPLACE, graded end to end (q258): the CURRENT
+    * generation serves the tree AFTER dayA's rows were replaced by
+    * revised vectors (embedding reversed, re-encoded with the frozen
+    * books) and the whole thing compacted — rankings must match the
+    * frozen-book pipeline over the MODIFIED corpus (CASE-reversed in
+    * the oracle's pq0), with training/queries drawn from the unmodified
+    * base split. Together with the staging-time surgical require this
+    * grades both halves of zone-map DML: only the overlapping files
+    * rewrote, and the result is exactly "the range's content became the
+    * revision". At 100 TB this is the backfill/correction path: fix one
+    * id range by rewriting O(overlapping files), atomically, while
+    * pinned readers (q255/q256) keep serving their generations
+    * byte-identically. */
+  val manifestReplace: Q = Q(
+    s"""WITH ${Llm.sqlCentCtes},
+       |emod AS (SELECT vec_id, label,
+       |  CASE WHEN vec_id >= $sqlTtB1 AND vec_id < $sqlTtB2
+       |    THEN list_reverse(embedding) ELSE embedding END AS embedding
+       |  FROM embeddings),
+       |pq0 AS (SELECT vec_id, label AS true_label,
+       |  list_transform(range(64), i ->
+       |    CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS DOUBLE)) AS em
+       |  FROM emod),
+       |${sqlPqTail(8, s" WHERE vec_id < $sqlTtB1")},
+       |$sqlAdcCtes,
+       |$sqlIvfadcCtes
+       |SELECT qid, rnk, vec_id, dist FROM vtop WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val dir = stageTtTree(s, d)
+    ttRank(s, d, dir,
+      graft.operators.IndexManifest.read(s, s"$dir/index"))
   }
 
   /** PQ m=16 + EXACT RE-RANK (q241) — the composition round 8 left
@@ -3037,6 +3096,7 @@ object VectorQuant extends QueryModule {
     "q252_aniso_topr_recall"      -> anisoToprRecall,
     "q255_manifest_zonemap"       -> manifestZonemap,
     "q256_manifest_timetravel"    -> manifestTimeTravel,
-    "q257_aniso_opq_recall"       -> anisoOpqRecall
+    "q257_aniso_opq_recall"       -> anisoOpqRecall,
+    "q258_manifest_replace"       -> manifestReplace
   )
 }

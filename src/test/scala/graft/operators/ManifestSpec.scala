@@ -394,6 +394,63 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.current(fs, root).get.gen shouldBe gen
   }
 
+  test("REPLACE RANGE is surgical: only zone-map-overlapping files rewrite; untouched entries carry forward IDENTICALLY; rows replaced exactly") {
+    freshIndex()                                                   // ids 0..39
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")  // ids 100..111
+    IndexManifest.appendBatch(spark, batch(200, 12), dir, "day2")  // ids 200..211
+    val (fs, root) = fsRoot
+    val before = IndexManifest.current(fs, root).get
+    // replace day1's range with a DIFFERENT payload (codes of batch 300
+    // re-keyed into [100, 111] — distinguishable content, same ids)
+    val replacement = batch(300, 12).selectExpr(
+      "vec_id - 200 AS vec_id", "codes", "cast((vec_id - 200) % 4 as int) AS cell")
+    IndexManifest.replaceRange(spark, replacement, dir, 100L, 111L, "fix1")
+    val after = IndexManifest.current(fs, root).get
+    after.gen shouldBe before.gen + 1
+    // surgical: every non-overlapping entry identical (name AND stats)
+    val beforeByPath = before.files.map(e => e.path -> e).toMap
+    val untouched = after.files.filter(e => beforeByPath.contains(e.path))
+    untouched.foreach(e => e shouldBe beforeByPath(e.path))
+    untouched.map(_.rows).sum shouldBe 52L // base 40 + day2 12
+    // day1's files are gone from the manifest; rewritten files carry the prefix
+    after.paths.count(_.split('/').last.startsWith("ingest-day1-")) shouldBe 0
+    after.paths.exists(_.split('/').last.startsWith("replace-fix1-")) shouldBe true
+    // served rows: base ∪ day2 ∪ replacement — day1's payload replaced
+    served() shouldBe rowsOf(batch(0, 40).union(batch(200, 12)).union(replacement))
+    // replay is a watermark no-op
+    IndexManifest.replaceRange(spark, batch(100, 12), dir, 100L, 111L, "fix1")
+    IndexManifest.current(fs, root).get.gen shouldBe after.gen
+    // out-of-range replacement rows are clipped, not smuggled in
+    IndexManifest.replaceRange(spark, batch(0, 50)
+      .filter(col("vec_id") >= 20), dir, 30L, 39L, "fix2")
+    served() shouldBe rowsOf(batch(0, 40).union(batch(200, 12)).union(replacement))
+  }
+
+  test("REPLACE RANGE: crash before the manifest CAS is invisible; a CAS loss to a racing append REDOES against the new current") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    val full = served()
+    val replacement = batch(300, 12).selectExpr(
+      "vec_id - 200 AS vec_id", "codes", "cast((vec_id - 200) % 4 as int) AS cell")
+    // crash: all rewritten files renamed in, no commit — readers unmoved
+    IndexManifest.interruptBeforeManifest =
+      () => throw new RuntimeException("simulated crash pre-swap")
+    try intercept[RuntimeException] {
+      IndexManifest.replaceRange(spark, replacement, dir, 100L, 111L, "fix1")
+    } finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe full
+    // racing append commits inside the replace's commit window: the
+    // replace must redo from the NEW current or the racer's file (which
+    // its stale untouched-list does not contain) would be dropped
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.appendBatch(spark, batch(400, 8), dir, "racer")
+    }
+    try IndexManifest.replaceRange(spark, replacement, dir, 100L, 111L, "fix1")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).union(replacement).union(batch(400, 8)))
+  }
+
   test("LEDGER UPGRADE: a structured id committed via a v1 (raw-id) ledger keeps replay idempotence after compaction") {
     freshIndex()
     IndexManifest.appendBatch(spark, batch(100, 8), dir, "job_7")
