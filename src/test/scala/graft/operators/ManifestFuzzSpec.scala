@@ -12,9 +12,11 @@ import org.scalatest.matchers.should.Matchers
   * hooks: appends of fresh batches, replays of committed batches,
   * crash-injected appends (left as orphans, replayed later), racing
   * appends injected between a writer's data-file renames and its
-  * manifest CAS (for both appends and compactions), compactions, and
-  * grace-windowed vacuums — interleaved by a seeded RNG so the exact
-  * schedule is reproducible.
+  * manifest CAS (for appends, compactions, AND range replaces),
+  * copy-on-write range replaces of previously committed blocks (whose
+  * ORIGINAL ids must stay replay-no-ops though their rows changed),
+  * compactions, and grace-windowed vacuums — interleaved by a seeded
+  * RNG so the exact schedule is reproducible.
   *
   * Invariant checked after EVERY schedule point, and again after all
   * crashed batches are replayed at the end:
@@ -43,7 +45,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     df.select(col("vec_id"), col("codes").cast("string"), col("cell"))
       .collect().map(_.toString).sorted.toSeq
 
-  test("220 randomized schedule points: appends, replays, crashes, injected racers, compactions, vacuums — no row lost, none doubled") {
+  test("220 randomized schedule points: appends, replays, crashes, injected racers, range replaces, compactions, vacuums — no row lost, none doubled") {
     val (fs, root) = {
       val p = new Path(dir)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -55,6 +57,9 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     // batchId -> its rows (committed set); crashed batches pending replay
     val committed = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val pending = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+    // id block of each committed batch (blocks are disjoint by
+    // construction), so the replace branch can target exactly one
+    val replacedRange = scala.collection.mutable.Map[String, (Long, Int)]()
     val baseRows = rowsOf(batch(0, 12))
     var nextId0 = 1000L
     // per-writer monotonic version counters (the documented contract)
@@ -88,6 +93,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     def appendCommitted(id: String, id0: Long, n: Int): Unit = {
       IndexManifest.appendBatch(spark, batch(id0, n), dir, id)
       committed(id) = rowsOf(batch(id0, n))
+      replacedRange(id) = (id0, n)
     }
 
     var checkedAt = 0
@@ -149,6 +155,36 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
           try IndexManifest.compact(spark, dir, "vec_id")
           finally IndexManifest.interruptBeforeManifest = () => ()
         } else IndexManifest.compact(spark, dir, "vec_id")
+      } else if (roll < 96 && committed.nonEmpty) {
+        // COPY-ON-WRITE RANGE REPLACE of a committed batch's id block
+        // (blocks are disjoint by construction, so the model update is
+        // exact): the replaced batch's ORIGINAL id keeps its ledger
+        // entry — replaying it afterwards must stay a no-op even though
+        // its rows now differ — and sometimes the replace itself races
+        // a fresh append injected inside its commit window
+        val victim = committed.keys.toSeq(rnd.nextInt(committed.size))
+        replacedRange.get(victim) match {
+          case None =>
+            // only replace batches whose block we recorded at append time
+            ()
+          case Some((id0, n)) =>
+            // offset varies per schedule point, so a block replaced
+            // twice genuinely changes content both times
+            val off = 5000L + rnd.nextInt(5) * 1000L
+            val repl = batch(id0 + off, n).selectExpr(
+              s"vec_id - $off AS vec_id", "codes", s"cast((vec_id - $off) % 3 as int) AS cell")
+            val fixId = s"fix$i"
+            if (rnd.nextInt(3) == 0) {
+              val (rid, rid0, rn) = freshAdhoc()
+              IndexManifest.interruptBeforeManifest = () => {
+                IndexManifest.interruptBeforeManifest = () => ()
+                appendCommitted(rid, rid0, rn)
+              }
+              try IndexManifest.replaceRange(spark, repl, dir, id0, id0 + n - 1, fixId)
+              finally IndexManifest.interruptBeforeManifest = () => ()
+            } else IndexManifest.replaceRange(spark, repl, dir, id0, id0 + n - 1, fixId)
+            committed(victim) = rowsOf(repl)
+        }
       } else {
         // vacuum: grace 0 only when no crashed attempt is pending replay
         // WITH us still wanting its orphans gone is fine either way —
