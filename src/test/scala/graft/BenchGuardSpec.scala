@@ -89,7 +89,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
   test("per-family wall ceiling: ADC/IVFADC/rerank/ingest family at sf0.001") {
     val res = familyWall(Seq("q214", "q215", "q216", "q217", "q218", "q219",
       "q220", "q221", "q222", "q223", "q224", "q225", "q226", "q227",
-      "q228", "q229", "q240", "q241", "q249", "q255", "q256"))
+      "q228", "q229", "q240", "q241", "q249", "q255", "q256", "q258"))
     val total = res.filter(_._2 >= 0).map(_._2).sum
     info(f"ANN family total at sf0.001: $total%.1f s (${res.size} queries)")
     res.filter(_._2 < 0) shouldBe empty
