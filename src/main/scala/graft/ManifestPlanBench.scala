@@ -4,32 +4,44 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import graft.operators.IndexManifest
 
-/** PLANNING-COST MEASUREMENT for the manifest layer at table-format
-  * scale (the round-10 verdict's ask: the O(100k)-files claim at
-  * IndexManifest's scale note was argued, not measured).
+/** PLANNING- AND COMMIT-COST MEASUREMENT for the manifest layer at
+  * table-format scale (the round-10 verdict asked for the O(100k)-files
+  * planning claim to be measured; the round-11 verdict asked for commit
+  * bytes INDEPENDENT of table size — the incremental-log change this
+  * round made — to be measured the same way).
   *
   * Builds a synthetic index tree — `cells` cell dirs × `filesPerCell`
   * EMPTY data files (planning never opens data files, so empty ones
-  * measure exactly the planning surface) — commits ONE v2 manifest
-  * listing all of them with zone maps, then times, min-of-`iters`:
+  * measure exactly the planning surface) — commits ONE full v3 manifest
+  * listing all of them with zone maps, then a tail of
+  * [[IndexManifest.CheckpointInterval]]−1 DELTA commits (10 files
+  * each: the steady-state appender shape), then times, min-of-`iters`:
   *
-  *  - '''manifest_read_ms''': [[IndexManifest.current]] — one file
-  *    read + checksum verify + parse of every entry (the full
-  *    planning input, what a query pays before pruning);
+  *  - '''manifest_read_ms''': [[IndexManifest.current]] — the full
+  *    resolution a reader pays per plan: one full-snapshot read +
+  *    checksum verify + parse of every entry + the delta-tail replay
+  *    (the worst tail the checkpoint policy allows);
   *  - '''plan_range_ms''': [[IndexManifest.planRange]] over the parsed
   *    state for a 1%-of-id-space probe (pure in-memory arithmetic);
   *  - '''dir_listing_ms''': the recursive cell-dir listing the
-  *    pre-manifest reader needed (listStatus per cell dir).
+  *    pre-manifest reader needed (listStatus per cell dir);
+  *  - '''full_manifest_bytes''' vs '''delta_commit_bytes''': what ONE
+  *    append writes to the log under the pre-round-12 format (a full
+  *    file list, O(table)) vs the incremental log (O(batch)) — the
+  *    verdict's "commit bytes independent of table size" number. The
+  *    checkpoint sidecar still costs O(table) bytes once per
+  *    [[IndexManifest.CheckpointInterval]] commits (amortized column
+  *    recorded as checkpoint_bytes / interval).
   *
   * Honesty note (recorded with the numbers in BASELINE.md): this runs
   * on LOCAL file://, where a directory listing is a page-cache-warm
   * syscall loop. On an object store the listing becomes O(files/1000)
   * sequential LIST round-trips (~50–100 ms each ⇒ tens of seconds at
-  * 100k files) while the manifest stays ONE GET of a few MB — the
-  * local measurement therefore UNDERSTATES the manifest's advantage by
-  * 2–3 orders of magnitude; what it measures fairly is the absolute
-  * parse cost a reader pays per plan, and that the parse is not the
-  * bottleneck the format change (verdict ask #4) would need to fix.
+  * 100k files) while the manifest stays ONE GET of a few MB plus an
+  * O(interval) tail of KB-sized GETs — the local measurement therefore
+  * UNDERSTATES the manifest's advantage by 2–3 orders of magnitude;
+  * what it measures fairly is the absolute parse cost a reader pays per
+  * plan and the commit write amplification.
   *
   * Usage: `runMain graft.ManifestPlanBench [files] [iters]`
   * (defaults 100000, 5). Prints one JSON line. */
@@ -40,6 +52,8 @@ object ManifestPlanBench {
     val cells = 256
     val filesPerCell = math.max(1, totalFiles / cells)
     val rowsPerFile = 10000L
+    val deltaTail = IndexManifest.CheckpointInterval - 1
+    val deltaFiles = 10
 
     val rootDir = s"/tmp/graft_llm/manifest_plan_bench_$totalFiles"
     val root = new Path(rootDir)
@@ -56,9 +70,19 @@ object ManifestPlanBench {
           rowsPerFile, lo, lo + rowsPerFile - 1)
       }
     }
+    val baseSpan = entries.size * rowsPerFile
+    def tailEntries(gen: Long): Seq[IndexManifest.FileEntry] =
+      (0 until deltaFiles).map { i =>
+        val lo = baseSpan + (gen * deltaFiles + i) * rowsPerFile
+        IndexManifest.FileEntry(
+          f"cell=${i % cells}/ingest-sink_$gen-feedfacefeedface-part-$i%05d.parquet",
+          rowsPerFile, lo, lo + rowsPerFile - 1)
+      }
 
-    // build the tree once (re-used across runs of the same size)
-    val marker = new Path(root, s"_built_${entries.size}")
+    // build the tree once (re-used across runs of the same size):
+    // gen 1 = full snapshot of `entries`, gens 2..1+deltaTail = delta
+    // commits of `deltaFiles` each — the steady-state appender tail
+    val marker = new Path(root, s"_built_v3_${entries.size}")
     if (!fs.exists(marker)) {
       fs.delete(root, true)
       var c = 0
@@ -73,8 +97,14 @@ object ManifestPlanBench {
         }
         c += 1
       }
-      require(IndexManifest.tryWriteManifest(fs, root, 1L, entries, Seq("sink:42")),
+      require(IndexManifest.tryWriteManifest(fs, root, 1L, entries, Seq("sink:1")),
         "bench manifest publish lost a race on a fresh tree?")
+      (1 to deltaTail).foreach { d =>
+        val prev = IndexManifest.current(fs, root).get
+        require(IndexManifest.tryWriteDeltaForBench(fs, root, prev,
+          tailEntries(d.toLong), Map("sink" -> (d + 1).toLong)),
+          s"bench delta commit $d lost a race on a fresh tree?")
+      }
       fs.create(marker, true).close()
     }
 
@@ -85,17 +115,17 @@ object ManifestPlanBench {
     }
     def minOf(body: => Unit): Double = (1 to iters).map(_ => timeMs(body)).min
 
+    val expected = entries.size + deltaTail * deltaFiles
     // warm-up parse (JIT + page cache) before timing
     val st = IndexManifest.current(fs, root).get
-    require(st.files.size == entries.size, s"parsed ${st.files.size} entries")
+    require(st.files.size == expected, s"parsed ${st.files.size} entries, expected $expected")
 
     val manifestReadMs = minOf {
       val s = IndexManifest.current(fs, root).get
-      require(s.files.size == entries.size)
+      require(s.files.size == expected)
     }
     // 1% probe window in the middle of the id space
-    val span = entries.size * rowsPerFile
-    val (lo, hi) = (span / 2, span / 2 + span / 100)
+    val (lo, hi) = (baseSpan / 2, baseSpan / 2 + baseSpan / 100)
     val planMs = minOf {
       val (kept, skipped) = IndexManifest.planRange(st, lo, hi)
       require(kept.nonEmpty && skipped.nonEmpty)
@@ -106,14 +136,20 @@ object ManifestPlanBench {
       fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
         .foreach { cd => n += fs.listStatus(cd.getPath).count(_.isFile) }
-      require(n == entries.size)
+      require(n >= entries.size)
     }
-    val manifestBytes = fs.getFileStatus(
-      new Path(root, "_manifests/manifest-000000001.json")).getLen
+    val md = new Path(root, "_manifests")
+    def sizeOf(name: String): Long = fs.getFileStatus(new Path(md, name)).getLen
+    val fullBytes = sizeOf("manifest-000000001.json")
+    val deltaBytes = sizeOf(f"manifest-${2L}%09d.json")
+    // a full checkpoint costs O(table) once per interval: amortize
+    val checkpointAmortized = fullBytes / IndexManifest.CheckpointInterval
 
     println(
-      s"""{"metric":"manifest_plan_bench","files":${entries.size},"cells":$cells,""" +
-      s""""manifest_bytes":$manifestBytes,"manifest_read_ms":$manifestReadMs,""" +
+      s"""{"metric":"manifest_plan_bench","files":${st.files.size},"cells":$cells,""" +
+      s""""full_manifest_bytes":$fullBytes,"delta_commit_bytes":$deltaBytes,""" +
+      s""""checkpoint_amortized_bytes_per_commit":$checkpointAmortized,""" +
+      s""""delta_tail":$deltaTail,"manifest_read_ms":$manifestReadMs,""" +
       s""""plan_range_ms":$planMs,"kept_files":${kept.size},"skipped_files":${skipped.size},""" +
       s""""dir_listing_ms":$listingMs,"iters":$iters,"fs":"local"}""")
   }

@@ -329,10 +329,16 @@ class ManifestSpec extends AnyFunSuite with Matchers {
   test("VERSION GUARD: a future-versioned manifest is rejected loudly (no silent misparse)") {
     freshIndex()
     writeManifestBytes("manifest-000000009.json", forgeManifest(9L,
-      """{"version":3,"generation":9,"batches":[],"files":[["cell=0/bogus.parquet",1,0,0]]}"""))
+      """{"version":4,"generation":9,"batches":[],"files":[["cell=0/bogus.parquet",1,0,0]]}"""))
     val e = intercept[RuntimeException] { IndexManifest.read(spark, dir) }
-    e.getMessage should include("version 3")
+    e.getMessage should include("version 4")
     val (fs, root) = fsRoot
+    fs.delete(new Path(root, "_manifests/manifest-000000009.json"), false)
+    // and a v3 record with an unknown KIND is equally loud
+    writeManifestBytes("manifest-000000009.json", forgeManifest(9L,
+      """{"version":3,"generation":9,"kind":"mystery","batches":[],"files":[["cell=0/bogus.parquet",1,0,0]]}"""))
+    val e2 = intercept[RuntimeException] { IndexManifest.read(spark, dir) }
+    e2.getMessage should include("kind")
     fs.delete(new Path(root, "_manifests/manifest-000000009.json"), false)
   }
 
