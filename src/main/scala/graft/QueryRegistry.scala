@@ -14,6 +14,7 @@ object QueryRegistry {
     Scalars,
     Llm,
     VectorQuant,
+    TableFormat,
     StreamingBatch,
     Sources,
     Extras,

@@ -457,6 +457,161 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe rowsOf(batch(0, 40).union(replacement).union(batch(400, 8)))
   }
 
+  // ───────────────────────── round 12: incremental log, deletion vectors, schema ─────────────────────────
+
+  test("INCREMENTAL LOG: commits are O(delta) records; a checkpoint sidecar bounds the replay tail; every generation stays time-travelable") {
+    freshIndex()
+    val (fs, root) = fsRoot
+    // 10 appends: gens 2..11 — gen 9 crosses CheckpointInterval (8) from
+    // fullGen 1, so checkpoint-9 must exist; all commits must be deltas
+    (1 to 10).foreach(i => IndexManifest.appendBatch(spark, batch(100L * i, 4), dir, s"w_$i"))
+    val md = new Path(root, "_manifests")
+    val names = fs.listStatus(md).map(_.getPath.getName).sorted.toSeq
+    names.count(_.startsWith("checkpoint-")) should be >= 1
+    names should contain(f"checkpoint-${9L}%09d.json")
+    // delta records do NOT grow with table size: the 10th commit (table
+    // 2x larger than at the 1st) writes the same O(batch) bytes — every
+    // same-shaped delta within 10% of the first (at 100k files the gap
+    // to a full rewrite is 8.4 MB vs ~1 KB; ManifestPlanBench records it)
+    val deltaLens = (2 to 11).map(g =>
+      fs.getFileStatus(new Path(md, f"manifest-${g.toLong}%09d.json")).getLen)
+    deltaLens.max.toDouble should be <= deltaLens.min * 1.1
+    // resolution through the chain serves exactly base ∪ all batches…
+    served() shouldBe rowsOf((1 to 10).foldLeft(batch(0, 40))((d, i) => d.union(batch(100L * i, 4))))
+    // …and every intermediate generation replays correctly (delta tail
+    // below AND above the checkpoint)
+    (1 to 10).foreach { i =>
+      rowsOf(IndexManifest.readAt(spark, dir, 1L + i)) shouldBe
+        rowsOf((1 to i).foldLeft(batch(0, 40))((d, j) => d.union(batch(100L * j, 4))))
+    }
+  }
+
+  test("DELETION VECTORS: a scattered-predicate delete removes rows without rewriting any data file; time travel still serves them; compaction materializes") {
+    freshIndex()                                                   // ids 0..39
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")  // gen 2
+    val (fs, root) = fsRoot
+    val preFiles = IndexManifest.current(fs, root).get.files.map(e => e.path -> e).toMap
+    // scattered predicate: one stripe across EVERY file (vec_id % 4 == 1
+    // hits each cell=1 file; plus an id-mod condition to scatter within)
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 7 === 1, "purge1")
+    val st = IndexManifest.current(fs, root).get
+    st.dvs.size shouldBe 1
+    st.dvs.head.rows shouldBe (0L until 40L).count(_ % 7 == 1) + (100L until 112L).count(_ % 7 == 1)
+    // NOT copy-on-write: every data file entry carried forward identically
+    st.files.map(e => e.path -> e).toMap shouldBe preFiles
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).filter(col("vec_id") % 7 =!= 1))
+    // readRange applies the DV too
+    rowsOf(IndexManifest.readRange(spark, dir, 0L, 50L)) shouldBe
+      rowsOf(batch(0, 40).filter(col("vec_id") % 7 =!= 1))
+    // the pre-delete generation still serves the deleted rows (time travel)
+    rowsOf(IndexManifest.readAt(spark, dir, 2L)) shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // a second delete unions; an already-deleted row adds no pair
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 7 === 1 || col("vec_id") === 0, "purge2")
+    val st2 = IndexManifest.current(fs, root).get
+    st2.dvs.size shouldBe 2
+    st2.dvs.map(_.rows).sum shouldBe st.dvs.head.rows + 1
+    val afterTwo = rowsOf(batch(0, 40).union(batch(100, 12))
+      .filter(col("vec_id") % 7 =!= 1 && col("vec_id") =!= 0))
+    served() shouldBe afterTwo
+    // replay of a committed delete is a watermark no-op
+    val gen = IndexManifest.current(fs, root).get.gen
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") >= 0, "purge2")
+    IndexManifest.current(fs, root).get.gen shouldBe gen
+    served() shouldBe afterTwo
+    // compaction materializes: deleted rows drop out of the rewrite,
+    // the DV set resets, served rows unchanged
+    IndexManifest.compact(spark, dir, "vec_id")
+    val stC = IndexManifest.current(fs, root).get
+    stC.dvs shouldBe empty
+    served() shouldBe afterTwo
+    // vacuum retires the old generations AND their dv sidecars
+    IndexManifest.vacuum(spark, dir)
+    fs.listStatus(new Path(root, "_dv")).length shouldBe 0
+    served() shouldBe afterTwo
+  }
+
+  test("DELETION VECTORS: crash before the commit is invisible; a CAS loss to a racing append REDOES the matching against the new current") {
+    freshIndex()
+    val full = served()
+    // crash: dv sidecar renamed in, no manifest — readers unmoved
+    IndexManifest.interruptBeforeManifest =
+      () => throw new RuntimeException("simulated crash pre-commit")
+    try intercept[RuntimeException] {
+      IndexManifest.deleteWhere(spark, dir, col("vec_id") % 5 === 0, "purge1")
+    } finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe full
+    val (fs, root) = fsRoot
+    IndexManifest.current(fs, root).get.dvs shouldBe empty
+    // racing append commits inside the delete's commit window: the
+    // delete must redo so the racer's matching rows are ALSO deleted
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.appendBatch(spark, batch(100, 12), dir, "racer")
+    }
+    try IndexManifest.deleteWhere(spark, dir, col("vec_id") % 5 === 0, "purge1")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)).filter(col("vec_id") % 5 =!= 0))
+    // the replay converged exactly-once: one dv commit, racer intact
+    IndexManifest.current(fs, root).get.dvs.size shouldBe 1
+  }
+
+  test("SCHEMA EVOLUTION: a batch with a new column evolves the manifest schema; old files surface NULL without mergeSchema; type conflicts fail loudly") {
+    freshIndex()
+    val (fs, root) = fsRoot
+    IndexManifest.current(fs, root).get.schemaDdl shouldBe defined
+    // evolve: day1 carries an extra column
+    val evolved = batch(100, 12).withColumn("boost", (col("vec_id") % 5).cast("int"))
+    IndexManifest.appendBatch(spark, evolved, dir, "day1")
+    val cur = IndexManifest.read(spark, dir)
+    cur.columns should contain("boost")
+    // old (base) rows surface NULL for the late column; new rows carry it
+    cur.filter(col("vec_id") < 40).filter(col("boost").isNotNull).count() shouldBe 0L
+    cur.filter(col("vec_id") >= 100).filter(col("boost").isNull).count() shouldBe 0L
+    cur.filter(col("vec_id") >= 100).select(sum(col("boost"))).head().getLong(0) shouldBe
+      (100L until 112L).map(_ % 5).sum
+    // time travel reads with the SCHEMA OF THAT GENERATION: gen 1 has no boost
+    IndexManifest.readAt(spark, dir, 1L).columns should not contain "boost"
+    // a type conflict on an existing column is a loud failure, not coercion
+    val bad = batch(200, 4).withColumn("boost", lit("high"))
+    val e = intercept[Exception] { IndexManifest.appendBatch(spark, bad, dir, "day2") }
+    e.getMessage should include("schema conflict")
+    // the failed append committed nothing
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // compaction carries the evolved schema; base rows still NULL
+    IndexManifest.compact(spark, dir, "vec_id")
+    val afterC = IndexManifest.read(spark, dir)
+    afterC.filter(col("vec_id") < 40).filter(col("boost").isNotNull).count() shouldBe 0L
+    afterC.filter(col("vec_id") >= 100).filter(col("boost").isNull).count() shouldBe 0L
+  }
+
+  test("VACUUM SAFETY RAIL: a generation either resolves completely or is gone completely — and a too-late readAt names the retention policy") {
+    freshIndex()                                                    // gen 1 (full)
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")   // gen 2 (delta)
+    IndexManifest.compact(spark, dir, "vec_id")                     // gen 3 (full)
+    val (fs, root) = fsRoot
+    // age every DATA file far past any grace cutoff while the gen-2
+    // manifest stays young — the round-11 failure shape: a young record
+    // whose files an mtime-gated vacuum would have deleted from under it
+    def ageDataFiles(): Unit = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(cd => fs.listStatus(cd.getPath))
+      .foreach(f => fs.setTimes(f.getPath, 1000L, 1000L))
+    ageDataFiles()
+    IndexManifest.vacuum(spark, dir, keepGens = 1, graceMs = 600000L)
+    // gen 2's manifest is younger than the cutoff so it survived — and
+    // therefore its files MUST have survived too (no record-without-data)
+    IndexManifest.generations(spark, dir) should contain(2L)
+    rowsOf(IndexManifest.readAt(spark, dir, 2L)) shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+    // an exclusive-window vacuum retires gen 1-2 wholly; the error for a
+    // vacuumed generation names the recorded retention policy
+    IndexManifest.vacuum(spark, dir, keepGens = 1)
+    IndexManifest.generations(spark, dir) shouldBe Seq(3L)
+    val e = intercept[Exception] { IndexManifest.readAt(spark, dir, 2L) }
+    e.getMessage should include("not available")
+    e.getMessage should include("kept 1 generation")
+    served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
+  }
+
   test("LEDGER UPGRADE: a structured id committed via a v1 (raw-id) ledger keeps replay idempotence after compaction") {
     freshIndex()
     IndexManifest.appendBatch(spark, batch(100, 8), dir, "job_7")
