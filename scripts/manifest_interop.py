@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Read a graft.operators.IndexManifest table from DuckDB — no Spark.
+
+The point of a table format is that the METADATA, not the engine, owns
+the table: any reader that can parse the log gets the same atomic
+snapshot, the same zone-map file pruning, and the same merge-on-read
+delete semantics. This script is that second engine, ~100 lines:
+
+  1. resolve the current generation (or --gen N): walk the commit
+     records back to the nearest full snapshot — a full manifest or a
+     checkpoint-<g>.json sidecar — verifying the CRC32 body checksum of
+     every record, then replay the delta tail (adds/removes/dv-adds);
+  2. prune files whose clustering-column zone map cannot intersect the
+     probe range [lo, hi] (statcols[0], declared in the manifest);
+  3. plan the scan in DuckDB: read_parquet over exactly the kept files
+     (hive partitioning for the partition column), residual BETWEEN
+     filter, and an ANTI JOIN against the deletion-vector sidecars on
+     (relative file path, file_row_number) — DuckDB's file_row_number
+     is the same in-file ordinal Spark's _metadata.row_index exposes,
+     because parquet row order is the file's physical order in both.
+
+Prints one JSON object: {"generation","kept","skipped","rows":[[key,part],...]}
+with rows sorted — ManifestInteropSpec compares it against Spark's
+IndexManifest.readRange on the same tree. Exit 3 = duckdb unavailable
+(spec cancels), exit 1 = integrity/protocol failure (spec fails).
+
+Usage: manifest_interop.py <tableDir> <lo> <hi> [--gen N]
+"""
+import json
+import os
+import re
+import sys
+import zlib
+
+try:
+    import duckdb
+except ImportError:
+    print("duckdb module unavailable", file=sys.stderr)
+    sys.exit(3)
+
+
+def unescape(s):
+    return re.sub("%([0-9a-fA-F]{4})", lambda m: chr(int(m.group(1), 16)), s)
+
+
+def read_record(path, gen):
+    raw = open(path, "rb").read().decode("utf-8")
+    if raw.startswith('{"generation"'):  # v1: no checksum, stats-less
+        body = json.loads(raw)
+        assert body["generation"] == gen, f"{path}: generation mismatch"
+        return {"kind": "full", "statcols": ["vec_id"], "part": "cell", "dvs": [],
+                "files": [[unescape(p), -1, 0, -1] for p in body.get("files", [])]}
+    doc = json.loads(raw)
+    body_str = raw[raw.index('"body":') + 7:-1]
+    crc = format(zlib.crc32(body_str.encode("utf-8")) & 0xFFFFFFFF, "08x")
+    assert crc == doc["checksum"], f"{path}: checksum mismatch (torn write?)"
+    b = doc["body"]
+    assert b["version"] <= 3, f"{path}: version {b['version']} newer than this reader"
+    assert b["generation"] == gen, f"{path}: generation mismatch"
+    kind = b.get("kind", "full")  # v2 has no kind field: always full
+    rec = {
+        "kind": kind,
+        "statcols": [unescape(c) for c in b.get("statcols", ["vec_id"])],
+        "part": unescape(b.get("part", "cell")),
+        "files": [[unescape(e[0])] + e[1:] for e in b.get("files", [])],
+        "dvs": [[unescape(e[0]), e[1]] for e in b.get("dvs", [])],
+        "removes": [unescape(p) for p in b.get("removes", [])],
+    }
+    return rec
+
+
+def resolve(md, gen):
+    g, deltas = gen, []
+    while True:
+        cp = os.path.join(md, f"checkpoint-{g:09d}.json")
+        mp = os.path.join(md, f"manifest-{g:09d}.json")
+        rec = read_record(cp if os.path.exists(cp) else mp, g)
+        if rec["kind"] == "full":
+            state = rec
+            break
+        deltas.append(rec)
+        g -= 1
+        assert g >= 1, "delta chain has no full snapshot"
+    for d in reversed(deltas):
+        rm = set(d["removes"])
+        state["files"] = [f for f in state["files"] if f[0] not in rm] + d["files"]
+        state["dvs"] = state["dvs"] + d["dvs"]
+    return state
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    table, lo, hi = args[0], int(args[1]), int(args[2])
+    pinned = None
+    for a in sys.argv[1:]:
+        if a.startswith("--gen="):
+            pinned = int(a.split("=", 1)[1])
+    md = os.path.join(table, "_manifests")
+    gens = sorted(int(m.group(1)) for n in os.listdir(md)
+                  if (m := re.fullmatch(r"manifest-(\d{9})\.json", n)))
+    gen = pinned if pinned is not None else gens[-1]
+    st = resolve(md, gen)
+
+    def overlaps(f):  # stats-less entries (rows<0 or min>max) are kept
+        return f[1] < 0 or f[2] > f[3] or (f[2] <= hi and f[3] >= lo)
+
+    kept = [f for f in st["files"] if overlaps(f)]
+    skipped = len(st["files"]) - len(kept)
+    key = st["statcols"][0]
+
+    def sql_list(paths):
+        return "[" + ",".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
+
+    base = (f"read_parquet({sql_list(os.path.join(table, f[0]) for f in kept)}, "
+            f"filename=true, file_row_number=true, hive_partitioning=true)")
+    dv_clause = ""
+    if st["dvs"]:
+        dvs = f"read_parquet({sql_list(os.path.join(table, d[0], '*.parquet') for d in st['dvs'])})"
+        dv_clause = (f" AND NOT EXISTS (SELECT 1 FROM {dvs} d WHERE "
+                     f"d.file = regexp_extract(b.filename, '[^/]+/[^/]+$') "
+                     f"AND d.row_index = b.file_row_number)")
+    q = (f"SELECT b.{key} AS k, b.{st['part']} AS p FROM {base} b "
+         f"WHERE b.{key} BETWEEN {lo} AND {hi}{dv_clause} ORDER BY k, p")
+    rows = duckdb.sql(q).fetchall()
+    print(json.dumps({"generation": gen, "kept": len(kept), "skipped": skipped,
+                      "rows": [[int(r[0]), str(r[1])] for r in rows]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,17 +27,42 @@ object Bench {
       name -> (if (failed) -1.0 else t)
     }
 
+  /** HOST-NOISE CALIBRATION (round-11 verdict ask #6): one fixed
+    * single-table scan-aggregate — lineitem grouped by returnflag,
+    * decimal-exact quantity/price sums — timed min-of-5 and recorded
+    * with EVERY bench artifact. The query NEVER changes, so the only
+    * thing that can move its time is the host: comparing `calibration_sec`
+    * across two artifacts turns "was that run contaminated?" (the
+    * r11-close argument: identical code swinging 128→249 s) into
+    * arithmetic — host_factor = cal_now / cal_then, applied before
+    * reading any per-query delta as a regression. */
+  def calibrationSec(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(28,4)")).as("q"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).as("p"),
+          count(lit(1)).as("n"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   /** The full-detail JSON (every query's timing). Failed queries carry
     * -1 in `queries` and are EXCLUDED from `value` (a wall-time total
     * polluted by failure time would understate silently); `errors`
     * makes the failure count a first-class field. */
-  def renderJson(results: Seq[(String, Double)], iters: Int, sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double)], iters: Int, sfDir: String,
+      calSec: Double = -1.0): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val nErr = results.count(_._2 < 0)
-    s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$nErr,"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$nErr,""" +
+      s""""calibration_sec":$calSec,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** The ONE-line JSON the driver parses from the tail of stdout. The
@@ -51,7 +76,7 @@ object Bench {
     * trailing "[success]" line. The complete map is still printed above
     * it and written to bench_full.json. */
   def renderCompactJson(results: Seq[(String, Double)], iters: Int, sfDir: String,
-      keep: Int = 40): String = {
+      keep: Int = 40, calSec: Double = -1.0): String = {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) r3(ok.map(_._2).sum) else 0.0
@@ -60,8 +85,8 @@ object Bench {
     val qs = slowest.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"errors":$nErr,""" +
-      s""""queries_total":${results.size},"queries_shown":${slowest.size},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""calibration_sec":${r3(calSec)},"queries_total":${results.size},""" +
+      s""""queries_shown":${slowest.size},"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,8 +138,12 @@ object Bench {
       case Some(ps) => QueryRegistry.all.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => QueryRegistry.all
     }
+    // calibration AFTER warm-up, BEFORE the suite (steady-state JVM, no
+    // suite-side cache effects); its plan is a single-scan partial+final
+    // aggregate, so its time tracks host CPU/IO pressure and nothing else
+    val calSec = try calibrationSec(spark, sfDir) catch { case _: Throwable => -1.0 }
     val results = timeQueries(spark, sfDir, selected, iters)
-    val full = renderJson(results, iters, sfDir)
+    val full = renderJson(results, iters, sfDir, calSec)
     // full map: printed first (for logs) and persisted for BASELINE.md.
     // SPARK_GRAFT_BENCH_TAG (e.g. "r7_close") additionally writes a
     // round-stamped bench_full_<tag>.json so per-close full maps survive
@@ -130,7 +159,7 @@ object Bench {
     }
     // LAST line = the compact contract line that fits the driver's
     // 2000-char tail window (see renderCompactJson)
-    println(renderCompactJson(results, iters, sfDir))
+    println(renderCompactJson(results, iters, sfDir, calSec = calSec))
     spark.stop()
   }
 }
