@@ -1005,11 +1005,20 @@ object IndexManifest {
       .filter(predicate)
       .select(col(PosFile).as("file"), col(PosIndex).as("row_index"))
     val staging = new Path(root, s".dvstage-$batchId-$token")
-    matched.write.mode("overwrite").parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
+    // ONE sidecar file per commit: a deletion vector is metadata (~16 B
+    // per deleted row after encoding) — fanning it across the shuffle
+    // partitioning writes dozens of KB-sized parquet files whose fixed
+    // footers dwarf the payload. A delete whose POSITION SET is big
+    // enough to want distributed write bandwidth is past the
+    // merge-on-read break-even anyway (rewrite via replaceRange/compact
+    // instead of masking that many rows at every read).
+    matched.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val dvRel = s"_dv/dv-$batchId-$token"
     fs.mkdirs(new Path(root, "_dv"))
     require(fs.rename(staging, new Path(root, dvRel)), s"rename failed: $staging -> $dvRel")
+    // count from the renamed-in location (the read path applyDvs uses);
+    // a dot-prefixed staging dir trips Spark's hidden-path filter
+    val n = spark.read.parquet(s"$dir/$dvRel").count()
     interruptBeforeManifest()
     val (writer, version) = splitBatchId(batchId)
     val dvAdds = if (n > 0) Seq(DvEntry(dvRel, n)) else Seq.empty

@@ -15,8 +15,13 @@ import org.scalatest.matchers.should.Matchers
   * manifest CAS (for appends, compactions, AND range replaces),
   * copy-on-write range replaces of previously committed blocks (whose
   * ORIGINAL ids must stay replay-no-ops though their rows changed),
-  * compactions, and grace-windowed vacuums — interleaved by a seeded
-  * RNG so the exact schedule is reproducible.
+  * merge-on-read DELETES by scattered vec_id predicates (round 12:
+  * thinning every live batch at once through deletion vectors, with
+  * racers injected inside the delete's commit window — the redo must
+  * delete the racer's matching rows too, and a later replace of a
+  * thinned block resurrects its full id range), compactions (which
+  * MATERIALIZE any accumulated deletes), and grace-windowed vacuums —
+  * interleaved by a seeded RNG so the exact schedule is reproducible.
   *
   * Invariant checked after EVERY schedule point, and again after all
   * crashed batches are replayed at the end:
@@ -45,7 +50,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     df.select(col("vec_id"), col("codes").cast("string"), col("cell"))
       .collect().map(_.toString).sorted.toSeq
 
-  test("220 randomized schedule points: appends, replays, crashes, injected racers, range replaces, compactions, vacuums — no row lost, none doubled") {
+  test("220 randomized schedule points: appends, replays, crashes, injected racers, range replaces, merge-on-read deletes, compactions, vacuums — no row lost, none doubled") {
     val (fs, root) = {
       val p = new Path(dir)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -60,12 +65,17 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     // id block of each committed batch (blocks are disjoint by
     // construction), so the replace branch can target exactly one
     val replacedRange = scala.collection.mutable.Map[String, (Long, Int)]()
-    val baseRows = rowsOf(batch(0, 12))
+    // base rows are mutable state too: merge-on-read deletes thin them
+    var baseLive = rowsOf(batch(0, 12))
     var nextId0 = 1000L
     // per-writer monotonic version counters (the documented contract)
     val writerVersion = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
 
-    def expected: Seq[String] = (baseRows ++ committed.values.flatten).sorted
+    def expected: Seq[String] = (baseLive ++ committed.values.flatten).sorted
+
+    // the row strings are rowsOf's fixed shape "[<vec_id>,[codes],<cell>]"
+    // — the model applies a vec_id delete predicate by parsing the prefix
+    def vecIdOf(row: String): Long = row.substring(1, row.indexOf(',')).toLong
 
     def freshBatch(): (String, Long, Int) = {
       val n = 4 + rnd.nextInt(4)
@@ -144,7 +154,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
         val (id, (id0, n)) = pending.head
         pending.remove(id)
         appendCommitted(id, id0, n)
-      } else if (roll < 90) {
+      } else if (roll < 88) {
         // compaction, sometimes with an injected racing append
         if (rnd.nextBoolean()) {
           val (rid, rid0, rn) = freshAdhoc()
@@ -155,6 +165,32 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
           try IndexManifest.compact(spark, dir, "vec_id")
           finally IndexManifest.interruptBeforeManifest = () => ()
         } else IndexManifest.compact(spark, dir, "vec_id")
+      } else if (roll < 92) {
+        // MERGE-ON-READ DELETE by a scattered vec_id predicate (round
+        // 12): thins EVERY live batch's rows at once, sometimes racing a
+        // fresh append injected inside its commit window — the delete
+        // must REDO against the new current, so the racer's matching
+        // rows are deleted too (the model filters AFTER the racer lands,
+        // which is exactly the redo semantics). A later REPLACE of a
+        // thinned block resurrects its full id set with new content
+        // (the range's content becomes enc ∩ range, deletes
+        // notwithstanding) — the existing replace branch's model update
+        // already encodes that.
+        val k = 2 + rnd.nextInt(5)
+        val r = rnd.nextInt(k)
+        val pid = s"purge$i" // ad-hoc (no _<digits> suffix): exact-membership semantics
+        def hit(row: String): Boolean = vecIdOf(row) % k == r
+        if (rnd.nextInt(3) == 0) {
+          val (rid, rid0, rn) = freshAdhoc()
+          IndexManifest.interruptBeforeManifest = () => {
+            IndexManifest.interruptBeforeManifest = () => ()
+            appendCommitted(rid, rid0, rn)
+          }
+          try IndexManifest.deleteWhere(spark, dir, col("vec_id") % k === r, pid)
+          finally IndexManifest.interruptBeforeManifest = () => ()
+        } else IndexManifest.deleteWhere(spark, dir, col("vec_id") % k === r, pid)
+        baseLive = baseLive.filterNot(hit)
+        committed.keys.toSeq.foreach(id => committed(id) = committed(id).filterNot(hit))
       } else if (roll < 96 && committed.nonEmpty) {
         // COPY-ON-WRITE RANGE REPLACE of a committed batch's id block
         // (blocks are disjoint by construction, so the model update is
