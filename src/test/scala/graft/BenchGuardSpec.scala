@@ -96,6 +96,19 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     ceiling(total, 200.0, "ANN family total")
   }
 
+  test("per-family wall ceiling: table-format family (deletion vectors, corpus, schema) at sf0.001") {
+    // round 12's merge-on-read/corpus/schema rows: each stages its tree
+    // on the first build (publish + appends + DV commits), then the
+    // timed min-of-1 measures the manifest-planned read. The ceiling
+    // catches a reintroduced O(table) cost in the resolve/DV/schema
+    // read path (e.g. a per-read footer sweep or a DV fan-out).
+    val res = familyWall(Seq("q259", "q260", "q261"))
+    val total = res.filter(_._2 >= 0).map(_._2).sum
+    info(f"table-format family total at sf0.001: $total%.1f s (${res.size} queries)")
+    res.filter(_._2 < 0) shouldBe empty
+    ceiling(total, 60.0, "table-format family total")
+  }
+
   test("per-family wall ceiling: transform/rotation family (aniso + fixture) at sf0.001") {
     val res = familyWall(Seq("q238", "q239", "q242", "q243", "q244", "q245",
       "q250", "q251", "q252", "q257"))

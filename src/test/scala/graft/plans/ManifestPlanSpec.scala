@@ -45,4 +45,53 @@ class ManifestPlanSpec extends AnyFunSuite with Matchers {
     // and the rows are right
     df.count() shouldBe 40L
   }
+
+  test("corpus table: lang partition pruning composes with doc_id zone-map skipping; the scan plans with the MANIFEST schema") {
+    import graft.operators.IndexManifest
+    val cdir = "/tmp/graft_llm/manifest_plan_spec/corpus"
+    val root = new org.apache.hadoop.fs.Path(cdir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    def docs(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+      "id * 3 AS n_chars")
+    IndexManifest.publishBase(spark, docs(0, 40), cdir,
+      IndexManifest.TableSpec(partCol = "lang", statCols = Seq("doc_id", "n_chars")))
+    IndexManifest.appendBatch(spark, docs(1000, 12), cdir, "feed_1")
+    val df = IndexManifest.readRange(spark, cdir, 0L, 50L).filter(col("lang") === "en")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans should have size 1
+    // zone maps: feed_1's files never reach the file index (doc_id skip)
+    scans.head.relation.location.inputFiles.foreach(f => f should not include "ingest-feed_1-")
+    // hive layer: the lang predicate is a PARTITION filter, not a row filter
+    scans.head.partitionFilters.map(_.toString).mkString should include("lang")
+    // planning schema is the manifest's (no footer merge): exact columns
+    scans.head.relation.dataSchema.fieldNames.toSeq should contain allOf ("doc_id", "n_chars")
+    df.count() shouldBe 20L
+  }
+
+  test("deletion vectors read as ONE anti-join over the scan; the probe's residual predicate still reaches parquet") {
+    import graft.operators.IndexManifest
+    val ddir = "/tmp/graft_llm/manifest_plan_spec/dv"
+    val root = new org.apache.hadoop.fs.Path(ddir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    IndexManifest.publishBase(spark, batch(0, 40), ddir)
+    IndexManifest.deleteWhere(spark, ddir, col("vec_id") % 5 === 0, "purge1")
+    val df = IndexManifest.readRange(spark, ddir, 0L, 30L)
+    df.count() shouldBe 31L - 7L // ids 0..30 minus multiples of 5 (0,5,...,30)
+    // the join query runs under AQE: assert on the FINALIZED plan
+    val plan = df.queryExecution.executedPlan.toString
+    // merge-on-read = one anti-join, not a rewrite and not N joins
+    plan should include("LeftAnti")
+    plan.sliding("LeftAnti".length).count(_ == "LeftAnti") shouldBe 1
+    // two scans: the data files and the DV sidecar
+    plan.sliding("Scan parquet".length).count(_ == "Scan parquet") shouldBe 2
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    formatted should include("PushedFilters")
+  }
 }
