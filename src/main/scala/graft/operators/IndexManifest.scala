@@ -353,9 +353,13 @@ object IndexManifest {
 
   // ───────────────────────────── log records ─────────────────────────────
 
-  /** One parsed log record: a full snapshot or a delta. */
+  /** One parsed log record: a full snapshot or a delta. `rewrite` on a
+    * full record marks a commit that changed the FILE layout but not
+    * the logical row set (compaction) — the changelog skips it, the
+    * way production formats' change feeds skip dataChange=false
+    * actions. */
   private[operators] sealed trait Rec
-  private final case class FullRec(st: State) extends Rec
+  private final case class FullRec(st: State, rewrite: Boolean = false) extends Rec
   private final case class DeltaRec(gen: Long, adds: Seq[FileEntry], removes: Seq[String],
       wm: Map[String, Long], dvAdds: Seq[DvEntry], schema: Option[String]) extends Rec
 
@@ -463,7 +467,8 @@ object IndexManifest {
             statCols = if (statCols.nonEmpty) statCols else Seq("vec_id"),
             partCol = strField(body, "part").getOrElse("cell"),
             schemaDdl = strField(body, "schema"),
-            dvs = dvEntries(body), fullGen = gen))
+            dvs = dvEntries(body), fullGen = gen),
+            rewrite = body.contains(""""rewrite":true"""))
         case Some("delta") =>
           val wm = flatArr(body, "batches").map { e =>
             val i = e.lastIndexOf(':')
@@ -532,7 +537,7 @@ object IndexManifest {
           else readRec(fs, mp, g)
         }
       rec match {
-        case FullRec(st) => bottom = st
+        case FullRec(st, _) => bottom = st
         case d: DeltaRec =>
           deltas ::= d
           g -= 1
@@ -564,8 +569,10 @@ object IndexManifest {
     s"""["${escape(f.path)}",${f.rows}""" +
       f.stats.map { case (mn, mx) => s",$mn,$mx" }.mkString + "]"
 
-  private def fullBody(st: State): String =
-    s"""{"version":3,"generation":${st.gen},"kind":"full","part":"${escape(st.partCol)}",""" +
+  private def fullBody(st: State, rewrite: Boolean = false): String =
+    s"""{"version":3,"generation":${st.gen},"kind":"full",""" +
+      (if (rewrite) """"rewrite":true,""" else "") +
+      s""""part":"${escape(st.partCol)}",""" +
       s""""statcols":[${st.statCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],""" +
       st.schemaDdl.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
       s""""batches":[${renderWm(st.watermarks).map(b => "\"" + b + "\"").mkString(",")}],""" +
@@ -648,8 +655,10 @@ object IndexManifest {
       files: Seq[FileEntry], batches: Seq[String]): Boolean =
     tryWriteFull(fs, root, State(gen, files, batches, fullGen = gen))
 
-  private def tryWriteFull(fs: FileSystem, root: Path, st: State): Boolean =
-    tryPublish(fs, root, manifestName(st.gen), wrap(fullBody(st.copy(fullGen = st.gen, v1Descent = false))))
+  private def tryWriteFull(fs: FileSystem, root: Path, st: State,
+      rewrite: Boolean = false): Boolean =
+    tryPublish(fs, root, manifestName(st.gen),
+      wrap(fullBody(st.copy(fullGen = st.gen, v1Descent = false), rewrite)))
 
   /** One commit's actions (the delta record's payload). */
   private final case class Commit(
@@ -1075,7 +1084,7 @@ object IndexManifest {
     // every committed batch's rows, and replay idempotence must survive
     // the batch's own files disappearing from the listing.
     if (!tryWriteFull(fs, root, st.copy(gen = gen, files = added,
-        batches = renderWm(st.watermarks), dvs = Seq.empty))) {
+        batches = renderWm(st.watermarks), dvs = Seq.empty), rewrite = true)) {
       added.foreach(e => fs.delete(new Path(root, e.path), false))
       fs.delete(staging, true)
       require(attemptsLeft > 1,
@@ -1267,6 +1276,78 @@ object IndexManifest {
   def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
     val st = stateAt(spark, dir, gen)
     serve(spark, dir, st, st.files)
+  }
+
+  /** Deleted ROWS named by a set of deletion-vector sidecars: the live
+    * rows of `prev` (its own DVs applied first) at the sidecars'
+    * (file, row_index) positions. */
+  private def dvDeletedRows(spark: SparkSession, dir: String, prev: State,
+      dvs: Seq[DvEntry]): DataFrame = {
+    val pairs = spark.read.parquet(dvs.map(d => s"$dir/${d.path}"): _*)
+      .select(col("file").as(PosFile), col("row_index").as(PosIndex))
+    withPosition(spark, dir, prev, prev.files)
+      .join(pairs, Seq(PosFile, PosIndex), "left_semi")
+      .drop(PosFile, PosIndex)
+  }
+
+  /** ROW-LEVEL CHANGELOG (change data feed) between two committed
+    * generations: every row inserted or deleted by the commits in
+    * (fromGen, toGen], tagged `_change_type` ('insert' | 'delete') and
+    * `_commit_gen`. The INCREMENTAL LOG makes this O(changed files +
+    * deleted rows), never O(table): each delta record names exactly its
+    * added files (→ inserts: read those files), removed files
+    * (→ deletes: the files' live rows AS OF the previous generation —
+    * its deletion vectors applied), and added deletion vectors
+    * (→ deletes: the positions' rows). A copy-on-write replace
+    * therefore emits delete(old range rows) + insert(new range rows) —
+    * verbose but exact. COMPACTIONS emit NOTHING: their full record
+    * carries `rewrite:true` (the file layout changed, the logical row
+    * set did not — deletes they materialize were already emitted by the
+    * DV commits that created them), the same dataChange=false
+    * discipline production change feeds apply to OPTIMIZE. Requires the
+    * commit records of (fromGen, toGen] to be within retention. */
+  def changes(spark: SparkSession, dir: String, fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen >= 1 && fromGen < toGen,
+      s"need 1 <= fromGen < toGen, got [$fromGen, $toGen]")
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    var prev = resolve(fs, root, fromGen)
+    def tag(df: DataFrame, tpe: String, g: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_gen", lit(g))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (fromGen + 1 to toGen).foreach { g =>
+      val mp = new Path(md, manifestName(g))
+      require(fs.exists(mp),
+        s"commit record for generation $g missing at $dir — vacuumed past retention?")
+      readRec(fs, mp, g) match {
+        case FullRec(st, rewrite) =>
+          // a full snapshot mid-range: diff it against the previous
+          // state — unless it is a pure rewrite (compaction)
+          if (!rewrite) {
+            val curPaths = st.files.map(_.path).toSet
+            val prevPaths = prev.files.map(_.path).toSet
+            val removed = prev.files.filterNot(f => curPaths(f.path))
+            val added = st.files.filterNot(f => prevPaths(f.path))
+            val newDvs = st.dvs.filterNot(prev.dvs.toSet)
+            if (removed.nonEmpty) parts += tag(serve(spark, dir, prev, removed), "delete", g)
+            if (newDvs.nonEmpty) parts += tag(dvDeletedRows(spark, dir, prev, newDvs), "delete", g)
+            if (added.nonEmpty) parts += tag(scanOf(spark, dir, st, added), "insert", g)
+          }
+          prev = st.copy(fullGen = g)
+        case d: DeltaRec =>
+          val cur = applyDelta(prev, d)
+          val rmSet = d.removes.toSet
+          val removed = prev.files.filter(f => rmSet(f.path))
+          if (removed.nonEmpty) parts += tag(serve(spark, dir, prev, removed), "delete", g)
+          if (d.dvAdds.nonEmpty) parts += tag(dvDeletedRows(spark, dir, prev, d.dvAdds), "delete", g)
+          if (d.adds.nonEmpty) parts += tag(scanOf(spark, dir, cur, d.adds), "insert", g)
+          prev = cur
+      }
+    }
+    if (parts.isEmpty)
+      // no logical change in the range: empty frame, correct shape
+      tag(scanOf(spark, dir, prev, prev.files.take(1)).filter(lit(false)), "", 0L)
+    else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Delete data/DV files no RETAINED generation references, log

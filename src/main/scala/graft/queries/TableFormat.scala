@@ -221,9 +221,46 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q262: row-level changelog (change data feed) ───────────────
+
+  /** CHANGE DATA FEED, graded end to end (q262): the q259 tree's full
+    * history — gen 2 appended the dayA half, gens 3-4 deleted two
+    * scattered predicates via deletion vectors — read back as a
+    * row-level changelog and aggregated per (commit, change type).
+    * Oracle: the same three row sets reconstructed from embeddings by
+    * the split/predicate arithmetic (gen 4's delete must EXCLUDE rows
+    * gen 3 already deleted — the feed names each row's deletion exactly
+    * once, at the commit that deleted it). The incremental log makes
+    * the feed O(changed files + deleted rows): each commit record
+    * names its own actions; nothing rescans the table. */
+  val manifestChanges: Q = Q(
+    s"""WITH b AS (SELECT $sqlVecB1 AS b1)
+       |SELECT * FROM (
+       |  SELECT CAST(2 AS BIGINT) AS gen, 'insert' AS ctype, COUNT(*) AS cnt,
+       |    CAST(SUM(vec_id) AS BIGINT) AS sum_id, CAST(SUM(label) AS BIGINT) AS sum_w
+       |  FROM embeddings, b WHERE vec_id >= b.b1
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
+       |    CAST(SUM(vec_id) AS BIGINT), CAST(SUM(label) AS BIGINT)
+       |  FROM embeddings WHERE vec_id % 7 = 3
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
+       |    CAST(SUM(vec_id) AS BIGINT), CAST(SUM(label) AS BIGINT)
+       |  FROM embeddings WHERE label % 5 = 2 AND vec_id % 3 = 1 AND NOT vec_id % 7 = 3
+       |) ORDER BY gen, ctype""".stripMargin) { (s, d) =>
+    val dir = stageDeleteTree(s, d)
+    IndexManifest.changes(s, s"$dir/t", 1L, 4L)
+      .groupBy(col("_commit_gen").as("gen"), col("_change_type").as("ctype"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("vec_id").cast("long").as("sum_id"),
+        sum("w").cast("long").as("sum_w"))
+      .orderBy("gen", "ctype")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
-    "q261_manifest_schema" -> manifestSchema
+    "q261_manifest_schema" -> manifestSchema,
+    "q262_manifest_changes" -> manifestChanges
   )
 }

@@ -584,6 +584,40 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     afterC.filter(col("vec_id") >= 100).filter(col("boost").isNull).count() shouldBe 0L
   }
 
+  test("CHANGELOG: changes(from,to) emits exactly the rows each commit inserted/deleted; compaction emits NOTHING; replace emits delete+insert") {
+    freshIndex()                                                   // gen 1: base 0..39
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")  // gen 2: insert
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 4 === 1, "purge1") // gen 3: DV delete
+    val replacement = batch(300, 12).selectExpr(
+      "vec_id - 200 AS vec_id", "codes", "cast((vec_id - 200) % 4 as int) AS cell")
+    IndexManifest.replaceRange(spark, replacement, dir, 100L, 111L, "fix1")  // gen 4
+    IndexManifest.compact(spark, dir, "vec_id")                    // gen 5: rewrite only
+    val ch = IndexManifest.changes(spark, dir, 1L, 5L)
+    def at(g: Long, tpe: String) =
+      rowsOf(ch.filter(col("_commit_gen") === g && col("_change_type") === tpe))
+    at(2, "insert") shouldBe rowsOf(batch(100, 12))
+    at(2, "delete") shouldBe empty
+    // the DV commit deletes the stripe across base AND day1
+    at(3, "delete") shouldBe rowsOf(batch(0, 40).union(batch(100, 12))
+      .filter(col("vec_id") % 4 === 1))
+    at(3, "insert") shouldBe empty
+    // the replace: deletes day1's LIVE rows (gen-3 DVs applied), inserts
+    // the replacement (day1's files are fully in-range: no survivors)
+    at(4, "delete") shouldBe rowsOf(batch(100, 12).filter(col("vec_id") % 4 =!= 1))
+    at(4, "insert") shouldBe rowsOf(replacement)
+    // compaction is dataChange=false: silent
+    ch.filter(col("_commit_gen") === 5).count() shouldBe 0L
+    // a mid-chain window sees only its own commits
+    rowsOf(IndexManifest.changes(spark, dir, 3L, 4L)
+      .filter(col("_change_type") === "insert")) shouldBe rowsOf(replacement)
+    // and replaying the feed reconstructs the final state: gen-1 rows
+    // + inserts − deletes ≡ read(current)
+    val replayed = (rowsOf(IndexManifest.readAt(spark, dir, 1L)) ++
+      rowsOf(ch.filter(col("_change_type") === "insert")))
+      .diff(rowsOf(ch.filter(col("_change_type") === "delete")))
+    replayed.sorted shouldBe served()
+  }
+
   test("VACUUM SAFETY RAIL: a generation either resolves completely or is gone completely — and a too-late readAt names the retention policy") {
     freshIndex()                                                    // gen 1 (full)
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")   // gen 2 (delta)
