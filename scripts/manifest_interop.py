@@ -91,10 +91,12 @@ def resolve(md, gen):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     table, lo, hi = args[0], int(args[1]), int(args[2])
-    pinned = None
+    pinned, sumcol = None, None
     for a in sys.argv[1:]:
         if a.startswith("--gen="):
             pinned = int(a.split("=", 1)[1])
+        if a.startswith("--sum="):
+            sumcol = a.split("=", 1)[1]
     md = os.path.join(table, "_manifests")
     gens = sorted(int(m.group(1)) for n in os.listdir(md)
                   if (m := re.fullmatch(r"manifest-(\d{9})\.json", n)))
@@ -111,8 +113,12 @@ def main():
     def sql_list(paths):
         return "[" + ",".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
 
+    # union_by_name: files written before a schema-evolved column existed
+    # surface NULL for it — the same late-column semantics Spark gets
+    # from the manifest-held schema
     base = (f"read_parquet({sql_list(os.path.join(table, f[0]) for f in kept)}, "
-            f"filename=true, file_row_number=true, hive_partitioning=true)")
+            f"filename=true, file_row_number=true, hive_partitioning=true, "
+            f"union_by_name=true)")
     dv_clause = ""
     if st["dvs"]:
         dvs = f"read_parquet({sql_list(os.path.join(table, d[0], '*.parquet') for d in st['dvs'])})"
@@ -122,8 +128,14 @@ def main():
     q = (f"SELECT b.{key} AS k, b.{st['part']} AS p FROM {base} b "
          f"WHERE b.{key} BETWEEN {lo} AND {hi}{dv_clause} ORDER BY k, p")
     rows = duckdb.sql(q).fetchall()
-    print(json.dumps({"generation": gen, "kept": len(kept), "skipped": skipped,
-                      "rows": [[int(r[0]), str(r[1])] for r in rows]}))
+    out = {"generation": gen, "kept": len(kept), "skipped": skipped,
+           "rows": [[int(r[0]), str(r[1])] for r in rows]}
+    if sumcol:  # evolved-column probe: SUM ignores the late files' NULLs
+        qs = (f"SELECT SUM(b.{sumcol}) FROM {base} b "
+              f"WHERE b.{key} BETWEEN {lo} AND {hi}{dv_clause}")
+        v = duckdb.sql(qs).fetchone()[0]
+        out["sum"] = int(v) if v is not None else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

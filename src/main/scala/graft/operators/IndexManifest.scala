@@ -1280,12 +1280,21 @@ object IndexManifest {
 
   /** Deleted ROWS named by a set of deletion-vector sidecars: the live
     * rows of `prev` (its own DVs applied first) at the sidecars'
-    * (file, row_index) positions. */
+    * (file, row_index) positions. The scan is restricted to the FILES
+    * the pairs actually name — one small aggregate over the sidecar
+    * (O(deleted rows)) buys skipping every untouched file, which keeps
+    * the changelog's O(changed) promise when a delete touched a handful
+    * of files in a 100k-file table. */
   private def dvDeletedRows(spark: SparkSession, dir: String, prev: State,
       dvs: Seq[DvEntry]): DataFrame = {
     val pairs = spark.read.parquet(dvs.map(d => s"$dir/${d.path}"): _*)
       .select(col("file").as(PosFile), col("row_index").as(PosIndex))
-    withPosition(spark, dir, prev, prev.files)
+    val touched = pairs.select(PosFile).distinct().collect()
+      .map(_.getString(0)).toSet
+    val files = prev.files.filter(f => touched(f.path))
+    if (files.isEmpty)
+      return scanOf(spark, dir, prev, prev.files.take(1)).filter(lit(false))
+    withPosition(spark, dir, prev, files)
       .join(pairs, Seq(PosFile, PosIndex), "left_semi")
       .drop(PosFile, PosIndex)
   }
@@ -1348,6 +1357,37 @@ object IndexManifest {
       // no logical change in the range: empty frame, correct shape
       tag(scanOf(spark, dir, prev, prev.files.take(1)).filter(lit(false)), "", 0L)
     else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** One retained commit record's summary — the DESCRIBE HISTORY shape:
+    * what kind of commit, whether it changed the logical row set
+    * (`rewrite` = false), how many file/DV actions it carried, whether
+    * it evolved the schema, and which writer watermarks it bumped.
+    * For a FULL record (base publish, compaction, legacy
+    * normalization) the action counts are the snapshot's own (`adds` =
+    * files listed); deltas carry exactly their own actions. */
+  final case class CommitInfo(gen: Long, kind: String, rewrite: Boolean,
+      filesAdded: Int, filesRemoved: Int, dvAdded: Int, dvRowsAdded: Long,
+      schemaChanged: Boolean, writers: Seq[String])
+
+  /** Commit history over the RETAINED log, ascending by generation —
+    * one small metadata read per record, no data access; the log IS the
+    * catalog. */
+  def history(spark: SparkSession, dir: String): Seq[CommitInfo] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    generations(spark, dir).map { g =>
+      readRec(fs, new Path(md, manifestName(g)), g) match {
+        case FullRec(st, rewrite) =>
+          CommitInfo(g, "full", rewrite, st.files.size, 0, st.dvs.size,
+            st.dvs.map(_.rows).sum, st.schemaDdl.isDefined,
+            st.watermarks.keys.toSeq.sorted)
+        case d: DeltaRec =>
+          CommitInfo(g, "delta", rewrite = false, d.adds.size, d.removes.size,
+            d.dvAdds.size, d.dvAdds.map(_.rows).sum, d.schema.isDefined,
+            d.wm.keys.toSeq.sorted)
+      }
+    }
   }
 
   /** Delete data/DV files no RETAINED generation references, log

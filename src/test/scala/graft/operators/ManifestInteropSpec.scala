@@ -75,6 +75,28 @@ class ManifestInteropSpec extends AnyFunSuite with Matchers {
     pinned.rows shouldBe sparkRows(IndexManifest.readRangeAt(spark, dir, 3L, 0L, 300L))
     pinned.rows.exists(_._1 % 3 == 0) shouldBe true // deleted rows still there at gen 3
   }
+
+  test("schema evolution across engines: DuckDB's union_by_name read matches Spark's manifest-schema read on an evolved tree") {
+    val edir = "/tmp/graft_llm/manifest_interop/evolved"
+    val (fs, root) = {
+      val p = new Path(edir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(root, true)
+    IndexManifest.publishBase(spark, batch(0, 40), edir)
+    IndexManifest.appendBatch(spark,
+      batch(100, 12).withColumn("boost", (col("vec_id") % 5).cast("int")),
+      edir, "day_1")
+    val res = duckdbRead(edir, "0", "200", "--sum=boost")
+    // rows parity (both engines see base ∪ day1)...
+    res.rows shouldBe sparkRows(IndexManifest.readRange(spark, edir, 0L, 200L))
+    // ...and the LATE column aggregates identically: pre-evolution files
+    // surface NULL (ignored by SUM) in both engines
+    val sparkSum = IndexManifest.read(spark, edir)
+      .agg(sum(col("boost"))).head().getLong(0)
+    res.num("sum") shouldBe sparkSum
+    sparkSum shouldBe (100L until 112L).map(_ % 5).sum
+  }
 }
 
 /** Micro JSON reader for the script's fixed output shape (no JSON

@@ -646,6 +646,27 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
   }
 
+  test("HISTORY: the log is the catalog — one CommitInfo per retained record, kinds/actions/rewrite flags exact") {
+    freshIndex()                                                   // gen 1: full
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day_1") // gen 2: delta +files
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 9 === 2, "purge1") // gen 3: delta +dv
+    IndexManifest.compact(spark, dir, "vec_id")                    // gen 4: full rewrite
+    val h = IndexManifest.history(spark, dir)
+    h.map(_.gen) shouldBe Seq(1L, 2L, 3L, 4L)
+    h.map(_.kind) shouldBe Seq("full", "delta", "delta", "full")
+    h.map(_.rewrite) shouldBe Seq(false, false, false, true)
+    h(1).filesAdded should be > 0
+    h(1).writers shouldBe Seq("day")
+    h(2).filesAdded shouldBe 0
+    h(2).dvAdded shouldBe 1
+    h(2).dvRowsAdded shouldBe (0L until 40L).count(_ % 9 == 2) + (100L until 112L).count(_ % 9 == 2)
+    h(3).rewrite shouldBe true // compaction: file layout changed, rows did not
+    h(3).dvAdded shouldBe 0    // ...and it materialized the DVs away
+    // vacuum shrinks the catalog to the retained window
+    IndexManifest.vacuum(spark, dir, keepGens = 1)
+    IndexManifest.history(spark, dir).map(_.gen) shouldBe Seq(4L)
+  }
+
   test("LEDGER UPGRADE: a structured id committed via a v1 (raw-id) ledger keeps replay idempotence after compaction") {
     freshIndex()
     IndexManifest.appendBatch(spark, batch(100, 8), dir, "job_7")
