@@ -119,22 +119,28 @@ def main():
     base = (f"read_parquet({sql_list(os.path.join(table, f[0]) for f in kept)}, "
             f"filename=true, file_row_number=true, hive_partitioning=true, "
             f"union_by_name=true)")
-    dv_clause = ""
+    sumsel = f", b.{sumcol} AS s" if sumcol else ""
+    q = (f"SELECT b.{key} AS k, b.{st['part']} AS p{sumsel}, "
+         f"regexp_extract(b.filename, '[^/]+/[^/]+$') AS f, "
+         f"b.file_row_number AS i "
+         f"FROM {base} b WHERE b.{key} BETWEEN {lo} AND {hi} ORDER BY k, p")
+    fetched = duckdb.sql(q).fetchall()
+    # deletion vectors: anti-join in python — sidecar keys are
+    # URI-ENCODED (Spark's _metadata.file_path form: 'pt BR' → 'pt%20BR')
+    # while DuckDB's filename is the raw on-disk name; urllib's unquote
+    # (which, unlike form decoding, leaves '+' alone) bridges them
+    deleted = set()
     if st["dvs"]:
-        dvs = f"read_parquet({sql_list(os.path.join(table, d[0], '*.parquet') for d in st['dvs'])})"
-        dv_clause = (f" AND NOT EXISTS (SELECT 1 FROM {dvs} d WHERE "
-                     f"d.file = regexp_extract(b.filename, '[^/]+/[^/]+$') "
-                     f"AND d.row_index = b.file_row_number)")
-    q = (f"SELECT b.{key} AS k, b.{st['part']} AS p FROM {base} b "
-         f"WHERE b.{key} BETWEEN {lo} AND {hi}{dv_clause} ORDER BY k, p")
-    rows = duckdb.sql(q).fetchall()
+        from urllib.parse import unquote
+        dvq = (f"SELECT file, row_index FROM read_parquet("
+               f"{sql_list(os.path.join(table, d[0], '*.parquet') for d in st['dvs'])})")
+        deleted = {(unquote(f), i) for f, i in duckdb.sql(dvq).fetchall()}
+    live = [r for r in fetched if (r[-2], r[-1]) not in deleted]
     out = {"generation": gen, "kept": len(kept), "skipped": skipped,
-           "rows": [[int(r[0]), str(r[1])] for r in rows]}
-    if sumcol:  # evolved-column probe: SUM ignores the late files' NULLs
-        qs = (f"SELECT SUM(b.{sumcol}) FROM {base} b "
-              f"WHERE b.{key} BETWEEN {lo} AND {hi}{dv_clause}")
-        v = duckdb.sql(qs).fetchone()[0]
-        out["sum"] = int(v) if v is not None else None
+           "rows": [[int(r[0]), str(r[1])] for r in live]}
+    if sumcol:  # evolved-column probe: NULLs (pre-evolution files) ignored
+        vals = [r[2] for r in live if r[2] is not None]
+        out["sum"] = int(sum(vals)) if vals else None
     print(json.dumps(out))
 
 

@@ -506,6 +506,25 @@ object IndexManifest {
   private def mergeWm(base: Map[String, Long], upd: Map[String, Long]): Map[String, Long] =
     upd.foldLeft(base) { case (m, (w, v)) => m + (w -> math.max(v, m.getOrElse(w, Long.MinValue))) }
 
+  /** Ledger entries SYNTHESIZED from a v1 tree's committed file names:
+    * a pre-ledger manifest may list `ingest-<batchId>-…` files for
+    * batches its `batches` array never recorded, and the file-name
+    * replay fallback ([[isCommitted]]) dies with the v1Descent flag at
+    * the FIRST normalizing v3 commit — without folding these into the
+    * normalized ledger, a replay of such a batch would re-append and
+    * double-count every row. One O(files) scan, paid exactly once per
+    * legacy tree. Batch ids contain no '-' (enforced on every commit),
+    * so the id is the segment between the prefix and the next dash. */
+  private def ledgerFromFileNames(st: State): Map[String, Long] =
+    if (!st.v1Descent) Map.empty
+    else st.files.flatMap { f =>
+      val n = f.path.split('/').last
+      if (n.startsWith("ingest-")) {
+        val id = n.stripPrefix("ingest-").takeWhile(_ != '-')
+        if (id.nonEmpty) Some(splitBatchId(id)) else None
+      } else None
+    }.groupMapReduce(_._1)(_._2)(math.max)
+
   private def renderWm(wm: Map[String, Long]): Seq[String] =
     wm.toSeq.map { case (w, v) => s"$w:$v" }.sorted
 
@@ -525,16 +544,28 @@ object IndexManifest {
     while (bottom == null) {
       // a checkpoint sidecar bottoms the chain immediately — and after a
       // vacuum cut the support tail, the oldest retained generation's
-      // own sidecar is the ONLY bottom it has
+      // own sidecar is the ONLY bottom it has. A sidecar that fails its
+      // checksum is DERIVED data torn by a crash on a non-atomic-rename
+      // filesystem: fall back to the authoritative commit chain (logged,
+      // not fatal — unless the chain is gone too, in which case the
+      // original corruption error is the honest one to surface).
       val cp = new Path(md, checkpointName(g))
+      val mp = new Path(md, manifestName(g))
       val rec =
-        if (fs.exists(cp)) readRec(fs, cp, g)
-        else {
-          val mp = new Path(md, manifestName(g))
+        if (fs.exists(cp)) {
+          scala.util.Try(readRec(fs, cp, g)) match {
+            case scala.util.Success(r) => r
+            case scala.util.Failure(e) if fs.exists(mp) =>
+              log.warn(s"checkpoint sidecar for generation $g unreadable " +
+                s"(${e.getMessage}) — falling back to the commit chain")
+              readRec(fs, mp, g)
+            case scala.util.Failure(e) => throw e
+          }
+        } else {
           if (!fs.exists(mp))
             sys.error(s"manifest chain for generation $gen broken at $g " +
               s"(no manifest or checkpoint) — support vacuumed?")
-          else readRec(fs, mp, g)
+          readRec(fs, mp, g)
         }
       rec match {
         case FullRec(st, _) => bottom = st
@@ -676,9 +707,15 @@ object IndexManifest {
     * reliable ledger to delta against). */
   private def tryCommit(fs: FileSystem, root: Path, prev: State, c: Commit): Boolean = {
     val gen = prev.gen + 1
-    if (prev.v1Descent)
-      return tryWriteFull(fs, root, applyDelta(prev,
+    if (prev.v1Descent) {
+      // normalizing commit: fold the ledger the v1 tree only implied
+      // through file names INTO the ledger, or replay idempotence dies
+      // with the flag
+      val normalized = prev.copy(batches =
+        renderWm(mergeWm(prev.watermarks, ledgerFromFileNames(prev))))
+      return tryWriteFull(fs, root, applyDelta(normalized,
         DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema)).copy(v1Descent = false))
+    }
     val won = tryPublish(fs, root, manifestName(gen), wrap(deltaBody(gen, c)))
     if (won && gen - prev.fullGen >= CheckpointInterval)
       writeCheckpoint(fs, root,
@@ -803,30 +840,50 @@ object IndexManifest {
     entriesOf(fs, root, added.toSeq, statCols)
   }
 
-  /** Schema stored in the manifest: the batch's schema with every
-    * top-level field nullable — files written before a column existed
-    * must legally surface NULL for it. */
+  /** Recursively nullability-relaxed type: DDL round-trips drop nested
+    * nullability (ARRAY<INT> parses back containsNull=true regardless
+    * of what was serialized), so both schema STORAGE and schema
+    * COMPARISON work in the relaxed space — a batch whose array
+    * elements happen to be non-nullable is the same type as the stored
+    * one, not a false 'schema conflict'. */
+  private def relaxed(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = relaxed(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(relaxed(a.elementType), containsNull = true)
+      case m: MapType => MapType(relaxed(m.keyType), relaxed(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+  }
+
+  /** Schema stored in the manifest: the batch's schema fully
+    * nullability-relaxed — files written before a column existed must
+    * legally surface NULL for it, and relaxing nullability is always a
+    * safe widening for a reader. */
   private def nullableDdl(schema: StructType): String =
-    StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+    relaxed(schema).asInstanceOf[StructType].toDDL
 
   /** Validate `batch`'s schema against the table schema; returns the
     * EVOLVED DDL when the batch introduces new columns (recorded in the
     * same commit), None when the schema is unchanged. A column present
-    * in both with a different type fails loudly — silent coercion is
-    * how a table format corrupts data. */
+    * in both with a different type (modulo nullability — see
+    * [[relaxed]]) fails loudly — silent coercion is how a table format
+    * corrupts data. */
   private def evolveSchema(st: State, batch: StructType): Option[String] =
     st.schemaDdl.flatMap { ddl =>
       val cur = StructType.fromDDL(ddl)
       val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
       batch.fields.foreach { f =>
         curTypes.get(f.name).foreach { dt =>
-          require(dt == f.dataType,
+          require(relaxed(dt) == relaxed(f.dataType),
             s"schema conflict on column '${f.name}': table has $dt, batch has ${f.dataType}")
         }
       }
       val fresh = batch.fields.filterNot(f => curTypes.contains(f.name))
       if (fresh.isEmpty) None
-      else Some(StructType(cur.fields ++ fresh.map(_.copy(nullable = true))).toDDL)
+      else Some(StructType(cur.fields ++ fresh.map(f =>
+        f.copy(dataType = relaxed(f.dataType), nullable = true))).toDDL)
     }
 
   // ──────────────────────────── write protocols ────────────────────────────
@@ -1025,9 +1082,17 @@ object IndexManifest {
     val dvRel = s"_dv/dv-$batchId-$token"
     fs.mkdirs(new Path(root, "_dv"))
     require(fs.rename(staging, new Path(root, dvRel)), s"rename failed: $staging -> $dvRel")
-    // count from the renamed-in location (the read path applyDvs uses);
-    // a dot-prefixed staging dir trips Spark's hidden-path filter
-    val n = spark.read.parquet(s"$dir/$dvRel").count()
+    // count from the sidecar's parquet FOOTERS (the entryOf discipline:
+    // one metadata read, no data scan, no second Spark job per delete)
+    val n = {
+      val parts = fs.listStatus(new Path(root, dvRel))
+        .filter { f =>
+          val nm = f.getPath.getName
+          f.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }
+        .map(f => s"$dvRel/${f.getPath.getName}").toSeq
+      entriesOf(fs, root, parts, Seq.empty).map(_.rows).sum
+    }
     interruptBeforeManifest()
     val (writer, version) = splitBatchId(batchId)
     val dvAdds = if (n > 0) Seq(DvEntry(dvRel, n)) else Seq.empty
@@ -1084,7 +1149,8 @@ object IndexManifest {
     // every committed batch's rows, and replay idempotence must survive
     // the batch's own files disappearing from the listing.
     if (!tryWriteFull(fs, root, st.copy(gen = gen, files = added,
-        batches = renderWm(st.watermarks), dvs = Seq.empty), rewrite = true)) {
+        batches = renderWm(mergeWm(st.watermarks, ledgerFromFileNames(st))),
+        dvs = Seq.empty), rewrite = true)) {
       added.foreach(e => fs.delete(new Path(root, e.path), false))
       fs.delete(staging, true)
       require(attemptsLeft > 1,
@@ -1291,7 +1357,13 @@ object IndexManifest {
       .select(col("file").as(PosFile), col("row_index").as(PosIndex))
     val touched = pairs.select(PosFile).distinct().collect()
       .map(_.getString(0)).toSet
-    val files = prev.files.filter(f => touched(f.path))
+    // sidecar keys come from `_metadata.file_path` and are URI-ENCODED
+    // (a partition value 'pt BR' reads back as 'pt%20BR'); manifest
+    // paths are raw FileStatus names — match on either form, or a
+    // URI-special partition value silently empties the delete set
+    def uriRel(rel: String): String =
+      new Path("/" + rel).toUri.getRawPath.stripPrefix("/")
+    val files = prev.files.filter(f => touched(f.path) || touched(uriRel(f.path)))
     if (files.isEmpty)
       return scanOf(spark, dir, prev, prev.files.take(1)).filter(lit(false))
     withPosition(spark, dir, prev, files)
@@ -1431,7 +1503,23 @@ object IndexManifest {
     val retained = (all.takeRight(keepGens) ++ all.filter { g =>
       fs.getFileStatus(new Path(md, manifestName(g))).getModificationTime >= cutoff
     } :+ st.gen).distinct.sorted
-    val resolved = retained.map(g => g -> resolve(fs, root, g)).toMap
+    // resolve the retained states by FOLDING FORWARD from the oldest —
+    // each log record is read once, not once per retained generation
+    // (independent resolves re-parse the multi-MB snapshot K times)
+    val retainedSet = retained.toSet
+    val resolved = {
+      val r0 = retained.min
+      var cur = resolve(fs, root, r0)
+      val acc = scala.collection.mutable.Map(r0 -> cur)
+      all.filter(_ > r0).sorted.foreach { g =>
+        readRec(fs, new Path(md, manifestName(g)), g) match {
+          case FullRec(s2, _) => cur = s2.copy(fullGen = g)
+          case d: DeltaRec    => cur = applyDelta(cur, d)
+        }
+        if (retainedSet(g)) acc(g) = cur
+      }
+      acc.toMap
+    }
     // closure: bound the oldest retained generation with a checkpoint
     // sidecar before cutting its support chain out of the log
     val r0 = retained.min

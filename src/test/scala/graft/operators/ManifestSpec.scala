@@ -667,6 +667,81 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.history(spark, dir).map(_.gen) shouldBe Seq(4L)
   }
 
+  test("V1 LEDGER SYNTHESIS: a pre-ledger batch recorded ONLY by its file names keeps replay idempotence after the normalizing v3 commit") {
+    freshIndex()
+    IndexManifest.appendBatch(spark, batch(100, 8), dir, "day1")
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    // regress to a v1 manifest with NO batches array at all — the
+    // 'possibly ledger-less' legacy case: day1's commit is provable
+    // only from its ingest-day1-* file names
+    val v1 = s"""{"generation":${st.gen + 1},"files":[""" +
+      st.paths.sorted.map(p => "\"" + p + "\"").mkString(",") + "]}"
+    writeManifestBytes(f"manifest-${st.gen + 1}%09d.json", v1.getBytes("UTF-8"))
+    // the NORMALIZING commit (first v3 write on the v1 tree) must fold
+    // the file-name-implied ledger in — v1Descent dies with this commit
+    IndexManifest.appendBatch(spark, batch(200, 4), dir, "day2")
+    val full = served()
+    // replay of the pre-ledger batch AFTER normalization: still a no-op
+    IndexManifest.appendBatch(spark, batch(100, 8), dir, "day1")
+    served() shouldBe full
+    // 'day1'/'day2' carry no _<digits> suffix → unstructured ids: the
+    // synthesized and live entries sit in the ~-prefixed namespace at
+    // version 0 (exact membership), which is what made the replay no-op
+    val wm = IndexManifest.current(fs, root).get.watermarks
+    wm.get("~day1") shouldBe Some(0L)
+    wm.get("~day2") shouldBe Some(0L)
+  }
+
+  test("SCHEMA: nested nullability never false-conflicts — a batch with non-nullable array elements matches the stored relaxed type") {
+    val (fs, root) = fsRoot
+    fs.delete(root, true)
+    // array(cast(id as int)): containsNull = false by construction
+    def tight(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", "array(cast(id as int)) AS codes", "cast(id % 4 as int) AS cell")
+    tight(0, 8).schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull shouldBe false
+    IndexManifest.publishBase(spark, tight(0, 8), dir)
+    // the same shape appends without a false 'schema conflict'...
+    IndexManifest.appendBatch(spark, tight(100, 4), dir, "day1")
+    // ...and so does the relaxed twin (nullable elements)
+    val loose = spark.range(200, 204).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 0), j -> cast((id + j) % 256 as int)) AS codes",
+      "cast(id % 4 as int) AS cell")
+    IndexManifest.appendBatch(spark, loose, dir, "day2")
+    IndexManifest.read(spark, dir).count() shouldBe 16L
+    // a REAL type change still fails loudly
+    val bad = spark.range(300, 302).selectExpr(
+      "id AS vec_id", "cast(id as string) AS codes", "cast(id % 4 as int) AS cell")
+    val e = intercept[Exception] { IndexManifest.appendBatch(spark, bad, dir, "day3") }
+    e.getMessage should include("schema conflict")
+  }
+
+  test("PARTITION VALUES WITH URI-SPECIAL CHARACTERS: deletes, reads, and the change feed agree on file identity") {
+    val pdir = "/tmp/graft_llm/manifest_spec/uri_index"
+    val root = new Path(pdir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    def pbatch(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id",
+      "CASE WHEN id % 2 = 0 THEN 'pt BR' ELSE 'en' END AS region")
+    IndexManifest.publishBase(spark, pbatch(0, 20), pdir,
+      IndexManifest.TableSpec(partCol = "region", statCols = Seq("vec_id")))
+    IndexManifest.deleteWhere(spark, pdir, col("vec_id") % 5 === 0, "purge1")
+    // the read path (DV anti-join) must drop exactly the stripe
+    val left = IndexManifest.read(spark, pdir).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    left shouldBe (0L until 20L).filterNot(_ % 5 == 0)
+    // the change feed's DV branch must name exactly the deleted rows —
+    // its touched-file filter compares sidecar keys against MANIFEST
+    // paths, the cross-encoding seam this test exists for
+    val del = IndexManifest.changes(spark, pdir, 1L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    del shouldBe (0L until 20L).filter(_ % 5 == 0)
+  }
+
   test("LEDGER UPGRADE: a structured id committed via a v1 (raw-id) ledger keeps replay idempotence after compaction") {
     freshIndex()
     IndexManifest.appendBatch(spark, batch(100, 8), dir, "job_7")
