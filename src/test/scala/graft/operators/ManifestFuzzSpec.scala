@@ -245,6 +245,22 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     pending.clear()
     rowsOf(IndexManifest.read(spark, dir)) shouldBe expected
 
+    // CHANGE-FEED INVARIANT over whatever window survived the vacuums
+    // (grace-0 vacuums keep a contiguous record suffix): replaying the
+    // feed — start-state rows + inserts − deletes — must reconstruct
+    // the final served rows EXACTLY, across every operation mix the 220
+    // schedules produced (appends, replaces, merge-on-read deletes,
+    // rewrite-silent compactions, racer interleavings)
+    val gens = IndexManifest.generations(spark, dir)
+    if (gens.size >= 2) {
+      val g0 = gens.min
+      val feed = IndexManifest.changes(spark, dir, g0, gens.max)
+      val replayed = (rowsOf(IndexManifest.readAt(spark, dir, g0)) ++
+        rowsOf(feed.filter(col("_change_type") === "insert")))
+        .diff(rowsOf(feed.filter(col("_change_type") === "delete")))
+      replayed.sorted shouldBe expected
+    }
+
     // ledger invariant: every structured writer at its highest version,
     // every committed ad-hoc id present at version 0 — and replaying
     // ANY committed batch is still a no-op

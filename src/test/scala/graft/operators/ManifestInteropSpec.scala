@@ -76,6 +76,30 @@ class ManifestInteropSpec extends AnyFunSuite with Matchers {
     pinned.rows.exists(_._1 % 3 == 0) shouldBe true // deleted rows still there at gen 3
   }
 
+  test("generalized table across engines: a lang-partitioned corpus with multi-column zone maps reads identically from DuckDB") {
+    val cdir = "/tmp/graft_llm/manifest_interop/corpus"
+    val (fs, root) = {
+      val p = new Path(cdir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(root, true)
+    def docs(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'zh' END AS lang",
+      "id * 7 AS n_chars")
+    IndexManifest.publishBase(spark, docs(0, 30), cdir,
+      IndexManifest.TableSpec(partCol = "lang", statCols = Seq("doc_id", "n_chars")))
+    IndexManifest.appendBatch(spark, docs(1000, 9), cdir, "feed_1")
+    // the external reader consumes statcols[0]=doc_id and part=lang
+    // straight from the manifest — nothing engine-specific configured
+    val res = duckdbRead(cdir, "0", "100")
+    res.num("skipped").toInt should be > 0 // feed_1's files pruned by doc_id zone maps
+    val sparkSide = IndexManifest.readRange(spark, cdir, 0L, 100L)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    res.rows shouldBe sparkSide
+  }
+
   test("schema evolution across engines: DuckDB's union_by_name read matches Spark's manifest-schema read on an evolved tree") {
     val edir = "/tmp/graft_llm/manifest_interop/evolved"
     val (fs, root) = {
