@@ -1431,6 +1431,25 @@ object IndexManifest {
     else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Incremental feed consumption: everything committed AFTER
+    * `lastGen`, plus the new high-water generation the consumer must
+    * persist before acting on the rows — the poll-style contract a
+    * downstream pipeline (or a streaming CDF source built on
+    * foreachBatch) needs for exactly-once consumption: save `newGen`
+    * transactionally with the side effects, pass it back next poll.
+    * None when nothing new committed. The consumer's poll interval
+    * bounds its tail length; retention (vacuum keepGens) must cover the
+    * longest expected consumer lag, the same contract every change feed
+    * ships. */
+  def changesSince(spark: SparkSession, dir: String,
+      lastGen: Long): Option[(DataFrame, Long)] = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    if (st.gen <= lastGen) None
+    else Some((changes(spark, dir, lastGen, st.gen), st.gen))
+  }
+
   /** One retained commit record's summary — the DESCRIBE HISTORY shape:
     * what kind of commit, whether it changed the logical row set
     * (`rewrite` = false), how many file/DV actions it carried, whether

@@ -646,6 +646,28 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
   }
 
+  test("INCREMENTAL CONSUMPTION: changesSince(lastGen) hands a consumer each commit exactly once, across any poll cadence") {
+    freshIndex()
+    // nothing new: the consumer parks
+    IndexManifest.changesSince(spark, dir, 1L) shouldBe None
+    // one commit, one poll
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day_1")
+    val Some((f1, g1)) = IndexManifest.changesSince(spark, dir, 1L)
+    g1 shouldBe 2L
+    rowsOf(f1.filter(col("_change_type") === "insert")) shouldBe rowsOf(batch(100, 12))
+    // a SLOW consumer: two commits land before the next poll — the feed
+    // window covers both, attributed to their own generations
+    IndexManifest.appendBatch(spark, batch(200, 8), dir, "day_2")
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 6 === 2, "purge1")
+    val Some((f2, g2)) = IndexManifest.changesSince(spark, dir, g1)
+    g2 shouldBe 4L
+    rowsOf(f2.filter(col("_change_type") === "insert")) shouldBe rowsOf(batch(200, 8))
+    f2.filter(col("_change_type") === "delete")
+      .select("_commit_gen").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
+    // consuming from the saved high-water mark never re-delivers
+    IndexManifest.changesSince(spark, dir, g2) shouldBe None
+  }
+
   test("HISTORY: the log is the catalog — one CommitInfo per retained record, kinds/actions/rewrite flags exact") {
     freshIndex()                                                   // gen 1: full
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day_1") // gen 2: delta +files
