@@ -74,7 +74,20 @@ def resolve(md, gen):
     while True:
         cp = os.path.join(md, f"checkpoint-{g:09d}.json")
         mp = os.path.join(md, f"manifest-{g:09d}.json")
-        rec = read_record(cp if os.path.exists(cp) else mp, g)
+        if os.path.exists(cp):
+            # a checkpoint is DERIVED data: a torn sidecar (crash on a
+            # non-atomic-rename fs) falls back to the authoritative
+            # commit chain, same as the Scala resolve()
+            try:
+                rec = read_record(cp, g)
+            except (AssertionError, ValueError, KeyError):
+                if not os.path.exists(mp):
+                    raise
+                print(f"warning: checkpoint for gen {g} unreadable, "
+                      f"falling back to the commit chain", file=sys.stderr)
+                rec = read_record(mp, g)
+        else:
+            rec = read_record(mp, g)
         if rec["kind"] == "full":
             state = rec
             break
@@ -128,13 +141,39 @@ def main():
     # deletion vectors: anti-join in python — sidecar keys are
     # URI-ENCODED (Spark's _metadata.file_path form: 'pt BR' → 'pt%20BR')
     # while DuckDB's filename is the raw on-disk name; urllib's unquote
-    # (which, unlike form decoding, leaves '+' alone) bridges them
+    # (which, unlike form decoding, leaves '+' alone) bridges them.
+    # Two sidecar formats, named by path: dv2- is compressed (one row per
+    # touched file, positions = delta-varint binary — the ~10-line twin
+    # of graft.operators.DvCodec), dv- is row-per-position pairs.
+    def unvarint(buf):
+        out, acc, i = [], 0, 0
+        while i < len(buf):
+            shift, d = 0, 0
+            while True:
+                b = buf[i]
+                i += 1
+                d |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            acc = d if not out else acc + d
+            out.append(acc)
+        return out
+
     deleted = set()
     if st["dvs"]:
         from urllib.parse import unquote
-        dvq = (f"SELECT file, row_index FROM read_parquet("
-               f"{sql_list(os.path.join(table, d[0], '*.parquet') for d in st['dvs'])})")
-        deleted = {(unquote(f), i) for f, i in duckdb.sql(dvq).fetchall()}
+        packed = [d for d in st["dvs"] if d[0].startswith("_dv/dv2-")]
+        legacy = [d for d in st["dvs"] if not d[0].startswith("_dv/dv2-")]
+        if packed:
+            dvq = (f"SELECT file, positions FROM read_parquet("
+                   f"{sql_list(os.path.join(table, d[0], '*.parquet') for d in packed)})")
+            for f, blob in duckdb.sql(dvq).fetchall():
+                deleted.update((unquote(f), i) for i in unvarint(bytes(blob)))
+        if legacy:
+            dvq = (f"SELECT file, row_index FROM read_parquet("
+                   f"{sql_list(os.path.join(table, d[0], '*.parquet') for d in legacy)})")
+            deleted.update((unquote(f), i) for f, i in duckdb.sql(dvq).fetchall())
     live = [r for r in fetched if (r[-2], r[-1]) not in deleted]
     out = {"generation": gen, "kept": len(kept), "skipped": skipped,
            "rows": [[int(r[0]), str(r[1])] for r in live]}

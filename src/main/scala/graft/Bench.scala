@@ -117,7 +117,7 @@ object Bench {
       // pre-export the source round-trip files (xlsx/CSV/JSON/JDBC) so the
       // timed q68–q72 runs measure the scans, not the driver-side exports
       graft.queries.Sources.stage(spark, sfDir)
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
     // Declaration order (QueryRegistry.all) for stable per-query logs.
     // Each query runs TWICE and reports the min: single-run timings on a
     // shared host mix real execution cost with unrelated load spikes
@@ -141,7 +141,10 @@ object Bench {
     // calibration AFTER warm-up, BEFORE the suite (steady-state JVM, no
     // suite-side cache effects); its plan is a single-scan partial+final
     // aggregate, so its time tracks host CPU/IO pressure and nothing else
-    val calSec = try calibrationSec(spark, sfDir) catch { case _: Throwable => -1.0 }
+    // NonFatal only: an OOM/interrupt here is a dying JVM, not
+    // "calibration unavailable" — let it kill the run loudly
+    val calSec = try calibrationSec(spark, sfDir)
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val results = timeQueries(spark, sfDir, selected, iters)
     val full = renderJson(results, iters, sfDir, calSec)
     // full map: printed first (for logs) and persisted for BASELINE.md.
@@ -155,7 +158,7 @@ object Bench {
     outs.foreach { f =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (full + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => } // cwd may be read-only under the driver
+      catch { case scala.util.control.NonFatal(_) => } // cwd may be read-only under the driver
     }
     // LAST line = the compact contract line that fits the driver's
     // 2000-char tail window (see renderCompactJson)

@@ -19,8 +19,11 @@ import org.scalatest.matchers.should.Matchers
   * thinning every live batch at once through deletion vectors, with
   * racers injected inside the delete's commit window — the redo must
   * delete the racer's matching rows too, and a later replace of a
-  * thinned block resurrects its full id range), compactions (which
-  * MATERIALIZE any accumulated deletes), and grace-windowed vacuums —
+  * thinned block resurrects its full id range), atomic MERGE INTO
+  * upserts (round 13: one commit = DV-deletes of matched keys + appended
+  * updates/inserts against a victim block, with racers injected inside
+  * the merge's commit window), compactions (which MATERIALIZE any
+  * accumulated deletes), and grace-windowed vacuums —
   * interleaved by a seeded RNG so the exact schedule is reproducible.
   *
   * Invariant checked after EVERY schedule point, and again after all
@@ -50,7 +53,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     df.select(col("vec_id"), col("codes").cast("string"), col("cell"))
       .collect().map(_.toString).sorted.toSeq
 
-  test("220 randomized schedule points: appends, replays, crashes, injected racers, range replaces, merge-on-read deletes, compactions, vacuums — no row lost, none doubled") {
+  test("220 randomized schedule points: appends, replays, crashes, injected racers, range replaces, merge-on-read deletes, MERGE INTO upserts, compactions, vacuums — no row lost, none doubled") {
     val (fs, root) = {
       val p = new Path(dir)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -191,7 +194,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
         } else IndexManifest.deleteWhere(spark, dir, col("vec_id") % k === r, pid)
         baseLive = baseLive.filterNot(hit)
         committed.keys.toSeq.foreach(id => committed(id) = committed(id).filterNot(hit))
-      } else if (roll < 96 && committed.nonEmpty) {
+      } else if (roll < 94 && committed.nonEmpty) {
         // COPY-ON-WRITE RANGE REPLACE of a committed batch's id block
         // (blocks are disjoint by construction, so the model update is
         // exact): the replaced batch's ORIGINAL id keeps its ledger
@@ -220,6 +223,43 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
               finally IndexManifest.interruptBeforeManifest = () => ()
             } else IndexManifest.replaceRange(spark, repl, dir, id0, id0 + n - 1, fixId)
             committed(victim) = rowsOf(repl)
+        }
+      } else if (roll < 98 && committed.nonEmpty) {
+        // MERGE INTO (round 13): ONE atomic commit against a victim
+        // block — updates re-payload its even ids (UPSERTING them even
+        // if an earlier deleteWhere thinned them away: unmatched+U
+        // inserts), deletes an odd stripe, inserts a fresh block —
+        // sometimes racing a fresh append injected inside the merge's
+        // commit window (the redo must re-match against the racer's
+        // current). Blocks are disjoint by construction, so the model
+        // update is exact key arithmetic.
+        val victim = committed.keys.toSeq(rnd.nextInt(committed.size))
+        replacedRange.get(victim).foreach { case (vid0, vn) =>
+          val insN = 4 + rnd.nextInt(4)
+          val insId0 = nextId0; nextId0 += 100
+          val upd = batch(vid0, vn).filter(col("vec_id") % 2 === 0)
+            .withColumn("codes", expr(s"transform(codes, c -> cast((c + $i) % 256 as int))"))
+          val dels = batch(vid0, vn).filter(col("vec_id") % 2 === 1 && col("vec_id") % 3 === 0)
+          val ins = batch(insId0, insN)
+          val cdc = upd.withColumn("op", lit("U"))
+            .unionByName(dels.withColumn("op", lit("D")))
+            .unionByName(ins.withColumn("op", lit("I")))
+          val mid = s"merge$i" // ad-hoc id: exact-membership semantics
+          if (rnd.nextInt(3) == 0) {
+            val (rid, rid0, rn) = freshAdhoc()
+            IndexManifest.interruptBeforeManifest = () => {
+              IndexManifest.interruptBeforeManifest = () => ()
+              appendCommitted(rid, rid0, rn)
+            }
+            try IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", mid)
+            finally IndexManifest.interruptBeforeManifest = () => ()
+          } else IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", mid)
+          val touched = (vid0 until vid0 + vn)
+            .filter(id => id % 2 == 0 || (id % 2 == 1 && id % 3 == 0)).toSet
+          committed(victim) = committed(victim)
+            .filterNot(r => touched(vecIdOf(r))) ++ rowsOf(upd)
+          committed(mid) = rowsOf(ins)
+          replacedRange(mid) = (insId0, insN)
         }
       } else {
         // vacuum: grace 0 only when no crashed attempt is pending replay

@@ -530,6 +530,61 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe afterTwo
   }
 
+  test("COMPRESSED DELETION VECTORS: 100k deleted rows cost tens of KB of sidecar, not MBs; codec round-trips exactly; legacy sidecars still read") {
+    // codec round-trip, including multi-byte gaps and the empty list
+    val rnd = new scala.util.Random(13)
+    var acc = -1L
+    val idx = Array.fill(10000) { acc += 1 + rnd.nextInt(100000); acc }
+    DvCodec.decode(DvCodec.encode(idx)).toSeq shouldBe idx.toSeq
+    DvCodec.decode(DvCodec.encode(Array.empty[Long])).toSeq shouldBe Seq.empty
+    an[Exception] should be thrownBy DvCodec.encode(Array(3L, 3L)) // duplicates are a protocol bug
+    // 120k-row table, one scattered delete of 100k rows (5 of every 6)
+    val (fs, root) = fsRoot
+    fs.delete(root, true)
+    val big = spark.range(0, 120000).selectExpr(
+      "id AS vec_id", "array(cast(id % 251 as int)) AS codes", "cast(id % 4 as int) AS cell")
+    IndexManifest.publishBase(spark, big, dir)
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 6 =!= 0, "purge_big")
+    val st = IndexManifest.current(fs, root).get
+    st.dvs.size shouldBe 1
+    st.dvs.head.rows shouldBe 100000L
+    st.dvs.head.path should startWith("_dv/dv2-")
+    // the scale claim, measured: the round-12 row-per-position format
+    // wrote ~8 B/row of longs + a path string per row (~MB at this
+    // size); the packed format writes ~1 B/row of gaps BEFORE parquet
+    // page compression collapses the regular stripe pattern
+    val sidecarBytes = fs.listStatus(new Path(root, st.dvs.head.path))
+      .filter(_.isFile).filterNot(f => f.getPath.getName.startsWith("_")).map(_.getLen).sum
+    sidecarBytes should be < (120L * 1024)
+    IndexManifest.read(spark, dir).count() shouldBe 20000L
+    IndexManifest.read(spark, dir).agg(sum("vec_id")).head().getLong(0) shouldBe
+      (0L until 120000L by 6).sum
+    // LEGACY row-per-position sidecars still read, MIXED with packed
+    // ones in the same generation (exactly what a round-12 tree upgraded
+    // in place contains): forge a full manifest whose dv set carries
+    // both formats — the legacy pair deletes one more specific live row
+    import spark.implicits._
+    val legacyRel = "_dv/dv-legacy-cafebabe"
+    val victim = spark.read.option("basePath", dir)
+      .parquet(st.files.map(e => s"$dir/${e.path}"): _*)
+      .select(col("vec_id"),
+        regexp_extract(col("_metadata").getField("file_path"), "[^/]+/[^/]+$", 0).as("f"),
+        col("_metadata").getField("row_index").as("i"))
+      .filter(col("vec_id") === 6L).head()
+    Seq((victim.getString(1), victim.getLong(2))).toDF("file", "row_index")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$legacyRel")
+    def entryJson(e: IndexManifest.FileEntry): String =
+      s"""["${e.path}",${e.rows}""" + e.stats.map { case (mn, mx) => s",$mn,$mx" }.mkString + "]"
+    val gen3 = st.gen + 1
+    val body = s"""{"version":3,"generation":$gen3,"kind":"full","part":"cell",""" +
+      s""""statcols":["vec_id"],"batches":[],""" +
+      s""""dvs":[["${st.dvs.head.path}",${st.dvs.head.rows}],["$legacyRel",1]],""" +
+      s""""files":[${st.files.sortBy(_.path).map(entryJson).mkString(",")}]}"""
+    writeManifestBytes(f"manifest-$gen3%09d.json", forgeManifest(gen3, body))
+    IndexManifest.read(spark, dir).count() shouldBe 19999L // the packed 100k + the legacy 1
+    IndexManifest.read(spark, dir).filter(col("vec_id") === 6L).count() shouldBe 0L
+  }
+
   test("DELETION VECTORS: crash before the commit is invisible; a CAS loss to a racing append REDOES the matching against the new current") {
     freshIndex()
     val full = served()
@@ -618,6 +673,113 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     replayed.sorted shouldBe served()
   }
 
+  // ───────────────────────── round 13: MERGE INTO through the manifest ─────────────────────────
+
+  test("MERGE: one atomic commit = DV-deletes of matched rows + appended updates/inserts; verbs exact; replay a no-op; duplicate keys loud") {
+    freshIndex()                                                   // ids 0..39
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")  // ids 100..111
+    val (fs, root) = fsRoot
+    val pre = IndexManifest.current(fs, root).get
+    val preFiles = pre.files.map(e => e.path -> e).toMap
+    // updates: ids 3, 105 (new codes); deletes: 7, 101; inserts: 500..503;
+    // unmatched delete: 9999 (must no-op)
+    val upd = batch(0, 200).filter(col("vec_id").isin(3L, 105L))
+      .withColumn("codes", expr("transform(codes, c -> cast((c + 100) % 256 as int))"))
+    val cdc = upd.withColumn("op", lit("U"))
+      .unionByName(batch(0, 200).filter(col("vec_id").isin(7L, 101L, 9999L))
+        .withColumn("op", lit("D")))
+      .unionByName(batch(500, 4).withColumn("op", lit("I")))
+    IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", "upsert_1")
+    val post = IndexManifest.current(fs, root).get
+    // ONE commit: gen advanced exactly once, carrying BOTH action kinds
+    post.gen shouldBe pre.gen + 1
+    post.dvs.size shouldBe 1
+    post.dvs.head.rows shouldBe 4L // two updates' old versions + two deletes
+    // merge-on-read: every pre-merge file entry carried forward IDENTICALLY
+    pre.files.foreach(e => preFiles(e.path) shouldBe e)
+    post.paths.exists(_.split('/').last.startsWith("merge-upsert_1-")) shouldBe true
+    // verb semantics
+    val expect = rowsOf(batch(0, 40).union(batch(100, 12))
+      .filter(!col("vec_id").isin(3L, 7L, 101L, 105L))
+      .unionByName(upd).unionByName(batch(500, 4)))
+    served() shouldBe expect
+    // the change feed sees delete(old versions) + insert(new versions) at ONE gen
+    val ch = IndexManifest.changes(spark, dir, pre.gen, post.gen)
+    rowsOf(ch.filter(col("_change_type") === "delete")) shouldBe
+      rowsOf(batch(0, 40).union(batch(100, 12)).filter(col("vec_id").isin(3L, 7L, 101L, 105L)))
+    rowsOf(ch.filter(col("_change_type") === "insert")) shouldBe
+      rowsOf(upd.unionByName(batch(500, 4)))
+    ch.select("_commit_gen").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(post.gen)
+    // replay of the committed merge is a watermark no-op
+    IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", "upsert_1")
+    IndexManifest.current(fs, root).get.gen shouldBe post.gen
+    served() shouldBe expect
+    // duplicate keys in the cdc fail LOUDLY before anything writes
+    val dup = cdc.unionByName(batch(500, 1).withColumn("op", lit("U")))
+    val e = intercept[Exception] {
+      IndexManifest.merge(spark, dup, dir, Seq("vec_id"), "op", "upsert_2")
+    }
+    e.getMessage should include("duplicate merge keys")
+    served() shouldBe expect
+  }
+
+  test("MERGE: crash before the commit is invisible (neither the DV nor the appended files surface); replay converges") {
+    freshIndex()
+    val before = served()
+    val cdc = batch(0, 40).filter(col("vec_id") < 4).withColumn("op", lit("D"))
+      .unionByName(batch(700, 3).withColumn("op", lit("I")))
+    IndexManifest.interruptBeforeManifest =
+      () => throw new RuntimeException("simulated crash pre-commit")
+    try intercept[RuntimeException] {
+      IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", "m1")
+    } finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe before
+    val (fs, root) = fsRoot
+    IndexManifest.current(fs, root).get.dvs shouldBe empty
+    // replay: exactly-once (fresh token; the crashed attempt's orphans stay invisible)
+    IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", "m1")
+    served() shouldBe rowsOf(batch(0, 40).filter(col("vec_id") >= 4).unionByName(batch(700, 3)))
+  }
+
+  test("MERGE RACE MATRIX: a CAS loss to a racing append/delete/compaction REDOES the match against the new current") {
+    // vs APPEND: the racer's rows include a key the cdc updates — the
+    // redo must DV-delete the racer's version too, or the update fans out
+    freshIndex()
+    val upd = batch(100, 12).withColumn("codes", expr("transform(codes, c -> cast((c + 9) % 256 as int))"))
+    val cdc = upd.withColumn("op", lit("U"))
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.appendBatch(spark, batch(100, 12), dir, "racer")
+    }
+    try IndexManifest.merge(spark, cdc, dir, Seq("vec_id"), "op", "m1")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).unionByName(upd)) // exactly one version of each updated row
+    // vs DELETE: the racer deletes rows the cdc would KEEP — the redo's
+    // match runs on the post-delete current, so nothing resurrects
+    freshIndex()
+    val cdc2 = batch(0, 40).filter(col("vec_id") === 1L).withColumn("op", lit("D"))
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.deleteWhere(spark, dir, col("vec_id") % 4 === 2, "purger")
+    }
+    try IndexManifest.merge(spark, cdc2, dir, Seq("vec_id"), "op", "m2")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).filter(col("vec_id") =!= 1L && col("vec_id") % 4 =!= 2))
+    // vs COMPACTION: the compactor rewrote every file the merge's DV
+    // names — the redo re-matches against the compacted positions
+    freshIndex()
+    val cdc3 = batch(0, 40).filter(col("vec_id").isin(5L, 6L)).withColumn("op", lit("D"))
+      .unionByName(batch(800, 2).withColumn("op", lit("I")))
+    IndexManifest.interruptBeforeManifest = () => {
+      IndexManifest.interruptBeforeManifest = () => ()
+      IndexManifest.compact(spark, dir, "vec_id")
+    }
+    try IndexManifest.merge(spark, cdc3, dir, Seq("vec_id"), "op", "m3")
+    finally IndexManifest.interruptBeforeManifest = () => ()
+    served() shouldBe rowsOf(batch(0, 40).filter(!col("vec_id").isin(5L, 6L))
+      .unionByName(batch(800, 2)))
+  }
+
   test("VACUUM SAFETY RAIL: a generation either resolves completely or is gone completely — and a too-late readAt names the retention policy") {
     freshIndex()                                                    // gen 1 (full)
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")   // gen 2 (delta)
@@ -646,8 +808,44 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe rowsOf(batch(0, 40).union(batch(100, 12)))
   }
 
+  test("CHANGE FEED PLAN IS FLAT IN WINDOW LENGTH: a 19-commit all-delta window builds the same plan as a 9-commit one (O(full records), not O(generations))") {
+    freshIndex()
+    (1 to 18).foreach { i =>
+      if (i % 4 == 0) IndexManifest.deleteWhere(spark, dir, col("vec_id") % 23 === i, s"p$i")
+      else IndexManifest.appendBatch(spark, batch(100L * i, 4), dir, s"w_$i")
+    }
+    def nodeCount(toGen: Long): Int =
+      IndexManifest.changes(spark, dir, 1L, toGen).queryExecution.analyzed
+        .collect { case n => n }.size
+    // both windows contain appends AND dv deletes: the batched feed
+    // builds one scan per change type per delta RUN, so quadrupling the
+    // commit count must not grow the plan (the round-12 verdict's
+    // unbounded unionByName chain, closed)
+    nodeCount(19L) shouldBe nodeCount(9L)
+    // and the longer window's feed still replays to the final state
+    val feed = IndexManifest.changes(spark, dir, 1L, 19L)
+    val replayed = (rowsOf(IndexManifest.readAt(spark, dir, 1L)) ++
+      rowsOf(feed.filter(col("_change_type") === "insert")))
+      .diff(rowsOf(feed.filter(col("_change_type") === "delete")))
+    replayed.sorted shouldBe served()
+    // per-commit attribution is intact: every append gen contributes
+    // exactly its batch as inserts
+    rowsOf(feed.filter(col("_change_type") === "insert" && col("_commit_gen") === 2L)) shouldBe
+      rowsOf(batch(100, 4))
+    rowsOf(feed.filter(col("_change_type") === "insert" && col("_commit_gen") === 15L)) shouldBe
+      rowsOf(batch(1400, 4))
+  }
+
   test("INCREMENTAL CONSUMPTION: changesSince(lastGen) hands a consumer each commit exactly once, across any poll cadence") {
     freshIndex()
+    // BOOTSTRAP (round-12 advisor): lastGen = 0 = "nothing consumed yet"
+    // — generation 1's full snapshot arrives as inserts at _commit_gen 1,
+    // so the feed alone reconstructs the table from nothing
+    val Some((f0, g0)) = IndexManifest.changesSince(spark, dir, 0L)
+    g0 shouldBe 1L
+    rowsOf(f0.filter(col("_change_type") === "insert" && col("_commit_gen") === 1L)) shouldBe
+      rowsOf(batch(0, 40))
+    f0.filter(col("_change_type") === "delete").count() shouldBe 0L
     // nothing new: the consumer parks
     IndexManifest.changesSince(spark, dir, 1L) shouldBe None
     // one commit, one poll
