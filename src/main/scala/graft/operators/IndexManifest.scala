@@ -255,7 +255,21 @@ object IndexManifest {
     * `v1Descent` marks a state read from a pre-checksum v1 manifest
     * (stats-less, possibly ledger-less — [[isCommitted]]'s file-name
     * fallback applies ONLY to these, per the explicit-flag fix the
-    * round-11 advisor asked for). */
+    * round-11 advisor asked for).
+    *
+    * DRIVER-RESIDENT CEILING (measured, [[graft.ManifestPlanBench]] /
+    * BASELINE.md): `files` lives on the driver at ~212 bytes/entry —
+    * 21 MB and a 333 ms resolve at 100k files, 212 MB and a 4.9 s
+    * resolve at 1M (linear both ways; planRange stays 3→30 ms). The
+    * practical per-table ceiling on a default driver heap is therefore
+    * ~1M file entries; past it, resolve latency (not correctness)
+    * degrades first. The levers, in order: compaction (fewer, larger
+    * files — at scan-sized files 1M entries already describes ~10 PB),
+    * then the Delta-style escape of sharding the checkpoint into
+    * multi-part sidecars streamed through a Dataset instead of a
+    * driver Seq — not built, deliberately: the measured numbers say no
+    * table this engine serves gets within an order of magnitude of
+    * needing it. */
   final case class State(
       gen: Long,
       files: Seq[FileEntry],
@@ -871,26 +885,58 @@ object IndexManifest {
   private def nullableDdl(schema: StructType): String =
     relaxed(schema).asInstanceOf[StructType].toDDL
 
+  /** The TYPE-WIDENING lattice (round 13): primitive widenings both
+    * scan engines upcast natively at read time — Spark's vectorized
+    * parquet reader serves an int32 column as LongType and a float
+    * column as DoubleType when the planning schema says so (verified
+    * empirically on 4.1; the capability production formats' type
+    * widening rides on), and DuckDB's union_by_name promotes the same
+    * pairs. Anything outside the lattice (string↔numeric, long→int
+    * narrowing, decimal changes) stays a loud conflict. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** Validate `batch`'s schema against the table schema; returns the
-    * EVOLVED DDL when the batch introduces new columns (recorded in the
-    * same commit), None when the schema is unchanged. A column present
-    * in both with a different type (modulo nullability — see
-    * [[relaxed]]) fails loudly — silent coercion is how a table format
-    * corrupts data. */
+    * EVOLVED DDL when the batch introduces new columns or WIDENS an
+    * existing one (int→long, float→double — recorded in the same
+    * commit, so readers of the new generation plan with the wider type
+    * and old files upcast at scan), None when the schema is unchanged.
+    * A batch NARROWER than the stored type is accepted without
+    * evolution (its files hold the narrow physical type; the manifest
+    * schema upcasts them like any pre-widening file). Any other type
+    * change (modulo nullability — see [[relaxed]]) fails loudly —
+    * silent coercion is how a table format corrupts data. */
   private def evolveSchema(st: State, batch: StructType): Option[String] =
     st.schemaDdl.flatMap { ddl =>
       val cur = StructType.fromDDL(ddl)
       val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+      val batchTypes = batch.fields.map(f => f.name -> relaxed(f.dataType)).toMap
       batch.fields.foreach { f =>
         curTypes.get(f.name).foreach { dt =>
-          require(relaxed(dt) == relaxed(f.dataType),
+          val c = relaxed(dt)
+          val b = relaxed(f.dataType)
+          require(c == b || widens(b, c) || widens(c, b),
             s"schema conflict on column '${f.name}': table has $dt, batch has ${f.dataType}")
         }
       }
+      val widened = cur.fields.map { f =>
+        batchTypes.get(f.name) match {
+          case Some(b) if widens(relaxed(f.dataType), b) =>
+            f.copy(dataType = b, nullable = true)
+          case _ => f
+        }
+      }
       val fresh = batch.fields.filterNot(f => curTypes.contains(f.name))
-      if (fresh.isEmpty) None
-      else Some(StructType(cur.fields ++ fresh.map(f =>
-        f.copy(dataType = relaxed(f.dataType), nullable = true))).toDDL)
+      val next = StructType(widened ++ fresh.map(f =>
+        f.copy(dataType = relaxed(f.dataType), nullable = true)))
+      if (fresh.isEmpty && next == cur) None else Some(next.toDDL)
     }
 
   // ──────────────────────────── write protocols ────────────────────────────

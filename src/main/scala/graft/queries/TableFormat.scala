@@ -351,11 +351,72 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q264: type widening through the manifest ───────────────
+
+  /** Stage the q264 tree (once per JVM per sf dir): base published with
+    * w INT and f FLOAT, then a batch carrying w BIGINT (values past the
+    * int32 range — the widening is load-bearing, not cosmetic) and
+    * f DOUBLE — the commit WIDENS the manifest schema, and readers of
+    * the new generation plan all files with the wide types (the narrow
+    * base files upcast inside the vectorized parquet scan; no rewrite,
+    * no backfill). Structural requires pin both directions: the
+    * current-generation schema is wide, generation 1 still reads with
+    * its own narrow schema. */
+  private def stageWidenTree(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_widen"
+    val b1 = vecB1(s, d)
+    stageOnce(dir) {
+      wipe(s, dir)
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") < b1).selectExpr(
+        "vec_id", "CAST(label AS INT) AS w",
+        "CAST(CAST(vec_id % 100 AS INT) AS FLOAT) AS f",
+        "CAST(vec_id % 8 AS INT) AS cell")
+      IndexManifest.publishBase(s, base, s"$dir/t")
+      val wide = emb.filter(col("vec_id") >= b1).selectExpr(
+        "vec_id", "CAST(label AS BIGINT) + 3000000000 AS w",
+        "CAST(vec_id % 100 AS DOUBLE) AS f",
+        "CAST(vec_id % 8 AS INT) AS cell")
+      IndexManifest.appendBatch(s, wide, s"$dir/t", "dayA")
+      import org.apache.spark.sql.types._
+      val cur = IndexManifest.read(s, s"$dir/t")
+      require(cur.schema("w").dataType == LongType && cur.schema("f").dataType == DoubleType,
+        s"append at $dir did not widen the manifest schema: ${cur.schema.toDDL}")
+      require(IndexManifest.readAt(s, s"$dir/t", 1L).schema("w").dataType == IntegerType,
+        s"generation 1 at $dir lost its own narrow schema")
+    }
+    dir
+  }
+
+  /** TYPE WIDENING THROUGH THE MANIFEST (q264): int→long and
+    * float→double on append, with generation-schema reads — the
+    * narrow pre-widening files upcast inside the scan, exactly the
+    * late-column semantics q261 grades, extended to types. Values are
+    * integers in both engines (f holds exact small ints; w crosses the
+    * int32 boundary), so the oracle is exact integer arithmetic: keeps
+    * get label, widened rows get label + 3e9. At 100 TB this is why a
+    * type migration is a METADATA commit instead of a table rewrite. */
+  val manifestWiden: Q = Q(
+    s"""SELECT CAST(vec_id % 8 AS INT) AS cell, COUNT(*) AS cnt,
+       |  CAST(SUM(CASE WHEN vec_id >= $sqlVecB1 THEN label + 3000000000
+       |           ELSE label END) AS BIGINT) AS sum_w,
+       |  CAST(SUM(vec_id % 100) AS BIGINT) AS sum_f
+       |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = stageWidenTree(s, d)
+    IndexManifest.read(s, s"$dir/t")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("w").cast("long").as("sum_w"),
+        sum(col("f").cast("long")).cast("long").as("sum_f"))
+      .orderBy("cell")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
     "q261_manifest_schema" -> manifestSchema,
     "q262_manifest_changes" -> manifestChanges,
-    "q263_manifest_merge" -> manifestMerge
+    "q263_manifest_merge" -> manifestMerge,
+    "q264_manifest_widen" -> manifestWiden
   )
 }

@@ -639,6 +639,50 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     afterC.filter(col("vec_id") >= 100).filter(col("boost").isNull).count() shouldBe 0L
   }
 
+  test("TYPE WIDENING: an int->long / float->double batch widens the manifest schema; old narrow files upcast at scan; narrower late batches upcast too; narrowing/reshaping stays loud") {
+    val (fs, root) = fsRoot
+    fs.delete(root, true)
+    def rows(id0: Long, n: Int, wType: String, fType: String) =
+      spark.range(id0, id0 + n).selectExpr(
+        "id AS vec_id", s"CAST(id * 3 AS $wType) AS w",
+        s"CAST(CAST(id % 7 AS INT) AS $fType) AS f", "cast(id % 4 as int) AS cell")
+    IndexManifest.publishBase(spark, rows(0, 20, "INT", "FLOAT"), dir)
+    import org.apache.spark.sql.types._
+    def typeOf(df: org.apache.spark.sql.DataFrame, c: String) = df.schema(c).dataType
+    typeOf(IndexManifest.read(spark, dir), "w") shouldBe IntegerType
+    // the widening batch: w beyond int range, f as double
+    IndexManifest.appendBatch(spark,
+      rows(100, 10, "BIGINT", "DOUBLE")
+        .withColumn("w", col("w") + lit(3000000000L)), dir, "day1")
+    val cur = IndexManifest.read(spark, dir)
+    typeOf(cur, "w") shouldBe LongType
+    typeOf(cur, "f") shouldBe DoubleType
+    // old int32/float files UPCAST at scan — values exact, sums exact
+    cur.agg(sum("w")).head().getLong(0) shouldBe
+      (0L until 20L).map(_ * 3).sum + (100L until 110L).map(_ * 3 + 3000000000L).sum
+    cur.agg(sum(col("f").cast("long"))).head().getLong(0) shouldBe
+      (0L until 20L).map(_ % 7).sum + (100L until 110L).map(_ % 7).sum
+    // time travel reads gen 1 with its own (narrow) schema
+    typeOf(IndexManifest.readAt(spark, dir, 1L), "w") shouldBe IntegerType
+    // a NARROWER late batch is accepted and upcast (no evolution commit)
+    val genBefore = IndexManifest.currentState(spark, dir).get.gen
+    IndexManifest.appendBatch(spark, rows(200, 5, "INT", "FLOAT"), dir, "day2")
+    val after = IndexManifest.read(spark, dir)
+    typeOf(after, "w") shouldBe LongType
+    after.filter(col("vec_id") >= 200).agg(sum("w")).head().getLong(0) shouldBe
+      (200L until 205L).map(_ * 3).sum
+    IndexManifest.history(spark, dir).find(_.gen == genBefore + 1).get.schemaChanged shouldBe false
+    // outside the lattice stays a loud conflict: long -> string
+    val bad = rows(300, 2, "INT", "FLOAT").withColumn("w", lit("big"))
+    val e = intercept[Exception] { IndexManifest.appendBatch(spark, bad, dir, "day3") }
+    e.getMessage should include("schema conflict")
+    // the widened schema survives compaction; zone maps on the (long)
+    // clustering column keep pruning
+    IndexManifest.compact(spark, dir, "vec_id")
+    typeOf(IndexManifest.read(spark, dir), "w") shouldBe LongType
+    IndexManifest.readRange(spark, dir, 200L, 204L).count() shouldBe 5L
+  }
+
   test("CHANGELOG: changes(from,to) emits exactly the rows each commit inserted/deleted; compaction emits NOTHING; replace emits delete+insert") {
     freshIndex()                                                   // gen 1: base 0..39
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")  // gen 2: insert
