@@ -210,8 +210,17 @@ object IndexManifest {
     * full snapshot: the hive partition column and the columns whose
     * per-file min/max zone maps every commit collects (integral types;
     * `statCols.head` is the clustering column files are sorted by and
-    * [[readRange]]/[[replaceRange]] operate on). */
-  final case class TableSpec(partCol: String = "cell", statCols: Seq[String] = Seq("vec_id"))
+    * [[readRange]]/[[replaceRange]] operate on). `buckets`/`bucketCols`
+    * (round 13) declare a CLUSTERED layout: every commit's files are
+    * written hash-bucketed on `bucketCols` into `buckets` buckets
+    * (Spark's own murmur3 bucket function — `repartition(n, cols)`
+    * computes the identical partition index) and named with the
+    * `_<bucket>` suffix Spark's bucket reader parses, so
+    * [[readBucketed]] can serve the table as a bucketed relation and a
+    * join of two same-bucketed manifest tables runs with ZERO join-side
+    * shuffle exchange (ManifestPlanSpec pins it). */
+  final case class TableSpec(partCol: String = "cell", statCols: Seq[String] = Seq("vec_id"),
+      buckets: Int = 0, bucketCols: Seq[String] = Seq.empty)
 
   /** One committed data file with its column-keyed zone-map stats —
     * `stats(i)` is (min, max) of the table's `statCols(i)`. A pair with
@@ -279,7 +288,9 @@ object IndexManifest {
       schemaDdl: Option[String] = None,
       dvs: Seq[DvEntry] = Seq.empty,
       fullGen: Long = 0L,
-      v1Descent: Boolean = false) {
+      v1Descent: Boolean = false,
+      buckets: Int = 0,
+      bucketCols: Seq[String] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** ledger key → highest committed batch version. v2+ entries are
       * `key:version`; a COLON-LESS entry is a raw pre-ledger (v1)
@@ -484,11 +495,16 @@ object IndexManifest {
       } else strField(body, "kind") match {
         case Some("full") =>
           val statCols = flatArr(body, "statcols")
+          val bAt = body.indexOf(""""buckets":""")
+          val buckets = if (bAt < 0) 0
+            else body.substring(bAt + 10).takeWhile(_.isDigit).toInt
           FullRec(State(gen, fileEntries(body), flatArr(body, "batches"),
             statCols = if (statCols.nonEmpty) statCols else Seq("vec_id"),
             partCol = strField(body, "part").getOrElse("cell"),
             schemaDdl = strField(body, "schema"),
-            dvs = dvEntries(body), fullGen = gen),
+            dvs = dvEntries(body), fullGen = gen,
+            buckets = buckets,
+            bucketCols = if (buckets > 0) flatArr(body, "bucketcols") else Seq.empty),
             rewrite = body.contains(""""rewrite":true"""))
         case Some("delta") =>
           val wm = flatArr(body, "batches").map { e =>
@@ -625,6 +641,9 @@ object IndexManifest {
     s"""{"version":3,"generation":${st.gen},"kind":"full",""" +
       (if (rewrite) """"rewrite":true,""" else "") +
       s""""part":"${escape(st.partCol)}",""" +
+      (if (st.buckets > 0)
+        s""""buckets":${st.buckets},"bucketcols":[${st.bucketCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],"""
+      else "") +
       s""""statcols":[${st.statCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],""" +
       st.schemaDdl.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
       s""""batches":[${renderWm(st.watermarks).map(b => "\"" + b + "\"").mkString(",")}],""" +
@@ -832,12 +851,39 @@ object IndexManifest {
   private def newToken(): String =
     java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
+  /** The write layout every commit of a table shares. Bucketed tables
+    * hash-shuffle into exactly `buckets` tasks on the bucket columns —
+    * `repartition(n, cols)` is `HashPartitioning(cols, n)`, the SAME
+    * murmur3 partition-index function Spark's bucketed writer applies,
+    * so the output task id IS the bucket id ([[bucketSuffixed]] then
+    * names the file the way the bucket reader expects). Plain tables
+    * co-locate by partition value as before. */
+  private def clustered(df: DataFrame, partCol: String, sortCols: Seq[Column],
+      buckets: Int, bucketCols: Seq[String]): DataFrame =
+    (if (buckets > 0) df.repartition(buckets, bucketCols.map(col): _*)
+     else df.repartition(col(partCol))).sortWithinPartitions(sortCols: _*)
+
+  /** Spark's bucket reader parses the bucket id from the file name's
+    * trailing `_<digits>` group; our bucketed writes produce exactly
+    * `buckets` tasks, so the part number IS the bucket id — suffix it
+    * into the name (before the extension) at rename time. */
+  private def bucketSuffixed(name: String): String = {
+    val m = "part-(\\d+)".r.findFirstMatchIn(name).getOrElse(
+      sys.error(s"cannot derive a bucket id from file name $name"))
+    val dot = name.indexOf('.')
+    val suffix = s"_${m.group(1)}"
+    if (dot < 0) name + suffix
+    else name.substring(0, dot) + suffix + name.substring(dot)
+  }
+
   /** Rename `staging`'s partitioned data files into the live partition
     * dirs under `prefix`; returns the renamed-in entries WITH their
-    * footer-derived zone maps. Shared by append, replace, and
-    * compaction (byte-identical protocol, only the prefix differs). */
+    * footer-derived zone maps. Shared by append, replace, compaction,
+    * and merge (byte-identical protocol, only the prefix differs);
+    * bucketed tables additionally get the bucket-id name suffix. */
   private def renameStagedIn(fs: FileSystem, root: Path, staging: Path,
-      prefix: String, partCol: String, statCols: Seq[String]): Seq[FileEntry] = {
+      prefix: String, partCol: String, statCols: Seq[String],
+      buckets: Int = 0): Seq[FileEntry] = {
     var renamed = 0
     val added = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(staging)
@@ -851,7 +897,8 @@ object IndexManifest {
             f.isFile && !n.startsWith("_") && !n.startsWith(".")
           }
           .foreach { f =>
-            val to = new Path(dest, s"$prefix${f.getPath.getName}")
+            val base = if (buckets > 0) bucketSuffixed(f.getPath.getName) else f.getPath.getName
+            val to = new Path(dest, s"$prefix$base")
             require(fs.rename(f.getPath, to), s"rename failed: ${f.getPath} -> $to")
             added += s"${cellDir.getPath.getName}/${to.getName}"
             renamed += 1
@@ -952,11 +999,24 @@ object IndexManifest {
     require(current(fs, root).isEmpty, s"index at $dir already has a manifest")
     require(enc.columns.contains(spec.partCol), s"partition column '${spec.partCol}' missing")
     spec.statCols.foreach(c => require(enc.columns.contains(c), s"stat column '$c' missing"))
-    enc.repartition(col(spec.partCol)).sortWithinPartitions(spec.statCols.head)
+    require(spec.buckets == 0 || spec.bucketCols.nonEmpty,
+      "a bucketed TableSpec needs bucketCols")
+    spec.bucketCols.foreach(c => require(enc.columns.contains(c), s"bucket column '$c' missing"))
+    clustered(enc, spec.partCol, Seq(col(spec.statCols.head)), spec.buckets, spec.bucketCols)
       .write.mode("overwrite").partitionBy(spec.partCol).parquet(dir)
-    val files = entriesOf(fs, root, listDataFiles(fs, root, spec.partCol), spec.statCols)
+    val raw = listDataFiles(fs, root, spec.partCol)
+    val rels =
+      if (spec.buckets == 0) raw
+      else raw.map { rel =>
+        val slash = rel.indexOf('/')
+        val to = rel.substring(0, slash + 1) + bucketSuffixed(rel.substring(slash + 1))
+        require(fs.rename(new Path(root, rel), new Path(root, to)), s"rename failed: $rel -> $to")
+        to
+      }
+    val files = entriesOf(fs, root, rels, spec.statCols)
     require(tryWriteFull(fs, root, State(1L, files, Seq.empty, spec.statCols, spec.partCol,
-        Some(nullableDdl(enc.schema)), Seq.empty, fullGen = 1L)),
+        Some(nullableDdl(enc.schema)), Seq.empty, fullGen = 1L,
+        buckets = spec.buckets, bucketCols = spec.bucketCols)),
       s"manifest generation 1 already committed at $dir (concurrent writer?)")
   }
 
@@ -982,10 +1042,10 @@ object IndexManifest {
     evolveSchema(st, enc.schema): Unit // preflight: type conflicts fail BEFORE the write
     val token = newToken()
     val staging = new Path(root, s".staging-$batchId-$token")
-    enc.repartition(col(st.partCol)).sortWithinPartitions(st.statCols.head)
+    clustered(enc, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols)
       .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
     val added = renameStagedIn(fs, root, staging, s"ingest-$batchId-$token-",
-      st.partCol, st.statCols)
+      st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
     // OPTIMISTIC COMMIT: another writer (a racing append of a DIFFERENT
     // batch, or a compaction) may take gen+1 between our staging and our
@@ -1067,10 +1127,10 @@ object IndexManifest {
         // null-safe survival: a NULL clustering value is not in [lo, hi]
         .filter(!coalesce(col(key).between(lo, hi), lit(false)))
         .unionByName(replacement, allowMissingColumns = true)
-    survivors.repartition(col(st.partCol)).sortWithinPartitions(key)
+    clustered(survivors, st.partCol, Seq(col(key)), st.buckets, st.bucketCols)
       .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
     val added = renameStagedIn(fs, root, staging, s"replace-$batchId-$token-",
-      st.partCol, st.statCols)
+      st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
     val (writer, version) = splitBatchId(batchId)
     if (!tryCommit(fs, root, st, Commit(adds = added, removes = overlap.map(_.path),
@@ -1253,10 +1313,10 @@ object IndexManifest {
 
     // the new versions: updates' payload + inserts, appended like a batch
     val staging = new Path(root, s".staging-$batchId-$token")
-    upserts.repartition(col(st.partCol)).sortWithinPartitions(st.statCols.head)
+    clustered(upserts, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols)
       .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
     val added = renameStagedIn(fs, root, staging, s"merge-$batchId-$token-",
-      st.partCol, st.statCols)
+      st.partCol, st.statCols, st.buckets)
 
     interruptBeforeManifest()
     val (writer, version) = splitBatchId(batchId)
@@ -1309,12 +1369,11 @@ object IndexManifest {
     // one task per hash bucket of partition values ⇒ a partition never
     // splits; two-key sort so within-partition order is unconditional
     // (the Compaction.compactPartitioned discipline)
-    serve(spark, dir, st, st.files)
-      .repartition(col(st.partCol))
-      .sortWithinPartitions(col(st.partCol), col(sortCol))
+    clustered(serve(spark, dir, st, st.files), st.partCol,
+        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols)
       .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
     val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
-      st.partCol, st.statCols)
+      st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
     // the swap: old files drop out of view at this ONE publish. The
     // batch ledger is CARRIED FORWARD — the compacted files contain
@@ -1471,6 +1530,37 @@ object IndexManifest {
       scanOf(spark, dir, st, st.files.take(1)).filter(lit(false))
     else serve(spark, dir, st, kept)
       .filter(col(st.partCol).isin(values.map(v => v: Any): _*))
+  }
+
+  /** Read the CURRENT generation as a BUCKETED relation — the scan
+    * reports `HashPartitioning(bucketCols, buckets)` (via the one
+    * [[org.apache.spark.sql.graftshim.BucketedRelation]] seam), so a
+    * join of two manifest tables clustered the same way needs NO
+    * join-side shuffle exchange: at 100 TB that is the entire shuffle
+    * of the fact table — the single largest cost in any repeated
+    * fact-to-fact join — paid once at write time and amortized over
+    * every join after. File bucket ids come from the `_<bucket>` name
+    * suffix every bucketed commit writes; deletion vectors apply as the
+    * usual anti-join on the scan's metadata columns (the DV side is
+    * O(deleted rows) and does not disturb the probe side's reported
+    * partitioning for exchange planning on the bucket keys). Requires
+    * the table to have been published with a bucketed [[TableSpec]]. */
+  def readBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    require(st.buckets > 0, s"table at $dir declares no bucket layout")
+    val schema = StructType.fromDDL(st.schemaDdl.getOrElse(
+      sys.error(s"bucketed read needs a manifest-held schema at $dir")))
+    val df = org.apache.spark.sql.graftshim.BucketedRelation.parquetWithBuckets(
+      spark, dir, st.files.map(f => new Path(new Path(dir), f.path)),
+      schema, st.buckets, st.bucketCols)
+    if (st.dvs.isEmpty) df
+    else df.select(col("*"),
+        regexp_extract(col("_metadata").getField("file_path"), "[^/]+/[^/]+$", 0).as(PosFile),
+        col("_metadata").getField("row_index").as(PosIndex))
+      .join(dvPairs(spark, dir, st.dvs), Seq(PosFile, PosIndex), "left_anti")
+      .drop(PosFile, PosIndex)
   }
 
   /** Zone-map file pruning plan for a probe range on the CLUSTERING

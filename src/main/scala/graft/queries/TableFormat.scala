@@ -411,12 +411,73 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q265: bucketed (clustered) manifest tables ───────────────
+
+  /** Stage the q265 PAIR of bucketed tables (once per JVM per sf dir):
+    * both clustered on `vec_id` into 8 buckets through the manifest's
+    * TableSpec — t1 published in two commits (base + append: multiple
+    * files per bucket, so the read exercises bucket GROUPING, not a
+    * 1-file-per-bucket special case), t2 in one. Structural requires
+    * pin the layout contract on every grade: the manifests declare the
+    * bucket spec and every committed file name carries a parseable
+    * bucket-id suffix. */
+  private def stageBucketedPair(s: SparkSession, d: String): (String, String) = {
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_bucketed"
+    val b1 = vecB1(s, d)
+    stageOnce(dir) {
+      wipe(s, dir)
+      val spec = TableSpec(partCol = "cell", statCols = Seq("vec_id"),
+        buckets = 8, bucketCols = Seq("vec_id"))
+      IndexManifest.publishBase(s, delRows(s, d).filter(col("vec_id") < b1), s"$dir/t1", spec)
+      IndexManifest.appendBatch(s, delRows(s, d).filter(col("vec_id") >= b1), s"$dir/t1", "dayA")
+      IndexManifest.publishBase(s,
+        Tables.embeddings(s, d).selectExpr(
+          "vec_id", "label * 5 + 1 AS v", "CAST(vec_id % 8 AS INT) AS cell"),
+        s"$dir/t2", spec)
+      Seq(s"$dir/t1", s"$dir/t2").foreach { t =>
+        val st = IndexManifest.currentState(s, t).get
+        require(st.buckets == 8 && st.bucketCols == Seq("vec_id"),
+          s"manifest at $t lost its bucket declaration: ${st.buckets}/${st.bucketCols}")
+        st.files.foreach { e =>
+          val n = e.path.split('/').last
+          require(n.matches(".*_(\\d+)\\..*"), s"file $n at $t carries no bucket-id suffix")
+        }
+      }
+    }
+    (s"$dir/t1", s"$dir/t2")
+  }
+
+  /** BUCKETED MANIFEST TABLES (q265, the round-12 stretch ask): two
+    * tables clustered on `vec_id` (8 buckets) joined on the bucket key
+    * and aggregated — at 100 TB the bucketed layout means this
+    * fact-to-fact join needs NO join-side shuffle (the scan reports
+    * HashPartitioning(bucketCols, 8); ManifestPlanSpec pins the
+    * zero-Exchange SortMergeJoin with broadcast disabled), a shuffle
+    * paid once at write time and amortized over every join after.
+    * Oracle: the 1:1 self-join reconstructed as plain arithmetic over
+    * embeddings. */
+  val manifestBucketed: Q = Q(
+    s"""SELECT CAST(vec_id % 8 AS INT) AS cell, COUNT(*) AS cnt,
+       |  CAST(SUM(label) AS BIGINT) AS sum_w,
+       |  CAST(SUM(label * 5 + 1) AS BIGINT) AS sum_v
+       |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val (t1, t2) = stageBucketedPair(s, d)
+    IndexManifest.readBucketed(s, t1)
+      .join(IndexManifest.readBucketed(s, t2).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("w").cast("long").as("sum_w"),
+        sum("v").cast("long").as("sum_v"))
+      .orderBy("cell")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
     "q261_manifest_schema" -> manifestSchema,
     "q262_manifest_changes" -> manifestChanges,
     "q263_manifest_merge" -> manifestMerge,
-    "q264_manifest_widen" -> manifestWiden
+    "q264_manifest_widen" -> manifestWiden,
+    "q265_manifest_bucketed" -> manifestBucketed
   )
 }

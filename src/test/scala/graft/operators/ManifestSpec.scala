@@ -683,6 +683,54 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.readRange(spark, dir, 200L, 204L).count() shouldBe 5L
   }
 
+  test("BUCKETED TABLE: every commit protocol keeps the bucket layout; plain and bucketed reads agree; DVs apply on the bucketed read; feed intact") {
+    val bdir = "/tmp/graft_llm/manifest_spec/bucketed"
+    val root = new Path(bdir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val spec = IndexManifest.TableSpec(partCol = "cell", statCols = Seq("vec_id"),
+      buckets = 4, bucketCols = Seq("vec_id"))
+    IndexManifest.publishBase(spark, batch(0, 40), bdir, spec)             // gen 1
+    IndexManifest.appendBatch(spark, batch(100, 12), bdir, "day1")         // gen 2
+    IndexManifest.deleteWhere(spark, bdir, col("vec_id") % 6 === 1, "p1")  // gen 3
+    IndexManifest.merge(spark,
+      batch(0, 40).filter(col("vec_id") === 2L)
+        .withColumn("codes", expr("transform(codes, c -> cast((c + 50) % 256 as int))"))
+        .withColumn("op", lit("U"))
+        .unionByName(batch(900, 3).withColumn("op", lit("I"))),
+      bdir, Seq("vec_id"), "op", "m1")                                     // gen 4
+    val upd2 = batch(0, 40).filter(col("vec_id") === 2L)
+      .withColumn("codes", expr("transform(codes, c -> cast((c + 50) % 256 as int))"))
+    val model = rowsOf(batch(0, 40).filter(col("vec_id") =!= 2L).unionByName(batch(100, 12))
+      .filter(col("vec_id") % 6 =!= 1)
+      .unionByName(upd2).unionByName(batch(900, 3)))
+    def bucketRows(d: String) = IndexManifest.readBucketed(spark, d)
+      .select(col("vec_id"), col("codes").cast("string"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+    rowsOf(IndexManifest.read(spark, bdir)) shouldBe model
+    bucketRows(bdir) shouldBe model // the bucketed relation serves identical rows, DVs applied
+    // every committed data file carries a parseable bucket-id suffix
+    val st = IndexManifest.current(fs, root).get
+    st.buckets shouldBe 4
+    st.files.foreach { e =>
+      val name = e.path.split('/').last
+      withClue(name) { name should fullyMatch regex ".*_(\\d+)\\..*" }
+    }
+    // compaction preserves the layout (declaration AND file naming)
+    IndexManifest.compact(spark, bdir, "vec_id")
+    val stC = IndexManifest.current(fs, root).get
+    stC.buckets shouldBe 4
+    stC.files.foreach(e => e.path.split('/').last should fullyMatch regex ".*_(\\d+)\\..*")
+    rowsOf(IndexManifest.read(spark, bdir)) shouldBe model
+    bucketRows(bdir) shouldBe model
+    // the change feed is undisturbed by the bucketed layout
+    val feed = IndexManifest.changes(spark, bdir, 1L, 5L)
+    val replayed = (rowsOf(IndexManifest.readAt(spark, bdir, 1L)) ++
+      rowsOf(feed.filter(col("_change_type") === "insert")))
+      .diff(rowsOf(feed.filter(col("_change_type") === "delete")))
+    replayed.sorted shouldBe model
+  }
+
   test("CHANGELOG: changes(from,to) emits exactly the rows each commit inserted/deleted; compaction emits NOTHING; replace emits delete+insert") {
     freshIndex()                                                   // gen 1: base 0..39
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")  // gen 2: insert

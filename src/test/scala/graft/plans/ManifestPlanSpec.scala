@@ -73,6 +73,43 @@ class ManifestPlanSpec extends AnyFunSuite with Matchers {
     df.count() shouldBe 20L
   }
 
+  test("BUCKETED LAYOUT: a join of two same-bucketed manifest tables plans with ZERO shuffle exchange (the round-12 stretch ask)") {
+    import graft.operators.IndexManifest
+    val d1 = "/tmp/graft_llm/manifest_plan_spec/bt1"
+    val d2 = "/tmp/graft_llm/manifest_plan_spec/bt2"
+    Seq(d1, d2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    def left(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", "id * 3 AS w", "cast(id % 4 as int) AS cell")
+    val right = spark.range(0, 200).selectExpr(
+      "id AS vec_id", "id * 7 AS v", "cast(id % 4 as int) AS cell")
+    val spec = IndexManifest.TableSpec(partCol = "cell", statCols = Seq("vec_id"),
+      buckets = 8, bucketCols = Seq("vec_id"))
+    IndexManifest.publishBase(spark, left(0, 40), d1, spec)
+    IndexManifest.appendBatch(spark, left(100, 20), d1, "day1") // 2 files/bucket: grouping, not 1:1
+    IndexManifest.publishBase(spark, right, d2, spec)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+      val a = IndexManifest.readBucketed(spark, d1)
+      val b = IndexManifest.readBucketed(spark, d2).select(col("vec_id"), col("v"))
+      val joined = a.join(b, Seq("vec_id"))
+      joined.count() shouldBe 60L // right covers 0..199: every left id matches
+      val plan = joined.queryExecution.executedPlan.toString
+      // the whole point: a sort-merge join with NO exchange on either side
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+      plan.toLowerCase should include("bucketed: true")
+      // and the rows are exactly the plain join's
+      val expected = left(0, 40).union(left(100, 20))
+        .join(right.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .agg(sum(expr("w + v"))).head().getLong(0)
+      joined.agg(sum(expr("w + v"))).head().getLong(0) shouldBe expected
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
   test("deletion vectors read as ONE anti-join over the scan; the probe's residual predicate still reaches parquet") {
     import graft.operators.IndexManifest
     val ddir = "/tmp/graft_llm/manifest_plan_spec/dv"
