@@ -102,7 +102,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     // timed min-of-1 measures the manifest-planned read. The ceiling
     // catches a reintroduced O(table) cost in the resolve/DV/schema
     // read path (e.g. a per-read footer sweep or a DV fan-out).
-    val res = familyWall(Seq("q259", "q260", "q261", "q262"))
+    val res = familyWall(Seq("q259", "q260", "q261", "q262", "q263", "q264", "q265"))
     val total = res.filter(_._2 >= 0).map(_._2).sum
     info(f"table-format family total at sf0.001: $total%.1f s (${res.size} queries)")
     res.filter(_._2 < 0) shouldBe empty

@@ -100,6 +100,59 @@ class ManifestInteropSpec extends AnyFunSuite with Matchers {
     res.rows shouldBe sparkSide
   }
 
+  test("round-13 write side across engines: a merged tree (compressed DVs + appended upserts), a type-widened column, and a bucketed layout all read identically from DuckDB") {
+    // MERGE: update a stripe, delete a stripe, insert a block — the
+    // external reader must decode the delta-varint DV sidecar (the
+    // compressed format's Python twin) and serve the post-merge state
+    val mdir = "/tmp/graft_llm/manifest_interop/merged"
+    val mroot = new Path(mdir)
+    mroot.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mroot, true)
+    IndexManifest.publishBase(spark, batch(0, 40), mdir)
+    val upd = batch(0, 40).filter(col("vec_id") % 5 === 2 && col("vec_id") % 7 =!= 3)
+      .withColumn("codes", expr("transform(codes, c -> cast((c + 1) % 256 as int))"))
+    IndexManifest.merge(spark,
+      upd.withColumn("op", lit("U"))
+        .unionByName(batch(0, 40).filter(col("vec_id") % 7 === 3).withColumn("op", lit("D")))
+        .unionByName(batch(500, 6).withColumn("op", lit("I"))),
+      mdir, Seq("vec_id"), "op", "m_1")
+    val merged = duckdbRead(mdir, "0", "600")
+    merged.rows shouldBe sparkRows(IndexManifest.readRange(spark, mdir, 0L, 600L))
+    merged.rows.exists(_._1 % 7 == 3) shouldBe false          // DV-deleted stripe gone
+    merged.rows.count(_._1 >= 500) shouldBe 6                 // inserts present
+    // the updated keys appear EXACTLY once (old version DV-deleted)
+    merged.rows.map(_._1).count(id => id < 40 && id % 5 == 2 && id % 7 != 3) shouldBe
+      (0L until 40L).count(id => id % 5 == 2 && id % 7 != 3)
+
+    // TYPE WIDENING: DuckDB's union_by_name promotes int32→int64 the
+    // same way the manifest schema upcasts — the widened column sums
+    // identically across engines
+    val wdir = "/tmp/graft_llm/manifest_interop/widened"
+    val wroot = new Path(wdir)
+    wroot.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wroot, true)
+    def wrows(id0: Long, n: Int, t: String) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", s"CAST(id * 3 AS $t) AS w", "cast(id % 3 as int) AS cell")
+    IndexManifest.publishBase(spark, wrows(0, 20, "INT"), wdir)
+    IndexManifest.appendBatch(spark,
+      wrows(100, 8, "BIGINT").withColumn("w", col("w") + lit(3000000000L)), wdir, "day_1")
+    val widened = duckdbRead(wdir, "0", "300", "--sum=w")
+    widened.rows shouldBe sparkRows(IndexManifest.readRange(spark, wdir, 0L, 300L))
+    widened.num("sum") shouldBe
+      IndexManifest.read(spark, wdir).agg(sum("w")).head().getLong(0)
+
+    // BUCKETED layout: the bucket-id file suffix and the manifest's
+    // bucket declaration are TRANSPARENT to a reader that doesn't speak
+    // bucketing — same rows off the same log
+    val bdir = "/tmp/graft_llm/manifest_interop/bucketed"
+    val broot = new Path(bdir)
+    broot.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(broot, true)
+    IndexManifest.publishBase(spark, batch(0, 30), bdir,
+      IndexManifest.TableSpec(partCol = "cell", statCols = Seq("vec_id"),
+        buckets = 4, bucketCols = Seq("vec_id")))
+    IndexManifest.appendBatch(spark, batch(200, 9), bdir, "day_1")
+    val bucketed = duckdbRead(bdir, "0", "250")
+    bucketed.rows shouldBe sparkRows(IndexManifest.readRange(spark, bdir, 0L, 250L))
+  }
+
   test("schema evolution across engines: DuckDB's union_by_name read matches Spark's manifest-schema read on an evolved tree") {
     val edir = "/tmp/graft_llm/manifest_interop/evolved"
     val (fs, root) = {

@@ -107,6 +107,13 @@ class ManifestPlanSpec extends AnyFunSuite with Matchers {
         .join(right.select(col("vec_id"), col("v")), Seq("vec_id"))
         .agg(sum(expr("w + v"))).head().getLong(0)
       joined.agg(sum(expr("w + v"))).head().getLong(0) shouldBe expected
+      // BUCKET PRUNING rides along for free: an equality probe on the
+      // bucket key scans ONE bucket's files, not 8 — Spark's own
+      // bucket-pruning rule consuming the manifest-declared layout
+      val probe = IndexManifest.readBucketed(spark, d1).filter(col("vec_id") === 7L)
+      probe.count() shouldBe 1L
+      probe.queryExecution.executedPlan.toString should
+        include regex "SelectedBucketsCount: 1 out of 8"
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
 
