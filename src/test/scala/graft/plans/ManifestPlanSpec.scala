@@ -109,11 +109,20 @@ class ManifestPlanSpec extends AnyFunSuite with Matchers {
       joined.agg(sum(expr("w + v"))).head().getLong(0) shouldBe expected
       // BUCKET PRUNING rides along for free: an equality probe on the
       // bucket key scans ONE bucket's files, not 8 — Spark's own
-      // bucket-pruning rule consuming the manifest-declared layout
-      val probe = IndexManifest.readBucketed(spark, d1).filter(col("vec_id") === 7L)
-      probe.count() shouldBe 1L
-      probe.queryExecution.executedPlan.toString should
-        include regex "SelectedBucketsCount: 1 out of 8"
+      // bucket-pruning rule consuming the manifest-declared layout.
+      // (autoBucketedScan turns bucketed scans OFF for plans with no
+      // distribution-requiring operator — a bare filter is one — so pin
+      // the capability with it scoped off, the way a bucket-heavy
+      // deployment runs.)
+      val autoBefore = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val probe = IndexManifest.readBucketed(spark, d1).filter(col("vec_id") === 7L)
+        probe.count() shouldBe 1L
+        probe.queryExecution.executedPlan.toString should
+          include regex "SelectedBucketsCount: 1 out of 8"
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", autoBefore)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
 
