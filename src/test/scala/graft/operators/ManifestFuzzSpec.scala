@@ -54,14 +54,33 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
       .collect().map(_.toString).sorted.toSeq
 
   test("220 randomized schedule points: appends, replays, crashes, injected racers, range replaces, merge-on-read deletes, MERGE INTO upserts, compactions, vacuums — no row lost, none doubled") {
+    runSchedule(dir, IndexManifest.TableSpec(partCol = "cell", statCols = Seq("vec_id")),
+      points = 220, seed = 20260816L)
+  }
+
+  test("BUCKETED tree under the same fuzz: 120 schedule points against a clustered layout — bucket-suffixed names and the bucketed read survive every op mix") {
+    runSchedule(dir + "_bucketed",
+      IndexManifest.TableSpec(partCol = "cell", statCols = Seq("vec_id"),
+        buckets = 4, bucketCols = Seq("vec_id")),
+      points = 120, seed = 20260813L)
+  }
+
+  /** One seeded schedule against a table published with `spec`. For a
+    * bucketed spec the closing invariants additionally pin that every
+    * committed file name carries a parseable bucket-id suffix and that
+    * [[IndexManifest.readBucketed]] serves the same rows as the plain
+    * read — i.e. the clustered layout survives appends, replaces,
+    * merges, deletes, compactions, racers, and crashes. */
+  private def runSchedule(dir: String, spec: IndexManifest.TableSpec,
+      points: Int, seed: Long): Unit = {
     val (fs, root) = {
       val p = new Path(dir)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
     fs.delete(root, true)
-    IndexManifest.publishBase(spark, batch(0, 12), dir)
+    IndexManifest.publishBase(spark, batch(0, 12), dir, spec)
 
-    val rnd = new scala.util.Random(20260816L)
+    val rnd = new scala.util.Random(seed)
     // batchId -> its rows (committed set); crashed batches pending replay
     val committed = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val pending = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
@@ -110,7 +129,7 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     }
 
     var checkedAt = 0
-    val N = 220
+    val N = points
     (1 to N).foreach { i =>
       val roll = rnd.nextInt(100)
       if (roll < 38) {
@@ -318,6 +337,18 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     committed.keys.take(5).foreach { id =>
       IndexManifest.appendBatch(spark, batch(1L, 3), dir, id)
       IndexManifest.current(fs, root).get.gen shouldBe gen
+    }
+
+    // bucketed-layout closing pins: the clustered contract survived the
+    // whole schedule — every live file is bucket-id-named and the
+    // bucketed relation serves the exact model rows
+    if (spec.buckets > 0) {
+      st.buckets shouldBe spec.buckets
+      st.files.foreach { e =>
+        val n = e.path.split('/').last
+        withClue(n) { n should fullyMatch regex ".*_(\\d+)\\..*" }
+      }
+      rowsOf(IndexManifest.readBucketed(spark, dir)) shouldBe expected
     }
   }
 }
