@@ -198,6 +198,39 @@ class ManifestSpec extends AnyFunSuite with Matchers {
       .groupBy(_.split('/').head).values.foreach(_.size shouldBe 1)
   }
 
+  test("TRUE CONCURRENCY: four writer THREADS appending simultaneously — every batch lands exactly once, the generation chain is gapless") {
+    // the failpoint tests pin deterministic worst-case interleavings;
+    // this one runs REAL thread-level races through the CAS — losers
+    // must retry by union until they land, and no interleaving may
+    // lose or double a batch (Spark sessions are thread-safe; the
+    // manifest's only shared state is the log itself)
+    freshIndex()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (1 to 5).foreach { v =>
+              IndexManifest.appendBatch(spark,
+                batch(10000L * (t + 1) + 100L * v, 4), dir, s"writer${t}_$v")
+            }
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val expected = rowsOf((0 until 4).foldLeft(batch(0, 40)) { (df, t) =>
+      (1 to 5).foldLeft(df)((d, v) => d.union(batch(10000L * (t + 1) + 100L * v, 4)))
+    })
+    served() shouldBe expected
+    val (fs, root) = fsRoot
+    val st = IndexManifest.current(fs, root).get
+    st.gen shouldBe 21L // base + exactly one commit per batch, no gaps
+    // the ledger holds every writer at its top version; replays no-op
+    (0 until 4).foreach(t => st.watermarks(s"writer$t") shouldBe 5L)
+    IndexManifest.appendBatch(spark, batch(1, 2), dir, "writer2_3")
+    IndexManifest.current(fs, root).get.gen shouldBe 21L
+  }
+
   test("REPLAY AFTER COMPACTION: the batch ledger keeps a replayed committed batch a no-op even after its files were rewritten away") {
     freshIndex()
     IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1") // gen 2
