@@ -1392,6 +1392,77 @@ object IndexManifest {
     fs.delete(staging, true)
   }
 
+  /** The Morton (Z-order) key of `cols`: bit j of column i lands at
+    * position j*k + i, so a range of z-values is a BOX in the
+    * k-dimensional key space. Pure bitwise `Column` arithmetic —
+    * whole-stage-codegen'd, no UDF in the rewrite's sort. Values are
+    * clamped to `bits` bits (non-negative); clamping only affects
+    * clustering QUALITY for outliers, never correctness (the zone maps
+    * record true min/max regardless). */
+  private def zValue(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    cols.zipWithIndex.map { case (c, i) =>
+      val clamped = least(greatest(c.cast("long"), lit(0L)), lit((1L << bits) - 1))
+      (0 until bits).map { j =>
+        shiftleft(shiftright(clamped, j).bitwiseAND(lit(1L)), j * k + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ORDER maintenance rewrite — multi-dimensional clustering over
+    * ALL declared stat columns: rows are re-laid-out by their Morton
+    * key into `targetFiles` z-ranges (each output file covers a BOX in
+    * stat-column space), so zone-map skipping works on EVERY declared
+    * column instead of only the sort-primary one. The single-column
+    * sort [[compact]] gives perfect primary-column ranges and useless
+    * secondary ones; z-order trades a little primary tightness for
+    * usable ranges on all dimensions — exactly the OPTIMIZE ZORDER BY
+    * trade production formats ship. Protocol-wise this IS a compaction:
+    * a full-rewrite commit (rewrite:true — feed-silent), deletion
+    * vectors materialized, ledger carried forward, CAS-loss redo,
+    * vacuum retires the old files. Bucketed tables are refused: their
+    * bucket hash IS the layout contract, and a z-rewrite would break
+    * the bucket-purity of files. At 100 TB this runs as a partition-
+    * scoped maintenance job exactly like compaction. */
+  def zorder(spark: SparkSession, dir: String, targetFiles: Int = 16): Unit =
+    zorderAttempt(spark, dir, targetFiles, attemptsLeft = 4)
+
+  private def zorderAttempt(spark: SparkSession, dir: String, targetFiles: Int,
+      attemptsLeft: Int): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    require(st.buckets == 0,
+      s"z-ordering a bucketed table is not supported — the bucket layout IS its clustering")
+    require(st.statCols.size >= 2,
+      s"z-order needs >= 2 declared stat columns (have ${st.statCols.mkString(",")}); use compact for 1")
+    val gen = st.gen + 1
+    val token = newToken()
+    val staging = new Path(root, s".compact-$gen-$token")
+    val bits = math.min(21, 62 / st.statCols.size)
+    val z = zValue(st.statCols.map(col), bits)
+    serve(spark, dir, st, st.files)
+      .withColumn("__graft_z", z)
+      .repartitionByRange(targetFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    val added = renameStagedIn(fs, root, staging, s"zorder-$gen-$token-",
+      st.partCol, st.statCols)
+    interruptBeforeManifest()
+    if (!tryWriteFull(fs, root, st.copy(gen = gen, files = added,
+        batches = renderWm(mergeWm(st.watermarks, ledgerFromFileNames(st))),
+        dvs = Seq.empty), rewrite = true)) {
+      added.foreach(e => fs.delete(new Path(root, e.path), false))
+      fs.delete(staging, true)
+      require(attemptsLeft > 1,
+        s"z-order lost the manifest race repeatedly at $dir — yielding to the writers")
+      zorderAttempt(spark, dir, targetFiles, attemptsLeft - 1)
+      return
+    }
+    fs.delete(staging, true)
+  }
+
   // ──────────────────────────── read protocols ────────────────────────────
 
   private val PosFile = "__graft_dv_file"
@@ -1609,14 +1680,31 @@ object IndexManifest {
     prunedRead(spark, dir, stateAt(spark, dir, gen), lo, hi)
 
   private def prunedRead(spark: SparkSession, dir: String, st: State,
+      lo: Long, hi: Long): DataFrame =
+    prunedReadOn(spark, dir, st, st.statCols.head, lo, hi)
+
+  /** [[readRange]] on ANY declared stat column — after a [[zorder]]
+    * rewrite every declared column's zone maps are tight enough to
+    * skip on, so a secondary-column probe (the corpus's `n_chars`, the
+    * index's auxiliary id) plans its file subset the same way the
+    * clustering column always could. */
+  def readRangeOn(spark: SparkSession, dir: String, statCol: String,
       lo: Long, hi: Long): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    prunedReadOn(spark, dir, st, statCol, lo, hi)
+  }
+
+  private def prunedReadOn(spark: SparkSession, dir: String, st: State,
+      statCol: String, lo: Long, hi: Long): DataFrame = {
     require(st.files.nonEmpty, s"manifest gen ${st.gen} at $dir lists no files")
-    val (kept, _) = planRange(st, lo, hi)
+    val (kept, _) = planRangeCol(st, statCol, lo, hi)
     if (kept.isEmpty)
       // schema from ONE file, zero rows — never hand the full (possibly
       // 100k-entry) list to Spark just to produce an empty frame
       scanOf(spark, dir, st, st.files.take(1)).filter(lit(false))
-    else serve(spark, dir, st, kept).filter(col(st.statCols.head).between(lo, hi))
+    else serve(spark, dir, st, kept).filter(col(statCol).between(lo, hi))
   }
 
   /** The committed [[State]] of generation `gen`, failing loudly when

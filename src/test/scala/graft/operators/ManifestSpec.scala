@@ -716,6 +716,61 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.readRange(spark, dir, 200L, 204L).count() shouldBe 5L
   }
 
+  test("Z-ORDER: the rewrite makes EVERY stat column's zone maps skippable; rows byte-identical; DVs materialized; feed-silent; bucketed refusal loud") {
+    val zdir = "/tmp/graft_llm/manifest_spec/zorder"
+    val root = new Path(zdir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // two INDEPENDENT dimensions: a (sequential) and b (decorrelated via
+    // multiplicative shuffle) — sorting by a leaves b's per-file ranges
+    // useless, the exact gap z-order exists to close
+    def rows(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS a", "(id * 2654435761) % 4096 AS b", "cast(id % 4 as int) AS cell")
+    val spec = IndexManifest.TableSpec(partCol = "cell", statCols = Seq("a", "b"))
+    IndexManifest.publishBase(spark, rows(0, 2000), zdir, spec)
+    IndexManifest.appendBatch(spark, rows(2000, 2000), zdir, "day1")
+    IndexManifest.deleteWhere(spark, zdir, col("a") % 97 === 13, "p1")
+    val model = rows(0, 4000).filter(col("a") % 97 =!= 13)
+    def modelRows = model.select(col("a"), col("b"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+    def servedRows = IndexManifest.read(spark, zdir).select(col("a"), col("b"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+    val pre = IndexManifest.current(fs, root).get
+    // pre-zorder: the b dimension cannot skip on a mid-range probe
+    val (_, preSkipB) = IndexManifest.planRangeCol(pre, "b", 100L, 200L)
+    IndexManifest.zorder(spark, zdir, targetFiles = 16)
+    val post = IndexManifest.current(fs, root).get
+    post.gen shouldBe pre.gen + 1
+    post.dvs shouldBe empty // materialized, like compaction
+    servedRows shouldBe modelRows
+    // BOTH dimensions now skip on narrow probes
+    val (keptA, skipA) = IndexManifest.planRange(post, 100L, 300L)
+    val (keptB, skipB) = IndexManifest.planRangeCol(post, "b", 100L, 200L)
+    skipA.size should be > 0
+    skipB.size should be > preSkipB.size
+    keptB.size should be < post.files.size
+    // the generalized pruned read serves exactly the filtered rows
+    IndexManifest.readRangeOn(spark, zdir, "b", 100L, 200L)
+      .select(col("a"), col("b"), col("cell")).collect().map(_.toString).sorted.toSeq shouldBe
+      model.filter(col("b").between(100L, 200L))
+        .select(col("a"), col("b"), col("cell")).collect().map(_.toString).sorted.toSeq
+    // feed-silent: the rewrite emits nothing; time travel keeps the old layout
+    IndexManifest.changes(spark, zdir, pre.gen, post.gen).count() shouldBe 0L
+    IndexManifest.readAt(spark, zdir, pre.gen).count() shouldBe model.count()
+    // replays stay no-ops through the carried ledger
+    IndexManifest.appendBatch(spark, rows(2000, 2000), zdir, "day1")
+    IndexManifest.current(fs, root).get.gen shouldBe post.gen
+    // bucketed tables refuse loudly — the bucket hash IS their layout
+    val bdir2 = "/tmp/graft_llm/manifest_spec/zorder_bucketed"
+    val broot2 = new Path(bdir2)
+    broot2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(broot2, true)
+    IndexManifest.publishBase(spark, rows(0, 40), bdir2,
+      IndexManifest.TableSpec(partCol = "cell", statCols = Seq("a", "b"),
+        buckets = 4, bucketCols = Seq("a")))
+    val e = intercept[Exception] { IndexManifest.zorder(spark, bdir2) }
+    e.getMessage should include("bucketed")
+  }
+
   test("BUCKETED TABLE: every commit protocol keeps the bucket layout; plain and bucketed reads agree; DVs apply on the bucketed read; feed intact") {
     val bdir = "/tmp/graft_llm/manifest_spec/bucketed"
     val root = new Path(bdir)
