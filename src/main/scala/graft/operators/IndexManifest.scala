@@ -393,7 +393,8 @@ object IndexManifest {
   private[operators] sealed trait Rec
   private final case class FullRec(st: State, rewrite: Boolean = false) extends Rec
   private final case class DeltaRec(gen: Long, adds: Seq[FileEntry], removes: Seq[String],
-      wm: Map[String, Long], dvAdds: Seq[DvEntry], schema: Option[String]) extends Rec
+      wm: Map[String, Long], dvAdds: Seq[DvEntry], schema: Option[String],
+      rewrite: Boolean = false) extends Rec
 
   /** Parse one log record. Version 3 (`kind` full/delta) and version 2
     * are checksum-verified and version-checked — truncation, corruption,
@@ -513,7 +514,8 @@ object IndexManifest {
             (e.take(i), e.drop(i + 1).toLong)
           }.toMap
           DeltaRec(gen, fileEntries(body), flatArr(body, "removes"), wm,
-            dvEntries(body), strField(body, "schema"))
+            dvEntries(body), strField(body, "schema"),
+            rewrite = body.contains(""""rewrite":true"""))
         case other => fail(s"v3 record with kind=$other")
       }
     } else if (s.startsWith("""{"generation"""")) {
@@ -652,6 +654,7 @@ object IndexManifest {
 
   private def deltaBody(gen: Long, c: Commit): String =
     s"""{"version":3,"generation":$gen,"kind":"delta",""" +
+      (if (c.rewrite) """"rewrite":true,""" else "") +
       c.schema.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
       s""""batches":[${renderWm(c.wm).map(b => "\"" + b + "\"").mkString(",")}],""" +
       s""""dvs":[${c.dvAdds.sortBy(_.path).map(d => s"""["${escape(d.path)}",${d.rows}]""").mkString(",")}],""" +
@@ -737,7 +740,8 @@ object IndexManifest {
       removes: Seq[String] = Seq.empty,
       dvAdds: Seq[DvEntry] = Seq.empty,
       wm: Map[String, Long] = Map.empty,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      rewrite: Boolean = false)
 
   /** O(delta) commit attempt on top of `prev`: publish the delta record
     * at gen+1, then (on a win) write the checkpoint sidecar if the tail
@@ -754,12 +758,13 @@ object IndexManifest {
       val normalized = prev.copy(batches =
         renderWm(mergeWm(prev.watermarks, ledgerFromFileNames(prev))))
       return tryWriteFull(fs, root, applyDelta(normalized,
-        DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema)).copy(v1Descent = false))
+        DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema, c.rewrite))
+        .copy(v1Descent = false), rewrite = c.rewrite)
     }
     val won = tryPublish(fs, root, manifestName(gen), wrap(deltaBody(gen, c)))
     if (won && gen - prev.fullGen >= CheckpointInterval)
       writeCheckpoint(fs, root,
-        applyDelta(prev, DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema)))
+        applyDelta(prev, DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema, c.rewrite)))
     won
   }
 
@@ -1392,19 +1397,85 @@ object IndexManifest {
     fs.delete(staging, true)
   }
 
-  /** The Morton (Z-order) key of `cols`: bit j of column i lands at
-    * position j*k + i, so a range of z-values is a BOX in the
-    * k-dimensional key space. Pure bitwise `Column` arithmetic —
-    * whole-stage-codegen'd, no UDF in the rewrite's sort. Values are
-    * clamped to `bits` bits (non-negative); clamping only affects
-    * clustering QUALITY for outliers, never correctness (the zone maps
-    * record true min/max regardless). */
-  private def zValue(cols: Seq[Column], bits: Int): Column = {
+  /** PARTITION-SCOPED compaction — the O(partition) maintenance unit
+    * the full [[compact]] only delivers in aggregate: rewrite ONLY the
+    * named partition values' files (their deletion-vector'd rows
+    * materialized away) and commit the swap as one O(delta) record
+    * carrying `rewrite:true`, so the change feed stays silent (the file
+    * layout changed, the logical row set did not — the delta-record
+    * twin of the full compaction's dataChange=false flag). Every other
+    * partition's files carry forward ENTRY-IDENTICAL, untouched by the
+    * delta. At 100 TB this is how compaction actually runs: a rolling
+    * per-partition job, each commit O(that partition), never a
+    * table-wide rewrite holding the CAS.
+    *
+    * DV entries are carried forward as-is: pairs referencing the
+    * rewritten (removed) files match nothing — harmless — while pairs
+    * for OTHER partitions keep masking their rows; the next FULL
+    * [[compact]] (or a sweep of every partition) retires the sidecars
+    * entirely. A CAS loss REDOES the rewrite against the new current
+    * (the compaction asymmetry). Bucketed tables keep their layout —
+    * the rewrite re-buckets the partition's rows identically. */
+  def compactPartitions(spark: SparkSession, dir: String, values: Seq[String],
+      sortCol: String): Unit = {
+    require(values.nonEmpty, "at least one partition value")
+    compactPartitionsAttempt(spark, dir, values, sortCol, attemptsLeft = 4)
+  }
+
+  private def compactPartitionsAttempt(spark: SparkSession, dir: String,
+      values: Seq[String], sortCol: String, attemptsLeft: Int): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    val prefixes = values.map(v => s"${st.partCol}=$v/").toSet
+    val targets = st.files.filter(f => prefixes.exists(f.path.startsWith))
+    if (targets.isEmpty) return // nothing to rewrite: a no-op, not an error
+    val gen = st.gen + 1
+    val token = newToken()
+    val staging = new Path(root, s".compact-$gen-$token")
+    clustered(serve(spark, dir, st, targets), st.partCol,
+        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols)
+      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
+      st.partCol, st.statCols, st.buckets)
+    interruptBeforeManifest()
+    if (!tryCommit(fs, root, st, Commit(adds = added, removes = targets.map(_.path),
+        rewrite = true))) {
+      added.foreach(e => fs.delete(new Path(root, e.path), false))
+      fs.delete(staging, true)
+      require(attemptsLeft > 1,
+        s"partition compaction lost the manifest race repeatedly at $dir — yielding to the writers")
+      compactPartitionsAttempt(spark, dir, values, sortCol, attemptsLeft - 1)
+      return
+    }
+    fs.delete(staging, true)
+  }
+
+  /** The Morton (Z-order) key of `cols`, each RANGE-NORMALIZED to
+    * `bits` bits before interleaving: bit j of normalized column i
+    * lands at position j*k + i, so a range of z-values is a BOX in the
+    * k-dimensional key space. The normalization is the part naive
+    * z-order gets wrong: columns of different SCALES (a 2^17-wide id
+    * against a 2^10-wide length) would otherwise put every high-order
+    * split on the wide column's bits alone and buy the narrow column
+    * nothing — measured exactly so on the corpus before this scaling.
+    * `ranges` (global min/max per column, read off the manifest's own
+    * zone maps — no data scan) stretch each dimension over the full
+    * bit budget, so splits ALTERNATE dimensions whatever the raw
+    * scales. Pure `Column` arithmetic, whole-stage-codegen'd; the
+    * double rounding affects clustering QUALITY only, never
+    * correctness (zone maps record true min/max regardless). */
+  private def zValue(cols: Seq[Column], ranges: Seq[(Long, Long)], bits: Int): Column = {
     val k = cols.size
-    cols.zipWithIndex.map { case (c, i) =>
-      val clamped = least(greatest(c.cast("long"), lit(0L)), lit((1L << bits) - 1))
+    val top = (1L << bits) - 1
+    cols.zip(ranges).zipWithIndex.map { case ((c, (mn, mx)), i) =>
+      val scaled =
+        if (mx <= mn) lit(0L)
+        else least(greatest(
+          ((c.cast("double") - lit(mn.toDouble)) / lit((mx - mn).toDouble) * lit(top.toDouble))
+            .cast("long"), lit(0L)), lit(top))
       (0 until bits).map { j =>
-        shiftleft(shiftright(clamped, j).bitwiseAND(lit(1L)), j * k + i)
+        shiftleft(shiftright(scaled, j).bitwiseAND(lit(1L)), j * k + i)
       }.reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
   }
@@ -1439,8 +1510,16 @@ object IndexManifest {
     val gen = st.gen + 1
     val token = newToken()
     val staging = new Path(root, s".compact-$gen-$token")
-    val bits = math.min(21, 62 / st.statCols.size)
-    val z = zValue(st.statCols.map(col), bits)
+    val bits = math.min(16, 62 / st.statCols.size)
+    // global per-column ranges off the manifest's own zone maps — the
+    // normalization needs no data scan
+    val ranges = st.statCols.indices.map { i =>
+      val withStats = st.files.filter(_.hasStatsAt(i))
+      require(withStats.nonEmpty,
+        s"no zone-map stats for '${st.statCols(i)}' at $dir — cannot z-order a stats-less tree")
+      (withStats.map(_.stats(i)._1).min, withStats.map(_.stats(i)._2).max)
+    }
+    val z = zValue(st.statCols.map(col), ranges, bits)
     serve(spark, dir, st, st.files)
       .withColumn("__graft_z", z)
       .repartitionByRange(targetFiles, col("__graft_z"))
@@ -1925,7 +2004,11 @@ object IndexManifest {
     val byPath = scala.collection.mutable.Map(start.files.map(e => e.path -> e): _*)
     val removed = scala.collection.mutable.ArrayBuffer.empty[(FileEntry, Long)]
     deltas.foreach { d =>
-      d.removes.foreach(p => removed += ((byPath(p), d.gen)))
+      // rewrite deltas (partition-scoped compaction) changed the file
+      // layout, not the logical row set: they advance the tracked state
+      // but emit NOTHING — the same dataChange=false discipline the
+      // full-record compaction path applies
+      if (!d.rewrite) d.removes.foreach(p => removed += ((byPath(p), d.gen)))
       d.removes.foreach(byPath.remove)
       d.adds.foreach(e => byPath(e.path) = e)
     }
@@ -1966,7 +2049,8 @@ object IndexManifest {
     }
 
     // inserts: every file the run added, tagged with its commit gen
-    val added = deltas.flatMap(d => d.adds.map(e => (e, d.gen)))
+    // (rewrite deltas' adds are layout moves, not inserts)
+    val added = deltas.filterNot(_.rewrite).flatMap(d => d.adds.map(e => (e, d.gen)))
     if (added.nonEmpty)
       out += tagged(scanPos(added.map(_._1))
           .join(pathGenMap(added.map { case (e, g) => e.path -> g }), PosFile),
@@ -2018,7 +2102,7 @@ object IndexManifest {
             st.dvs.map(_.rows).sum, st.schemaDdl.isDefined,
             st.watermarks.keys.toSeq.sorted)
         case d: DeltaRec =>
-          CommitInfo(g, "delta", rewrite = false, d.adds.size, d.removes.size,
+          CommitInfo(g, "delta", rewrite = d.rewrite, d.adds.size, d.removes.size,
             d.dvAdds.size, d.dvAdds.map(_.rows).sum, d.schema.isDefined,
             d.wm.keys.toSeq.sorted)
       }

@@ -716,6 +716,53 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.readRange(spark, dir, 200L, 204L).count() shouldBe 5L
   }
 
+  test("PARTITION-SCOPED COMPACTION: one partition rewrites as an O(delta) rewrite-silent commit; every other partition carries forward entry-identical") {
+    freshIndex()                                                   // cells 0..3, ids 0..39
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day1")
+    IndexManifest.appendBatch(spark, batch(200, 12), dir, "day2")
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 9 === 4, "p1")
+    val full = served()
+    val (fs, root) = fsRoot
+    val pre = IndexManifest.current(fs, root).get
+    val preByPath = pre.files.map(e => e.path -> e).toMap
+    IndexManifest.compactPartitions(spark, dir, Seq("1"), "vec_id")
+    val post = IndexManifest.current(fs, root).get
+    post.gen shouldBe pre.gen + 1
+    served() shouldBe full // rows byte-identical through the rewrite
+    // surgical: cell=1's files swapped for ONE compacted file; every
+    // other partition's entry identical (name AND stats)
+    val (inCell1, others) = post.files.partition(_.path.startsWith("cell=1/"))
+    inCell1.size shouldBe 1
+    inCell1.head.path.split('/').last should startWith(s"compact-${post.gen}-")
+    others.foreach(e => preByPath(e.path) shouldBe e)
+    // the commit is an O(delta) RECORD, not a full snapshot — and the
+    // history marks it a rewrite
+    val info = IndexManifest.history(spark, dir).find(_.gen == post.gen).get
+    info.kind shouldBe "delta"
+    info.rewrite shouldBe true
+    // feed-silent: the layout moved, the rows did not
+    IndexManifest.changes(spark, dir, pre.gen, post.gen).count() shouldBe 0L
+    // ...and a LONGER window straddling the rewrite still attributes
+    // every real change to its own commit (the batched run tracks the
+    // rewrite's file moves without emitting them)
+    val feed = IndexManifest.changes(spark, dir, 1L, post.gen)
+    rowsOf(feed.filter(col("_change_type") === "insert" && col("_commit_gen") === 2L)) shouldBe
+      rowsOf(batch(100, 12))
+    val replayed = (rowsOf(IndexManifest.readAt(spark, dir, 1L)) ++
+      rowsOf(feed.filter(col("_change_type") === "insert")))
+      .diff(rowsOf(feed.filter(col("_change_type") === "delete")))
+    replayed.sorted shouldBe full
+    // the rewrite MATERIALIZED cell=1's deleted rows: a probe over the
+    // compacted file serves them gone without consulting any DV pair
+    // (pairs for the removed files dangle harmlessly; other partitions'
+    // pairs keep masking)
+    post.dvs shouldBe pre.dvs // entries carried as-is
+    served() shouldBe full
+    // a delete AFTER the partition rewrite composes with the dangling set
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") === 5L, "p2")
+    served() shouldBe full.filterNot(_.startsWith("[5,"))
+  }
+
   test("Z-ORDER: the rewrite makes EVERY stat column's zone maps skippable; rows byte-identical; DVs materialized; feed-silent; bucketed refusal loud") {
     val zdir = "/tmp/graft_llm/manifest_spec/zorder"
     val root = new Path(zdir)
