@@ -177,16 +177,22 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
         pending.remove(id)
         appendCommitted(id, id0, n)
       } else if (roll < 88) {
-        // compaction, sometimes with an injected racing append
+        // compaction — full-table or PARTITION-SCOPED (round 13: the
+        // O(delta) rewrite-silent flavor), sometimes with an injected
+        // racing append; neither changes the logical row set
+        def compactOnce(): Unit =
+          if (rnd.nextInt(3) == 0)
+            IndexManifest.compactPartitions(spark, dir, Seq(rnd.nextInt(3).toString), "vec_id")
+          else IndexManifest.compact(spark, dir, "vec_id")
         if (rnd.nextBoolean()) {
           val (rid, rid0, rn) = freshAdhoc()
           IndexManifest.interruptBeforeManifest = () => {
             IndexManifest.interruptBeforeManifest = () => ()
             appendCommitted(rid, rid0, rn)
           }
-          try IndexManifest.compact(spark, dir, "vec_id")
+          try compactOnce()
           finally IndexManifest.interruptBeforeManifest = () => ()
-        } else IndexManifest.compact(spark, dir, "vec_id")
+        } else compactOnce()
       } else if (roll < 92) {
         // MERGE-ON-READ DELETE by a scattered vec_id predicate (round
         // 12): thins EVERY live batch's rows at once, sometimes racing a
