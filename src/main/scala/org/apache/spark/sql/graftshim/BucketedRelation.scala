@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Kept to construction only — no physical-plan or analyzer behavior is
   * overridden — and isolated in this package so the graft codebase has
-  * exactly one file with access wider than the public API. */
+  * exactly one PACKAGE with access wider than the public API (the only
+  * other seam is [[StreamingFrame]], the one-call streaming re-tag the
+  * CDC source needs). */
 object BucketedRelation {
 
   def parquetWithBuckets(spark: SparkSession, basePath: String, files: Seq[Path],

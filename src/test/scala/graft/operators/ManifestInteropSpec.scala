@@ -117,7 +117,9 @@ class ManifestInteropSpec extends AnyFunSuite with Matchers {
       mdir, Seq("vec_id"), "op", "m_1")
     val merged = duckdbRead(mdir, "0", "600")
     merged.rows shouldBe sparkRows(IndexManifest.readRange(spark, mdir, 0L, 600L))
-    merged.rows.exists(_._1 % 7 == 3) shouldBe false          // DV-deleted stripe gone
+    // DV-deleted stripe gone (the stripe lives in the ORIGINAL id
+    // domain — inserted id 500 ≡ 3 mod 7 is a different, live row)
+    merged.rows.exists(r => r._1 < 40 && r._1 % 7 == 3) shouldBe false
     merged.rows.count(_._1 >= 500) shouldBe 6                 // inserts present
     // the updated keys appear EXACTLY once (old version DV-deleted)
     merged.rows.map(_._1).count(id => id < 40 && id % 5 == 2 && id % 7 != 3) shouldBe

