@@ -292,7 +292,8 @@ object IndexManifest {
       v1Descent: Boolean = false,
       buckets: Int = 0,
       bucketCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty) {
+      bloomCols: Seq[String] = Seq.empty,
+      fieldIds: Seq[(String, Int)] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** ledger key → highest committed batch version. v2+ entries are
       * `key:version`; a COLON-LESS entry is a raw pre-ledger (v1)
@@ -396,7 +397,8 @@ object IndexManifest {
   private final case class FullRec(st: State, rewrite: Boolean = false) extends Rec
   private final case class DeltaRec(gen: Long, adds: Seq[FileEntry], removes: Seq[String],
       wm: Map[String, Long], dvAdds: Seq[DvEntry], schema: Option[String],
-      rewrite: Boolean = false) extends Rec
+      rewrite: Boolean = false,
+      fieldIds: Option[Seq[(String, Int)]] = None) extends Rec
 
   /** Parse one log record. Version 3 (`kind` full/delta) and version 2
     * are checksum-verified and version-checked — truncation, corruption,
@@ -462,6 +464,14 @@ object IndexManifest {
           else parts.drop(2).grouped(2).map(p => (p(0).trim.toLong, p(1).trim.toLong)).toVector
         FileEntry(unescape(q.substring(1, q.length - 1)), parts(1).trim.toLong, stats)
       }
+    /** `"fieldids":[["name",id],...]` — the stable column-identity map
+      * renames ride on; absent (pre-field-id records) → empty. */
+    def fieldIdArr(body: String): Seq[(String, Int)] =
+      entryArr(body, "fieldids").map { parts =>
+        if (parts.length != 2) fail(s"malformed fieldids entry: ${parts.mkString(",")}")
+        val q = parts(0).trim
+        (unescape(q.substring(1, q.length - 1)), parts(1).trim.toInt)
+      }
     def dvEntries(body: String): Seq[DvEntry] =
       entryArr(body, "dvs").map { parts =>
         if (parts.length != 2) fail(s"malformed dv entry [${parts.mkString(",")}]")
@@ -508,7 +518,8 @@ object IndexManifest {
             dvs = dvEntries(body), fullGen = gen,
             buckets = buckets,
             bucketCols = if (buckets > 0) flatArr(body, "bucketcols") else Seq.empty,
-            bloomCols = flatArr(body, "bloomcols")),
+            bloomCols = flatArr(body, "bloomcols"),
+            fieldIds = fieldIdArr(body)),
             rewrite = body.contains(""""rewrite":true"""))
         case Some("delta") =>
           val wm = flatArr(body, "batches").map { e =>
@@ -518,7 +529,11 @@ object IndexManifest {
           }.toMap
           DeltaRec(gen, fileEntries(body), flatArr(body, "removes"), wm,
             dvEntries(body), strField(body, "schema"),
-            rewrite = body.contains(""""rewrite":true"""))
+            rewrite = body.contains(""""rewrite":true"""),
+            fieldIds = {
+              val ids = fieldIdArr(body)
+              if (ids.isEmpty) None else Some(ids)
+            })
         case other => fail(s"v3 record with kind=$other")
       }
     } else if (s.startsWith("""{"generation"""")) {
@@ -542,7 +557,8 @@ object IndexManifest {
       files = st.files.filterNot(f => rm(f.path)) ++ d.adds,
       batches = renderWm(mergeWm(st.watermarks, d.wm)),
       schemaDdl = d.schema.orElse(st.schemaDdl),
-      dvs = st.dvs ++ d.dvAdds)
+      dvs = st.dvs ++ d.dvAdds,
+      fieldIds = d.fieldIds.getOrElse(st.fieldIds))
   }
 
   private def mergeWm(base: Map[String, Long], upd: Map[String, Long]): Map[String, Long] =
@@ -652,15 +668,21 @@ object IndexManifest {
       (if (st.bloomCols.nonEmpty)
         s""""bloomcols":[${st.bloomCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],"""
       else "") +
+      renderFieldIds(st.fieldIds) +
       s""""statcols":[${st.statCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],""" +
       st.schemaDdl.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
       s""""batches":[${renderWm(st.watermarks).map(b => "\"" + b + "\"").mkString(",")}],""" +
       s""""dvs":[${st.dvs.sortBy(_.path).map(d => s"""["${escape(d.path)}",${d.rows}]""").mkString(",")}],""" +
       s""""files":[${st.files.sortBy(_.path).map(renderEntry).mkString(",")}]}"""
 
+  private def renderFieldIds(ids: Seq[(String, Int)]): String =
+    if (ids.isEmpty) ""
+    else s""""fieldids":[${ids.map { case (n, i) => s"""["${escape(n)}",$i]""" }.mkString(",")}],"""
+
   private def deltaBody(gen: Long, c: Commit): String =
     s"""{"version":3,"generation":$gen,"kind":"delta",""" +
       (if (c.rewrite) """"rewrite":true,""" else "") +
+      c.fieldIds.map(renderFieldIds).getOrElse("") +
       c.schema.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
       s""""batches":[${renderWm(c.wm).map(b => "\"" + b + "\"").mkString(",")}],""" +
       s""""dvs":[${c.dvAdds.sortBy(_.path).map(d => s"""["${escape(d.path)}",${d.rows}]""").mkString(",")}],""" +
@@ -747,7 +769,8 @@ object IndexManifest {
       dvAdds: Seq[DvEntry] = Seq.empty,
       wm: Map[String, Long] = Map.empty,
       schema: Option[String] = None,
-      rewrite: Boolean = false)
+      rewrite: Boolean = false,
+      fieldIds: Option[Seq[(String, Int)]] = None)
 
   /** O(delta) commit attempt on top of `prev`: publish the delta record
     * at gen+1, then (on a win) write the checkpoint sidecar if the tail
@@ -764,13 +787,13 @@ object IndexManifest {
       val normalized = prev.copy(batches =
         renderWm(mergeWm(prev.watermarks, ledgerFromFileNames(prev))))
       return tryWriteFull(fs, root, applyDelta(normalized,
-        DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema, c.rewrite))
+        DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema, c.rewrite, c.fieldIds))
         .copy(v1Descent = false), rewrite = c.rewrite)
     }
     val won = tryPublish(fs, root, manifestName(gen), wrap(deltaBody(gen, c)))
     if (won && gen - prev.fullGen >= CheckpointInterval)
       writeCheckpoint(fs, root,
-        applyDelta(prev, DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema, c.rewrite)))
+        applyDelta(prev, DeltaRec(gen, c.adds, c.removes, c.wm, c.dvAdds, c.schema, c.rewrite, c.fieldIds)))
     won
   }
 
@@ -885,8 +908,8 @@ object IndexManifest {
     * column the layout scatters (a high-cardinality id in files sorted
     * by something else). */
   private def writeStaged(df: DataFrame, partCol: String, bloomCols: Seq[String],
-      dest: String): Unit = {
-    val w = df.write.mode("overwrite").partitionBy(partCol)
+      dest: String, fieldIds: Seq[(String, Int)] = Seq.empty): Unit = {
+    val w = withFieldIds(df, fieldIds).write.mode("overwrite").partitionBy(partCol)
     if (bloomCols.nonEmpty) {
       w.option("parquet.bloom.filter.adaptive.enabled", "true")
       bloomCols.foreach(c => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
@@ -1017,6 +1040,48 @@ object IndexManifest {
       if (fresh.isEmpty && next == cur) None else Some(next.toDDL)
     }
 
+  /** Metadata key Spark's parquet writer and reader exchange field ids
+    * through (`parquet.field.id` on a StructField → the footer's
+    * field_id → id-matched column resolution when
+    * `spark.sql.parquet.fieldId.read.enabled` is on). */
+  private val FieldIdKey = "parquet.field.id"
+
+  /** Fresh stable ids 1..n in schema order — stamped at [[publishBase]],
+    * so every table this engine creates is RENAME-CAPABLE from birth:
+    * files are matched by id, names live only in the manifest. */
+  private def assignFieldIds(schema: StructType): Seq[(String, Int)] =
+    schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) => (n, i + 1) }
+
+  /** Columns `newDdl` introduces get fresh ids past the current max;
+    * None when the map is unchanged (or the table predates ids). */
+  private def evolveFieldIds(st: State, newDdl: Option[String]): Option[Seq[(String, Int)]] =
+    newDdl.filter(_ => st.fieldIds.nonEmpty).flatMap { ddl =>
+      val known = st.fieldIds.map(_._1).toSet
+      val fresh = StructType.fromDDL(ddl).fieldNames.toSeq.filterNot(known)
+      if (fresh.isEmpty) None
+      else {
+        var next = st.fieldIds.map(_._2).max
+        Some(st.fieldIds ++ fresh.map { n => next += 1; (n, next) })
+      }
+    }
+
+  /** Tag `df`'s columns with their field ids (no-op when the table has
+    * none) — a pure Project, so the clustered write's within-partition
+    * order is untouched. */
+  private def withFieldIds(df: DataFrame, ids: Seq[(String, Int)]): DataFrame =
+    if (ids.isEmpty) df
+    else {
+      val m = ids.toMap
+      df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      df.select(df.columns.map { n =>
+        m.get(n) match {
+          case Some(id) => col(n).as(n,
+            new org.apache.spark.sql.types.MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
+          case None => col(n)
+        }
+      }.toIndexedSeq: _*)
+    }
+
   // ──────────────────────────── write protocols ────────────────────────────
 
   /** Generation-1 publish of the base table: one partitioned write +
@@ -1034,9 +1099,10 @@ object IndexManifest {
       "a bucketed TableSpec needs bucketCols")
     spec.bucketCols.foreach(c => require(enc.columns.contains(c), s"bucket column '$c' missing"))
     spec.bloomCols.foreach(c => require(enc.columns.contains(c), s"bloom column '$c' missing"))
+    val fieldIds = assignFieldIds(enc.schema)
     writeStaged(
       clustered(enc, spec.partCol, Seq(col(spec.statCols.head)), spec.buckets, spec.bucketCols),
-      spec.partCol, spec.bloomCols, dir)
+      spec.partCol, spec.bloomCols, dir, fieldIds)
     val raw = listDataFiles(fs, root, spec.partCol)
     val rels =
       if (spec.buckets == 0) raw
@@ -1050,7 +1116,7 @@ object IndexManifest {
     require(tryWriteFull(fs, root, State(1L, files, Seq.empty, spec.statCols, spec.partCol,
         Some(nullableDdl(enc.schema)), Seq.empty, fullGen = 1L,
         buckets = spec.buckets, bucketCols = spec.bucketCols,
-        bloomCols = spec.bloomCols)),
+        bloomCols = spec.bloomCols, fieldIds = fieldIds)),
       s"manifest generation 1 already committed at $dir (concurrent writer?)")
   }
 
@@ -1074,14 +1140,7 @@ object IndexManifest {
     require(enc.columns.contains(st.partCol),
       s"partition column '${st.partCol}' missing from batch")
     evolveSchema(st, enc.schema): Unit // preflight: type conflicts fail BEFORE the write
-    val token = newToken()
-    val staging = new Path(root, s".staging-$batchId-$token")
-    writeStaged(
-      clustered(enc, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols),
-      st.partCol, st.bloomCols, staging.toString)
-    val added = renameStagedIn(fs, root, staging, s"ingest-$batchId-$token-",
-      st.partCol, st.statCols, st.buckets)
-    interruptBeforeManifest()
+    val (writer, version) = splitBatchId(batchId)
     // OPTIMISTIC COMMIT: another writer (a racing append of a DIFFERENT
     // batch, or a compaction) may take gen+1 between our staging and our
     // manifest publish. Our data files are renamed in under this
@@ -1094,23 +1153,65 @@ object IndexManifest {
     // our files are duplicates: token-scoped, ours alone — delete them
     // and bow out. Bounded attempts: livelock is a deployment bug worth
     // failing loudly on, not spinning through.
-    val (writer, version) = splitBatchId(batchId)
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      attempts += 1
-      require(attempts <= 16, s"append $batchId lost the manifest race $attempts times at $dir")
-      val cur = current(fs, root).getOrElse(sys.error(s"manifest disappeared at $dir"))
-      if (isCommitted(cur, batchId)) {
-        noteWatermarkNoOp(cur, batchId, "append")
-        added.foreach(e => fs.delete(new Path(root, e.path), false))
-        committed = true
-      } else {
-        committed = tryCommit(fs, root, cur, Commit(adds = added,
-          wm = Map(writer -> version), schema = evolveSchema(cur, enc.schema)))
+    //
+    // FIELD-ID RACE (the one CAS loss data-file retargeting can't fix):
+    // a batch introducing a NEW column stamps that column's to-be-
+    // committed field id into its files BEFORE the commit; if a racing
+    // writer evolved the schema meanwhile, the id this attempt stamped
+    // may now belong to the racer's column — committing would bind one
+    // id to two columns. The staged files are wrong, not just the
+    // record: delete them and RESTAGE with the re-planned ids (the
+    // compaction-CAS-loss recovery shape, O(batch) and only on the
+    // double-schema-evolution race).
+    var stageRounds = 0
+    var done = false
+    while (!done) {
+      stageRounds += 1
+      require(stageRounds <= 4,
+        s"append $batchId lost the schema-evolution race $stageRounds times at $dir")
+      val base = current(fs, root).getOrElse(sys.error(s"manifest disappeared at $dir"))
+      val writeIds = evolveFieldIds(base, evolveSchema(base, enc.schema))
+        .getOrElse(base.fieldIds)
+      val stamped = enc.columns.flatMap(n => writeIds.collectFirst { case (`n`, i) => (n, i) }).toSeq
+      val token = newToken()
+      val staging = new Path(root, s".staging-$batchId-$token")
+      writeStaged(
+        clustered(enc, base.partCol, Seq(col(base.statCols.head)), base.buckets, base.bucketCols),
+        base.partCol, base.bloomCols, staging.toString, writeIds)
+      val added = renameStagedIn(fs, root, staging, s"ingest-$batchId-$token-",
+        base.partCol, base.statCols, base.buckets)
+      interruptBeforeManifest()
+      var attempts = 0
+      var committed = false
+      var restage = false
+      while (!committed && !restage) {
+        attempts += 1
+        require(attempts <= 16, s"append $batchId lost the manifest race $attempts times at $dir")
+        val cur = current(fs, root).getOrElse(sys.error(s"manifest disappeared at $dir"))
+        if (isCommitted(cur, batchId)) {
+          noteWatermarkNoOp(cur, batchId, "append")
+          added.foreach(e => fs.delete(new Path(root, e.path), false))
+          committed = true
+        } else {
+          val ddl = evolveSchema(cur, enc.schema)
+          val ids = evolveFieldIds(cur, ddl)
+          val nowIds = ids.getOrElse(cur.fieldIds)
+          val nowStamped = enc.columns
+            .flatMap(n => nowIds.collectFirst { case (`n`, i) => (n, i) }).toSeq
+          if (nowStamped != stamped) {
+            log.warn(s"append $batchId at $dir hit the schema-evolution race " +
+              s"(stamped $stamped, current plan $nowStamped) — restaging with re-planned ids")
+            added.foreach(e => fs.delete(new Path(root, e.path), false))
+            restage = true
+          } else {
+            committed = tryCommit(fs, root, cur, Commit(adds = added,
+              wm = Map(writer -> version), schema = ddl, fieldIds = ids))
+          }
+        }
       }
+      fs.delete(staging, true)
+      done = committed
     }
-    fs.delete(staging, true)
   }
 
   /** COPY-ON-WRITE RANGE REPLACE — zone-map-surgical DML: atomically
@@ -1163,13 +1264,15 @@ object IndexManifest {
         .filter(!coalesce(col(key).between(lo, hi), lit(false)))
         .unionByName(replacement, allowMissingColumns = true)
     writeStaged(clustered(survivors, st.partCol, Seq(col(key)), st.buckets, st.bucketCols),
-      st.partCol, st.bloomCols, staging.toString)
+      st.partCol, st.bloomCols, staging.toString,
+      evolveFieldIds(st, evolveSchema(st, survivors.schema)).getOrElse(st.fieldIds))
     val added = renameStagedIn(fs, root, staging, s"replace-$batchId-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
     val (writer, version) = splitBatchId(batchId)
     if (!tryCommit(fs, root, st, Commit(adds = added, removes = overlap.map(_.path),
-        wm = Map(writer -> version), schema = evolveSchema(st, survivors.schema)))) {
+        wm = Map(writer -> version), schema = evolveSchema(st, survivors.schema),
+        fieldIds = evolveFieldIds(st, evolveSchema(st, survivors.schema))))) {
       // stale snapshot: a racer's files may be missing from the overlap
       // partition — discard this attempt's (invisible) output and redo
       added.foreach(e => fs.delete(new Path(root, e.path), false))
@@ -1350,7 +1453,8 @@ object IndexManifest {
     val staging = new Path(root, s".staging-$batchId-$token")
     writeStaged(
       clustered(upserts, st.partCol, Seq(col(st.statCols.head)), st.buckets, st.bucketCols),
-      st.partCol, st.bloomCols, staging.toString)
+      st.partCol, st.bloomCols, staging.toString,
+      evolveFieldIds(st, evolveSchema(st, upserts.schema)).getOrElse(st.fieldIds))
     val added = renameStagedIn(fs, root, staging, s"merge-$batchId-$token-",
       st.partCol, st.statCols, st.buckets)
 
@@ -1358,7 +1462,8 @@ object IndexManifest {
     val (writer, version) = splitBatchId(batchId)
     val dvAdds = if (nDeleted > 0) Seq(DvEntry(dvRel, nDeleted)) else Seq.empty
     if (!tryCommit(fs, root, st, Commit(adds = added, dvAdds = dvAdds,
-        wm = Map(writer -> version), schema = evolveSchema(st, upserts.schema)))) {
+        wm = Map(writer -> version), schema = evolveSchema(st, upserts.schema),
+        fieldIds = evolveFieldIds(st, evolveSchema(st, upserts.schema))))) {
       // stale match set: a racer committed — its appended rows may match
       // the cdc (our DV misses them) or it deleted/replaced rows our DV
       // resurrects. Discard this attempt's (invisible) output and redo
@@ -1385,6 +1490,64 @@ object IndexManifest {
   def compact(spark: SparkSession, dir: String, sortCol: String): Unit =
     compactAttempt(spark, dir, sortCol, attemptsLeft = 4)
 
+  /** RENAME COLUMN — a METADATA-ONLY commit, zero data rewritten: the
+    * column's stable field id keeps naming it inside every parquet
+    * footer, and only the manifest's name-for-id binding changes.
+    * Readers of the new generation plan with the new name and resolve
+    * old files BY ID (the [[readSchema]] id-matched scan); a pinned
+    * time-travel read keeps its generation's own name. Declared
+    * stat/bucket/bloom columns are re-bound in the same commit (zone
+    * maps are positional, so their stats carry forward untouched). The
+    * partition column is refused — it names the DIRECTORY layout, and
+    * renaming it is a physical rewrite, not metadata. A later batch
+    * that still uses the OLD name is treated as introducing a brand-new
+    * column (the standard post-rename semantics — loud in the schema,
+    * never silently remapped). Tables created before field ids existed
+    * must [[upgradeFieldIds]] first (one rewrite); the change feed sees
+    * nothing (no rows changed), and a streaming CDC query pinned to the
+    * old name fails loudly and restarts onto the new one.
+    *
+    * At 100 TB: the entire operation is ONE O(files) record publish —
+    * the same cost as any commit, independent of data size; this is
+    * exactly what column ids exist to buy. */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
+    require(from != to, "rename to the same name is a no-op worth failing loudly on")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe column name '$to'")
+    val (fs, root) = fsOf(spark, dir)
+    var attempts = 4
+    while (true) {
+      val st = current(fs, root).getOrElse(
+        sys.error(s"no manifest at $dir — publishBase first"))
+      require(st.fieldIds.nonEmpty,
+        s"table at $dir predates field ids — run upgradeFieldIds (one compaction rewrite) first")
+      require(st.fieldIds.exists(_._1 == from), s"no column '$from' at $dir")
+      require(!st.fieldIds.exists(_._1 == to), s"column '$to' already exists at $dir")
+      require(from != st.partCol,
+        s"'$from' is the partition column — it names the directory layout; " +
+          "renaming it is a rewrite, not metadata")
+      val cur = StructType.fromDDL(st.schemaDdl.getOrElse(
+        sys.error(s"no manifest-held schema at $dir")))
+      def sub(xs: Seq[String]) = xs.map(c => if (c == from) to else c)
+      val next = st.copy(gen = st.gen + 1,
+        schemaDdl = Some(StructType(cur.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).toDDL),
+        fieldIds = st.fieldIds.map { case (n, i) => (if (n == from) to else n, i) },
+        statCols = sub(st.statCols),
+        bucketCols = sub(st.bucketCols),
+        bloomCols = sub(st.bloomCols))
+      if (tryWriteFull(fs, root, next)) return
+      attempts -= 1
+      require(attempts > 0, s"rename lost the manifest race repeatedly at $dir")
+    }
+  }
+
+  /** Adopt field ids on a table created before they existed: ONE
+    * compaction rewrite stamps every live row's file with the freshly
+    * assigned ids and commits the id map in the same record — after it,
+    * [[renameColumn]] is metadata-only. */
+  def upgradeFieldIds(spark: SparkSession, dir: String, sortCol: String): Unit =
+    compactAttempt(spark, dir, sortCol, attemptsLeft = 4, adoptIds = true)
+
   /** One optimistic compaction attempt. Unlike an append, a compaction
     * that loses the manifest CAS cannot commit on top of the new
     * current: the rewrite was a snapshot of a generation that no longer
@@ -1395,10 +1558,18 @@ object IndexManifest {
     * is a periodic maintenance job; under sustained append pressure it
     * should yield, not spin. */
   private def compactAttempt(spark: SparkSession, dir: String, sortCol: String,
-      attemptsLeft: Int): Unit = {
+      attemptsLeft: Int, adoptIds: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val st = current(fs, root).getOrElse(
+    val st0 = current(fs, root).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
+    val st =
+      if (!adoptIds) st0
+      else {
+        require(st0.fieldIds.isEmpty, s"table at $dir already carries field ids")
+        val ddl = st0.schemaDdl.getOrElse(sys.error(
+          s"cannot adopt field ids at $dir: no manifest-held schema (normalize the tree first)"))
+        st0.copy(fieldIds = assignFieldIds(StructType.fromDDL(ddl)))
+      }
     val gen = st.gen + 1
     val token = newToken()
     val staging = new Path(root, s".compact-$gen-$token")
@@ -1407,7 +1578,7 @@ object IndexManifest {
     // (the Compaction.compactPartitioned discipline)
     writeStaged(clustered(serve(spark, dir, st, st.files), st.partCol,
         Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols),
-      st.partCol, st.bloomCols, staging.toString)
+      st.partCol, st.bloomCols, staging.toString, st.fieldIds)
     val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
@@ -1422,7 +1593,7 @@ object IndexManifest {
       fs.delete(staging, true)
       require(attemptsLeft > 1,
         s"compaction lost the manifest race repeatedly at $dir — yielding to the writers")
-      compactAttempt(spark, dir, sortCol, attemptsLeft - 1)
+      compactAttempt(spark, dir, sortCol, attemptsLeft - 1, adoptIds)
       return
     }
     fs.delete(staging, true)
@@ -1466,7 +1637,7 @@ object IndexManifest {
     val staging = new Path(root, s".compact-$gen-$token")
     writeStaged(clustered(serve(spark, dir, st, targets), st.partCol,
         Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols),
-      st.partCol, st.bloomCols, staging.toString)
+      st.partCol, st.bloomCols, staging.toString, st.fieldIds)
     val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
       st.partCol, st.statCols, st.buckets)
     interruptBeforeManifest()
@@ -1557,7 +1728,7 @@ object IndexManifest {
         .repartitionByRange(targetFiles, col("__graft_z"))
         .sortWithinPartitions("__graft_z")
         .drop("__graft_z"),
-      st.partCol, st.bloomCols, staging.toString)
+      st.partCol, st.bloomCols, staging.toString, st.fieldIds)
     val added = renameStagedIn(fs, root, staging, s"zorder-$gen-$token-",
       st.partCol, st.statCols)
     interruptBeforeManifest()
@@ -1587,11 +1758,53 @@ object IndexManifest {
     * before a column existed surface NULL for that column without any
     * mergeSchema footer sweep (schema resolution became a planning-time
     * manifest read). */
+  /** The state's planning schema WITH its field ids attached as column
+    * metadata — what makes the scan resolve columns by stable id (so a
+    * file written under a column's OLD name still serves it after a
+    * rename). None when the table predates manifest-held schemas. */
+  private def readSchema(spark: SparkSession, st: State): Option[StructType] =
+    st.schemaDdl.map { ddl =>
+      val base = StructType.fromDDL(ddl)
+      if (st.fieldIds.isEmpty) base
+      else {
+        // id-matched resolution is opt-in per session; enabling it is
+        // inert for schemas without id metadata, so the flag is safe
+        // session-wide
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        val m = st.fieldIds.toMap
+        StructType(base.fields.map { f =>
+          m.get(f.name) match {
+            case Some(id) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+                .putLong(FieldIdKey, id.toLong).build())
+            case None => f
+          }
+        })
+      }
+    }
+
   private def scanOf(spark: SparkSession, dir: String, st: State,
       files: Seq[FileEntry]): DataFrame = {
-    val rdr = spark.read.option("basePath", dir)
-    st.schemaDdl.fold(rdr)(ddl => rdr.schema(StructType.fromDDL(ddl)))
-      .parquet(files.map(f => s"$dir/${f.path}"): _*)
+    val paths = files.map(f => s"$dir/${f.path}")
+    readSchema(spark, st) match {
+      case Some(sch) =>
+        spark.read.option("basePath", dir).schema(sch).parquet(paths: _*)
+      case None =>
+        // LEGACY tree (no manifest-held schema): inference may pick up
+        // field-id metadata from id-stamped footers once the session
+        // flag is on — but a legacy state's contract is NAME matching
+        // (its files may predate ids entirely), so strip any inferred
+        // ids before the real scan or the id-less files fail to read
+        val inferred = spark.read.option("basePath", dir).parquet(paths: _*)
+        val hasIds = inferred.schema.fields.exists(_.metadata.contains(FieldIdKey))
+        if (!hasIds) inferred
+        else {
+          val cleaned = StructType(inferred.schema.fields.map(f => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).remove(FieldIdKey).build())))
+          spark.read.option("basePath", dir).schema(cleaned).parquet(paths: _*)
+        }
+    }
   }
 
   /** Scan + row positions: every data row with its root-relative file
@@ -1732,8 +1945,8 @@ object IndexManifest {
     val st = current(fs, root).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
     require(st.buckets > 0, s"table at $dir declares no bucket layout")
-    val schema = StructType.fromDDL(st.schemaDdl.getOrElse(
-      sys.error(s"bucketed read needs a manifest-held schema at $dir")))
+    val schema = readSchema(spark, st).getOrElse(
+      sys.error(s"bucketed read needs a manifest-held schema at $dir"))
     val df = org.apache.spark.sql.graftshim.BucketedRelation.parquetWithBuckets(
       spark, dir, st.files.map(f => new Path(new Path(dir), f.path)),
       schema, st.buckets, st.bucketCols)
@@ -1988,6 +2201,34 @@ object IndexManifest {
     serve(spark, dir, st, st.files)
   }
 
+  /** TIMESTAMP AS OF: the newest generation whose commit RECORD was
+    * published at or before `tsMillis` — the record file's modification
+    * time IS the commit instant (the CAS publish is the only write of
+    * that inode), the same clock production formats resolve
+    * timestamp-travel against. One metadata listing, no data access.
+    * Fails loudly when `tsMillis` precedes the oldest RETAINED commit
+    * (vacuum may have cut older generations — resolving "before
+    * retention" to the oldest survivor would silently serve a state
+    * newer than asked for). */
+  def generationAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    val stamped = generations(spark, dir)
+      .map(g => g -> fs.getFileStatus(new Path(md, manifestName(g))).getModificationTime)
+    require(stamped.nonEmpty, s"no manifest at $dir — publishBase first")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no retained commit at $dir at or before ts $tsMillis " +
+        s"(oldest retained: gen ${stamped.head._1} at ${stamped.head._2}) — vacuumed past retention?")
+    // tie on mtime (two commits in one clock tick): the newest GENERATION
+    // is "the state as of that instant"
+    eligible.maxBy(t => (t._2, t._1))._1
+  }
+
+  /** [[readAt]] resolved through [[generationAsOf]]. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readAt(spark, dir, generationAsOf(spark, dir, tsMillis))
+
   /** Deleted ROWS named by a set of deletion-vector sidecars: the live
     * rows of `prev` (its own DVs applied first) at the sidecars'
     * (file, row_index) positions. The scan is restricted to the FILES
@@ -2227,7 +2468,7 @@ object IndexManifest {
     * files listed); deltas carry exactly their own actions. */
   final case class CommitInfo(gen: Long, kind: String, rewrite: Boolean,
       filesAdded: Int, filesRemoved: Int, dvAdded: Int, dvRowsAdded: Long,
-      schemaChanged: Boolean, writers: Seq[String])
+      schemaChanged: Boolean, writers: Seq[String], timestampMs: Long = 0L)
 
   /** Commit history over the RETAINED log, ascending by generation —
     * one small metadata read per record, no data access; the log IS the
@@ -2236,15 +2477,17 @@ object IndexManifest {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     generations(spark, dir).map { g =>
-      readRec(fs, new Path(md, manifestName(g)), g) match {
+      val p = new Path(md, manifestName(g))
+      val ts = fs.getFileStatus(p).getModificationTime // the CAS publish instant
+      readRec(fs, p, g) match {
         case FullRec(st, rewrite) =>
           CommitInfo(g, "full", rewrite, st.files.size, 0, st.dvs.size,
             st.dvs.map(_.rows).sum, st.schemaDdl.isDefined,
-            st.watermarks.keys.toSeq.sorted)
+            st.watermarks.keys.toSeq.sorted, ts)
         case d: DeltaRec =>
           CommitInfo(g, "delta", rewrite = d.rewrite, d.adds.size, d.removes.size,
             d.dvAdds.size, d.dvAdds.map(_.rows).sum, d.schema.isDefined,
-            d.wm.keys.toSeq.sorted)
+            d.wm.keys.toSeq.sorted, ts)
       }
     }
   }

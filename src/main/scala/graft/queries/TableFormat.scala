@@ -662,6 +662,63 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q269: column rename by field id ───────────────
+
+  /** Stage the q269 tree (once per JVM per sf dir): the corpus in two
+    * doc_id batches, then `n_chars` RENAMED to `length` — a
+    * metadata-only commit (structurally enforced: the post-rename file
+    * list is entry-identical to the pre-rename one) — then a THIRD
+    * batch appended under the new name. The read must serve all three
+    * eras as one `length` column: the first two eras' files store the
+    * column under its old physical name and resolve BY FIELD ID. */
+  private def stageRenameTree(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_rename"
+    val (d1, d2) = docSplits(s, d)
+    stageOnce(dir) {
+      wipe(s, dir)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      val spec = TableSpec(partCol = "lang", statCols = Seq("doc_id"))
+      IndexManifest.publishBase(s, docs.filter(col("doc_id") < d1), s"$dir/t", spec)
+      IndexManifest.appendBatch(s,
+        docs.filter(col("doc_id") >= d1 && col("doc_id") < d2), s"$dir/t", "feed_1")
+      IndexManifest.renameColumn(s, s"$dir/t", "n_chars", "length")
+      IndexManifest.appendBatch(s,
+        docs.filter(col("doc_id") >= d2).withColumnRenamed("n_chars", "length"),
+        s"$dir/t", "feed_2")
+      val pre = IndexManifest.stateAt(s, s"$dir/t", 2L)
+      val post = IndexManifest.stateAt(s, s"$dir/t", 3L)
+      require(post.files.sortBy(_.path) == pre.files.sortBy(_.path),
+        s"rename at $dir rewrote data files — the metadata-only property broke")
+      val cols = IndexManifest.read(s, s"$dir/t").columns.toSet
+      require(cols("length") && !cols("n_chars"),
+        s"rename at $dir did not rebind the column: $cols")
+    }
+    dir
+  }
+
+  /** COLUMN RENAME BY FIELD ID (q269): `n_chars` → `length` as a
+    * metadata-only commit — zero data rewritten (enforced structurally)
+    * — with files from BEFORE the rename resolving the column by its
+    * stable parquet field id and a post-rename batch appended under the
+    * new name. The aggregate must see every era's values as one
+    * column; a time-travel read keeps the old name (ManifestSpec pins
+    * that side). At 100 TB a rename is ONE record publish, the whole
+    * point of id-addressed columns. Oracle: the raw table with the
+    * rename expressed as an alias. */
+  val manifestRename: Q = Q(
+    s"""SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val dir = stageRenameTree(s, d)
+    IndexManifest.read(s, s"$dir/t")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("length").cast("long").as("sum_len"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
@@ -672,6 +729,7 @@ object TableFormat extends QueryModule {
     "q265_manifest_bucketed" -> manifestBucketed,
     "q266_manifest_zorder" -> manifestZorder,
     "q267_manifest_bloom" -> manifestBloom,
-    "q268_manifest_cdc_stream" -> manifestCdcStream
+    "q268_manifest_cdc_stream" -> manifestCdcStream,
+    "q269_manifest_rename" -> manifestRename
   )
 }

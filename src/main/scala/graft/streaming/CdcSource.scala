@@ -95,6 +95,20 @@ class CdcSource(spark: SparkSession, dir: String, startGen: Long) extends Source
     val feed =
       if (from >= to) CdcSource.emptyFeed(spark, schema)
       else {
+        // a window SPANNING a rename still carries the old name as a
+        // column (the pre-rename runs union in with it), so the
+        // missing-column arm below cannot catch it — check the pinned
+        // names against the window-END schema, where a renamed column
+        // is already gone
+        IndexManifest.stateAt(spark, dir, to).schemaDdl
+          .map(d => StructType.fromDDL(d).fieldNames.toSet).foreach { names =>
+            schema.fields.foreach { f =>
+              if (f.name != CdcSource.ChangeType && f.name != CdcSource.CommitGen &&
+                  !names.contains(f.name))
+                sys.error(s"column '${f.name}' is gone from the generation-$to schema " +
+                  "(renamed or dropped mid-stream) — restart the streaming query to adopt it")
+            }
+          }
         val raw = IndexManifest.changes(spark, dir, from, to)
         val have = raw.schema.fields.map(f => f.name -> f.dataType).toMap
         val cols = schema.fields.map { f =>
@@ -103,10 +117,12 @@ class CdcSource(spark: SparkSession, dir: String, startGen: Long) extends Source
             case Some(dt) => sys.error(
               s"column '${f.name}' evolved $dt mid-stream (query pinned ${f.dataType}) — " +
                 "restart the streaming query to adopt the widened schema")
-            // a column added to the table after query start: not in the
-            // pinned schema, so this arm only fires for a pinned column
-            // a LEGACY window genuinely lacks — serve NULL, same as batch
-            case None => lit(null).cast(f.dataType).as(f.name)
+            // the table only ADDS columns, so a pinned column can only
+            // vanish from the feed through a RENAME (or drop) — a
+            // silent NULL here would misreport every post-rename row
+            case None => sys.error(
+              s"column '${f.name}' disappeared from the feed (renamed or dropped " +
+                "mid-stream) — restart the streaming query to adopt the new schema")
           }
         }
         raw.select(cols.toIndexedSeq: _*)

@@ -1214,6 +1214,135 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe (full ++ rowsOf(batch(200, 4))).sorted
   }
 
+  test("TIMESTAMP AS OF: readAsOf serves the newest commit at-or-before the instant; pre-history and vacuumed-past asks fail loudly") {
+    freshIndex()                                                   // gen 1
+    Thread.sleep(15)
+    IndexManifest.appendBatch(spark, batch(100, 8), dir, "day_1")  // gen 2
+    Thread.sleep(15)
+    IndexManifest.appendBatch(spark, batch(200, 8), dir, "day_2")  // gen 3
+    val h = IndexManifest.history(spark, dir)
+    h.map(_.gen) shouldBe Seq(1L, 2L, 3L)
+    h.map(_.timestampMs) shouldBe h.map(_.timestampMs).sorted      // commit clock is monotone
+    val Seq(ts1, ts2, ts3) = h.map(_.timestampMs)
+
+    IndexManifest.generationAsOf(spark, dir, ts2) shouldBe 2L
+    rowsOf(IndexManifest.readAsOf(spark, dir, ts2)) shouldBe
+      rowsOf(IndexManifest.readAt(spark, dir, 2L))
+    // between two commits: the EARLIER one is the state as of then
+    if (ts3 > ts2 + 1) IndexManifest.generationAsOf(spark, dir, ts3 - 1) shouldBe 2L
+    // the future resolves to current; prehistory fails loudly
+    IndexManifest.generationAsOf(spark, dir, ts3 + 60000) shouldBe 3L
+    val pre = intercept[IllegalArgumentException] {
+      IndexManifest.generationAsOf(spark, dir, ts1 - 60000)
+    }
+    pre.getMessage should include("at or before")
+
+    // vacuum cuts the resolvable past: an instant inside the vacuumed
+    // window fails loudly instead of silently serving a newer state
+    IndexManifest.vacuum(spark, dir, keepGens = 1)
+    IndexManifest.generationAsOf(spark, dir, ts3) shouldBe 3L
+    if (ts2 < ts3) intercept[IllegalArgumentException] {
+      IndexManifest.generationAsOf(spark, dir, ts2): Unit
+    }: Unit
+  }
+
+  test("RENAME COLUMN: metadata-only — old files resolve by field id; time travel keeps old names; stat bindings follow; the old name becomes a fresh column") {
+    val rdir = "/tmp/graft_llm/manifest_spec/rename"
+    val rp = new Path(rdir)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    def mk(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", "id * 3 AS w", "cast(id % 4 as int) AS cell")
+    IndexManifest.publishBase(spark, mk(0, 30), rdir,
+      IndexManifest.TableSpec("cell", Seq("vec_id")))
+    IndexManifest.appendBatch(spark, mk(100, 10), rdir, "day_1")        // gen 2
+    val preVals = IndexManifest.read(spark, rdir)
+      .select("vec_id", "w").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    IndexManifest.renameColumn(spark, rdir, "w", "weight")              // gen 3 (metadata only)
+    val dataFiles = IndexManifest.currentState(spark, rdir).get.files
+    dataFiles.sortBy(_.path) shouldBe
+      IndexManifest.stateAt(spark, rdir, 2L).files.sortBy(_.path)       // ZERO data rewritten
+
+    // every pre-rename file serves under the NEW name, values intact (id-matched scan)
+    val post = IndexManifest.read(spark, rdir)
+    post.columns should contain("weight")
+    post.columns should not contain "w"
+    post.select("vec_id", "weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe preVals
+    // a pinned generation keeps ITS OWN name
+    IndexManifest.readAt(spark, rdir, 2L).columns should contain("w")
+
+    // appends continue under the new name
+    IndexManifest.appendBatch(spark,
+      spark.range(200, 206).selectExpr("id AS vec_id", "id * 3 AS weight",
+        "cast(id % 4 as int) AS cell"), rdir, "day_2")                  // gen 4
+    IndexManifest.read(spark, rdir).count() shouldBe 46
+
+    // rename the CLUSTERING column: the declared stat binding follows,
+    // zone maps stay positional — pruning intact under the new name
+    IndexManifest.renameColumn(spark, rdir, "vec_id", "row_id")         // gen 5
+    val st5 = IndexManifest.currentState(spark, rdir).get
+    st5.statCols shouldBe Seq("row_id")
+    val (kept, skipped) = IndexManifest.planRangeCol(st5, "row_id", 200L, 205L)
+    skipped.size should be > 0
+    IndexManifest.readRange(spark, rdir, 200L, 205L)
+      .select("row_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe (200L to 205L)
+
+    // refusals are loud: partition column, unknown source, existing target
+    intercept[IllegalArgumentException] {
+      IndexManifest.renameColumn(spark, rdir, "cell", "bucket")
+    }.getMessage should include("partition column")
+    intercept[IllegalArgumentException] {
+      IndexManifest.renameColumn(spark, rdir, "nope", "x")
+    }: Unit
+    intercept[IllegalArgumentException] {
+      IndexManifest.renameColumn(spark, rdir, "weight", "row_id")
+    }: Unit
+
+    // a late batch still using the OLD name introduces a BRAND-NEW column
+    IndexManifest.appendBatch(spark, mk(300, 4)
+      .withColumnRenamed("vec_id", "row_id"), rdir, "day_3")            // gen 6: +w (fresh id)
+    val wide = IndexManifest.read(spark, rdir)
+    wide.columns.toSet should contain allOf ("weight", "w")
+    wide.filter(col("w").isNotNull).count() shouldBe 4                  // only day_3 rows
+    wide.filter(col("row_id") < 200 && col("weight").isNull).count() shouldBe 0
+
+    // compaction rewrites under the renamed schema; rows byte-identical
+    val before = wide.select("row_id", "weight", "w").collect().map(_.toString).sorted.toSeq
+    IndexManifest.compact(spark, rdir, "row_id")
+    IndexManifest.read(spark, rdir).select("row_id", "weight", "w")
+      .collect().map(_.toString).sorted.toSeq shouldBe before
+  }
+
+  test("RENAME COLUMN: a legacy tree (no field ids in the log) refuses until upgradeFieldIds' one rewrite adopts them") {
+    freshIndex() // gen 1 — WITH fieldids (modern publish)
+    val (fs, root) = fsRoot
+    // regress the log: gen 2 = gen 1's record with the fieldids binding
+    // stripped (a tree written before field ids existed)
+    val p1 = new Path(root, "_manifests/manifest-000000001.json")
+    val in = fs.open(p1)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val body = txt.substring(txt.indexOf("\"body\":") + 7, txt.length - 1)
+    val stripped = body
+      .replaceAll(""""fieldids":\[.*?\]\],""", "")
+      .replace("\"generation\":1", "\"generation\":2")
+    stripped should not include "fieldids"
+    writeManifestBytes(f"manifest-${2L}%09d.json", forgeManifest(2L, stripped))
+
+    IndexManifest.currentState(spark, dir).get.fieldIds shouldBe empty
+    val ex = intercept[IllegalArgumentException] {
+      IndexManifest.renameColumn(spark, dir, "codes", "payload")
+    }
+    ex.getMessage should include("upgradeFieldIds")
+
+    val before = served()
+    IndexManifest.upgradeFieldIds(spark, dir, "vec_id")                 // gen 3: one rewrite
+    IndexManifest.currentState(spark, dir).get.fieldIds should not be empty
+    served() shouldBe before                                            // rows untouched
+    IndexManifest.renameColumn(spark, dir, "codes", "payload")          // now metadata-only
+    IndexManifest.read(spark, dir).columns should contain("payload")
+  }
+
   test("BLOOM FILTERS: equality probes skip files zone maps cannot; skips exact through append/delete/compaction; declaration persists in the log") {
     val bdir = "/tmp/graft_llm/manifest_spec/bloom"
     val bp = new Path(bdir)
