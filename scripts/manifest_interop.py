@@ -65,6 +65,10 @@ def read_record(path, gen):
         "files": [[unescape(e[0])] + e[1:] for e in b.get("files", [])],
         "dvs": [[unescape(e[0]), e[1]] for e in b.get("dvs", [])],
         "removes": [unescape(p) for p in b.get("removes", [])],
+        # name -> stable field id: the identity RENAMEs ride on — a file
+        # written before a rename stores the column under its old name,
+        # and its footer's field_id is what still binds it
+        "fieldids": {unescape(e[0]): e[1] for e in b.get("fieldids", [])},
     }
     return rec
 
@@ -98,6 +102,8 @@ def resolve(md, gen):
         rm = set(d["removes"])
         state["files"] = [f for f in state["files"] if f[0] not in rm] + d["files"]
         state["dvs"] = state["dvs"] + d["dvs"]
+        if d.get("fieldids"):  # schema evolution extends the id map
+            state["fieldids"] = d["fieldids"]
     return state
 
 
@@ -126,17 +132,58 @@ def main():
     def sql_list(paths):
         return "[" + ",".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
 
-    # union_by_name: files written before a schema-evolved column existed
-    # surface NULL for it — the same late-column semantics Spark gets
-    # from the manifest-held schema
-    base = (f"read_parquet({sql_list(os.path.join(table, f[0]) for f in kept)}, "
-            f"filename=true, file_row_number=true, hive_partitioning=true, "
-            f"union_by_name=true)")
-    sumsel = f", b.{sumcol} AS s" if sumcol else ""
-    q = (f"SELECT b.{key} AS k, b.{st['part']} AS p{sumsel}, "
-         f"regexp_extract(b.filename, '[^/]+/[^/]+$') AS f, "
-         f"b.file_row_number AS i "
-         f"FROM {base} b WHERE b.{key} BETWEEN {lo} AND {hi} ORDER BY k, p")
+    # RENAME RESOLUTION BY FIELD ID: when the manifest carries fieldids,
+    # a file written before a rename stores the probed column under its
+    # OLD physical name — parquet_schema() exposes each file's
+    # (name, field_id) pairs, so the reader groups files by their
+    # physical spelling of the needed logical columns and aliases each
+    # group back to the manifest names. One metadata query per kept
+    # file; files whose spelling already matches flow through the
+    # single-scan path unchanged.
+    needed = [key] + ([sumcol] if sumcol else [])
+    wanted = {c: st["fieldids"][c] for c in needed if c in st.get("fieldids", {})}
+
+    def physnames(path):
+        rows = duckdb.sql(
+            "SELECT name, field_id FROM parquet_schema('"
+            + path.replace("'", "''") + "')").fetchall()
+        by_id = {fid: n for n, fid in rows if fid is not None}
+        names = {n for n, _ in rows}
+        return {logical: by_id.get(fid, logical if logical in names else None)
+                for logical, fid in wanted.items()}
+
+    groups = {}
+    if wanted:
+        for f in kept:
+            sig = tuple(sorted(physnames(os.path.join(table, f[0])).items()))
+            groups.setdefault(sig, []).append(f)
+    trivial = not groups or (len(groups) == 1 and
+                             all(k == v for k, v in next(iter(groups))))
+
+    def scan(files, mapping):
+        sel = []
+        for c in needed + [st["part"]]:
+            phys = mapping.get(c, c)
+            sel.append(f"NULL AS {c}" if phys is None
+                       else (f"b.{phys} AS {c}" if phys != c else f"b.{c}"))
+        # union_by_name: files written before a schema-evolved column
+        # existed surface NULL for it — the same late-column semantics
+        # Spark gets from the manifest-held schema
+        return (f"SELECT {', '.join(sel)}, b.filename AS filename, "
+                f"b.file_row_number AS file_row_number "
+                f"FROM read_parquet({sql_list(os.path.join(table, f[0]) for f in files)}, "
+                f"filename=true, file_row_number=true, hive_partitioning=true, "
+                f"union_by_name=true) b")
+
+    if trivial:
+        src = scan(kept, {})
+    else:
+        src = " UNION ALL ".join(scan(fs, dict(sig)) for sig, fs in groups.items())
+    sumsel = f", s.{sumcol} AS s" if sumcol else ""
+    q = (f"SELECT s.{key} AS k, s.{st['part']} AS p{sumsel}, "
+         f"regexp_extract(s.filename, '[^/]+/[^/]+$') AS f, "
+         f"s.file_row_number AS i "
+         f"FROM ({src}) s WHERE s.{key} BETWEEN {lo} AND {hi} ORDER BY k, p")
     fetched = duckdb.sql(q).fetchall()
     # deletion vectors: anti-join in python — sidecar keys are
     # URI-ENCODED (Spark's _metadata.file_path form: 'pt BR' → 'pt%20BR')

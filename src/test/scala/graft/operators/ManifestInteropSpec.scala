@@ -176,6 +176,35 @@ class ManifestInteropSpec extends AnyFunSuite with Matchers {
     res.num("sum") shouldBe sparkSum
     sparkSum shouldBe (100L until 112L).map(_ % 5).sum
   }
+
+  test("rename across engines: DuckDB resolves pre-rename files by parquet field id — clustering AND payload columns renamed") {
+    val rdir = "/tmp/graft_llm/manifest_interop/renamed"
+    val (fs, root) = {
+      val p = new Path(rdir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(root, true)
+    def mk(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", "(id * 7) % 1000 AS w", "cast(id % 3 as int) AS cell")
+    IndexManifest.publishBase(spark, mk(0, 40), rdir)                  // gen 1: vec_id, w
+    IndexManifest.appendBatch(spark, mk(100, 12), rdir, "day_1")       // gen 2
+    IndexManifest.renameColumn(spark, rdir, "vec_id", "row_id")        // gen 3 (metadata only)
+    IndexManifest.renameColumn(spark, rdir, "w", "weight")             // gen 4 (metadata only)
+    IndexManifest.appendBatch(spark, spark.range(200, 206).selectExpr(
+      "id AS row_id", "(id * 7) % 1000 AS weight", "cast(id % 3 as int) AS cell"),
+      rdir, "day_2")                                                   // gen 5: new names
+
+    // every file era — two spellings of the same two columns — serves
+    // as ONE logical table in the INDEPENDENT reader, keyed and summed
+    // under the post-rename names, resolved via the footers' field_ids
+    val res = duckdbRead(rdir, "0", "600", "--sum=weight")
+    res.rows shouldBe IndexManifest.readRange(spark, rdir, 0L, 600L)
+      .select(col("row_id"), col("cell").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    val sparkSum = IndexManifest.read(spark, rdir)
+      .agg(sum(col("weight"))).head().getLong(0)
+    res.num("sum") shouldBe sparkSum
+  }
 }
 
 /** Micro JSON reader for the script's fixed output shape (no JSON
