@@ -286,6 +286,20 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
           committed(mid) = rowsOf(ins)
           replacedRange(mid) = (insId0, insN)
         }
+      } else if (roll < 99) {
+        // RENAME TOGGLE (round 13): codes→payload→codes — two
+        // metadata-only records mid-schedule. The interim read must
+        // serve the interim name; every file committed under EITHER
+        // spelling keeps resolving by field id; and sometimes a full
+        // compaction lands BETWEEN the halves, so the toggle-back
+        // rebinding must survive a complete rewrite whose files are
+        // physically named with the interim spelling.
+        IndexManifest.renameColumn(spark, dir, "codes", "payload")
+        val interim = IndexManifest.read(spark, dir).columns
+        assert(interim.contains("payload") && !interim.contains("codes"),
+          s"interim rename not visible: ${interim.mkString(",")}")
+        if (rnd.nextBoolean()) IndexManifest.compact(spark, dir, "vec_id")
+        IndexManifest.renameColumn(spark, dir, "payload", "codes")
       } else {
         // vacuum: grace 0 only when no crashed attempt is pending replay
         // WITH us still wanting its orphans gone is fine either way —
