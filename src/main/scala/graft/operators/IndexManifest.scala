@@ -221,7 +221,8 @@ object IndexManifest {
     * shuffle exchange (ManifestPlanSpec pins it). */
   final case class TableSpec(partCol: String = "cell", statCols: Seq[String] = Seq("vec_id"),
       buckets: Int = 0, bucketCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty)
+      bloomCols: Seq[String] = Seq.empty,
+      checks: Seq[(String, String)] = Seq.empty)
 
   /** One committed data file with its column-keyed zone-map stats —
     * `stats(i)` is (min, max) of the table's `statCols(i)`. A pair with
@@ -293,7 +294,8 @@ object IndexManifest {
       buckets: Int = 0,
       bucketCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      fieldIds: Seq[(String, Int)] = Seq.empty) {
+      fieldIds: Seq[(String, Int)] = Seq.empty,
+      checks: Seq[(String, String)] = Seq.empty) {
     def paths: Seq[String] = files.map(_.path)
     /** ledger key → highest committed batch version. v2+ entries are
       * `key:version`; a COLON-LESS entry is a raw pre-ledger (v1)
@@ -519,7 +521,12 @@ object IndexManifest {
             buckets = buckets,
             bucketCols = if (buckets > 0) flatArr(body, "bucketcols") else Seq.empty,
             bloomCols = flatArr(body, "bloomcols"),
-            fieldIds = fieldIdArr(body)),
+            fieldIds = fieldIdArr(body),
+            checks = entryArr(body, "checks").map { parts =>
+              if (parts.length != 2) fail(s"malformed checks entry: ${parts.mkString(",")}")
+              val qn = parts(0).trim; val qe = parts(1).trim
+              (unescape(qn.substring(1, qn.length - 1)), unescape(qe.substring(1, qe.length - 1)))
+            }),
             rewrite = body.contains(""""rewrite":true"""))
         case Some("delta") =>
           val wm = flatArr(body, "batches").map { e =>
@@ -669,6 +676,9 @@ object IndexManifest {
         s""""bloomcols":[${st.bloomCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],"""
       else "") +
       renderFieldIds(st.fieldIds) +
+      (if (st.checks.nonEmpty)
+        s""""checks":[${st.checks.map { case (n, e) => s"""["${escape(n)}","${escape(e)}"]""" }.mkString(",")}],"""
+      else "") +
       s""""statcols":[${st.statCols.map(c => "\"" + escape(c) + "\"").mkString(",")}],""" +
       st.schemaDdl.map(d => s""""schema":"${escape(d)}",""").getOrElse("") +
       s""""batches":[${renderWm(st.watermarks).map(b => "\"" + b + "\"").mkString(",")}],""" +
@@ -1082,6 +1092,83 @@ object IndexManifest {
       }.toIndexedSeq: _*)
     }
 
+  /** Does `e` resolve to a BOOLEAN over `df`'s columns? Checks whose
+    * references a batch does not carry are SKIPPED by the caller — SQL
+    * CHECK semantics make a missing (≡ NULL) reference pass, and
+    * [[addCheck]] already validated the expression against the full
+    * table schema, so skipping can never hide a typo. */
+  private def checkResolves(df: DataFrame, e: String): Boolean =
+    try {
+      df.select(expr(e).cast("boolean")); true
+    } catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Enforce the table's CHECK constraints on rows about to land —
+    * called by every data-landing commit (publish, append, replace,
+    * merge) BEFORE anything writes. ONE combined pass over the batch
+    * (all applicable checks OR'd into one filter); on violation the
+    * failure names every check the first offending row breaks. SQL
+    * NULL semantics: a check evaluating to NULL passes (violation is
+    * `IS FALSE`), and NOT NULL is just the explicit check
+    * `col IS NOT NULL`. The pass is the honest cost of constraints —
+    * O(batch), never O(table). */
+  private def validateChecks(checks: Seq[(String, String)], batch: DataFrame,
+      what: String): Unit = {
+    val active = checks.filter { case (_, e) => checkResolves(batch, e) }
+    if (active.isEmpty) return
+    val viol = active.map { case (n, e) =>
+      (n, coalesce(expr(e).cast("boolean"), lit(true)) === lit(false))
+    }
+    val sample = batch.filter(viol.map(_._2).reduce(_ || _))
+      .select(viol.map { case (n, c) => c.as(s"__graft_ck_$n") }: _*)
+      .limit(1).collect()
+    if (sample.nonEmpty) {
+      val failing = viol.map(_._1).zipWithIndex
+        .collect { case (n, i) if sample(0).getBoolean(i) => n }
+      sys.error(s"$what violates CHECK constraint(s) ${failing.mkString(", ")} " +
+        s"(${failing.map(n => checks.toMap.apply(n)).mkString("; ")}) — nothing was committed")
+    }
+  }
+
+  /** ADD a CHECK constraint: the EXISTING table must already satisfy it
+    * (one O(table) validation scan — the ALTER TABLE ADD CONSTRAINT
+    * contract), then the constraint set commits as one metadata record
+    * and every later data-landing commit enforces it. The expression
+    * must resolve to BOOLEAN against the current schema — typos die
+    * here, not silently at some later append. */
+  def addCheck(spark: SparkSession, dir: String, name: String, sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe constraint name '$name'")
+    val (fs, root) = fsOf(spark, dir)
+    var attempts = 4
+    while (true) {
+      val st = current(fs, root).getOrElse(
+        sys.error(s"no manifest at $dir — publishBase first"))
+      require(!st.checks.exists(_._1 == name), s"check '$name' already exists at $dir")
+      val table = serve(spark, dir, st, st.files)
+      require(checkResolves(table, sqlExpr),
+        s"check '$name' ($sqlExpr) does not resolve to BOOLEAN against the table schema")
+      validateChecks(Seq(name -> sqlExpr), table, s"existing data at $dir")
+      if (tryWriteFull(fs, root, st.copy(gen = st.gen + 1,
+          checks = st.checks :+ (name -> sqlExpr)))) return
+      attempts -= 1
+      require(attempts > 0, s"addCheck lost the manifest race repeatedly at $dir")
+    }
+  }
+
+  /** DROP a CHECK constraint — one metadata record. */
+  def dropCheck(spark: SparkSession, dir: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    var attempts = 4
+    while (true) {
+      val st = current(fs, root).getOrElse(
+        sys.error(s"no manifest at $dir — publishBase first"))
+      require(st.checks.exists(_._1 == name), s"no check '$name' at $dir")
+      if (tryWriteFull(fs, root, st.copy(gen = st.gen + 1,
+          checks = st.checks.filterNot(_._1 == name)))) return
+      attempts -= 1
+      require(attempts > 0, s"dropCheck lost the manifest race repeatedly at $dir")
+    }
+  }
+
   // ──────────────────────────── write protocols ────────────────────────────
 
   /** Generation-1 publish of the base table: one partitioned write +
@@ -1099,6 +1186,12 @@ object IndexManifest {
       "a bucketed TableSpec needs bucketCols")
     spec.bucketCols.foreach(c => require(enc.columns.contains(c), s"bucket column '$c' missing"))
     spec.bloomCols.foreach(c => require(enc.columns.contains(c), s"bloom column '$c' missing"))
+    spec.checks.foreach { case (n, e) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe constraint name '$n'")
+      require(checkResolves(enc, e),
+        s"check '$n' ($e) does not resolve to BOOLEAN against the base schema")
+    }
+    validateChecks(spec.checks, enc, "base publish")
     val fieldIds = assignFieldIds(enc.schema)
     writeStaged(
       clustered(enc, spec.partCol, Seq(col(spec.statCols.head)), spec.buckets, spec.bucketCols),
@@ -1116,7 +1209,8 @@ object IndexManifest {
     require(tryWriteFull(fs, root, State(1L, files, Seq.empty, spec.statCols, spec.partCol,
         Some(nullableDdl(enc.schema)), Seq.empty, fullGen = 1L,
         buckets = spec.buckets, bucketCols = spec.bucketCols,
-        bloomCols = spec.bloomCols, fieldIds = fieldIds)),
+        bloomCols = spec.bloomCols, fieldIds = fieldIds,
+        checks = spec.checks)),
       s"manifest generation 1 already committed at $dir (concurrent writer?)")
   }
 
@@ -1140,6 +1234,7 @@ object IndexManifest {
     require(enc.columns.contains(st.partCol),
       s"partition column '${st.partCol}' missing from batch")
     evolveSchema(st, enc.schema): Unit // preflight: type conflicts fail BEFORE the write
+    validateChecks(st.checks, enc, s"append $batchId")
     val (writer, version) = splitBatchId(batchId)
     // OPTIMISTIC COMMIT: another writer (a racing append of a DIFFERENT
     // batch, or a compaction) may take gen+1 between our staging and our
@@ -1257,6 +1352,7 @@ object IndexManifest {
     val token = newToken()
     val staging = new Path(root, s".replace-$batchId-$token")
     val replacement = enc.filter(col(key).between(lo, hi))
+    validateChecks(st.checks, replacement, s"replace $batchId")
     val survivors =
       if (overlap.isEmpty) replacement
       else serve(spark, dir, st, overlap)
@@ -1440,6 +1536,7 @@ object IndexManifest {
       s"cdc has duplicate merge keys — compact the batch to one op per key first")
     val upserts = cdc.filter(col(op) =!= "D").drop(op)
     evolveSchema(st, upserts.schema): Unit // preflight before any write
+    validateChecks(st.checks, upserts, s"merge $batchId")
     val token = newToken()
 
     // matched LIVE rows' positions (existing DVs applied) — every cdc
@@ -1527,15 +1624,44 @@ object IndexManifest {
           "renaming it is a rewrite, not metadata")
       val cur = StructType.fromDDL(st.schemaDdl.getOrElse(
         sys.error(s"no manifest-held schema at $dir")))
-      def sub(xs: Seq[String]) = xs.map(c => if (c == from) to else c)
-      val next = st.copy(gen = st.gen + 1,
-        schemaDdl = Some(StructType(cur.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f)).toDDL),
-        fieldIds = st.fieldIds.map { case (n, i) => (if (n == from) to else n, i) },
-        statCols = sub(st.statCols),
-        bucketCols = sub(st.bucketCols),
-        bloomCols = sub(st.bloomCols))
-      if (tryWriteFull(fs, root, next)) return
+      val newDdl = StructType(cur.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)).toDDL
+      val newIds = st.fieldIds.map { case (n, i) => (if (n == from) to else n, i) }
+      // a check referencing the old name would stop resolving — refuse
+      // loudly (drop or rewrite the constraint first) instead of
+      // committing a schema its own constraints cannot evaluate against
+      locally {
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType.fromDDL(newDdl))
+        st.checks.foreach { case (n, e) =>
+          require(checkResolves(probe, e),
+            s"cannot rename '$from' -> '$to': check constraint '$n' ($e) would no " +
+              "longer resolve — drop or rewrite it first")
+        }
+      }
+      val declared = (st.statCols ++ st.bucketCols ++ st.bloomCols).toSet
+      val won =
+        if (!declared(from))
+          // the COMMON rename is an O(delta) record: schema + id map
+          // re-bound, nothing else — commit bytes independent of table
+          // size, same as any other delta
+          tryCommit(fs, root, st,
+            Commit(schema = Some(newDdl), fieldIds = Some(newIds)))
+        else {
+          // a DECLARED column (stat/bucket/bloom binding) renames
+          // through a full record — delta records don't carry the
+          // declarations, and a rare DDL on a declared column is worth
+          // one O(files) publish
+          def sub(xs: Seq[String]) = xs.map(c => if (c == from) to else c)
+          tryWriteFull(fs, root, st.copy(gen = st.gen + 1,
+            schemaDdl = Some(newDdl),
+            fieldIds = newIds,
+            statCols = sub(st.statCols),
+            bucketCols = sub(st.bucketCols),
+            bloomCols = sub(st.bloomCols)))
+        }
+      if (won) return
       attempts -= 1
       require(attempts > 0, s"rename lost the manifest race repeatedly at $dir")
     }

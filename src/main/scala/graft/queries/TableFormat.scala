@@ -767,6 +767,61 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q271: CHECK constraints on the write path ───────────────
+
+  /** Stage the q271 tree (once per JVM per sf dir): base published with
+    * CHECK constraints declared in the TableSpec, then a CORRUPTED
+    * second batch (a stripe's `w` negated) appended — REJECTED as a
+    * whole, nothing landing (both structurally enforced) — then the
+    * clean batch appended. The graded read proves batch-atomicity of
+    * enforcement: the final table is exactly base ∪ clean batch. */
+  private def stageChecksTree(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_checks"
+    val b1 = vecB1(s, d)
+    stageOnce(dir) {
+      wipe(s, dir)
+      IndexManifest.publishBase(s, delRows(s, d).filter(col("vec_id") < b1), s"$dir/t",
+        TableSpec(checks = Seq(
+          "w_nonneg" -> "w >= 0 OR w IS NULL",
+          "vec_notnull" -> "vec_id IS NOT NULL")))
+      val clean = delRows(s, d).filter(col("vec_id") >= b1)
+      val corrupted = clean.withColumn("w",
+        when(col("vec_id") % 5 === 0, -abs(col("w")) - 1).otherwise(col("w")))
+      val before = IndexManifest.currentState(s, s"$dir/t").get
+      val rejected =
+        try { IndexManifest.appendBatch(s, corrupted, s"$dir/t", "feed_1"); false }
+        catch { case e: RuntimeException if e.getMessage.contains("w_nonneg") => true }
+      require(rejected, s"corrupted batch was NOT rejected at $dir")
+      val after = IndexManifest.currentState(s, s"$dir/t").get
+      require(after.gen == before.gen && after.files == before.files,
+        s"rejected batch left commits behind at $dir")
+      IndexManifest.appendBatch(s, clean, s"$dir/t", "feed_2")
+    }
+    dir
+  }
+
+  /** CHECK CONSTRAINTS, graded end to end (q271): the write path
+    * enforces the manifest-held constraint set on every data-landing
+    * verb (one O(batch) combined pass, SQL NULL semantics, loud failure
+    * naming the check) and a rejected batch lands NOTHING — the graded
+    * aggregate equals base ∪ clean-batch exactly, which is only true if
+    * enforcement is batch-atomic. At 100 TB this is the ingest-quality
+    * gate a training pipeline runs at the STORAGE layer, where it
+    * cannot be bypassed by a misconfigured job. Oracle: the full table
+    * (the corrupted batch contributed zero rows). */
+  val manifestChecks: Q = Q(
+    s"""SELECT CAST(vec_id % 8 AS INT) AS cell, COUNT(*) AS cnt,
+       |  CAST(SUM(label) AS BIGINT) AS sum_w, CAST(MIN(label) AS BIGINT) AS min_w
+       |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = stageChecksTree(s, d)
+    IndexManifest.read(s, s"$dir/t")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("w").cast("long").as("sum_w"),
+        min("w").cast("long").as("min_w"))
+      .orderBy("cell")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
@@ -779,6 +834,7 @@ object TableFormat extends QueryModule {
     "q267_manifest_bloom" -> manifestBloom,
     "q268_manifest_cdc_stream" -> manifestCdcStream,
     "q269_manifest_rename" -> manifestRename,
-    "q270_manifest_asof" -> manifestAsof
+    "q270_manifest_asof" -> manifestAsof,
+    "q271_manifest_checks" -> manifestChecks
   )
 }

@@ -1262,6 +1262,9 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     val dataFiles = IndexManifest.currentState(spark, rdir).get.files
     dataFiles.sortBy(_.path) shouldBe
       IndexManifest.stateAt(spark, rdir, 2L).files.sortBy(_.path)       // ZERO data rewritten
+    // an undeclared column renames as an O(delta) record — commit bytes
+    // independent of table size, like any other delta
+    IndexManifest.history(spark, rdir).find(_.gen == 3L).get.kind shouldBe "delta"
 
     // every pre-rename file serves under the NEW name, values intact (id-matched scan)
     val post = IndexManifest.read(spark, rdir)
@@ -1283,6 +1286,9 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.renameColumn(spark, rdir, "vec_id", "row_id")         // gen 5
     val st5 = IndexManifest.currentState(spark, rdir).get
     st5.statCols shouldBe Seq("row_id")
+    // a DECLARED (stat) column's rename re-binds the declaration, which
+    // only full records carry
+    IndexManifest.history(spark, rdir).find(_.gen == 5L).get.kind shouldBe "full"
     val (kept, skipped) = IndexManifest.planRangeCol(st5, "row_id", 200L, 205L)
     skipped.size should be > 0
     IndexManifest.readRange(spark, rdir, 200L, 205L)
@@ -1341,6 +1347,83 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     served() shouldBe before                                            // rows untouched
     IndexManifest.renameColumn(spark, dir, "codes", "payload")          // now metadata-only
     IndexManifest.read(spark, dir).columns should contain("payload")
+  }
+
+  test("CHECK CONSTRAINTS: declared at publish or added later, enforced on every data-landing verb with SQL NULL semantics; violations land nothing; rename refuses to orphan a check") {
+    val cdir = "/tmp/graft_llm/manifest_spec/checks"
+    val cp = new Path(cdir)
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, true)
+    def mk(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", "id * 3 AS w", "cast(id % 4 as int) AS cell")
+
+    // declared at publish; a violating base refuses before anything lands
+    intercept[RuntimeException] {
+      IndexManifest.publishBase(spark,
+        mk(0, 10).withColumn("w", col("w") - 100), cdir,
+        IndexManifest.TableSpec("cell", Seq("vec_id"), checks = Seq("w_nonneg" -> "w >= 0")))
+    }.getMessage should include("w_nonneg")
+    IndexManifest.currentState(spark, cdir) shouldBe None               // nothing committed
+
+    IndexManifest.publishBase(spark, mk(0, 20), cdir,
+      IndexManifest.TableSpec("cell", Seq("vec_id"),
+        checks = Seq("w_nonneg" -> "w >= 0", "vec_notnull" -> "vec_id IS NOT NULL")))
+    IndexManifest.currentState(spark, cdir).get.checks.map(_._1) shouldBe
+      Seq("w_nonneg", "vec_notnull")
+
+    // a clean append lands; a violating one refuses and lands NOTHING
+    IndexManifest.appendBatch(spark, mk(100, 5), cdir, "day_1")
+    val before = IndexManifest.read(spark, cdir).count()
+    val exA = intercept[RuntimeException] {
+      IndexManifest.appendBatch(spark,
+        mk(200, 5).withColumn("w", lit(-1L)), cdir, "day_2")
+    }
+    exA.getMessage should include("w_nonneg")
+    IndexManifest.read(spark, cdir).count() shouldBe before
+
+    // SQL NULL semantics: a NULL w row PASSES "w >= 0" (unknown ≠ false)
+    IndexManifest.appendBatch(spark,
+      mk(300, 3).withColumn("w", lit(null).cast("long")), cdir, "day_3")
+    IndexManifest.read(spark, cdir).filter(col("w").isNull).count() shouldBe 3
+
+    // merge and replace are enforced too
+    intercept[RuntimeException] {
+      IndexManifest.merge(spark,
+        mk(0, 2).withColumn("w", lit(-7L)).withColumn("op", lit("U")),
+        cdir, Seq("vec_id"), "op", "fix_1")
+    }.getMessage should include("w_nonneg")
+    intercept[RuntimeException] {
+      IndexManifest.replaceRange(spark, mk(0, 5).withColumn("w", lit(-7L)),
+        cdir, 0L, 4L, "repl_1")
+    }.getMessage should include("w_nonneg")
+
+    // ADD CONSTRAINT validates the EXISTING table first
+    intercept[RuntimeException] {
+      IndexManifest.addCheck(spark, cdir, "w_small", "w < 100")        // 100.. rows violate
+    }
+    intercept[IllegalArgumentException] {
+      IndexManifest.addCheck(spark, cdir, "typo", "nope_col > 0")      // must resolve
+    }
+    IndexManifest.addCheck(spark, cdir, "vec_bounded", "vec_id < 1000")
+    intercept[RuntimeException] {
+      IndexManifest.appendBatch(spark, mk(5000, 2), cdir, "day_4")
+    }.getMessage should include("vec_bounded")
+
+    // rename refuses to orphan a check; dropping it unblocks the rename
+    intercept[IllegalArgumentException] {
+      IndexManifest.renameColumn(spark, cdir, "w", "weight")
+    }.getMessage should include("w_nonneg")
+    IndexManifest.dropCheck(spark, cdir, "w_nonneg")
+    IndexManifest.renameColumn(spark, cdir, "w", "weight")
+    IndexManifest.read(spark, cdir).columns should contain("weight")
+
+    // constraints survive compaction and keep firing (on live columns)
+    IndexManifest.compact(spark, cdir, "vec_id")
+    IndexManifest.currentState(spark, cdir).get.checks.map(_._1).toSet shouldBe
+      Set("vec_notnull", "vec_bounded")
+    intercept[RuntimeException] {
+      IndexManifest.appendBatch(spark, spark.range(6000, 6002).selectExpr(
+        "id AS vec_id", "id AS weight", "cast(id % 4 as int) AS cell"), cdir, "day_5")
+    }.getMessage should include("vec_bounded")
   }
 
   test("BLOOM FILTERS: equality probes skip files zone maps cannot; skips exact through append/delete/compaction; declaration persists in the log") {
