@@ -176,11 +176,18 @@ object ManifestPlanBench {
     val deltaBytes = sizeOf(f"manifest-${2L}%09d.json")
     // a full checkpoint costs O(table) once per interval: amortize
     val checkpointAmortized = fullBytes / IndexManifest.CheckpointInterval
+    // what an undeclared-column RENAME (round 13) writes: one record of
+    // schema + id map — compare against full_manifest_bytes, the cost a
+    // declared-column rename (or the pre-delta design) would pay
+    val renameDeltaBytes = IndexManifest.renameDeltaBytesForBench(
+      "vec_id BIGINT,codes ARRAY<INT>,weight BIGINT,cell INT",
+      Seq("vec_id" -> 1, "codes" -> 2, "weight" -> 3, "cell" -> 4))
 
     println(
       s"""{"metric":"manifest_plan_bench","files":${st.files.size},"cells":$cells,""" +
       s""""full_manifest_bytes":$fullBytes,"delta_commit_bytes":$deltaBytes,""" +
       s""""checkpoint_amortized_bytes_per_commit":$checkpointAmortized,""" +
+      s""""rename_delta_bytes":$renameDeltaBytes,""" +
       s""""delta_tail":$deltaTail,"manifest_read_ms":$manifestReadMs,""" +
       s""""plan_range_ms":$planMs,"kept_files":${kept.size},"skipped_files":${skipped.size},""" +
       s""""dir_listing_ms":$listingMs,"state_heap_mb":$stateHeapMb,""" +

@@ -814,6 +814,14 @@ object IndexManifest {
       adds: Seq[FileEntry], wm: Map[String, Long]): Boolean =
     tryCommit(fs, root, prev, Commit(adds = adds, wm = wm))
 
+  /** private[graft] seam for [[graft.ManifestPlanBench]]: the byte size
+    * of the record an undeclared-column RENAME publishes (schema + id
+    * map, nothing else) — structurally independent of the table's file
+    * count, which is the measurement's point. */
+  private[graft] def renameDeltaBytesForBench(schemaDdl: String,
+      ids: Seq[(String, Int)]): Int =
+    wrap(deltaBody(999L, Commit(schema = Some(schemaDdl), fieldIds = Some(ids)))).length
+
   // ──────────────────────────── stats collection ────────────────────────────
 
   /** Zone-map stats for one committed data file, from its parquet
