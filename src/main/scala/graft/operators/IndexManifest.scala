@@ -2273,6 +2273,59 @@ object IndexManifest {
     else serve(spark, dir, st, scan).filter(col(column).isin(values: _*))
   }
 
+  // ─────────────────── metadata-only aggregation ───────────────────
+
+  /** `COUNT(*)` of the current snapshot from METADATA ALONE: every
+    * entry's footer-derived row count summed, minus every deletion
+    * vector's deleted-row count — no data file opens, no scan, no job.
+    * Correct because (a) entry row counts come from the parquet footers
+    * at commit time, (b) DV writers match against the DV-APPLIED live
+    * scan, so positions are distinct live kills (never double-counted),
+    * and (c) compactions materialize DVs and reset the set. A stats-less
+    * legacy (v1) entry has no trustworthy count → fail loudly rather
+    * than undercount. At 100 TB this answers `SELECT COUNT(*)` in one
+    * metadata read — the OptimizeMetadataOnlyQuery trick served from
+    * the log instead of the catalog. */
+  def countRows(spark: SparkSession, dir: String): Long = {
+    val st = currentState(spark, dir).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    require(st.files.forall(_.rows >= 0),
+      s"table at $dir carries stats-less (v1) entries — counts need a normalizing commit")
+    st.files.map(_.rows).sum - st.dvs.map(_.rows).sum
+  }
+
+  /** Per-PARTITION row counts from metadata + the DV sidecars: live
+    * rows = entry counts grouped by the partition-directory prefix,
+    * minus deleted positions grouped by their file's prefix. The only
+    * I/O is the DV sidecars (O(deleted-row bytes), ZERO when nothing
+    * was deleted) — data files are never opened. Returns
+    * (`partCol` STRING — the on-disk partition value, unescaped by the
+    * caller if needed — , `cnt` LONG), one row per non-empty partition. */
+  def partitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = currentState(spark, dir).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    require(st.files.forall(_.rows >= 0),
+      s"table at $dir carries stats-less (v1) entries — counts need a normalizing commit")
+    def partDir(rel: String): String = rel.takeWhile(_ != '/')
+    val base = st.files.groupBy(f => partDir(f.path))
+      .view.mapValues(_.map(_.rows).sum).toMap
+    // DV sidecar keys are the URI-encoded `_metadata.file_path` form
+    // while entries are raw on-disk names — match both (the q262 lesson)
+    val deleted: Map[String, Long] =
+      if (st.dvs.isEmpty) Map.empty
+      else dvPairs(spark, dir, st.dvs)
+        .groupBy(col(PosFile)).count()
+        .collect().map(r => (partDir(r.getString(0)), r.getLong(1)))
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val rows = base.map { case (d, n) =>
+      val del = deleted.getOrElse(d,
+        deleted.getOrElse(partDir(uriRel(d + "/x")), 0L))
+      (d.substring(d.indexOf('=') + 1), n - del)
+    }.filter(_._2 > 0).toSeq.sortBy(_._1)
+    rows.toDF(st.partCol, "cnt")
+  }
+
   /** The committed [[State]] of generation `gen`, failing loudly when
     * it was vacuumed past the retention window — the error names the
     * recorded retention policy (the `.retention` marker [[vacuum]]

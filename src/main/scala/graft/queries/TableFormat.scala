@@ -822,6 +822,33 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q272: metadata-only aggregation ───────────────
+
+  /** METADATA-ONLY COUNTS (q272): `COUNT(*)` and the per-partition
+    * counts of the q259 tree — two appended eras THINNED by two
+    * deletion-vector deletes — answered from the LOG alone: entry row
+    * counts grouped by partition-directory prefix, minus the DV
+    * sidecars' deleted positions per file (the only I/O; data files are
+    * never opened, no scan runs). A structural require pins the total
+    * against [[IndexManifest.countRows]] (pure metadata, zero I/O). At
+    * 100 TB this is `SELECT COUNT(*)` in one metadata read — the
+    * OptimizeMetadataOnlyQuery trick served from the log instead of a
+    * catalog. Oracle: the same counts computed the honest way, a full
+    * scan with the delete predicates applied. */
+  val manifestCount: Q = Q(
+    s"""SELECT CAST(vec_id % 8 AS INT) AS cell, COUNT(*) AS cnt
+       |FROM embeddings
+       |WHERE NOT (vec_id % 7 = 3) AND NOT (label % 5 = 2 AND vec_id % 3 = 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = stageDeleteTree(s, d)
+    val counts = IndexManifest.partitionCounts(s, s"$dir/t")
+    val total = IndexManifest.countRows(s, s"$dir/t")
+    require(counts.agg(sum("cnt")).head().getLong(0) == total,
+      s"partitionCounts disagree with countRows at $dir")
+    counts.select(col("cell").cast("int").as("cell"), col("cnt"))
+      .orderBy("cell")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
@@ -835,6 +862,7 @@ object TableFormat extends QueryModule {
     "q268_manifest_cdc_stream" -> manifestCdcStream,
     "q269_manifest_rename" -> manifestRename,
     "q270_manifest_asof" -> manifestAsof,
-    "q271_manifest_checks" -> manifestChecks
+    "q271_manifest_checks" -> manifestChecks,
+    "q272_manifest_count" -> manifestCount
   )
 }

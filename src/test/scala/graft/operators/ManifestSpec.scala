@@ -1426,6 +1426,41 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("vec_bounded")
   }
 
+  test("METADATA-ONLY COUNTS: countRows/partitionCounts equal the scan through append, DV deletes, merge, and compaction; v1 entries refuse loudly") {
+    freshIndex()                                                   // 40 rows
+    IndexManifest.appendBatch(spark, batch(100, 12), dir, "day_1")
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") % 5 === 2, "p1")
+    IndexManifest.merge(spark,
+      batch(0, 4).withColumn("op", lit("U"))
+        .unionByName(batch(500, 3).withColumn("op", lit("I"))),
+      dir, Seq("vec_id"), "op", "m_1")
+
+    def scanCounts(): Seq[(String, Long)] =
+      IndexManifest.read(spark, dir).groupBy(col("cell").cast("string"))
+        .count().collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    def metaCounts(): Seq[(String, Long)] =
+      IndexManifest.partitionCounts(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    IndexManifest.countRows(spark, dir) shouldBe IndexManifest.read(spark, dir).count()
+    metaCounts() shouldBe scanCounts()
+
+    // compaction materializes the DVs — counts unchanged, now DV-free
+    IndexManifest.compact(spark, dir, "vec_id")
+    IndexManifest.currentState(spark, dir).get.dvs shouldBe empty
+    IndexManifest.countRows(spark, dir) shouldBe IndexManifest.read(spark, dir).count()
+    metaCounts() shouldBe scanCounts()
+
+    // a v1 (stats-less) regression refuses rather than undercounts
+    val st = IndexManifest.currentState(spark, dir).get
+    val v1 = s"""{"generation":${st.gen + 1},"batches":[],"files":[""" +
+      st.paths.sorted.map(p => "\"" + p + "\"").mkString(",") + "]}"
+    writeManifestBytes(f"manifest-${st.gen + 1}%09d.json", v1.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      IndexManifest.countRows(spark, dir): Unit
+    }.getMessage should include("stats-less")
+  }
+
   test("BLOOM FILTERS: equality probes skip files zone maps cannot; skips exact through append/delete/compaction; declaration persists in the log") {
     val bdir = "/tmp/graft_llm/manifest_spec/bloom"
     val bp = new Path(bdir)
