@@ -1787,6 +1787,54 @@ object IndexManifest {
     fs.delete(staging, true)
   }
 
+  /** SMALL-FILE (bin-pack) COMPACTION — the OPTIMIZE verb a streaming
+    * ingest needs: rewrite ONLY the files whose row count is below
+    * `minRows` (grouped and re-clustered per partition, their
+    * deletion-vector'd rows materialized away), commit as one O(delta)
+    * `rewrite:true` record — feed-silent, every right-sized file
+    * carried forward ENTRY-IDENTICAL. A partition with a single small
+    * file and nothing to merge it with is still rewritten only if its
+    * DVs or row count warrant it — the filter is per-file, so a healthy
+    * big file is NEVER touched. At 100 TB this is the rolling
+    * maintenance loop: appenders land O(batch) small files all day, the
+    * compactor folds just those into scan-sized ones, and the big
+    * compacted mass is never rewritten (contrast [[compact]], which
+    * pays O(table) every run). CAS-loss redo, bounded retries, same as
+    * every maintenance verb. */
+  def compactSmall(spark: SparkSession, dir: String, sortCol: String,
+      minRows: Long): Unit =
+    compactSmallAttempt(spark, dir, sortCol, minRows, attemptsLeft = 4)
+
+  private def compactSmallAttempt(spark: SparkSession, dir: String, sortCol: String,
+      minRows: Long, attemptsLeft: Int): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val st = current(fs, root).getOrElse(
+      sys.error(s"no manifest at $dir — publishBase first"))
+    require(st.files.forall(_.rows >= 0),
+      s"table at $dir carries stats-less (v1) entries — compactSmall needs row counts")
+    val targets = st.files.filter(_.rows < minRows)
+    if (targets.size < 2) return // nothing to fold: a no-op, not an error
+    val gen = st.gen + 1
+    val token = newToken()
+    val staging = new Path(root, s".compact-$gen-$token")
+    writeStaged(clustered(serve(spark, dir, st, targets), st.partCol,
+        Seq(col(st.partCol), col(sortCol)), st.buckets, st.bucketCols),
+      st.partCol, st.bloomCols, staging.toString, st.fieldIds)
+    val added = renameStagedIn(fs, root, staging, s"compact-$gen-$token-",
+      st.partCol, st.statCols, st.buckets)
+    interruptBeforeManifest()
+    if (!tryCommit(fs, root, st, Commit(adds = added, removes = targets.map(_.path),
+        rewrite = true))) {
+      added.foreach(e => fs.delete(new Path(root, e.path), false))
+      fs.delete(staging, true)
+      require(attemptsLeft > 1,
+        s"small-file compaction lost the manifest race repeatedly at $dir — yielding to the writers")
+      compactSmallAttempt(spark, dir, sortCol, minRows, attemptsLeft - 1)
+      return
+    }
+    fs.delete(staging, true)
+  }
+
   /** The Morton (Z-order) key of `cols`, each RANGE-NORMALIZED to
     * `bits` bits before interleaving: bit j of normalized column i
     * lands at position j*k + i, so a range of z-values is a BOX in the
@@ -2275,23 +2323,36 @@ object IndexManifest {
 
   // ─────────────────── metadata-only aggregation ───────────────────
 
-  /** `COUNT(*)` of the current snapshot from METADATA ALONE: every
-    * entry's footer-derived row count summed, minus every deletion
-    * vector's deleted-row count — no data file opens, no scan, no job.
-    * Correct because (a) entry row counts come from the parquet footers
-    * at commit time, (b) DV writers match against the DV-APPLIED live
-    * scan, so positions are distinct live kills (never double-counted),
-    * and (c) compactions materialize DVs and reset the set. A stats-less
-    * legacy (v1) entry has no trustworthy count → fail loudly rather
-    * than undercount. At 100 TB this answers `SELECT COUNT(*)` in one
-    * metadata read — the OptimizeMetadataOnlyQuery trick served from
-    * the log instead of the catalog. */
+  /** `COUNT(*)` of the current snapshot from the LOG: every entry's
+    * footer-derived row count summed, minus the deletion vectors'
+    * positions that still reference a LIVE file — no data file is ever
+    * opened. DV-free (the post-compaction steady state): pure driver
+    * arithmetic, zero I/O. With live DVs: one O(deleted-row bytes)
+    * sidecar read, because a PARTIAL rewrite (partition-scoped
+    * compaction, z-order) can leave a sidecar whose pairs point at
+    * files it just removed — those rows are already gone from the new
+    * entries' counts, so subtracting the sidecar's raw total would
+    * double-count the deletion (found designing the small-file
+    * compactor; the live-file semi-join is the fix, matching both the
+    * raw and URI-encoded key forms). A stats-less legacy (v1) entry has
+    * no trustworthy count → fail loudly rather than undercount. At
+    * 100 TB this answers `SELECT COUNT(*)` without a scan — the
+    * OptimizeMetadataOnlyQuery trick served from the log instead of a
+    * catalog. */
   def countRows(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
     val st = currentState(spark, dir).getOrElse(
       sys.error(s"no manifest at $dir — publishBase first"))
     require(st.files.forall(_.rows >= 0),
       s"table at $dir carries stats-less (v1) entries — counts need a normalizing commit")
-    st.files.map(_.rows).sum - st.dvs.map(_.rows).sum
+    val deleted =
+      if (st.dvs.isEmpty) 0L
+      else {
+        val live = broadcast(st.files
+          .flatMap(f => Seq(f.path, uriRel(f.path))).distinct.toDF(PosFile))
+        dvPairs(spark, dir, st.dvs).join(live, Seq(PosFile), "left_semi").count()
+      }
+    st.files.map(_.rows).sum - deleted
   }
 
   /** Per-PARTITION row counts from metadata + the DV sidecars: live
@@ -2311,13 +2372,19 @@ object IndexManifest {
     val base = st.files.groupBy(f => partDir(f.path))
       .view.mapValues(_.map(_.rows).sum).toMap
     // DV sidecar keys are the URI-encoded `_metadata.file_path` form
-    // while entries are raw on-disk names — match both (the q262 lesson)
+    // while entries are raw on-disk names — match both (the q262
+    // lesson) — and only pairs on LIVE files count: a partial rewrite
+    // leaves stale pairs whose rows the new entries already exclude
     val deleted: Map[String, Long] =
       if (st.dvs.isEmpty) Map.empty
-      else dvPairs(spark, dir, st.dvs)
-        .groupBy(col(PosFile)).count()
-        .collect().map(r => (partDir(r.getString(0)), r.getLong(1)))
-        .groupMapReduce(_._1)(_._2)(_ + _)
+      else {
+        val live = broadcast(st.files
+          .flatMap(f => Seq(f.path, uriRel(f.path))).distinct.toDF(PosFile))
+        dvPairs(spark, dir, st.dvs).join(live, Seq(PosFile), "left_semi")
+          .groupBy(col(PosFile)).count()
+          .collect().map(r => (partDir(r.getString(0)), r.getLong(1)))
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
     val rows = base.map { case (d, n) =>
       val del = deleted.getOrElse(d,
         deleted.getOrElse(partDir(uriRel(d + "/x")), 0L))
@@ -2479,7 +2546,10 @@ object IndexManifest {
       else resolve(fs, root, fromGen)
     def tag(df: DataFrame, tpe: String, g: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_gen", lit(g))
-    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // each part remembers the STATE whose schema its scan used, so the
+    // whole window can be normalized to ONE schema at the end (see
+    // [[normalizeEra]] — the rename-era fix)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, State)]
     // BATCHED WINDOW (round 13): delta records are accumulated into
     // maximal runs and each run contributes ONE scan per change type —
     // the plan is O(full records) in window length, not O(generations).
@@ -2493,7 +2563,8 @@ object IndexManifest {
     var runStart: State = prev
     def flushRun(): Unit = {
       if (run.nonEmpty) {
-        parts ++= batchedDeltaParts(spark, dir, runStart, run.toSeq)
+        val endState = run.foldLeft(runStart)(applyDelta)
+        parts ++= batchedDeltaParts(spark, dir, runStart, run.toSeq).map((_, endState))
         run.clear()
       }
     }
@@ -2512,9 +2583,12 @@ object IndexManifest {
             val removed = prev.files.filterNot(f => curPaths(f.path))
             val added = st.files.filterNot(f => prevPaths(f.path))
             val newDvs = st.dvs.filterNot(prev.dvs.toSet)
-            if (removed.nonEmpty) parts += tag(serve(spark, dir, prev, removed), "delete", g)
-            if (newDvs.nonEmpty) parts += tag(dvDeletedRows(spark, dir, prev, newDvs), "delete", g)
-            if (added.nonEmpty) parts += tag(scanOf(spark, dir, st, added), "insert", g)
+            if (removed.nonEmpty)
+              parts += ((tag(serve(spark, dir, prev, removed), "delete", g), prev))
+            if (newDvs.nonEmpty)
+              parts += ((tag(dvDeletedRows(spark, dir, prev, newDvs), "delete", g), prev))
+            if (added.nonEmpty)
+              parts += ((tag(scanOf(spark, dir, st, added), "insert", g), st))
           }
           prev = st.copy(fullGen = g)
           runStart = prev
@@ -2528,7 +2602,36 @@ object IndexManifest {
     if (parts.isEmpty)
       // no logical change in the range: empty frame, correct shape
       tag(scanOf(spark, dir, prev, prev.files.take(1)).filter(lit(false)), "", 0L)
-    else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else
+      // ONE schema for the whole window: every part's columns are
+      // re-bound to the WINDOW-END names by field id (see normalizeEra)
+      parts.map { case (df, era) => normalizeEra(df, era, prev) }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Re-bind a feed part's columns from its ERA's names to the
+    * WINDOW-END names, matching by stable field id — the RENAME-era
+    * fix: a delta run that ends mid-rename scans with that era's
+    * schema, and without this mapping a window spanning a rename (or a
+    * rename-and-back toggle) would emit the same logical column under
+    * two names, nulling one side of every union (the fuzz caught
+    * exactly that once rename toggles entered the schedules). One
+    * SELECT per part — ids are a bijection, so no transient duplicate
+    * names; tables without field ids pass through untouched (they
+    * cannot rename). */
+  private def normalizeEra(df: DataFrame, era: State, fin: State): DataFrame = {
+    if (era.fieldIds.isEmpty || fin.fieldIds.isEmpty) return df
+    val eraId = era.fieldIds.toMap
+    val finName = fin.fieldIds.map { case (n, i) => (i, n) }.toMap
+    val changed = df.columns.exists(c =>
+      eraId.get(c).flatMap(finName.get).exists(_ != c))
+    if (!changed) df
+    else df.select(df.columns.map { c =>
+      eraId.get(c).flatMap(finName.get) match {
+        case Some(nn) if nn != c => col(c).as(nn)
+        case _ => col(c)
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** The change-feed parts of one maximal RUN of delta records starting

@@ -181,9 +181,13 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
         // O(delta) rewrite-silent flavor), sometimes with an injected
         // racing append; neither changes the logical row set
         def compactOnce(): Unit =
-          if (rnd.nextInt(3) == 0)
-            IndexManifest.compactPartitions(spark, dir, Seq(rnd.nextInt(3).toString), "vec_id")
-          else IndexManifest.compact(spark, dir, "vec_id")
+          rnd.nextInt(4) match {
+            case 0 =>
+              IndexManifest.compactPartitions(spark, dir, Seq(rnd.nextInt(3).toString), "vec_id")
+            case 1 => // SMALL-FILE bin-pack (round 13): folds only sub-threshold files
+              IndexManifest.compactSmall(spark, dir, "vec_id", minRows = 3L + rnd.nextInt(6))
+            case _ => IndexManifest.compact(spark, dir, "vec_id")
+          }
         if (rnd.nextBoolean()) {
           val (rid, rid0, rn) = freshAdhoc()
           IndexManifest.interruptBeforeManifest = () => {
@@ -334,7 +338,18 @@ class ManifestFuzzSpec extends AnyFunSuite with Matchers {
     if (gens.size >= 2) {
       val g0 = gens.min
       val feed = IndexManifest.changes(spark, dir, g0, gens.max)
-      val replayed = (rowsOf(IndexManifest.readAt(spark, dir, g0)) ++
+      // the retention boundary can land on a rename-interim generation:
+      // readAt serves ITS OWN era's names (the documented pinned-read
+      // contract), so re-bind them to the current names by field id
+      // before the replay arithmetic — same normalization the feed does
+      val st0 = IndexManifest.stateAt(spark, dir, g0)
+      val curIds = IndexManifest.currentState(spark, dir)
+        .map(_.fieldIds).getOrElse(Seq.empty).map { case (n, i) => (i, n) }.toMap
+      val start0 = IndexManifest.readAt(spark, dir, g0)
+      val startDf = st0.fieldIds.foldLeft(start0) { case (d, (n, i)) =>
+        curIds.get(i).filter(_ != n).map(nn => d.withColumnRenamed(n, nn)).getOrElse(d)
+      }
+      val replayed = (rowsOf(startDf) ++
         rowsOf(feed.filter(col("_change_type") === "insert")))
         .diff(rowsOf(feed.filter(col("_change_type") === "delete")))
       replayed.sorted shouldBe expected

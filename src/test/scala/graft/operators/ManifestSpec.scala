@@ -1461,6 +1461,39 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("stats-less")
   }
 
+  test("SMALL-FILE COMPACTION: only sub-threshold files fold; healthy files carry forward entry-identical; counts stay exact past the stale-DV-pair seam; feed silent") {
+    freshIndex()                                                        // 3 files × ~13 rows
+    (1 to 3).foreach(i =>
+      IndexManifest.appendBatch(spark, batch(100L * i, 4), dir, s"s_$i")) // 9ish 1-2 row files
+    IndexManifest.deleteWhere(spark, dir, col("vec_id") === 100L, "p1") // DV on a SMALL file
+    val pre = IndexManifest.currentState(spark, dir).get
+    val big = pre.files.filter(_.rows >= 5)
+    big should not be empty
+    val expect = served()
+    val cnt = IndexManifest.countRows(spark, dir)
+
+    IndexManifest.compactSmall(spark, dir, "vec_id", minRows = 5L)
+    val post = IndexManifest.currentState(spark, dir).get
+    served() shouldBe expect                                            // rows byte-identical
+    big.toSet.subsetOf(post.files.toSet) shouldBe true                  // healthy files untouched
+    post.files.size should be < pre.files.size                          // small ones folded
+    val h = IndexManifest.history(spark, dir).last
+    h.kind shouldBe "delta"                                             // O(delta) commit…
+    h.rewrite shouldBe true                                             // …and feed-silent
+    IndexManifest.changes(spark, dir, pre.gen, post.gen).count() shouldBe 0
+
+    // the STALE-DV-PAIR seam this verb exposes: the sidecar survives but
+    // its pair now references a REMOVED file (the rewrite materialized
+    // the deleted row away) — counting must not double-subtract it
+    post.dvs should not be empty
+    IndexManifest.countRows(spark, dir) shouldBe cnt
+    IndexManifest.countRows(spark, dir) shouldBe IndexManifest.read(spark, dir).count()
+    IndexManifest.partitionCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq shouldBe
+      IndexManifest.read(spark, dir).groupBy(col("cell").cast("string")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
   test("BLOOM FILTERS: equality probes skip files zone maps cannot; skips exact through append/delete/compaction; declaration persists in the log") {
     val bdir = "/tmp/graft_llm/manifest_spec/bloom"
     val bp = new Path(bdir)
