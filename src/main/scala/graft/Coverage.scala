@@ -132,7 +132,7 @@ object Coverage {
     Row("L16", "anisotropic demonstration corpus (deterministic low-rank generated data): residual encoding and whiten-then-quantize (ABTT→PQ) measured STRICTLY above their raw floors — the positive case the near-isotropic fixture hides, completing the diagnose→decide→transform→requantize loop",
       Seq("q242_aniso_pca", "q243_aniso_residual_lift",
         "q244_aniso_pq_raw_recall", "q245_aniso_pq_abtt_recall")),
-    Row("L17", "manifest TABLE FORMAT — atomic visibility with optimistic concurrency, an incremental transaction log, time travel, column-keyed zone maps, manifest-held schema, merge-on-read deletes, and a checksummed versioned format: every commit is one atomically-published log record (a generation-number CAS — racing appends retry by union, racing compactions/replaces/deletes redo their work, neither loses rows), and since round 12 commits are O(delta) records (adds/removes/dv-adds/one watermark) with full-snapshot CHECKPOINT SIDECARS bounding every reader's replay tail at 8 records — commit bytes measured INDEPENDENT of table size (997 B delta vs 8.4 MB full rewrite at 100k files, ManifestPlanBench); probes plan from the manifest, never directory listing — a crash at ANY instant leaves readers on the old complete generation; file entries carry zone maps for EVERY declared stat column (TableSpec, persisted in the manifest) so a range probe skips non-overlapping files at planning time (q255 grades the pruned vec_id probe with skipped>0 enforced structurally; q260 grades a SECOND table — the documents corpus, partitioned by lang with doc_id+n_chars stats — through the same machinery); readAt() serves any retained generation byte-identically (q256, AFTER two later commits and a compaction); the table schema lives in the manifest — appends validate column types loudly and evolve the schema in the same commit, readers plan with the generation's schema so pre-evolution files surface NULL without any mergeSchema footer sweep (q261); copy-on-write RANGE REPLACE (q258) is zone-map-surgical DML (only overlapping files rewrite, entry-identical carry-forward enforced structurally) while DELETION VECTORS (q259) are its merge-on-read complement — an arbitrary-predicate delete writes O(deleted rows) of (file,row_index) sidecar pairs through the same CAS, reads apply them as an anti-join on _metadata, compaction materializes them away; the batch ledger is per-writer watermarks (O(writers), the streaming-transaction contract, below-watermark no-ops logged loudly); vacuum honors keepGens retention + an in-flight grace window and keeps or checkpoints every retained generation's resolution closure — a generation either resolves completely or is gone completely, and a too-late readAt names the recorded retention policy (ManifestSpec drives every failpoint, all writer races incl. delete-vs-append, checksum/version/legacy parsing, surgical replace, DV crash/race/materialization, schema evolution, and the retention ladder; ManifestFuzzSpec drives 220 seeded random schedules through the incremental log); the log also serves a row-level CHANGE DATA FEED (q262): changes(from,to) emits each commit's inserted/deleted rows tagged (_change_type, _commit_gen) in O(changed files + deleted rows) — delta records name their own actions, compactions carry rewrite:true and emit nothing (the dataChange=false discipline), a replayed feed reconstructs the final state exactly (also pinned as the fuzz's closing invariant over all 220 schedules); changesSince(lastGen) gives consumers the poll/high-water-mark contract for exactly-once downstream consumption, and history() serves the DESCRIBE-HISTORY catalog from the log's metadata alone; scripts/manifest_interop.py + ManifestInteropSpec prove the log is ENGINE-AGNOSTIC — an independent Python+DuckDB reader resolves the same checkpoint+delta chain, prunes by zone maps, applies deletion vectors via file_row_number, reads evolved schemas via union_by_name, and serves byte-identical rows incl. pinned pre-delete generations; round 13 completes the WRITE side: MERGE INTO through the manifest (q263) — the upsert verb as ONE atomic delta commit (matched old versions DV-deleted + updates/inserts appended; race matrix vs append/delete/compaction spec-pinned, a merge op added to the fuzz schedules, the feed sees delete+insert at one generation), deletion vectors COMPRESSED to delta-varint position lists (~1 B/row before page compression, measured 100k deleted rows in tens of KB vs the row-per-position format's MBs, legacy sidecars still read, the Python reader decodes the same codec), the published corpus (q97/q130) served THROUGH the manifest (readPartitions plans a per-language read by entry-prefix arithmetic — no directory listing — and DPP still injects its runtime partition filter into the manifest-planned scan, PlanSpec-pinned), and the change feed bootstraps from zero (changesSince(0) emits generation 1 as inserts); schema evolution gains TYPE WIDENING (q264): int→long / float→double on append is a metadata commit — readers plan all files with the wide type and the narrow pre-widening files upcast inside the vectorized scan (generation-pinned reads keep their own narrow schema; narrower late batches upcast the same way; anything outside the lattice stays a loud conflict); and an exactly-once STREAMING CDC CONSUMER (streaming.ChangeFeedConsumer) mirrors manifest→manifest with the destination WATERMARK LEDGER as the transactional offset — data and offset are one merge commit, both crash seams + the foreachBatch epoch-replay restart proven in ChangeFeedConsumerSpec (the consume-direction twin of StreamingSpec's ingest proof); and TableSpec gains a CLUSTERED (bucketed) layout (q265): every commit hash-buckets its files on the declared bucket columns with Spark's own bucket function and the bucket-id name suffix, readBucketed serves the table as a bucketed relation (one construction-only seam into the private[sql] HadoopFsRelation+BucketSpec constructors, isolated in org.apache.spark.sql.graftshim), and a join of two same-bucketed manifest tables runs with ZERO join-side shuffle exchange — ManifestPlanSpec pins the exchange-free SortMergeJoin with broadcast disabled, ManifestSpec pins the layout surviving every DML verb + compaction with plain and bucketed reads agreeing; and Z-ORDER multi-dimensional clustering (q266): a maintenance rewrite by the Morton key of ALL declared stat columns (pure bitwise Column arithmetic, codegen, no UDF) makes EVERY dimension's zone maps skippable — readRangeOn serves a secondary-column band with planning-time file pruning, pre/post skip counts enforced structurally, the rewrite is protocol-wise a compaction (feed-silent rewrite:true, DVs materialized, ledger carried, CAS-loss redo), z-keys are RANGE-NORMALIZED per dimension off the manifest's own zone maps (naive interleaving puts every split on the widest column — measured and fixed), and bucketed tables refuse loudly (their hash IS the layout); compaction itself is now genuinely O(partition) per commit: compactPartitions rewrites only the named partitions' files as a rewrite-silent O(delta) record (the dataChange=false twin for deltas), every other partition entry-identical — fuzzed alongside the full flavor; the round-13 second wave makes the feed a FIRST-CLASS STREAMING SOURCE and columns FIRST-CLASS IDENTITIES: `spark.readStream.format(\"graft-cdc\")` (q268) serves the change feed with generation numbers as offsets — getOffset is one metadata read, each micro-batch is one changes() window (O(changed rows), plan-flat in window length), bootstrap serves generation 1 as inserts, the engine WAL + an epoch-keyed merge sink give end-to-end exactly-once through restarts (CdcSourceSpec), and mid-stream widening or rename fails the query loudly (the restart contract); BLOOM-FILTER POINT LOOKUPS (q267): TableSpec declares bloom columns, every commit writes parquet footer blooms (adaptively sized) through one shared staged-write path, and readPoints() prunes candidate files at PLANNING time with a cached may-contain test — the equality pruning zone maps cannot give on a column the layout scatters (mod-split batches, files sorted by another column), bloomSkipped>0 enforced structurally, no false negatives by construction; COLUMN RENAME BY FIELD ID (q269): publishBase stamps stable parquet field ids on every column, so renameColumn is ONE metadata record — zero data rewritten (entry-identical file list enforced), pre-rename files resolve by id inside the vectorized scan, pinned generations keep their own names, stat/bucket/bloom bindings follow in the same commit, a late batch on the old name becomes a brand-new column, the double-schema-evolution append race restages instead of binding one id to two columns, and legacy trees refuse until upgradeFieldIds' single rewrite; and TIMESTAMP AS OF (q270): generationAsOf/readAsOf resolve an instant to the newest commit at or before it from the records' publish mtimes (history() now carries per-commit timestamps), strictly refusing instants vacuumed past retention; undeclared-column renames commit as O(delta) records (only a stat/bucket/bloom-binding rename pays the full-record publish, ManifestSpec pins both kinds); and CHECK CONSTRAINTS (q271): the manifest holds a named constraint set (declared in TableSpec or ALTERed via addCheck/dropCheck — add validates the EXISTING table first), every data-landing verb (publish, append, replace, merge) enforces it in ONE O(batch) combined pass with SQL NULL semantics before anything writes, a violating batch lands NOTHING (batch-atomicity graded end to end), and renameColumn refuses to orphan a constraint that references the old name; and METADATA-ONLY AGGREGATION (q272): countRows answers COUNT(*) from the log alone (entry row counts minus DV deleted counts — zero I/O) and partitionCounts serves per-partition counts with the DV sidecars as the ONLY read (both-URI-form matching per the q262 lesson), graded against the honest full-scan oracle with the total structurally pinned to countRows — both counters semi-join DV pairs against LIVE files, because a partial rewrite (partition-scoped/small-file compaction, z-order) leaves stale pairs whose rows the new entries already exclude (found designing the small-file compactor, spec-pinned); and SMALL-FILE (bin-pack) COMPACTION: compactSmall folds ONLY sub-threshold files per partition into one O(delta) rewrite-silent commit — healthy files carry forward entry-identical, the rolling OPTIMIZE loop a streaming ingest needs (contrast full compact's O(table) every run), fuzzed as a third compaction flavor",
+    Row("L17", "manifest TABLE FORMAT — atomic visibility with optimistic concurrency, an incremental transaction log, time travel, column-keyed zone maps, manifest-held schema, merge-on-read deletes, and a checksummed versioned format: every commit is one atomically-published log record (a generation-number CAS — racing appends retry by union, racing compactions/replaces/deletes redo their work, neither loses rows), and since round 12 commits are O(delta) records (adds/removes/dv-adds/one watermark) with full-snapshot CHECKPOINT SIDECARS bounding every reader's replay tail at 8 records — commit bytes measured INDEPENDENT of table size (997 B delta vs 8.4 MB full rewrite at 100k files, ManifestPlanBench); probes plan from the manifest, never directory listing — a crash at ANY instant leaves readers on the old complete generation; file entries carry zone maps for EVERY declared stat column (TableSpec, persisted in the manifest) so a range probe skips non-overlapping files at planning time (q255 grades the pruned vec_id probe with skipped>0 enforced structurally; q260 grades a SECOND table — the documents corpus, partitioned by lang with doc_id+n_chars stats — through the same machinery); readAt() serves any retained generation byte-identically (q256, AFTER two later commits and a compaction); the table schema lives in the manifest — appends validate column types loudly and evolve the schema in the same commit, readers plan with the generation's schema so pre-evolution files surface NULL without any mergeSchema footer sweep (q261); copy-on-write RANGE REPLACE (q258) is zone-map-surgical DML (only overlapping files rewrite, entry-identical carry-forward enforced structurally) while DELETION VECTORS (q259) are its merge-on-read complement — an arbitrary-predicate delete writes O(deleted rows) of (file,row_index) sidecar pairs through the same CAS, reads apply them as an anti-join on _metadata, compaction materializes them away; the batch ledger is per-writer watermarks (O(writers), the streaming-transaction contract, below-watermark no-ops logged loudly); vacuum honors keepGens retention + an in-flight grace window and keeps or checkpoints every retained generation's resolution closure — a generation either resolves completely or is gone completely, and a too-late readAt names the recorded retention policy (ManifestSpec drives every failpoint, all writer races incl. delete-vs-append, checksum/version/legacy parsing, surgical replace, DV crash/race/materialization, schema evolution, and the retention ladder; ManifestFuzzSpec drives 220 seeded random schedules through the incremental log); the log also serves a row-level CHANGE DATA FEED (q262): changes(from,to) emits each commit's inserted/deleted rows tagged (_change_type, _commit_gen) in O(changed files + deleted rows) — delta records name their own actions, compactions carry rewrite:true and emit nothing (the dataChange=false discipline), a replayed feed reconstructs the final state exactly (also pinned as the fuzz's closing invariant over all 220 schedules); changesSince(lastGen) gives consumers the poll/high-water-mark contract for exactly-once downstream consumption, and history() serves the DESCRIBE-HISTORY catalog from the log's metadata alone; scripts/manifest_interop.py + ManifestInteropSpec prove the log is ENGINE-AGNOSTIC — an independent Python+DuckDB reader resolves the same checkpoint+delta chain, prunes by zone maps, applies deletion vectors via file_row_number, reads evolved schemas via union_by_name, and serves byte-identical rows incl. pinned pre-delete generations; round 13 completes the WRITE side: MERGE INTO through the manifest (q263) — the upsert verb as ONE atomic delta commit (matched old versions DV-deleted + updates/inserts appended; race matrix vs append/delete/compaction spec-pinned, a merge op added to the fuzz schedules, the feed sees delete+insert at one generation), deletion vectors COMPRESSED to delta-varint position lists (~1 B/row before page compression, measured 100k deleted rows in tens of KB vs the row-per-position format's MBs, legacy sidecars still read, the Python reader decodes the same codec), the published corpus (q97/q130) served THROUGH the manifest (readPartitions plans a per-language read by entry-prefix arithmetic — no directory listing — and DPP still injects its runtime partition filter into the manifest-planned scan, PlanSpec-pinned), and the change feed bootstraps from zero (changesSince(0) emits generation 1 as inserts); schema evolution gains TYPE WIDENING (q264): int→long / float→double on append is a metadata commit — readers plan all files with the wide type and the narrow pre-widening files upcast inside the vectorized scan (generation-pinned reads keep their own narrow schema; narrower late batches upcast the same way; anything outside the lattice stays a loud conflict); and an exactly-once STREAMING CDC CONSUMER (streaming.ChangeFeedConsumer) mirrors manifest→manifest with the destination WATERMARK LEDGER as the transactional offset — data and offset are one merge commit, both crash seams + the foreachBatch epoch-replay restart proven in ChangeFeedConsumerSpec (the consume-direction twin of StreamingSpec's ingest proof); and TableSpec gains a CLUSTERED (bucketed) layout (q265): every commit hash-buckets its files on the declared bucket columns with Spark's own bucket function and the bucket-id name suffix, readBucketed serves the table as a bucketed relation (one construction-only seam into the private[sql] HadoopFsRelation+BucketSpec constructors, isolated in org.apache.spark.sql.graftshim), and a join of two same-bucketed manifest tables runs with ZERO join-side shuffle exchange — ManifestPlanSpec pins the exchange-free SortMergeJoin with broadcast disabled, ManifestSpec pins the layout surviving every DML verb + compaction with plain and bucketed reads agreeing; and Z-ORDER multi-dimensional clustering (q266): a maintenance rewrite by the Morton key of ALL declared stat columns (pure bitwise Column arithmetic, codegen, no UDF) makes EVERY dimension's zone maps skippable — readRangeOn serves a secondary-column band with planning-time file pruning, pre/post skip counts enforced structurally, the rewrite is protocol-wise a compaction (feed-silent rewrite:true, DVs materialized, ledger carried, CAS-loss redo), z-keys are RANGE-NORMALIZED per dimension off the manifest's own zone maps (naive interleaving puts every split on the widest column — measured and fixed), and bucketed tables refuse loudly (their hash IS the layout); compaction itself is now genuinely O(partition) per commit: compactPartitions rewrites only the named partitions' files as a rewrite-silent O(delta) record (the dataChange=false twin for deltas), every other partition entry-identical — fuzzed alongside the full flavor; the round-13 second wave makes the feed a FIRST-CLASS STREAMING SOURCE and columns FIRST-CLASS IDENTITIES: `spark.readStream.format(\"graft-cdc\")` (q268) serves the change feed with generation numbers as offsets — getOffset is one metadata read, each micro-batch is one changes() window (O(changed rows), plan-flat in window length), bootstrap serves generation 1 as inserts, the engine WAL + an epoch-keyed merge sink give end-to-end exactly-once through restarts (CdcSourceSpec), and mid-stream widening or rename fails the query loudly (the restart contract); BLOOM-FILTER POINT LOOKUPS (q267): TableSpec declares bloom columns, every commit writes parquet footer blooms (adaptively sized) through one shared staged-write path, and readPoints() prunes candidate files at PLANNING time with a cached may-contain test — the equality pruning zone maps cannot give on a column the layout scatters (mod-split batches, files sorted by another column), bloomSkipped>0 enforced structurally, no false negatives by construction; COLUMN RENAME BY FIELD ID (q269): publishBase stamps stable parquet field ids on every column, so renameColumn is ONE metadata record — zero data rewritten (entry-identical file list enforced), pre-rename files resolve by id inside the vectorized scan, pinned generations keep their own names, stat/bucket/bloom bindings follow in the same commit, a late batch on the old name becomes a brand-new column, the double-schema-evolution append race restages instead of binding one id to two columns, and legacy trees refuse until upgradeFieldIds' single rewrite; and TIMESTAMP AS OF (q270): generationAsOf/readAsOf resolve an instant to the newest commit at or before it from the records' publish mtimes (history() now carries per-commit timestamps), strictly refusing instants vacuumed past retention; undeclared-column renames commit as O(delta) records (only a stat/bucket/bloom-binding rename pays the full-record publish, ManifestSpec pins both kinds); and CHECK CONSTRAINTS (q271): the manifest holds a named constraint set (declared in TableSpec or ALTERed via addCheck/dropCheck — add validates the EXISTING table first), every data-landing verb (publish, append, replace, merge) enforces it in ONE O(batch) combined pass with SQL NULL semantics before anything writes, a violating batch lands NOTHING (batch-atomicity graded end to end), and renameColumn refuses to orphan a constraint that references the old name; and METADATA-ONLY AGGREGATION (q272): countRows answers COUNT(*) from the log alone (entry row counts minus DV deleted counts — zero I/O) and partitionCounts serves per-partition counts with the DV sidecars as the ONLY read (both-URI-form matching per the q262 lesson), graded against the honest full-scan oracle with the total structurally pinned to countRows — both counters semi-join DV pairs against LIVE files, because a partial rewrite (partition-scoped/small-file compaction, z-order) leaves stale pairs whose rows the new entries already exclude (found designing the small-file compactor, spec-pinned); and SMALL-FILE (bin-pack) COMPACTION: compactSmall folds ONLY sub-threshold files per partition into one O(delta) rewrite-silent commit — healthy files carry forward entry-identical, the rolling OPTIMIZE loop a streaming ingest needs (contrast full compact's O(table) every run), fuzzed as a third compaction flavor; and DROP COLUMN completes the DDL verb set (add-on-append, widen, rename, drop): one O(delta) record removes the column from the schema and TOMBSTONES its field id — no data touched, pinned generations keep serving it, and a REBORN name gets a FRESH id so the old files' orphaned values can never resurrect into the new column (the id-reuse hazard, spec-pinned); refuses the partition column, declared layout bindings, check-referenced columns, and id-less legacy trees",
       Seq("q249_ivfadc_manifest", "q255_manifest_zonemap", "q256_manifest_timetravel", "q258_manifest_replace",
         "q259_manifest_delete", "q260_manifest_corpus", "q261_manifest_schema", "q262_manifest_changes",
         "q263_manifest_merge", "q264_manifest_widen", "q265_manifest_bucketed",

@@ -1682,6 +1682,64 @@ object IndexManifest {
   def upgradeFieldIds(spark: SparkSession, dir: String, sortCol: String): Unit =
     compactAttempt(spark, dir, sortCol, attemptsLeft = 4, adoptIds = true)
 
+  /** DROP COLUMN — the fourth DDL verb (add-on-append, widen, rename,
+    * drop), metadata-only like rename: one O(delta) record removes the
+    * column from the schema AND retires its field id; no data file is
+    * touched — the bytes stay in the files, readers simply never plan
+    * the column again (the id-addressed logical-deletion production
+    * formats ship; a later compaction physically sheds them). Pinned
+    * time-travel generations keep serving the column. A later batch
+    * that re-introduces the NAME gets a FRESH id, so the old files'
+    * orphaned values can never bleed into the reborn column (they
+    * carry the retired id). Refuses loudly for: the partition column,
+    * any declared stat/bucket/bloom binding (drop or re-declare those
+    * first — they are the table's layout contract), a column some
+    * CHECK constraint references, the last remaining column, and
+    * tables without field ids (upgrade first — without ids a reborn
+    * name would resurrect old values). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    var attempts = 4
+    while (true) {
+      val st = current(fs, root).getOrElse(
+        sys.error(s"no manifest at $dir — publishBase first"))
+      require(st.fieldIds.nonEmpty,
+        s"table at $dir predates field ids — run upgradeFieldIds (one compaction rewrite) first")
+      require(st.fieldIds.exists(_._1 == name), s"no column '$name' at $dir")
+      require(name != st.partCol, s"'$name' is the partition column — it cannot drop")
+      val declared = (st.statCols ++ st.bucketCols ++ st.bloomCols).toSet
+      require(!declared(name),
+        s"'$name' carries a stat/bucket/bloom binding — re-declare the layout before dropping it")
+      val cur = StructType.fromDDL(st.schemaDdl.getOrElse(
+        sys.error(s"no manifest-held schema at $dir")))
+      require(cur.fields.length > 1, s"cannot drop the last column of $dir")
+      val next = StructType(cur.fields.filterNot(_.name == name))
+      // a CHECK referencing the column would stop resolving — refuse
+      locally {
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), next)
+        st.checks.foreach { case (n, e) =>
+          require(checkResolves(probe, e),
+            s"cannot drop '$name': check constraint '$n' ($e) references it — drop the check first")
+        }
+      }
+      // the id is TOMBSTONED, not freed: `~<id>` can never collide with
+      // a real column (renames/appends use identifier names), it keeps
+      // the id out of [[evolveFieldIds]]' max forever, and that is what
+      // guarantees a REBORN name gets a fresh id — reusing the retired
+      // id would resurrect the old files' orphaned values into the new
+      // column
+      val retired = st.fieldIds.map {
+        case (n, i) if n == name => (s"~$i", i)
+        case e => e
+      }
+      if (tryCommit(fs, root, st, Commit(schema = Some(next.toDDL),
+          fieldIds = Some(retired)))) return
+      attempts -= 1
+      require(attempts > 0, s"dropColumn lost the manifest race repeatedly at $dir")
+    }
+  }
+
   /** One optimistic compaction attempt. Unlike an append, a compaction
     * that loses the manifest CAS cannot commit on top of the new
     * current: the rewrite was a snapshot of a generation that no longer

@@ -1494,6 +1494,54 @@ class ManifestSpec extends AnyFunSuite with Matchers {
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
   }
 
+  test("DROP COLUMN: metadata-only; pinned reads keep it; a REBORN name gets a FRESH id so old values never resurrect; refusals loud") {
+    val ddir = "/tmp/graft_llm/manifest_spec/drop"
+    val dp = new Path(ddir)
+    dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+    def mk(id0: Long, n: Int) = spark.range(id0, id0 + n).selectExpr(
+      "id AS vec_id", "id * 3 AS w", "cast(id % 4 as int) AS cell")
+    IndexManifest.publishBase(spark, mk(0, 20), ddir,
+      IndexManifest.TableSpec("cell", Seq("vec_id")))
+    IndexManifest.appendBatch(spark, mk(100, 5), ddir, "day_1")         // gen 2
+
+    IndexManifest.dropColumn(spark, ddir, "w")                          // gen 3
+    val st3 = IndexManifest.currentState(spark, ddir).get
+    IndexManifest.read(spark, ddir).columns should not contain "w"
+    st3.files.sortBy(_.path) shouldBe
+      IndexManifest.stateAt(spark, ddir, 2L).files.sortBy(_.path)       // ZERO data rewritten
+    IndexManifest.history(spark, ddir).find(_.gen == 3L).get.kind shouldBe "delta"
+    IndexManifest.readAt(spark, ddir, 2L).columns should contain("w")   // pinned era keeps it
+    // the id is TOMBSTONED, not freed
+    st3.fieldIds.map(_._2).max shouldBe 3
+
+    // REBORN name: a later batch re-introduces `w` — it must get a
+    // FRESH id, and the old files' orphaned values must NOT resurrect
+    IndexManifest.appendBatch(spark, mk(200, 4), ddir, "day_2")         // gen 4
+    val reborn = IndexManifest.read(spark, ddir)
+    reborn.filter(col("vec_id") < 200 && col("w").isNotNull).count() shouldBe 0
+    reborn.filter(col("vec_id") >= 200 && col("w").isNotNull).count() shouldBe 4
+    val ids4 = IndexManifest.currentState(spark, ddir).get.fieldIds.toMap
+    ids4("w") shouldBe 4                                                // fresh, not the retired 2
+
+    // refusals: partition column, declared stat binding, a referencing
+    // check, unknown column
+    intercept[IllegalArgumentException] {
+      IndexManifest.dropColumn(spark, ddir, "cell")
+    }.getMessage should include("partition")
+    intercept[IllegalArgumentException] {
+      IndexManifest.dropColumn(spark, ddir, "vec_id")
+    }.getMessage should include("binding")
+    IndexManifest.addCheck(spark, ddir, "w_ok", "w >= 0 OR w IS NULL")
+    intercept[IllegalArgumentException] {
+      IndexManifest.dropColumn(spark, ddir, "w")
+    }.getMessage should include("w_ok")
+    IndexManifest.dropCheck(spark, ddir, "w_ok")
+    IndexManifest.dropColumn(spark, ddir, "w")                          // now drops again
+    intercept[IllegalArgumentException] {
+      IndexManifest.dropColumn(spark, ddir, "nope")
+    }: Unit
+  }
+
   test("BLOOM FILTERS: equality probes skip files zone maps cannot; skips exact through append/delete/compaction; declaration persists in the log") {
     val bdir = "/tmp/graft_llm/manifest_spec/bloom"
     val bp = new Path(bdir)
