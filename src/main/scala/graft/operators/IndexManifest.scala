@@ -1110,6 +1110,16 @@ object IndexManifest {
       df.select(expr(e).cast("boolean")); true
     } catch { case _: org.apache.spark.sql.AnalysisException => false }
 
+  /** Does `e` resolve to a GENUINE boolean (no silent cast — a check
+    * declared as `vec_id` would otherwise become `vec_id != 0`
+    * semantics nobody wrote)? Declaration-time guard only; the
+    * enforcement pass trusts declarations. */
+  private def checkIsBoolean(df: DataFrame, e: String): Boolean =
+    try {
+      df.select(expr(e)).schema.head.dataType ==
+        org.apache.spark.sql.types.BooleanType
+    } catch { case _: org.apache.spark.sql.AnalysisException => false }
+
   /** Enforce the table's CHECK constraints on rows about to land —
     * called by every data-landing commit (publish, append, replace,
     * merge) BEFORE anything writes. ONE combined pass over the batch
@@ -1152,8 +1162,8 @@ object IndexManifest {
         sys.error(s"no manifest at $dir — publishBase first"))
       require(!st.checks.exists(_._1 == name), s"check '$name' already exists at $dir")
       val table = serve(spark, dir, st, st.files)
-      require(checkResolves(table, sqlExpr),
-        s"check '$name' ($sqlExpr) does not resolve to BOOLEAN against the table schema")
+      require(checkIsBoolean(table, sqlExpr),
+        s"check '$name' ($sqlExpr) does not resolve to a BOOLEAN against the table schema")
       validateChecks(Seq(name -> sqlExpr), table, s"existing data at $dir")
       if (tryWriteFull(fs, root, st.copy(gen = st.gen + 1,
           checks = st.checks :+ (name -> sqlExpr)))) return
@@ -1196,8 +1206,8 @@ object IndexManifest {
     spec.bloomCols.foreach(c => require(enc.columns.contains(c), s"bloom column '$c' missing"))
     spec.checks.foreach { case (n, e) =>
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe constraint name '$n'")
-      require(checkResolves(enc, e),
-        s"check '$n' ($e) does not resolve to BOOLEAN against the base schema")
+      require(checkIsBoolean(enc, e),
+        s"check '$n' ($e) does not resolve to a BOOLEAN against the base schema")
     }
     validateChecks(spec.checks, enc, "base publish")
     val fieldIds = assignFieldIds(enc.schema)
@@ -1610,7 +1620,12 @@ object IndexManifest {
     * never silently remapped). Tables created before field ids existed
     * must [[upgradeFieldIds]] first (one rewrite); the change feed sees
     * nothing (no rows changed), and a streaming CDC query pinned to the
-    * old name fails loudly and restarts onto the new one.
+    * old name fails loudly and restarts onto the new one. Renaming a
+    * BLOOM column keeps correctness but loses the old files' footer
+    * blooms to the probe (the footer stores the write-time name; the
+    * may-contain test finds no column under the new name and keeps the
+    * file conservatively) — the next compaction rewrites them under the
+    * new name and restores the skipping.
     *
     * At 100 TB: the entire operation is ONE O(files) record publish —
     * the same cost as any commit, independent of data size; this is

@@ -1403,6 +1403,9 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       IndexManifest.addCheck(spark, cdir, "typo", "nope_col > 0")      // must resolve
     }
+    intercept[IllegalArgumentException] {
+      IndexManifest.addCheck(spark, cdir, "notbool", "vec_id")         // must BE boolean,
+    }                                                                  // no silent != 0 cast
     IndexManifest.addCheck(spark, cdir, "vec_bounded", "vec_id < 1000")
     intercept[RuntimeException] {
       IndexManifest.appendBatch(spark, mk(5000, 2), cdir, "day_4")
