@@ -138,7 +138,7 @@ object Coverage {
         "q263_manifest_merge", "q264_manifest_widen", "q265_manifest_bucketed",
         "q266_manifest_zorder", "q267_manifest_bloom", "q268_manifest_cdc_stream",
         "q269_manifest_rename", "q270_manifest_asof", "q271_manifest_checks",
-        "q272_manifest_count")),
+        "q272_manifest_count", "q273_manifest_drop")),
     Row("L18", "OPQ-style learned rotation (ABTT + masked-fit Householder eigen-alignment): the residual class subspace rotated into ONE PQ subspace and requantized — recall STRICTLY above the q245 ABTT floor on the aniso corpus (0.83→0.86), with the honest no-lift twin on the near-isotropic fixture, the projection-vs-rotation negative (iterated deflation, 0.82 < 0.83: removing the direction loses what reflecting it gains), and the FULL OPQ ALTERNATION graded as a measured negative (q257: one codebook-aware rotation update — book, quantization error, masked fit, reflection, retrain — drops recall to 0.81 < 0.86 and deeper alternation bounces inside the drop, so the one-shot spectral alignment IS the rotation optimum on this corpus; AnisoSpec pins it strictly)",
       Seq("q250_aniso_align_recall", "q251_fixture_align_recall", "q252_aniso_topr_recall", "q257_aniso_opq_recall"))
   )

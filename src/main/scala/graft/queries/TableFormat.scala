@@ -849,6 +849,55 @@ object TableFormat extends QueryModule {
       .orderBy("cell")
   }
 
+  // ─────────────── q273: DROP COLUMN + rebirth ───────────────
+
+  /** Stage the q273 tree (once per JVM per sf dir): the corpus
+    * published WITH `source`, then `source` DROPPED (metadata-only,
+    * entry-identical file list enforced), then the tail batch appended
+    * RE-INTRODUCING the name — which gets a fresh field id, so the
+    * pre-drop files' orphaned values must never resurrect. */
+  private def stageDropTree(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_llm/${sfKey(d)}/tableformat_drop"
+    val (_, d2) = docSplits(s, d)
+    stageOnce(dir) {
+      wipe(s, dir)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      IndexManifest.publishBase(s, docs.filter(col("doc_id") < d2), s"$dir/t",
+        TableSpec(partCol = "lang", statCols = Seq("doc_id")))
+      IndexManifest.dropColumn(s, s"$dir/t", "source")
+      IndexManifest.appendBatch(s, docs.filter(col("doc_id") >= d2), s"$dir/t", "feed_1")
+      val pre = IndexManifest.stateAt(s, s"$dir/t", 1L)
+      val post = IndexManifest.stateAt(s, s"$dir/t", 2L)
+      require(post.files.sortBy(_.path) == pre.files.sortBy(_.path),
+        s"drop at $dir rewrote data files — the metadata-only property broke")
+      require(IndexManifest.readAt(s, s"$dir/t", 1L).columns.contains("source"),
+        s"pinned pre-drop read at $dir lost its own era's column")
+    }
+    dir
+  }
+
+  /** DROP COLUMN + REBIRTH, graded end to end (q273): `source` dropped
+    * as one metadata record, then RE-INTRODUCED by the tail batch under
+    * a fresh field id — the graded aggregate counts non-null `source`
+    * per language, which is exactly the tail batch's rows IF AND ONLY
+    * IF the pre-drop files' orphaned values never resurrect into the
+    * reborn column (the id-reuse hazard the tombstone prevents,
+    * here graded against the oracle's arithmetic, not just spec-pinned).
+    * Oracle: the full corpus with `source` visible only past the split. */
+  val manifestDrop: Q = Q(
+    s"""SELECT lang, COUNT(*) AS cnt,
+       |  COUNT(CASE WHEN doc_id >= $sqlDocB2 THEN source END) AS cnt_src,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val dir = stageDropTree(s, d)
+    IndexManifest.read(s, s"$dir/t")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("source")).as("cnt_src"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   override def queries: Seq[(String, Q)] = Seq(
     "q259_manifest_delete" -> manifestDelete,
     "q260_manifest_corpus" -> manifestCorpus,
@@ -863,6 +912,7 @@ object TableFormat extends QueryModule {
     "q269_manifest_rename" -> manifestRename,
     "q270_manifest_asof" -> manifestAsof,
     "q271_manifest_checks" -> manifestChecks,
-    "q272_manifest_count" -> manifestCount
+    "q272_manifest_count" -> manifestCount,
+    "q273_manifest_drop" -> manifestDrop
   )
 }
