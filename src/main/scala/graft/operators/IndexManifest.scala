@@ -175,6 +175,28 @@ import org.apache.spark.sql.types.StructType
   *    window is a deployment knob, not a correctness mechanism —
   *    correctness is the manifest publish.
   *
+  * '''The full verb set (round 13).''' DML: [[appendBatch]],
+  * [[replaceRange]] (copy-on-write), [[deleteWhere]] (merge-on-read),
+  * [[merge]] (upsert as ONE atomic DV-delete + append commit). DDL, all
+  * metadata-only via stable parquet FIELD IDS stamped at [[publishBase]]:
+  * add-on-append and type WIDENING (int→long/float→double) through
+  * [[evolveSchema]], [[renameColumn]] (O(delta) for undeclared columns,
+  * old files resolve by id), [[dropColumn]] (tombstoned id — a reborn
+  * name gets a fresh one, orphaned values never resurrect), CHECK
+  * constraints ([[addCheck]]/[[dropCheck]], enforced on every
+  * data-landing verb with SQL NULL semantics, batch-atomic rejection).
+  * Maintenance: [[compact]] (full), [[compactPartitions]] (O(partition)),
+  * [[compactSmall]] (bin-pack, only sub-threshold files), [[zorder]]
+  * (multi-dimensional clustering), [[upgradeFieldIds]], [[vacuum]].
+  * Reads: [[read]], [[readPartitions]] (entry-prefix pruning),
+  * [[readBucketed]] (exchange-free joins), [[readRange]]/[[readRangeOn]]
+  * (zone maps), [[readPoints]] (footer BLOOM pruning), [[readAt]]
+  * (generation travel), [[readAsOf]] (timestamp travel), [[countRows]]/
+  * [[partitionCounts]] (metadata-only aggregation), [[changes]]/
+  * [[changesSince]] (the row-level change feed — also a first-class
+  * Structured Streaming source, `format("graft-cdc")`:
+  * [[graft.streaming.CdcSource]]), [[history]] (the log as catalog).
+  *
   * Scale notes: a manifest lists file entries, not rows — at 100 TB
   * with scan-sized files that is O(100k) short entries, one small
   * object read per query planning (plus an O(interval) delta tail),
