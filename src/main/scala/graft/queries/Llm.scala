@@ -3001,11 +3001,15 @@ object Llm extends QueryModule {
        |  CAST(SUM(CASE WHEN hv % 32 >= 16 THEN -1 ELSE 1 END) AS BIGINT) AS w
        |FROM h GROUP BY doc_id, dim
        |ORDER BY doc_id, dim""".stripMargin) { (s, d) =>
-    val ch = split(col("tok"), "")
+    // same rewrite as q233's dsirTok: no split()-in-lambda (re-evaluated
+    // per character), no intermediate transformed array — identical
+    // integer results, ~half the per-token expression work
     val hv = (aggregate(
-      transform(sequence(lit(1), length(col("tok"))),
-        i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
-      lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))).as("hv")
+      sequence(lit(1), length(col("tok"))),
+      lit(0L),
+      (acc, i) => acc + i.cast("long") *
+        ascii(col("tok").substr(i, lit(1))).cast("long")) +
+      lit(7919L) * length(col("tok"))).as("hv")
     documents(s, d).select(col("doc_id"), explode(words).as("tok"))
       // length > 0: empty tokens (consecutive spaces) pass the ASCII
       // gate but crash Spark's positional hash (element_at(ch, 0) via

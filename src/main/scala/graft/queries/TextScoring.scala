@@ -590,11 +590,19 @@ object TextScoring extends QueryModule {
     * TOKEN row (40× redundant work, measured 3.5 s of the first cut at
     * sf0.1; DESIGN_SCALE rule 4). PlanSpec pins this placement. */
   private[graft] def dsirTok(s: SparkSession, d: String): DataFrame = {
-    val ch = split(col("tok"), "")
+    // ascii(substr(i,1)), NOT ascii(element_at(split(tok,""), i)): a
+    // split() referenced inside the lambda is re-evaluated PER CHARACTER
+    // (the same O(len²) trap Llm.shinglesOf documents for words), and the
+    // fold runs directly over the index sequence instead of materializing
+    // a transformed array first. Identical integer results — ascii of the
+    // i-th one-char substring IS ord(tok[i]) — so the oracle arithmetic
+    // is untouched; r13 optimization round, guide §1.2 per-task work.
     val hv = aggregate(
-      transform(sequence(lit(1), length(col("tok"))),
-        i => i.cast("long") * ascii(element_at(ch, i)).cast("long")),
-      lit(0L), (acc, x) => acc + x) + lit(7919L) * length(col("tok"))
+      sequence(lit(1), length(col("tok"))),
+      lit(0L),
+      (acc, i) => acc + i.cast("long") *
+        ascii(col("tok").substr(i, lit(1))).cast("long")) +
+      lit(7919L) * length(col("tok"))
     val tgt = col("n_chars").between(100, 500) &&
       (size(filter(words, t => t.isInCollection(Llm.stopWords))).cast("double") /
         size(words)) >= 0.05
