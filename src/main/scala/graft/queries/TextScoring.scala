@@ -663,9 +663,25 @@ object TextScoring extends QueryModule {
         (log((col("ct") + 1.0) / (col("tt") + 64)) -
           log((col("cr") + 1.0) / (col("tr") + 64))) * 1000000, 0)
         .cast("long").as("lpr_micro"))
-    tok.join(broadcast(lp), "b")
-      .groupBy("doc_id")
-      .agg((sum("lpr_micro").cast("double") / 1000000).as("weight"))
+    // The ratio table rides into the scoring pass as a 64-slot LITERAL
+    // lookup array, not a broadcast join (r13 optimization round): the
+    // join keyed on the DERIVED column b made the optimizer infer
+    // IsNotNull(b) and push it below the projection, so the whole
+    // per-token positional hash evaluated TWICE per row (Filter +
+    // Project — the plan-pinned duplicate the guide's §4.4 describes for
+    // UDFs, reproduced here by a built-in expression chain). A 64-long
+    // element_at keeps one evaluation and drops the join operator
+    // entirely. Collecting lp is bounded by construction (≤64 rows, the
+    // fixed bucket count, already checkpointed driver-adjacent) — the
+    // same cost class as broadcasting it, at any corpus size. Buckets
+    // absent from the corpus simply keep slot 0: they can never be
+    // probed, because every scored token's b was counted into bs.
+    val lutVals = Array.fill[Long](64)(0L)
+    lp.collect().foreach(r => lutVals(r.getLong(0).toInt) = r.getLong(1))
+    val lut = array(lutVals.map(lit).toIndexedSeq: _*)
+    tok.groupBy("doc_id")
+      .agg((sum(element_at(lut, (col("b") + 1).cast("int")))
+        .cast("double") / 1000000).as("weight"))
       .orderBy(desc("weight"), asc("doc_id"))
       .limit(100)
   }
