@@ -8,10 +8,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * call sites work unchanged because `spark.read.parquet` accepts
   * directories/globs of many files and plans one partition per row-group
   * split ([SPK] ParquetFileFormat). Nothing here pins partition counts.
+  *
+  * SMALL-INPUT CPU FAN-OUT (r13 optimization round, guide §2.5 "one huge
+  * unsplittable file → repartition immediately after the read"): every
+  * fixture file is one ≤11 MB parquet file = ONE scan split, and
+  * whole-stage codegen fuses a query's expensive map work (tokenize/
+  * shingle/hash/distance) into the scan stage — so the CPU-heavy phase of
+  * such a query runs on 1 of 32 cores (job-level probe: q155's dominant
+  * jobs at n=3/n=4 tasks, q241's 1.05 s single-task broadcast build).
+  * [[wide]] appends a round-robin `repartition(defaultParallelism)` when
+  * the planned split count is far below the session parallelism.
+  *
+  * It is OPT-IN per pipeline, not applied inside [[t]]: a full-suite
+  * experiment with the repartition inside every accessor won 12 s on the
+  * CPU-heavy queries but lost 51 s across the tail (bench_full_r13opt_
+  * fanout.json vs _base.json) — for cheap downstream work the exchange
+  * costs more than single-core scanning saves, global ORDER BYs re-execute
+  * the exchange for range-partition sampling, and broadcast builds pick up
+  * a shuffle job. So only pipelines whose per-row compute measurably
+  * dominates opt in (the shingle/intersection family, the ANN distance
+  * family, the positional-hash scorers).
+  *
+  * Scale-adaptive by construction, not a local[32] constant: the
+  * repartition fires only when `sizeInBytes / files.maxPartitionBytes <
+  * defaultParallelism / 2` — at any realistic cluster scale the scan
+  * plans at least cores/2 splits and this is a no-op; inputs under 128 KB
+  * stay untouched (broadcast fodder). Filter pushdown and column pruning
+  * pass through a Repartition node (PushedFilters/ReadSchema pins
+  * unchanged — PlanSpec), statistics propagate, and round-robin
+  * repartition local-sorts its input (SPARK-23207) so task retries stay
+  * deterministic. Kill switch: `spark.graft.scan.fanout=false`.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Adaptive CPU fan-out for a scan-rooted relation whose downstream
+    * per-row work is known heavy — see the object scaladoc. Sizing reads
+    * the optimizer's own estimate (file size for a bare scan), so the
+    * same call is a no-op wherever the scan already plans enough splits. */
+  def wide(spark: SparkSession, df: DataFrame): DataFrame = {
+    val enabled = spark.conf.get("spark.graft.scan.fanout", "true").toBoolean
+    if (!enabled) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = spark.sparkContext.defaultParallelism
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val planned = (bytes + splitBytes - 1) / splitBytes
+    if (bytes >= 131072 && planned < cores / 2) df.repartition(cores) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
@@ -43,5 +88,9 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** Embeddings opt in to [[wide]] at the accessor: every consumer is a
+    * per-row distance/encoding pipeline (the ANN family), measured as the
+    * family-wide winner under fan-out with no losing consumer. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    wide(s, t(s, d, "embeddings"))
 }

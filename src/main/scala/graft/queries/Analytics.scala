@@ -39,7 +39,11 @@ object Analytics extends QueryModule {
       |  WHERE levenshtein(a.p_name, b.p_name) <= 5)""".stripMargin
 
   private def fuzzyPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val a = part(s, d).select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+    // CPU fan-out on the STREAM side (Tables.wide): the per-pair
+    // levenshtein runs in the probe stage of the broadcast join, which
+    // otherwise inherits the single-split part scan's one task
+    val a = graft.Tables.wide(s, part(s, d))
+      .select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
       col("p_brand"), col("p_size"))
     val b = part(s, d).select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
       col("p_brand").as("brand_b"), col("p_size").as("size_b"))
@@ -144,7 +148,7 @@ object Analytics extends QueryModule {
       |  UNION ALL SELECT 'n_nonpos_price', n_nonpos_price FROM a
       |  UNION ALL SELECT 'n_date_low', n_date_low FROM a)
       |ORDER BY metric""".stripMargin) { (s, d) =>
-    val a = orders(s, d).agg(
+    val a = graft.Tables.wide(s, orders(s, d)).agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("o_orderkey")).as("n_distinct_key"),
       (count(lit(1)) - count(col("o_custkey"))).as("n_null_custkey"),
@@ -489,7 +493,10 @@ object Analytics extends QueryModule {
     // the sorted array yields u<v pairs inside codegen — ONE exchange
     // (by order), where the former distinct + self-join spelling paid
     // the (o,p)-distinct exchange AND re-exchanged both join sides on o
-    val ps = lineitem(s, d)
+    // CPU fan-out (Tables.wide): the map-side partial collect_set is this
+    // query's dominant job and otherwise runs inside the single-split
+    // lineitem scan stage (job probe: n=3/n=4 tasks on 32 cores)
+    val ps = graft.Tables.wide(s, lineitem(s, d))
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) >= 2)

@@ -155,7 +155,9 @@ object Extras extends QueryModule {
       |WHERE CAST(json_extract(props, '$.k') AS INT) > 95
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     val v = parse_json(col("props"))
-    events(s, d)
+    // CPU fan-out (Tables.wide): per-row JSON parse otherwise runs inside
+    // the single-split events scan stage
+    graft.Tables.wide(s, events(s, d))
       .select(col("event_id"), variant_get(v, "$.k", "int").as("k"))
       .filter(col("k") > 95)
       .orderBy("event_id")

@@ -210,7 +210,10 @@ object Llm extends QueryModule {
     // shuffle payload drops to 8 bytes/shingle, and no shingle string is
     // ever materialized. The DuckDB oracle keeps literal string shingles
     // — matching output is exactly the collision-freeness check.
-    val sh0 = rel
+    // CPU fan-out before the shingle explode (Tables.wide scaladoc): the
+    // split+hash+explode below is the pipeline's dominant map cost and
+    // would otherwise run inside the single-split fixture scan stage
+    val sh0 = graft.Tables.wide(rel.sparkSession, rel)
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("s"))
@@ -1405,7 +1408,7 @@ object Llm extends QueryModule {
        |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
        |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin) { (s, d) =>
-    val docs = documents(s, d).filter(col("text").isNotNull)
+    val docs = graft.Tables.wide(s, documents(s, d)).filter(col("text").isNotNull)
       .select(col("doc_id"), words.as("wds"))
       .filter(size(col("wds")) >= 13)
     // pass 1: counts keyed by span hash (8-byte shuffle, no strings)
@@ -2645,7 +2648,7 @@ object Llm extends QueryModule {
        |SELECT doc_id, n_grams, n_shared,
        |  ROUND(1.0 - CAST(n_shared AS DOUBLE) / n_grams, 6) AS novelty
        |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val sh = documents(s, d)
+    val sh = graft.Tables.wide(s, documents(s, d))
       .select(col("doc_id"), words.as("wds"))
       .filter(size(col("wds")) >= 3)
       .select(col("doc_id"), explode(array_distinct(hashedShinglesOf(3, col("wds")))).as("s"))
@@ -3010,7 +3013,8 @@ object Llm extends QueryModule {
       (acc, i) => acc + i.cast("long") *
         ascii(col("tok").substr(i, lit(1))).cast("long")) +
       lit(7919L) * length(col("tok"))).as("hv")
-    documents(s, d).select(col("doc_id"), explode(words).as("tok"))
+    graft.Tables.wide(s, documents(s, d))
+      .select(col("doc_id"), explode(words).as("tok"))
       // length > 0: empty tokens (consecutive spaces) pass the ASCII
       // gate but crash Spark's positional hash (element_at(ch, 0) via
       // sequence(1,0)) while DuckDB hashes them to 0 — see q233

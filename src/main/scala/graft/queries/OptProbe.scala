@@ -37,7 +37,48 @@ object OptProbe {
     graft.Tables.documents(spark, sfDir).count()
 
     if (probes.contains("jaccard")) jaccard(spark, sfDir)
+    probes.filter(_.startsWith("jobs:")).foreach { p =>
+      jobs(spark, sfDir, p.stripPrefix("jobs:"))
+    }
     spark.stop()
+  }
+
+  /** Runs one declared query (twice; reports the second, steady-state
+    * run) with a listener that prints every Spark job's wall time and
+    * total task time — poor man's UI for attributing a query's cost to
+    * its jobs when no SQL tab exists (guide §7.1). */
+  private def jobs(s: SparkSession, d: String, name: String): Unit = {
+    import org.apache.spark.scheduler._
+    val q = graft.QueryRegistry.all.find(_._1.startsWith(name)).get
+    val jobStart = scala.collection.concurrent.TrieMap[Int, (Long, String)]()
+    var log = List.empty[String]
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobStart(j.jobId) = (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description")).getOrElse(""))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        jobStart.remove(j.jobId).foreach { case (t0, desc) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          log ::= f"[job] ${j.jobId}%4d ${ms}%9.1f ms  ${stages.remove(j.jobId).getOrElse("")} $desc"
+        }
+      private val stages = scala.collection.concurrent.TrieMap[Int, String]()
+      override def onStageSubmitted(st: SparkListenerStageSubmitted): Unit = ()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val owner = jobStart.keys.toSeq.sorted.lastOption.getOrElse(-1)
+        val prev = stages.getOrElse(owner, "")
+        stages(owner) = prev + s"| ${si.name.takeWhile(_ != '\n').take(60)} n=${si.numTasks} "
+      }
+    }
+    graft.GraftConf.scoped(s) { q._2.build(s, d).count() } // warm
+    s.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    graft.GraftConf.scoped(s) { q._2.build(s, d).count() }
+    val total = (System.nanoTime() - t0) / 1e9
+    s.sparkContext.removeSparkListener(listener)
+    Thread.sleep(500)
+    println(s"[jobs] ${q._1}: total ${total}s, ${log.size} jobs")
+    log.reverse.foreach(println)
   }
 
   /** The q47/q78/q88/q120/q139/q152/q158/q162/q182/q208 shared prefix,

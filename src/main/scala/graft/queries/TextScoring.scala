@@ -606,7 +606,7 @@ object TextScoring extends QueryModule {
     val tgt = col("n_chars").between(100, 500) &&
       (size(filter(words, t => t.isInCollection(Llm.stopWords))).cast("double") /
         size(words)) >= 0.05
-    documents(s, d)
+    graft.Tables.wide(s, documents(s, d))
       .select(col("doc_id"), tgt.as("tgt"), col("text"))
       .select(col("doc_id"), col("tgt"), explode(words).as("tok"))
       // length(tok) > 0: consecutive/leading spaces split into EMPTY
