@@ -875,7 +875,10 @@ object Analytics extends QueryModule {
             s"  SELECT '$ca' AS m_a, '$cb' AS m_b, CAST(n AS BIGINT) AS n, ${sqlCorr(ka, kb)} AS corr FROM s" }
             .mkString("\n  UNION ALL\n")}
          |) ORDER BY m_a, m_b""".stripMargin) { (s, d) =>
-      val t = lineitem(s, d).select(ms.map { case (k, c) =>
+      // CPU fan-out (Tables.wide): 14 decimal-widened products per row
+      // otherwise run inside the single-split lineitem scan stage (job
+      // probe: ONE 1.22 s job at n=3 was the whole query)
+      val t = graft.Tables.wide(s, lineitem(s, d)).select(ms.map { case (k, c) =>
         round(col(c) * 100).cast("long").as(k) }: _*)
       val aggs =
         ms.flatMap { case (k, _) =>

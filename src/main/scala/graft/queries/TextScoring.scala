@@ -403,17 +403,23 @@ object TextScoring extends QueryModule {
        |  ROUND((-CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)) / COUNT(*), 6)
        |    AS cross_entropy
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val ws = documents(s, d).filter(col("text").isNotNull)
+    val ws = graft.Tables.wide(s, documents(s, d)).filter(col("text").isNotNull)
       .select(col("doc_id"), words.as("w"),
         (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "d0")
           .as("is_train"))
       .filter(size(col("w")) >= 2)
     // (bigram hash, lead-word hash) pairs — 16 bytes per bigram, built in
-    // one pass; the equivalent strings exist only inside the oracle
+    // one pass; the equivalent strings exist only inside the oracle.
+    // Hashes are seed-chained element_at, not slice() — the slice form
+    // allocates a fresh array per bigram (the r13 hashedShinglesOf
+    // finding, ~2× the map side); values change but both relations of
+    // every hb/h1 join derive from THIS tb, so results are invariant
+    // (same 64-bit collision class).
     val tb = ws.select(col("doc_id"), col("is_train"),
         explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(xxhash64(slice(col("w"), i, lit(2))).as("hb"),
-            xxhash64(slice(col("w"), i, lit(1))).as("h1")))).as("t"))
+          i => struct(
+            xxhash64(element_at(col("w"), i), element_at(col("w"), i + 1)).as("hb"),
+            xxhash64(element_at(col("w"), i)).as("h1")))).as("t"))
       .select(col("doc_id"), col("is_train"), col("t.hb"), col("t.h1"))
     val train = tb.filter(col("is_train"))
     val cb = train.groupBy("hb").agg(count(lit(1)).as("cb"))

@@ -946,6 +946,10 @@ object VectorQuant extends QueryModule {
       pqCodebook(s, d).coalesce(1).write.mode("overwrite").parquet(s"$dir/book")
       codebookGen(s, d, 1, 16).coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
     }
+    // NO Tables.wide on the codes read: an A/B bench showed the extra
+    // exchange costs the warm rerank family 0.1-0.2 s/query more than
+    // the single-split scan — the ADC probe scan is small and the LUT
+    // join broadcast-bound (bench_full_r13opt_batch3{,_ctrl}.json)
     val idx = s.read.parquet(s"$dir/codes")
     val book = s.read.parquet(s"$dir/book")
     val coarse = s.read.parquet(s"$dir/coarse")
@@ -1476,6 +1480,9 @@ object VectorQuant extends QueryModule {
       graft.operators.IndexIngest.appendBatch(s,
         ivfadcEncodeWith(batch, book, coarse), s"$dir/codes", "day1")
     }
+    // NO Tables.wide here: this read joins on the cell partition column
+    // with dynamic partition pruning in the plan (q228/q240 pins) — a
+    // Repartition between scan and join would defeat the pruning
     val idx = s.read.parquet(s"$dir/codes")
     val book = s.read.parquet(s"$dir/book")
     val coarse = s.read.parquet(s"$dir/coarse")
