@@ -52,7 +52,7 @@ object Llm extends QueryModule {
     * anti-join away). Eval shingles and the returned id set are both
     * broadcast-sized by construction. */
   private def deconBadIds(docs: DataFrame): DataFrame = {
-    val sh5 = docs.filter(col("text").isNotNull)
+    val sh5 = graft.Tables.wide(docs.sparkSession, docs).filter(col("text").isNotNull)
       .select(col("doc_id"), words.as("wds"))
       .filter(size(col("wds")) >= 5)
       .select(col("doc_id"),
