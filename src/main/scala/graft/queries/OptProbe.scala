@@ -143,6 +143,32 @@ object OptProbe {
     s.sparkContext.setJobDescription("probe: interA")
     time("jaccard/interA (pairs via A)") { noop(interA) }
 
+    // full-pipeline A/B: window df-cap vs hash-agg df-cap, through the
+    // jaccard join (same downstream), min-of-5
+    def cnt2(c: DataFrame) = c.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    def inter2(c: DataFrame) = c
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    def pairsOf(c: DataFrame) = {
+      val cn = cnt2(c)
+      val jac = col("i").cast("double") / (col("ca") + col("cb") - col("i"))
+      inter2(c)
+        .join(cn.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cn.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("i"),
+          col("ca.c").as("ca"), col("cb.c").as("cb"))
+        .filter(jac >= 0.03)
+    }
+    s.sparkContext.setJobDescription("probe: pairs window-cap")
+    time("jaccard/pairs via window cap", 5) { noop(pairsOf(cappedDf)) }
+    s.sparkContext.setJobDescription("probe: pairs hashagg-cap")
+    time("jaccard/pairs via hashagg cap", 5) { noop(pairsOf(cappedA)) }
+
     // variant B: element_at-based shingle hash (no per-shingle array alloc)
     def shinglesB(wc: org.apache.spark.sql.Column) =
       transform(sequence(lit(1), size(wc) - 2),
