@@ -946,10 +946,11 @@ object VectorQuant extends QueryModule {
       pqCodebook(s, d).coalesce(1).write.mode("overwrite").parquet(s"$dir/book")
       codebookGen(s, d, 1, 16).coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
     }
-    // NO Tables.wide on the codes read: an A/B bench showed the extra
-    // exchange costs the warm rerank family 0.1-0.2 s/query more than
-    // the single-split scan — the ADC probe scan is small and the LUT
-    // join broadcast-bound (bench_full_r13opt_batch3{,_ctrl}.json)
+    // NO Tables.wide on the codes read: two same-calibration A/Bs showed
+    // the extra exchange costs the warm ADC/rerank family 0.1-0.4 s per
+    // query (bench_full_r13opt_adcwide2 vs _adcwide_ctrl) — the probe
+    // scan is small and LUT-join broadcast-bound, so fan-out only adds a
+    // stage barrier
     val idx = s.read.parquet(s"$dir/codes")
     val book = s.read.parquet(s"$dir/book")
     val coarse = s.read.parquet(s"$dir/coarse")
