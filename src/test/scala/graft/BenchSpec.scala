@@ -64,6 +64,16 @@ class BenchSpec extends AnyFunSuite with Matchers {
     json should include(""""slow":9.0""")
   }
 
+  test("both calibration fields ride every artifact (r13 parallel calibration)") {
+    val json = Bench.renderJson(Seq("a" -> 1.0), 1, sf, calSec = 0.5, calParSec = 0.25)
+    json should include(""""calibration_sec":0.5""")
+    json should include(""""calibration_par_sec":0.25""")
+    val compact = Bench.renderCompactJson(Seq("a" -> 1.0), 1, sf,
+      calSec = 0.5, calParSec = 0.25)
+    compact should include(""""calibration_par_sec":0.25""")
+    compact.count(_ == '{') shouldBe compact.count(_ == '}')
+  }
+
   test("a failure on one iteration marks the query failed even if another succeeds") {
     var calls = 0
     val flaky = Q.noOracle { (s, d) =>
