@@ -29,14 +29,10 @@ object PlanDump {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val outDir = Paths.get("plans/r13")
+    // shared session builder (r14): dumped plans come from the same
+    // session config the bench runs — see GraftSession
+    val spark = GraftSession.build()
+    val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r14"))
     Files.createDirectories(outDir)
     val selected = prefixes match {
       case Some(ps) => QueryRegistry.all.filter { case (n, _) => ps.exists(n.startsWith) }

@@ -57,15 +57,34 @@ object Tables {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** The session confs parquet schema INFERENCE depends on (r14, advisor
+    * ask): two sessions in one JVM could legitimately infer different
+    * StructTypes for the same footer (events' nanos-as-long legacy
+    * switch, binary-as-string, int96 mapping, NTZ inference, field-id
+    * resolution — which IndexManifest flips session-wide). A path-only
+    * key would hand the second session the first session's inference;
+    * keying on (path, these confs) makes the memo exact instead of
+    * "correct as long as every session shares reader confs". */
+  private def inferenceKey(spark: SparkSession, path: String): String = {
+    val confs = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.binaryAsString",
+      "spark.sql.parquet.int96AsTimestamp",
+      "spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.parquet.fieldId.read.enabled")
+    path + "#" + confs.map(k => spark.conf.getOption(k).getOrElse("-")).mkString(",")
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (!spark.conf.get("spark.graft.schema.memo", "true").toBoolean)
       return spark.read.parquet(path)
-    val known = schemaMemo.get(path)
+    val key = inferenceKey(spark, path)
+    val known = schemaMemo.get(key)
     if (known != null) spark.read.schema(known).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaMemo.put(path, df.schema)
+      schemaMemo.put(key, df.schema)
       df
     }
   }

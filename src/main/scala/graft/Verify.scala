@@ -6,18 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // same AQE coalescing floor as Bench (see Bench.scala) so the
-      // graded correctness pass executes the plans the bench times
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared session builder (r14): the graded correctness pass executes
+    // exactly the session config the bench times — see GraftSession
+    val spark = GraftSession.build()
     // Grading-consistency guard (round-6 advisory): the IVF operating
     // knobs (spark.graft.ivf.* conf / SPARK_GRAFT_IVF_* env) change the
     // Spark-side q201/q202/q206/q207 assignments while their oracle SQL

@@ -25,13 +25,9 @@ object OptProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared session builder (r14): probe timings come from the same
+    // session config the bench runs — see GraftSession
+    val spark = graft.GraftSession.build()
     val probes = if (args.isEmpty) Seq("jaccard") else args.toSeq
     // warm-up: footers + codegen machinery once
     graft.Tables.documents(spark, sfDir).count()

@@ -74,6 +74,34 @@ class BenchSpec extends AnyFunSuite with Matchers {
     compact.count(_ == '{') shouldBe compact.count(_ == '}')
   }
 
+  test("cpus rides both JSON lines (r14, advisor ask: calibration_par_sec is only comparable at equal parallelism)") {
+    Bench.renderJson(Seq("a" -> 1.0), 1, sf, cpus = 32) should include(""""cpus":32""")
+    val compact = Bench.renderCompactJson(Seq("a" -> 1.0), 1, sf, cpus = 8)
+    compact should include(""""cpus":8""")
+    compact.count(_ == '{') shouldBe compact.count(_ == '}')
+  }
+
+  test("slow queries get extra de-noising iterations; fast ones do not (r14 verdict ask #2)") {
+    var slowCalls = 0
+    val counted = Q.noOracle { (s, d) =>
+      slowCalls += 1
+      Tables.nation(s, d).select("n_nationkey")
+    }
+    // threshold 0: every reading is "slow", so 1 base + 2 extra = 3 builds
+    Bench.timeQueries(spark, sf, Seq("c" -> counted), iters = 1,
+      slowExtraIters = 2, slowSec = 0.0)
+    slowCalls shouldBe 3
+    var fastCalls = 0
+    val counted2 = Q.noOracle { (s, d) =>
+      fastCalls += 1
+      Tables.nation(s, d).select("n_nationkey")
+    }
+    // unreachable threshold: base iterations only
+    Bench.timeQueries(spark, sf, Seq("c" -> counted2), iters = 2,
+      slowExtraIters = 2, slowSec = 1e9)
+    fastCalls shouldBe 2
+  }
+
   test("a failure on one iteration marks the query failed even if another succeeds") {
     var calls = 0
     val flaky = Q.noOracle { (s, d) =>
