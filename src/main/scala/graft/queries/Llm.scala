@@ -558,10 +558,19 @@ object Llm extends QueryModule {
     * shuffled data is identical (one 64-sum row per doc); the map side
     * just skips materializing the per-bit rows. Values are unchanged:
     * vote = ±1 per (word, bit), signature bit = sign of the vote sum. */
-  private def simHashSignatures(s: SparkSession, d: String): DataFrame = {
+  private def simHashSignatures(s: SparkSession, d: String): DataFrame =
+    simHashSignaturesOf(documents(s, d))
+
+  /** Signature arithmetic on an explicit (doc_id, text, lang) relation —
+    * factored out (r14) so LlmSpec can pin GOLDEN signature values on a
+    * fixed token list: q49 is the one declared query with no DuckDB
+    * oracle (its values are xxhash64-engine-specific by design), so an
+    * expression rewrite here would otherwise be checked only by an
+    * unchanged row count. */
+  private[queries] def simHashSignaturesOf(docs: DataFrame): DataFrame = {
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    documents(s, d)
+    docs
       .filter(col("lang") === "en")
       .select(col("doc_id"), explode(array_distinct(words)).as("wrd"))
       .select(col("doc_id"), xxhash64(col("wrd")).as("h"))

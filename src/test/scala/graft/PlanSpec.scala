@@ -528,4 +528,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // and the gate IS in the fragment plan (below the explode)
     df.queryExecution.executedPlan.toString should include("IN (the,a,of")
   }
+
+  test("q142/q157: every unpartitioned window runs over a per-language aggregate, never the corpus (r14 verdict ask #5)") {
+    // WindowExec warns "No Partition Defined ... moving all data to a
+    // single partition" for these queries — harmless ONLY because the
+    // window's input is the groupBy(lang) apportionment state (one row
+    // per language), not an O(n) relation. Pin that structurally: in the
+    // optimized plan, every Window with an empty partitionSpec must have
+    // an Aggregate grouping on lang somewhere strictly below it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    def boundedUnpartitionedWindows(name: String): Unit = {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val unpartitioned = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      unpartitioned should not be empty // the shape under test exists
+      unpartitioned.foreach { w =>
+        val boundedBelow = w.child.collect {
+          case a: Aggregate if a.groupingExpressions.exists(_.references
+            .exists(_.name == "lang")) => a
+        }
+        withClue(s"$name: unpartitioned window input is not the per-lang state relation: ") {
+          boundedBelow should not be empty
+        }
+      }
+    }
+    boundedUnpartitionedWindows("q142_mixture_alloc")
+    boundedUnpartitionedWindows("q157_temperature_mix")
+  }
 }

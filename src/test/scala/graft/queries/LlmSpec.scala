@@ -483,4 +483,33 @@ class LlmSpec extends AnyFunSuite with Matchers {
     }
     rows.map(_._1).toSet shouldBe counts.keySet
   }
+
+  test("q49 golden signatures: fixed token lists pin the hash function (r14 verdict ask #6)") {
+    // q49 is the ONE declared query with no DuckDB oracle (xxhash64-
+    // engine-specific values by design), so until this pin an expression
+    // rewrite was checked only by an unchanged row count. These longs
+    // were computed on the r14 tree and frozen; any rewrite of the
+    // signature arithmetic (word split, distinct, vote, bit assembly)
+    // that changes a single output bit fails here.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),  // multi-word vote
+      (2L, "alpha alpha beta", "en"),  // duplicate word: array_distinct folds it
+      (3L, "delta epsilon", "fr"),     // non-en: filtered out entirely
+      (4L, "zeta", "en")               // single word: signature == its hash bits
+    ).toDF("doc_id", "text", "lang")
+    val got = Llm.simHashSignaturesOf(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L, 4L)
+    // single-word signature bit b = 1 iff hash bit b = 1, i.e. the raw hash
+    val zetaHash = docs.filter($"doc_id" === 4L)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.lit("zeta"))).head().getLong(0)
+    got.toMap.apply(4L) shouldBe zetaHash
+    // golden values (frozen):
+    got.toMap.apply(1L) shouldBe GOLDEN_Q49_DOC1
+    got.toMap.apply(2L) shouldBe GOLDEN_Q49_DOC2
+  }
+  private val GOLDEN_Q49_DOC1 = -8970745664593772831L
+  private val GOLDEN_Q49_DOC2 = 36031307721027073L
 }
