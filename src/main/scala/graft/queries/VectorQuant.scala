@@ -722,7 +722,9 @@ object VectorQuant extends QueryModule {
       .select(col("vec_id"),
         expr("pq_encode_micro(embedding, cbs).codes").as("codes"),
         expr("pq_encode_micro(embedding, ccbs).codes[0]").as("cell"))
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, cb, coarse, m, ivfadcNprobe(s))
+    // probe/LUT memo-shared across q220/q221/q222 and the membership
+    // test (r14): identical bounded relations, one build per application
+    val (probe, lutRows) = probeAndLutFor(s, s"parts|$key", qs, cb, coarse, m)
     (enc, probe, lutRows)
   }
 
@@ -742,26 +744,95 @@ object VectorQuant extends QueryModule {
       .getOrElse(2)
 
   private def ivfadcProbeAndLut(qs: DataFrame, cb: DataFrame, coarse: DataFrame,
-      m: Int, nprobe: Int): (DataFrame, DataFrame) = {
-    val dsub = 64 / m
+      m: Int, nprobe: Int): (DataFrame, DataFrame) =
+    (ivfadcProbeOf(qs, coarse, nprobe), ivfadcLutOf(qs, cb, m))
+
+  private def ivfadcProbeOf(qs: DataFrame, coarse: DataFrame, nprobe: Int): DataFrame =
     // coarse is ≤16 rows — AQE would broadcast it anyway, but hint it
     // for uniformity with every other bounded crossJoin in the family
-    val probe = qs.crossJoin(broadcast(coarse))
+    qs.crossJoin(broadcast(coarse))
       .select(col("qid"), col("code").as("pcell"),
         expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("pcell"))
-    val lutRows = cb.crossJoin(broadcast(qs))
+
+  private def ivfadcLutOf(qs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val dsub = 64 / m
+    cb.crossJoin(broadcast(qs))
       .select(col("qid"), expr("j * 256 + code").as("pos"),
         expr(s"aggregate(zip_with(slice(em, j * $dsub + 1, $dsub), cw, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
       .groupBy("qid")
       .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
       .select(col("qid"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
-    (probe, lutRows)
   }
+
+  /** MEMOIZED probe/LUT pair (r14, round-13 verdict ask #4 — "fuse the
+    * per-certificate tiny broadcast builds"): the per-query probe list
+    * (≤ nprobe·queries rows) and dense LUTs (≤ queries rows) are pure
+    * deterministic functions of (query set, books, m, nprobe), and the
+    * r13 job probes showed each certificate paying its own ~20-38 tiny
+    * broadcast-build jobs re-deriving them. One build per application
+    * per key; the O(n) scans they broadcast AGAINST stay per-query.
+    * `key` must identify the qs/books provenance (corpus dir, staged
+    * tree); m and nprobe — the live knobs — land in the key here. */
+  private def probeAndLutFor(s: SparkSession, key: String, qs: DataFrame,
+      cb: DataFrame, coarse: DataFrame, m: Int): (DataFrame, DataFrame) = {
+    val nprobe = ivfadcNprobe(s)
+    val probe = BoundedMemo(s, s"ivfprobe|$key|$nprobe")(
+      ivfadcProbeOf(qs, coarse, nprobe).localCheckpoint())
+    val lut = BoundedMemo(s, s"ivflut|$key|$m")(
+      ivfadcLutOf(qs, cb, m).localCheckpoint())
+    (probe, lut)
+  }
+
+  /** The joined (probe × lut) relation every STAGED serving path
+    * broadcasts against its persisted codes — with the staged books and
+    * the query set read/built ONCE per application (the books are
+    * written once per staging, immutable for the JVM's lifetime,
+    * ≤ m·256 rows). The probe/LUT expressions themselves stay LIVE, not
+    * checkpointed: the probe's selective `rn <= nprobe` filter is what
+    * makes Spark inject the dynamicpruning subquery into the
+    * cell-partitioned codes scan (the q222/q209 DPP pins — at 100 TB
+    * that subquery IS the scan cut), and a pinned RDD build side loses
+    * it. The live build over three pinned ≤2048-row RDDs is pure
+    * in-memory arithmetic. */
+  private def stagedProbeLut(s: SparkSession, dir: String, qsKey: String,
+      m: Int)(qsBuild: => DataFrame): DataFrame = {
+    val qs = BoundedMemo(s, s"adcq|$qsKey")(qsBuild.localCheckpoint())
+    val book = BoundedMemo(s, s"stagedbook|$dir")(
+      s.read.parquet(s"$dir/book").localCheckpoint())
+    val coarse = BoundedMemo(s, s"stagedcoarse|$dir")(
+      s.read.parquet(s"$dir/coarse").localCheckpoint())
+    val (probe, lut) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
+    probe.join(lut, "qid")
+  }
+
+  /** (n_queries × n_corpus) — the 1-row denominator relation the
+    * q221/q224/q227 certificates all cross-join; one corpus count per
+    * application instead of one per certificate. */
+  private def corpusTotals(s: SparkSession, d: String): DataFrame =
+    BoundedMemo(s, s"tot|$d") {
+      adcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+        .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
+          .agg(count(lit(1)).as("n_corpus")))
+        .localCheckpoint()
+    }
+
+  /** The 1-row scanned-member count of the RESIDUAL pruning — q224 and
+    * q227 compute it from the identical (enc, probe) pair; one pass per
+    * application instead of one per certificate. */
+  private def residScanned(s: SparkSession, d: String,
+      parts: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    BoundedMemo(s, s"residscn|$d|${pqM(s)}|${ivfadcNprobe(s)}") {
+      val (enc, probe, _) = parts
+      enc.select(col("cell"))
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .agg(count(lit(1)).as("n_scanned"))
+        .localCheckpoint()
+    }
 
   /** (qid, vec_id) pairs the pruning admits — IvfadcSpec anti-joins
     * q220's results against this to prove no leak past the cell join. */
@@ -893,16 +964,14 @@ object VectorQuant extends QueryModule {
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id
        |CROSS JOIN scn s CROSS JOIN tot t
        |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
-    val qs = adcQueries(s, d)
     val exact = exactTop10(s, d)
     val parts = ivfadcParts(s, d)
     val (enc, probe, _) = parts
     val scn = enc.select(col("cell"))
       .join(broadcast(probe), col("cell") === col("pcell"))
       .agg(count(lit(1)).as("n_scanned"))
-    val tot = qs.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
-        .agg(count(lit(1)).as("n_corpus")))
+    // tot memo-shared with q224/q227 (r14): identical 1-row relation
+    val tot = corpusTotals(s, d)
     ivfadcTopkFrom(parts).select("qid", "vec_id")
       .join(exact, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -952,11 +1021,9 @@ object VectorQuant extends QueryModule {
     // scan is small and LUT-join broadcast-bound, so fan-out only adds a
     // stage barrier
     val idx = s.read.parquet(s"$dir/codes")
-    val book = s.read.parquet(s"$dir/book")
-    val coarse = s.read.parquet(s"$dir/coarse")
-    val qs = adcQueries(s, d)
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
-    val probeLut = probe.join(lutRows, "qid")
+    // staged books + probe/LUT memo-read once per application (r14,
+    // verdict ask #4); the codes scan stays per-query
+    val probeLut = stagedProbeLut(s, dir, d, m)(adcQueriesOf(embeddings(s, d)))
     idx.join(broadcast(probeLut), col("cell") === col("pcell"))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
@@ -1040,25 +1107,27 @@ object VectorQuant extends QueryModule {
       .select(col("vec_id"), col("cell"),
         expr("pq_encode_shift_micro(embedding, ccw, cbs).codes").as("codes"))
     val nprobe = ivfadcNprobe(s)
-    val probe = qs.crossJoin(broadcast(coarse))
-      .select(col("qid"), col("code").as("pcell"),
-        expr("aggregate(zip_with(em, cw, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("cdist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cdist"), col("pcell"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("pcell"))
-    // per-(query, cell) SHIFTED LUT: ‖(q − c_cell)_subⱼ − rcwⱼ,code‖²
-    val shifted = probe.join(broadcast(qs), "qid")
-      .join(broadcast(coarseSel), col("pcell") === col("cell"))
-      .select(col("qid"), col("pcell"),
-        expr("zip_with(em, ccw, (a, b) -> a - b)").as("sq"))
-    val lutRows = shifted.crossJoin(broadcast(book)) // ≤(nprobe·10) × m·256 rows, bounded
-      .select(col("qid"), col("pcell"), expr("j * 256 + code").as("pos"),
-        expr(s"aggregate(zip_with(slice(sq, j * $dsub + 1, $dsub), cw, " +
-          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
-      .groupBy("qid", "pcell")
-      .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
-      .select(col("qid"), col("pcell"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
+    // probe and shifted LUT memo-shared across q223/q224/q227 (r14,
+    // verdict ask #4): both are ≤(nprobe·queries)-row deterministic
+    // functions of (query set, books, m, nprobe); the job probe showed
+    // each certificate re-paying the same tiny broadcast-build jobs
+    val probe = BoundedMemo(s, s"residprobe|$key|$nprobe")(
+      ivfadcProbeOf(qs, coarse, nprobe).localCheckpoint())
+    val lutRows = BoundedMemo(s, s"residlut|$key|$m|$nprobe") {
+      // per-(query, cell) SHIFTED LUT: ‖(q − c_cell)_subⱼ − rcwⱼ,code‖²
+      val shifted = probe.join(broadcast(qs), "qid")
+        .join(broadcast(coarseSel), col("pcell") === col("cell"))
+        .select(col("qid"), col("pcell"),
+          expr("zip_with(em, ccw, (a, b) -> a - b)").as("sq"))
+      shifted.crossJoin(broadcast(book)) // ≤(nprobe·10) × m·256 rows, bounded
+        .select(col("qid"), col("pcell"), expr("j * 256 + code").as("pos"),
+          expr(s"aggregate(zip_with(slice(sq, j * $dsub + 1, $dsub), cw, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d"))
+        .groupBy("qid", "pcell")
+        .agg(collect_list(struct(col("pos"), col("d"))).as("pd"))
+        .select(col("qid"), col("pcell"), expr(s"dense_lut_micro(pd, ${m * 256})").as("lut"))
+        .localCheckpoint()
+    }
     (enc, probe, lutRows)
   }
 
@@ -1199,16 +1268,11 @@ object VectorQuant extends QueryModule {
        |  ON e.qid = a.qid AND e.vec_id = a.vec_id
        |CROSS JOIN scn s CROSS JOIN tot t
        |GROUP BY t.n_queries, s.n_scanned, t.n_corpus""".stripMargin) { (s, d) =>
-    val qs = adcQueries(s, d)
     val exact = exactTop10(s, d)
     val parts = ivfadcResidualParts(s, d)
-    val (enc, probe, _) = parts
-    val scn = enc.select(col("cell"))
-      .join(broadcast(probe), col("cell") === col("pcell"))
-      .agg(count(lit(1)).as("n_scanned"))
-    val tot = qs.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
-        .agg(count(lit(1)).as("n_corpus")))
+    // scn/tot memo-shared with q227 (r14): identical 1-row relations
+    val scn = residScanned(s, d, parts)
+    val tot = corpusTotals(s, d)
     ivfadcResidualTopkFrom(parts).select("qid", "vec_id")
       .join(exact, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -1262,7 +1326,14 @@ object VectorQuant extends QueryModule {
   private def adcRerankTopkDfM(s: SparkSession, d: String, m: Int): DataFrame = {
     graft.functions.L2Micro.register(s)
     val qs = adcQueries(s, d)
-    val shortlist = adcTopkDfKm(s, d, 10 * rerankAlpha(s), m).select(col("qid"), col("vec_id"))
+    // the ADC top-(10·α) shortlist is a bounded (α·k·queries ≤ 1000-row)
+    // deterministic function of (corpus, k, m) shared by q225 and q226
+    // (and q241 at m=16) — memo-fused per the r13 verdict's ask #4; the
+    // α knob lands in the key via k, and each consumer's own exact
+    // re-rank scan stays per-query
+    val k = 10 * rerankAlpha(s)
+    val shortlist = BoundedMemo(s, s"adcshort|$d|$k|$m")(
+      adcTopkDfKm(s, d, k, m).select(col("qid"), col("vec_id")).localCheckpoint())
     embeddings(s, d).filter(col("embedding").isNotNull)
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "qid")
@@ -1381,7 +1452,6 @@ object VectorQuant extends QueryModule {
     val qs = adcQueries(s, d)
     val exact = exactTop10(s, d)
     val parts = ivfadcResidualParts(s, d)
-    val (enc, probe, _) = parts
     val short = ivfadcResidualTopkFromK(parts, 10 * rerankAlpha(s)).select(col("qid"), col("vec_id"))
     val reranked = embeddings(s, d).filter(col("embedding").isNotNull)
       .join(broadcast(short), "vec_id")
@@ -1391,12 +1461,9 @@ object VectorQuant extends QueryModule {
         Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))))
       .filter(col("rnk") <= 10)
       .select("qid", "vec_id")
-    val scn = enc.select(col("cell"))
-      .join(broadcast(probe), col("cell") === col("pcell"))
-      .agg(count(lit(1)).as("n_scanned"))
-    val tot = qs.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(embeddings(s, d).filter(col("embedding").isNotNull)
-        .agg(count(lit(1)).as("n_corpus")))
+    // scn/tot memo-shared with q224 (r14): identical 1-row relations
+    val scn = residScanned(s, d, parts)
+    val tot = corpusTotals(s, d)
     reranked
       .join(exact, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -1485,11 +1552,9 @@ object VectorQuant extends QueryModule {
     // with dynamic partition pruning in the plan (q228/q240 pins) — a
     // Repartition between scan and join would defeat the pruning
     val idx = s.read.parquet(s"$dir/codes")
-    val book = s.read.parquet(s"$dir/book")
-    val coarse = s.read.parquet(s"$dir/coarse")
-    val qs = adcQueriesOf(baseAll)
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
-    val probeLut = probe.join(lutRows, "qid")
+    // staged books + probe/LUT memo-read once per application (r14);
+    // the DPP-pruned codes scan stays per-query
+    val probeLut = stagedProbeLut(s, dir, s"$d|mod10ne0", m)(adcQueriesOf(baseAll))
     idx.join(broadcast(probeLut), col("cell") === col("pcell"))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
@@ -1971,11 +2036,10 @@ object VectorQuant extends QueryModule {
         s, s"$dir/codes", s"$dir/compacted", "cell", "vec_id")
     }
     val idx = s.read.parquet(s"$dir/compacted")
-    val book = s.read.parquet(s"$dir/book")
-    val coarse = s.read.parquet(s"$dir/coarse")
-    val qs = adcQueriesOf(base)
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
-    val probeLut = probe.join(lutRows, "qid")
+    // staged books + probe/LUT memo-read once per application (r14); the
+    // query-set key is the base split (shared verbatim with q249, whose
+    // base is the same % 10 >= 3 filter — identical md5-ranked 10 rows)
+    val probeLut = stagedProbeLut(s, dir, s"$d|mod10ge3", m)(adcQueriesOf(base))
     idx.join(broadcast(probeLut), col("cell") === col("pcell"))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
@@ -2040,11 +2104,10 @@ object VectorQuant extends QueryModule {
       graft.operators.IndexManifest.vacuum(s, s"$dir/index")
     }
     val idx = graft.operators.IndexManifest.read(s, s"$dir/index")
-    val book = s.read.parquet(s"$dir/book")
-    val coarse = s.read.parquet(s"$dir/coarse")
-    val qs = adcQueriesOf(base)
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
-    val probeLut = probe.join(lutRows, "qid")
+    // staged books + probe/LUT memo-read once per application (r14);
+    // query-set key shared with q240 (same % 10 >= 3 base split). The
+    // manifest-served codes scan stays per-query.
+    val probeLut = stagedProbeLut(s, dir, s"$d|mod10ge3", m)(adcQueriesOf(base))
     idx.join(broadcast(probeLut), col("cell") === col("pcell"))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
@@ -2168,11 +2231,11 @@ object VectorQuant extends QueryModule {
       idx: DataFrame): DataFrame = {
     val m = pqM(s)
     val (b1, _) = ttSplits(s, d)
-    val book = s.read.parquet(s"$dir/book")
-    val coarse = s.read.parquet(s"$dir/coarse")
-    val qs = adcQueriesOf(embeddings(s, d).filter(col("vec_id") < b1))
-    val (probe, lutRows) = ivfadcProbeAndLut(qs, book, coarse, m, ivfadcNprobe(s))
-    val probeLut = probe.join(lutRows, "qid")
+    // staged books + probe/LUT memo-read once per application, shared
+    // by all three tt consumers q255/q256/q258 (r14, verdict ask #4);
+    // only the manifest-planned codes scan below is per-query
+    val probeLut = stagedProbeLut(s, dir, s"$d|ttbase", m)(
+      adcQueriesOf(embeddings(s, d).filter(col("vec_id") < b1)))
     idx.join(broadcast(probeLut), col("cell") === col("pcell"))
       .select(col("qid"), col("vec_id"),
         expr("pq_adc_micro(codes, lut)").as("dist"))
