@@ -128,6 +128,10 @@ object ManifestPlanBench {
     def minOf(body: => Unit): Double = (1 to iters).map(_ => timeMs(body)).min
 
     val expected = entries.size + deltaTail * deltaFiles
+    // memo OFF for the headline number: this bench exists to measure the
+    // honest read+checksum+parse cost a cold reader pays per plan (the
+    // r14 parsed-state memo would otherwise reduce it to a getFileStatus)
+    System.setProperty("graft.manifest.state.memo", "false")
     // warm-up parse (JIT + page cache) before timing
     val st = IndexManifest.current(fs, root).get
     require(st.files.size == expected, s"parsed ${st.files.size} entries, expected $expected")
@@ -136,6 +140,16 @@ object ManifestPlanBench {
       val s = IndexManifest.current(fs, root).get
       require(s.files.size == expected)
     }
+    // and the memo-served number alongside it: what every plan AFTER the
+    // first pays within one application (a listing + one getFileStatus)
+    System.setProperty("graft.manifest.state.memo", "true")
+    val manifestReadCachedMs = minOf {
+      val s = IndexManifest.current(fs, root).get
+      require(s.files.size == expected)
+    }
+    // back OFF so the heap measurement below holds a genuinely SECOND
+    // parsed State, not the memo's shared instance
+    System.setProperty("graft.manifest.state.memo", "false")
     // 1% probe window in the middle of the id space
     val (lo, hi) = (baseSpan / 2, baseSpan / 2 + baseSpan / 100)
     val planMs = minOf {
@@ -189,6 +203,7 @@ object ManifestPlanBench {
       s""""checkpoint_amortized_bytes_per_commit":$checkpointAmortized,""" +
       s""""rename_delta_bytes":$renameDeltaBytes,""" +
       s""""delta_tail":$deltaTail,"manifest_read_ms":$manifestReadMs,""" +
+      s""""manifest_read_cached_ms":$manifestReadCachedMs,""" +
       s""""plan_range_ms":$planMs,"kept_files":${kept.size},"skipped_files":${skipped.size},""" +
       s""""dir_listing_ms":$listingMs,"state_heap_mb":$stateHeapMb,""" +
       s""""iters":$iters,"fs":"local"}""")

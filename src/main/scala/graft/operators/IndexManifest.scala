@@ -623,7 +623,48 @@ object IndexManifest {
     * protocol. A missing support record means the generation was
     * half-vacuumed — impossible through [[vacuum]] (it writes the
     * bounding checkpoint before cutting a chain) — and fails loudly. */
+  /** PARSED-STATE MEMO (r14, round-13 verdict ask #3): a committed
+    * generation's State is a pure function of write-once log records
+    * (manifests publish by atomic create-or-fail and never rewrite), so
+    * re-resolving it per query build is pure repeated driver work — at
+    * the 100k-file scale ManifestPlanBench measures, ~100 ms of read +
+    * checksum + parse per plan; production formats cache exactly this
+    * snapshot. METADATA ONLY: the State holds file names, stats and
+    * schema DDL, never rows; every data file is still read per query.
+    * Safety: the key embeds the serving record file's (mtime, length)
+    * identity — an out-of-band wipe-and-restage of the same tree path
+    * changes the file identity and misses the memo — and every
+    * successful same-JVM publish drops the tree's entries outright.
+    * Kill switch: -Dgraft.manifest.state.memo=false (system property:
+    * resolution has no session in scope; ManifestPlanBench disables it
+    * to keep measuring the honest parse cost). */
+  private val stateMemo = new java.util.concurrent.ConcurrentHashMap[String, State]()
+
+  private def stateMemoOn: Boolean =
+    sys.props.getOrElse("graft.manifest.state.memo", "true").toBoolean
+
   private[operators] def resolve(fs: FileSystem, root: Path, gen: Long): State = {
+    if (!stateMemoOn) return resolveUncached(fs, root, gen)
+    val md = manifestDir(root)
+    val cp = new Path(md, checkpointName(gen))
+    val mp = new Path(md, manifestName(gen))
+    val key =
+      try {
+        // one getFileStatus replaces the full chain read; existence is
+        // probed on the checkpoint first, same as resolution order
+        val rec = try fs.getFileStatus(cp)
+          catch { case _: java.io.FileNotFoundException => fs.getFileStatus(mp) }
+        s"${root.toUri}#$gen#${rec.getPath.getName}#${rec.getModificationTime}#${rec.getLen}"
+      } catch { case _: java.io.FileNotFoundException => null }
+    if (key == null) return resolveUncached(fs, root, gen) // broken chain: fail loudly there
+    val hit = stateMemo.get(key)
+    if (hit != null) return hit
+    val resolved = resolveUncached(fs, root, gen)
+    stateMemo.put(key, resolved)
+    resolved
+  }
+
+  private def resolveUncached(fs: FileSystem, root: Path, gen: Long): State = {
     val md = manifestDir(root)
     var g = gen
     var deltas = List.empty[DeltaRec]
@@ -761,6 +802,13 @@ object IndexManifest {
         }
       else fs.rename(tmp, target)
     fs.delete(tmp, false) // hard-linked (or lost): the tmp name retires either way
+    // a successful publish is the ONE way this JVM changes a tree's log:
+    // drop the tree's parsed-state memo entries so a (pathological)
+    // same-millisecond same-length republish can never serve stale state
+    if (won) {
+      val prefix = root.toUri.toString + "#"
+      stateMemo.keySet.removeIf(k => k.startsWith(prefix))
+    }
     won
   }
 

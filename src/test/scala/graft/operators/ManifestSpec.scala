@@ -1613,4 +1613,30 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     IndexManifest.readPoints(spark, plain, "vec_id", Seq(533L))
       .select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(533L)
   }
+
+  test("parsed-state memo (r14) never serves a stale tree: republish and out-of-band swap") {
+    // in-JVM wipe + republish at the SAME path/generation: tryPublish
+    // drops the tree's memo entries, so the new content is served
+    freshIndex()
+    served() shouldBe rowsOf(batch(0, 40))
+    val (fs, root) = fsRoot
+    val a = IndexManifest.current(fs, root).get
+    IndexManifest.current(fs, root).get.files shouldBe a.files // memo hit, same content
+    fs.delete(root, true)
+    IndexManifest.publishBase(spark, batch(500, 7), dir)
+    served() shouldBe rowsOf(batch(500, 7))
+    // OUT-OF-BAND swap (no tryPublish in this JVM — simulating another
+    // process replacing the tree): raw-copy a different tree's files
+    // over this one; the memo key embeds the record file's
+    // (name, mtime, length) identity, so the swapped log is re-parsed
+    val otherDir = "/tmp/graft_llm/manifest_spec/index_other"
+    val op = new Path(otherDir)
+    fs.delete(op, true)
+    IndexManifest.publishBase(spark, batch(900, 11), otherDir)
+    IndexManifest.current(fs, root).get // fill the memo for the old tree
+    fs.delete(root, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, op, fs, root, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    served() shouldBe rowsOf(batch(900, 11))
+  }
 }
