@@ -2128,7 +2128,14 @@ object Llm extends QueryModule {
     * (2.3× with bit-exact parity to the brute assignment). */
   private def ivfAssignments(s: SparkSession, d: String): DataFrame = {
     val cent = centroidsDf(s, d)
-    ivfProbe(s, d, cent, defaultCoarseDf(s, cent))
+    // coarse pick memo-shared by q201/q202 (r14, the same fuse as the
+    // ivfadc family): a ≤k-row deterministic function of (fixture,
+    // step); the live step knob lands in the key
+    val stepKey = s.conf.getOption("spark.graft.ivf.step")
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_STEP")).getOrElse("sqrtk")
+    val coarse = BoundedMemo(s, s"coarserank|$d|$stepKey")(
+      defaultCoarseDf(s, cent).localCheckpoint())
+    ivfProbe(s, d, cent, coarse, s"rank|$d|$stepKey")
   }
 
   /** The rank-based default coarse pick (clabel, cwec) used by q201/
@@ -2250,7 +2257,7 @@ object Llm extends QueryModule {
     // q207 each re-ran the full Lloyd chain per round-8 bench run)
     val coarse = BoundedMemo(s, s"coarsekm|$d")(
       trainedCoarseDf(s, cent).localCheckpoint())
-    ivfProbe(s, d, cent, coarse)
+    ivfProbe(s, d, cent, coarse, s"km|$d")
   }
 
   /** Probe stage shared by the rank-picked (q201/q202) and trained
@@ -2273,14 +2280,25 @@ object Llm extends QueryModule {
       .agg(min(struct(col("dist"), col("clabel"))).as("m"))
       .select(col("label"), col("m.clabel").as("cell"))
 
-  private def ivfProbe(s: SparkSession, d: String, cent: DataFrame, coarse: DataFrame): DataFrame = {
+  private def ivfProbe(s: SparkSession, d: String, cent: DataFrame, coarse: DataFrame,
+      memoKey: String): DataFrame = {
     graft.functions.ArgminL2Micro.register(s)
-    val cellOf = cellOfDf(cent, coarse)
-    val cellMembers = cent.join(cellOf, "label")
-      .groupBy(col("cell"))
-      .agg(collect_list(struct(col("label").cast("int").as("cand"), col("cvec"))).as("cands"))
-    val coarseArr = coarse.agg(
-      collect_list(struct(col("clabel").as("cand"), col("cwec").as("cvec"))).as("coarse_cands"))
+    // cell membership and the packed coarse array are ≤k-row
+    // deterministic functions of (cent, coarse) — memo-shared by both
+    // consumers of each coarse variant (q201/q202; q206/q207), r14.
+    // nprobe only shapes the probe BELOW these relations, so it stays
+    // out of the key.
+    val cellMembers = BoundedMemo(s, s"ivfcells|$memoKey") {
+      val cellOf = cellOfDf(cent, coarse)
+      cent.join(cellOf, "label")
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("label").cast("int").as("cand"), col("cvec"))).as("cands"))
+        .localCheckpoint()
+    }
+    val coarseArr = BoundedMemo(s, s"ivfcoarsearr|$memoKey")(
+      coarse.agg(
+        collect_list(struct(col("clabel").as("cand"), col("cwec").as("cvec"))).as("coarse_cands"))
+        .localCheckpoint())
     // MULTI-PROBE (nprobe=2): cell1/cell2 = best and second-best coarse
     // cell from ONE fused top-2 scan over the broadcast array
     // (ArgminTop2L2Micro — no per-row `filter(coarse_cands, ...)` HOF,
