@@ -1578,11 +1578,17 @@ object VectorQuant extends QueryModule {
     * q99/q177 nearest-centroid assignment. The argmin output is the
     * EXPENSIVE subtree and is checkpointed — but only its 2-long rows,
     * never an O(n)-row payload relation (the q233 ×1000 lesson); the
-    * cheap encode/load scans recompute per consumer. */
+    * cheap encode/load scans recompute per consumer. corpusPin'd (r14):
+    * the pin is unavoidable (both certificates read it several times),
+    * and un-memoized every q234/q235 build leaked one fresh n-row pin
+    * per bench iteration while re-running the argmin scan the two
+    * queries share — the exact leak-plus-rebuild case corpusPin
+    * documents (q250/q251 precedent). */
   private def clusteredIds(s: SparkSession, d: String): DataFrame =
-    Llm.centroidAssignments(s, d)
-      .select(col("vec_id").as("aid"), col("assigned").as("cluster"))
-      .localCheckpoint()
+    BoundedMemo.corpusPin(s, s"clusteredids|$d")(
+      Llm.centroidAssignments(s, d)
+        .select(col("vec_id").as("aid"), col("assigned").as("cluster"))
+        .localCheckpoint())
 
   /** SEMANTIC DEDUP IN THE COMPRESSED DOMAIN — q177 (SemDeDup: near-dup
     * pairs within learned clusters) re-run entirely off the SQ8 store:
